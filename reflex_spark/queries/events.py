@@ -1,0 +1,289 @@
+"""Event-log analytics: the reference's streaming surface expressed over the
+``events`` fixture (SURVEY.md §2.1 F1-F5 filters, §2.2 streaming windows).
+
+Streaming execution of the same operators lives in reflex_spark.streaming;
+these batch forms are the judged, oracle-checked semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from reflex_spark.queries import query
+from reflex_spark.queries.helpers import DEC, dsum, davg, sql_dsum, sql_davg
+from reflex_spark.tables import load_tables
+
+
+@query(
+    "events_per_type_day",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    """,
+)
+def events_per_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §7 phase 0): scan → project → group → agg."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+
+
+@query(
+    "events_type_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def events_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Include-type filter (reference: WithFilterIncludeTypes, consumer.go:87-93)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.where(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "events_lag_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE ts <= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    """,
+)
+def events_lag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-delayed consumption (reference: WithStreamLag, run.go:79-87):
+    only events at least `lag` old relative to the stream head."""
+    ev = load_tables(spark, sf_dir)["events"]
+    head = ev.agg(F.max("ts").alias("head_ts"))
+    return (
+        ev.join(F.broadcast(head))
+        .where(F.col("ts") <= F.col("head_ts") - F.expr("INTERVAL 7 DAY"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window agg (batch form of groupBy(window(ts, '1 hour')));
+    reference analogue: period-flush batch consumer (rpatterns/batch.go)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    SELECT window_start, COUNT(*) AS n_events FROM (
+      SELECT date_trunc('hour', ts) AS window_start FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start FROM events)
+    GROUP BY window_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h window, 1h slide): each event lands in 2 windows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "events_session_count",
+    oracle="""
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    GROUP BY user_id
+    """,
+)
+def events_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): batch analogue of
+    session_window(ts, '30 minutes'); one shuffle on user_id."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+    )
+
+
+@query(
+    "events_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (two-phase partial/final under the hood)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("events_approx_distinct_users")  # HLL sketches differ per engine: rows-only check
+def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    cardinality; exact values are engine-specific so no value oracle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@query(
+    "setop_intersect_purchasers_clickers",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op."""
+    ev = load_tables(spark, sf_dir)["events"]
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "click").select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "setop_except_signups_no_purchase",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: signed-up users who never purchased."""
+    ev = load_tables(spark, sf_dir)["events"]
+    a = ev.where(F.col("event_type") == "signup").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    # subtract == SQL EXCEPT (distinct set difference); exceptAll would keep
+    # multiplicity and diverge from ANSI semantics.
+    return a.subtract(b)
+
+
+@query(
+    "events_json_props",
+    oracle=f"""
+    SELECT event_type,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           {sql_davg("CAST(json_extract_string(props, '$.k') AS BIGINT)", 'avg_k')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the opaque payload column (reference:
+    MetaData []byte decoded in consumers, rblob/json.go:10-28)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        davg(k, "avg_k"),
+    )
+
+
+@query(
+    "events_running_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frame (running per-user total, deterministic order)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "events_pivot_type_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (explicit value list so
+    no extra distinct pass — required for the 100 TB path)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    return out

@@ -1,0 +1,85 @@
+"""Judged queries: similarity search over the `embeddings` fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reflex_spark.operators.similarity import (
+    cosine,
+    cosine_pairs,
+    cosine_topk,
+    lsh_bucketed_topk,
+    norm,
+    sql_cosine,
+    sql_dot,
+)
+from reflex_spark.queries import query
+from reflex_spark.queries.helpers import davg, sql_davg
+from reflex_spark.tables import load_tables
+
+
+@query(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {sql_cosine('embedding', 'qv')} AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-20 to vec_id=0 (broadcast query vector,
+    TakeOrdered top-k — no global sort)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") == 0)
+    return cosine_topk(emb, q, k=20)
+
+
+@query(
+    "sim_pairs_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4), brute-force verification
+    path; LSH bucketing is the scale path (sim_ann_lsh_topk)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return cosine_pairs(emb, threshold=0.4)
+
+
+@query("sim_ann_lsh_topk")  # approximate — judged rows-only; recall tested in pytest
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: random-hyperplane LSH bucketing, then exact cosine within the
+    query's bucket. At scale the bucket is a partition key: a probe reads
+    one partition instead of the full table."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") == 0)
+    return lsh_bucketed_topk(emb, q, k=20, num_planes=6)
+
+
+@query(
+    "embedding_label_norms",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           {sql_davg(f'round(sqrt({sql_dot("embedding", "embedding")}), 6)', 'avg_norm')}
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm aggregation per label (array math stays JVM-side)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return emb.select(
+        "label", F.round(norm(F.col("embedding")), 6).alias("nrm")
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        davg("nrm", "avg_norm"),
+    )

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same config set is intended for a 1000-executor cluster and local[32]
+testing: AQE handles runtime re-planning (skew joins, partition coalescing),
+timestamps are pinned to UTC so results are environment-independent, and
+Arrow is enabled for the few Pandas-UDF code paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "reflex_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    On a real cluster ``master`` comes from the environment; locally we use
+    ``local[$SPARK_GRAFT_CPUS]``. ``spark.sql.shuffle.partitions`` is a
+    local-mode convenience — at scale AQE coalesces from a high initial
+    partition count, so we leave ``spark.sql.adaptive.coalescePartitions``
+    enabled.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Runtime re-planning: coalesce small shuffle partitions, split skewed
+        # ones, convert sort-merge to broadcast when a side turns out small.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deterministic, environment-independent timestamp semantics.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas_udf / toPandas paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Local-mode niceties; harmless on a cluster.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

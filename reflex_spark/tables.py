@@ -1,0 +1,72 @@
+"""Fixture-table catalog: load the driver's parquet tables and register views.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file each under a scale-factor dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+# (region/nation are fixed-size; supplier/part/customer grow with SF but stay
+# several orders of magnitude below lineitem/orders — AQE will still convert
+# to broadcast when their runtime size is below the threshold.)
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # Parquet TIMESTAMP(NANOS) is read as long (nanosAsLong); convert to
+        # a microsecond timestamp with integer division — double division
+        # would lose precision at ~1e18 ns magnitudes.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every fixture table as a DataFrame (lazy: just scan metadata).
+
+    Spark 4 rejects parquet TIMESTAMP(NANOS) unless it is surfaced as a
+    long; `events.ts` is nanos, so we enable the legacy read and rebuild
+    the timestamp (truncation to micros matches DuckDB's own ns→us cast).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin timestamp semantics to UTC even when the caller's session (e.g. the
+    # external driver) was built without it — otherwise date_trunc/day
+    # boundaries shift with the host timezone and diverge from the
+    # timezone-naive oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return {name: _read(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view for spark.sql queries."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
