@@ -6,8 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reflex_spark.operators.similarity import (
-    cosine,
-    cosine_pairs,
+    cosine_pairs_blocked,
     cosine_topk,
     lsh_bucketed_topk,
     norm,
@@ -48,10 +47,11 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.4), brute-force verification
-    path; LSH bucketing is the scale path (sim_ann_lsh_topk)."""
+    """Embedding near-dup pairs (cosine >= 0.4) via blocked vectorized
+    matrix multiply (Arrow batches x broadcast normalized matrix); the
+    expression-based cosine_pairs is the slow exact-reference form."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return cosine_pairs(emb, threshold=0.4)
+    return cosine_pairs_blocked(emb, threshold=0.4)
 
 
 @query("sim_ann_lsh_topk")  # approximate — judged rows-only; recall tested in pytest
