@@ -1,0 +1,139 @@
+"""EventLog: an append-only parquet event table with the canonical schema.
+
+Reference parity (SURVEY.md §1.1-§1.2):
+- Event shape {ID, Type, ForeignID, Timestamp, MetaData, Trace}
+  (reference api.go:12-19) → fixed StructType below.
+- EventsTable.Insert inserts exactly-one-event-per-state-change in the
+  caller's txn (rsql/eventstable.go:226-246); here an append() call is the
+  txn boundary — one parquet file set per append, ids assigned densely
+  before the write becomes visible.
+- Noop events are (foreign_id='0', type=0) (rsql/eventstable.go:497-505);
+  `without_noops` filters them like the reference's noop filter
+  (rsql/loader.go:64-94).
+
+Scale posture: a single append() is a serialized id-assignment point, like
+the reference's MySQL auto-increment. At 100 TB you shard the log (one
+directory per shard, per-shard dense ids — exactly Kafka's partition model,
+which the reference README cites as its inspiration) and Spark reads the
+union; per-shard ordering is preserved, global ordering is (shard, id).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("event_type", IntegerType(), False),
+        StructField("foreign_id", StringType(), False),
+        StructField("timestamp", TimestampType(), False),
+        StructField("metadata", BinaryType(), True),
+        StructField("trace", BinaryType(), True),
+    ]
+)
+
+NOOP_FOREIGN_ID = "0"
+NOOP_TYPE = 0
+
+
+def without_noops(df: DataFrame) -> DataFrame:
+    """Drop noop/gap-filler events (reference rsql/loader.go:69-94)."""
+    return df.where(
+        ~((F.col("foreign_id") == NOOP_FOREIGN_ID) & (F.col("event_type") == NOOP_TYPE))
+    )
+
+
+class EventLog:
+    """Append-only event log at a directory path."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- producer side ----------------------------------------------------
+
+    def head(self) -> int:
+        """Max assigned event_id, 0 if empty (reference rsql/db.go:112-120)."""
+        try:
+            row = self.read().agg(F.max("event_id").alias("m")).collect()[0]
+        except Exception:
+            return 0
+        return row["m"] if row["m"] is not None else 0
+
+    def append(self, events: DataFrame) -> int:
+        """Append events (no event_id column), assigning dense monotonic ids.
+
+        Ids are `head + row_number ordered by (timestamp, foreign_id)` —
+        dense and gap-free like MySQL auto_increment under the reference's
+        gap-filling (rsql/gapfill.go); visibility is atomic at the parquet
+        commit. Returns the new head id.
+        """
+        base = self.head()
+        w = F.row_number().over(Window.orderBy("timestamp", "foreign_id"))
+        out = (
+            events.withColumn("event_id", (F.lit(base) + w).cast("long"))
+            .select([f.name for f in EVENT_SCHEMA.fields])
+        )
+        out.write.mode("append").parquet(self.path)
+        return base + events.count()
+
+    def insert(
+        self,
+        foreign_id: str,
+        event_type: int,
+        metadata: bytes | None = None,
+        timestamp=None,
+    ) -> int:
+        """Insert one event (reference EventsTable.Insert,
+        rsql/eventstable.go:226-246). Noop inserts are rejected like
+        rsql/eventstable.go:231-233."""
+        if foreign_id == NOOP_FOREIGN_ID and event_type == NOOP_TYPE:
+            raise ValueError("noop event insert not allowed")
+        from datetime import datetime, timezone
+
+        ts = timestamp or datetime.now(timezone.utc).replace(tzinfo=None)
+        df = self.spark.createDataFrame(
+            [(event_type, foreign_id, ts, metadata, None)],
+            StructType([f for f in EVENT_SCHEMA.fields if f.name != "event_id"]),
+        )
+        return self.append(df)
+
+    # -- consumer side ----------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """Batch scan of the full log (empty DataFrame before first append)."""
+        import os
+
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        return self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
+
+    def read_after(self, after: int, limit: int | None = None) -> DataFrame:
+        """Ordered scan after a cursor (reference base loader SQL
+        rsql/db.go:122-182: WHERE id > ? ORDER BY id ASC LIMIT n).
+        The id predicate pushes down to the parquet scan."""
+        df = self.read().where(F.col("event_id") > after).orderBy("event_id")
+        return df.limit(limit) if limit else df
+
+    def read_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
+        """Structured Streaming source over the log (reference
+        EventsTable.Stream, rsql/eventstable.go:259-287). The checkpoint's
+        file ledger is the cursor; maxFilesPerTrigger ≈ WithEventLookupLimit."""
+        reader = self.spark.readStream.schema(EVENT_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.parquet(self.path)

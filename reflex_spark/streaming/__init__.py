@@ -1,0 +1,39 @@
+"""Streaming core: consumers, run loops, cursor stores, consumer patterns.
+
+Two execution paths with identical operator semantics:
+
+- ``poll``   — an incremental poll loop mirroring the reference's Run
+  (run.go:16-105) exactly: GetCursor → load batch after cursor → consume →
+  SetCursor. Gives per-batch ack/dead-letter/best-effort semantics.
+- ``stream`` — Structured Streaming (readStream → foreachBatch +
+  checkpoint); the checkpoint is the cursor (SURVEY.md §1.1).
+"""
+
+from reflex_spark.streaming.consumer import Consumer, ConsumerError
+from reflex_spark.streaming.cursors import (
+    CursorStore,
+    FileCursorStore,
+    MemCursorStore,
+    ReadThroughCursorStore,
+)
+from reflex_spark.streaming.run import (
+    ErrHeadReached,
+    Spec,
+    StreamOptions,
+    run,
+    run_forever,
+)
+
+__all__ = [
+    "Consumer",
+    "ConsumerError",
+    "CursorStore",
+    "FileCursorStore",
+    "MemCursorStore",
+    "ReadThroughCursorStore",
+    "ErrHeadReached",
+    "Spec",
+    "StreamOptions",
+    "run",
+    "run_forever",
+]

@@ -1,0 +1,161 @@
+"""Run loops: the engine's equivalents of reflex.Run / RunForever.
+
+- ``run(spec)`` — poll path: mirrors run.go:16-105 step by step
+  (cursor restore → stream → batch loop → consume → cursor advance), with
+  fail-fast semantics and at-least-once delivery (cursor set *after*
+  consume). ``to_head`` raises ErrHeadReached like WithStreamToHead
+  (options.go:27-39); ``from_head`` skips history like WithStreamFromHead.
+- ``run_stream(spec)`` — Structured Streaming path: readStream →
+  foreachBatch(consume) with checkpointLocation; the checkpoint is the
+  cursor. ``Trigger.AvailableNow`` ≈ to-head, default trigger ≈ follow.
+- ``run_forever`` — supervision loop (rpatterns/run.go:16-36): retry with
+  backoff, 100ms for expected errors, longer otherwise.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from reflex_spark.sources.event_log import EventLog, without_noops
+from reflex_spark.streaming.consumer import Consumer
+from reflex_spark.streaming.cursors import CursorStore
+
+
+class ErrHeadReached(Exception):
+    """Stream consumed to head in to_head mode (reference errors.go:20-24)."""
+
+
+@dataclass
+class StreamOptions:
+    """Reference stream options (options.go), poll-path semantics."""
+
+    from_head: bool = False  # WithStreamFromHead: skip history
+    to_head: bool = False  # WithStreamToHead: stop at head
+    lag_seconds: float = 0.0  # WithStreamLag: only events older than lag
+    batch_limit: int = 1000  # WithEventLookupLimit (rsql/db.go:27)
+    drop_noops: bool = True  # noop filter (rsql/loader.go:64-94)
+    poll_backoff: float = 0.2  # WithEventsBackoff (scaled for tests)
+
+
+@dataclass
+class Spec:
+    """Runnable triple (stream, cursor store, consumer) — api.go:73-114."""
+
+    log: EventLog
+    cstore: CursorStore
+    consumer: Consumer
+    options: StreamOptions = field(default_factory=StreamOptions)
+
+
+def _load_batch(spec: Spec, after: int):
+    df = spec.log.read_after(after, spec.options.batch_limit)
+    if spec.options.drop_noops:
+        df = without_noops(df)
+    if spec.options.lag_seconds:
+        df = df.where(
+            F.col("timestamp")
+            <= F.expr(f"current_timestamp() - INTERVAL {spec.options.lag_seconds} SECONDS")
+        )
+    return df
+
+
+def run(spec: Spec, max_batches: int | None = None) -> int:
+    """The reference consume loop (run.go:16-105). Returns last cursor.
+
+    At-least-once: the cursor is set only after the consumer returns, so a
+    crash between consume and set_cursor redelivers the batch (consumers
+    must be idempotent — reference doc.go at-least-once contract).
+    Fail-fast: any consumer/cursor error propagates and stops the loop.
+    """
+    name = spec.consumer.name
+    cursor = spec.cstore.get_cursor(name)
+    if spec.options.from_head and cursor == 0:
+        cursor = spec.log.head()
+        spec.cstore.set_cursor(name, cursor)
+
+    batches = 0
+    try:
+        while max_batches is None or batches < max_batches:
+            # NOTE: read_after().limit(n) + max() needs one pass; collect the
+            # batch's max id via a tiny agg — the batch itself stays
+            # distributed through consume.
+            batch = _load_batch(spec, cursor).cache()
+            try:
+                row = batch.agg(
+                    F.max("event_id").alias("m"), F.count(F.lit(1)).alias("n")
+                ).collect()[0]
+                if row["n"] == 0:
+                    if spec.options.to_head:
+                        raise ErrHeadReached(f"{name} reached head at {cursor}")
+                    time.sleep(spec.options.poll_backoff)
+                    continue
+                spec.consumer.consume(batch, {"cursor": cursor, "batch": batches})
+                spec.consumer.stats["events"] += row["n"]
+                cursor = row["m"]
+                spec.cstore.set_cursor(name, cursor)
+                batches += 1
+            finally:
+                batch.unpersist()
+    finally:
+        spec.cstore.flush()
+    return cursor
+
+
+EXPECTED_ERRORS = (ErrHeadReached,)
+
+
+def run_forever(
+    spec_factory,
+    stop_after: int = 3,
+    expected_backoff: float = 0.05,
+    error_backoff: float = 0.2,
+    **run_kwargs: Any,
+) -> list[Exception]:
+    """Supervision loop (rpatterns/run.go:16-36): rebuild the spec and
+    re-run on failure; short backoff for expected errors, long otherwise.
+    ``stop_after`` bounds restarts (the reference loops forever)."""
+    failures: list[Exception] = []
+    for _ in range(stop_after):
+        try:
+            run(spec_factory(), **run_kwargs)
+        except EXPECTED_ERRORS as exc:
+            failures.append(exc)
+            time.sleep(expected_backoff)
+        except Exception as exc:  # noqa: BLE001 — supervised retry
+            failures.append(exc)
+            time.sleep(error_backoff)
+    return failures
+
+
+def run_stream(
+    spec: Spec,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    timeout_sec: float = 120.0,
+):
+    """Structured Streaming path: the checkpoint directory IS the cursor
+    (offset log + commit log, SURVEY.md §1.1 Cursor row). foreachBatch
+    gives the same at-least-once contract as the poll path."""
+    stream = spec.log.read_stream(max_files_per_trigger=None)
+    if spec.options.drop_noops:
+        stream = without_noops(stream)
+
+    def handle(batch_df, batch_id: int):
+        spec.consumer.consume(batch_df, {"batch_id": batch_id})
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+    if query.exception() is not None:
+        raise query.exception()
+    return query

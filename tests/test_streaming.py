@@ -1,0 +1,375 @@
+"""Streaming-core parity tests, modeled on the reference suite
+(SURVEY.md §5: run_test.go, consumer_test.go, rpatterns/*_test.go)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from reflex_spark.sources.event_log import EventLog, without_noops
+from reflex_spark.sources.memory import EPOCH, make_events, seed_log
+from reflex_spark.streaming import (
+    Consumer,
+    ErrHeadReached,
+    FileCursorStore,
+    MemCursorStore,
+    ReadThroughCursorStore,
+    Spec,
+    StreamOptions,
+    run,
+    run_forever,
+)
+from reflex_spark.streaming.cursors import CursorRegressionError
+from reflex_spark.streaming.patterns import (
+    AckConsumer,
+    await_event,
+    best_effort_consumer,
+    bootstrap_spec,
+    dead_letter_consumer,
+    ordered_by_key,
+    parallel_specs,
+    read_consumer_errors,
+    shard_filter,
+)
+from reflex_spark.streaming.run import run_stream
+
+
+def collecting_consumer(name: str, sink: list, **kwargs) -> Consumer:
+    """Test consumer that collects event ids (tiny data only)."""
+
+    def fn(df, meta):
+        sink.extend(r["event_id"] for r in df.select("event_id").collect())
+
+    return Consumer(name=name, fn=fn, **kwargs)
+
+
+# --- EventLog source ------------------------------------------------------
+
+
+def test_event_log_append_assigns_dense_ids(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a"), (2, "b"), (1, "c")])
+    ids = [r["event_id"] for r in log.read().orderBy("event_id").collect()]
+    assert ids == [1, 2, 3]
+    assert log.head() == 3
+    log.insert("d", 7)
+    assert log.head() == 4
+
+
+def test_event_log_read_after_limit(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, str(i)) for i in range(10)])
+    got = [r["event_id"] for r in log.read_after(3, limit=4).collect()]
+    assert got == [4, 5, 6, 7]
+
+
+def test_noop_insert_rejected_and_filtered(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(0, "0"), (1, "x")])
+    with pytest.raises(ValueError):
+        log.insert("0", 0)
+    assert without_noops(log.read()).count() == 1
+
+
+# --- run loop (run.go semantics) ------------------------------------------
+
+
+def test_run_consumes_all_and_advances_cursor(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, str(i)) for i in range(7)])
+    store, seen = MemCursorStore(), []
+    spec = Spec(log, store, collecting_consumer("c1", seen), StreamOptions(to_head=True, batch_limit=3))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [1, 2, 3, 4, 5, 6, 7]
+    assert store.get_cursor("c1") == 7
+
+
+def test_run_resumes_from_cursor(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, str(i)) for i in range(5)])
+    store, seen = MemCursorStore({"c1": 3}), []
+    spec = Spec(log, store, collecting_consumer("c1", seen), StreamOptions(to_head=True))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [4, 5]
+
+
+def test_run_at_least_once_on_consumer_crash(spark, tmp_path):
+    """Crash after partial consume → cursor unchanged → redelivery
+    (reference at-least-once contract, run.go:89-103)."""
+    log = seed_log(spark, str(tmp_path / "log"), [(1, str(i)) for i in range(4)])
+    store, seen, fail = MemCursorStore(), [], {"armed": True}
+
+    def fn(df, meta):
+        ids = [r["event_id"] for r in df.select("event_id").collect()]
+        seen.extend(ids)
+        if fail["armed"]:
+            fail["armed"] = False
+            raise RuntimeError("boom after side effects")
+
+    spec = Spec(log, store, Consumer("c1", fn), StreamOptions(to_head=True, batch_limit=2))
+    with pytest.raises(Exception, match="boom"):
+        run(spec)
+    assert store.get_cursor("c1") == 0  # cursor NOT advanced past failure
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [1, 2, 1, 2, 3, 4]  # batch 1 redelivered
+
+
+def test_from_head_skips_history(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "old1"), (1, "old2")])
+    store, seen = MemCursorStore(), []
+    spec = Spec(log, store, collecting_consumer("c1", seen), StreamOptions(from_head=True, to_head=True))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == []
+    log.insert("new", 1)
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [3]
+
+
+def test_lag_filter_delays_events(spark, tmp_path):
+    """WithStreamLag: only events older than the lag are delivered."""
+    old = make_events(spark, [(1, "old")], start=EPOCH)
+    new = make_events(spark, [(1, "new")], start=datetime.utcnow() + timedelta(hours=1))
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append(old)
+    log.append(new)
+    store, seen = MemCursorStore(), []
+    spec = Spec(
+        log, store, collecting_consumer("c1", seen), StreamOptions(to_head=True, lag_seconds=3600)
+    )
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [1]  # the future-dated event is held back
+
+
+def test_type_filter_skips(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a"), (2, "b"), (1, "c"), (3, "d")])
+    store, seen = MemCursorStore(), []
+    spec = Spec(
+        log,
+        store,
+        collecting_consumer("c1", seen, include_types=[1]),
+        StreamOptions(to_head=True),
+    )
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [1, 3]
+    assert store.get_cursor("c1") == 4  # cursor covers skipped events too
+
+
+def test_recovery_hook_swallows_errors(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a")])
+    recovered = []
+
+    def fn(df, meta):
+        raise RuntimeError("always fails")
+
+    consumer = Consumer(
+        "c1", fn, recover=lambda df, meta, exc: recovered.append(str(exc))
+    )
+    spec = Spec(log, MemCursorStore(), consumer, StreamOptions(to_head=True))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert recovered == ["always fails"]
+
+
+def test_run_forever_supervises(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a")])
+    store = MemCursorStore()
+
+    def factory():
+        return Spec(log, store, Consumer("c1", lambda df, meta: None), StreamOptions(to_head=True))
+
+    failures = run_forever(factory, stop_after=3, expected_backoff=0.0)
+    assert len(failures) == 3
+    assert all(isinstance(f, ErrHeadReached) for f in failures)
+
+
+# --- cursor stores --------------------------------------------------------
+
+
+def test_cursor_monotonic_guard(tmp_path):
+    for store in (MemCursorStore(), FileCursorStore(str(tmp_path / "cur"))):
+        store.set_cursor("c", 5)
+        with pytest.raises(CursorRegressionError):
+            store.set_cursor("c", 3)
+        assert store.get_cursor("c") == 5
+
+
+def test_file_cursor_store_persists(tmp_path):
+    p = str(tmp_path / "cur")
+    FileCursorStore(p).set_cursor("c", 9)
+    assert FileCursorStore(p).get_cursor("c") == 9
+
+
+def test_read_through_cursor_store(tmp_path):
+    primary, fallback = MemCursorStore(), MemCursorStore({"c": 42})
+    store = ReadThroughCursorStore(primary, fallback)
+    assert store.get_cursor("c") == 42  # miss → fallback
+    store.set_cursor("c", 50)
+    assert primary.get_cursor("c") == 50  # writes go to primary
+
+
+# --- patterns -------------------------------------------------------------
+
+
+def test_parallel_specs_shard_disjoint_cover(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, f"fid{i}") for i in range(20)])
+    store = MemCursorStore()
+    seen: dict[int, list[int]] = {0: [], 1: [], 2: []}
+
+    def make_fn(m):
+        def fn(df, meta):
+            seen[m].extend(r["event_id"] for r in df.select("event_id").collect())
+
+        return fn
+
+    specs = parallel_specs(log, store, "par", 3, lambda df, meta: None)
+    for m, spec in enumerate(specs):
+        spec.consumer.fn = make_fn(m)
+        spec.options.to_head = True
+        with pytest.raises(ErrHeadReached):
+            run(spec)
+    all_seen = sorted(seen[0] + seen[1] + seen[2])
+    assert all_seen == list(range(1, 21))  # disjoint cover
+    assert store.get_cursor("par_0_of_3") == 20
+    # same foreign_id always hashes to the same shard
+    df = log.read()
+    for m in range(3):
+        shard_fids = {r["foreign_id"] for r in df.where(shard_filter(3, m, F.col("foreign_id"))).collect()}
+        for other in range(3):
+            if other != m:
+                other_fids = {
+                    r["foreign_id"] for r in df.where(shard_filter(3, other, F.col("foreign_id"))).collect()
+                }
+                assert shard_fids.isdisjoint(other_fids)
+
+
+def test_ordered_by_key_preserves_per_key_order(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, f"k{i % 3}") for i in range(12)])
+    parts = ordered_by_key(log.read(), 3).rdd.glom().collect()
+    for part in parts:
+        ids_by_key: dict[str, list[int]] = {}
+        for row in part:
+            ids_by_key.setdefault(row["foreign_id"], []).append(row["event_id"])
+        for ids in ids_by_key.values():
+            assert ids == sorted(ids)
+
+
+def test_best_effort_skips_failures(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "ok"), (1, "bad"), (1, "ok2")])
+    store = MemCursorStore()
+
+    def fn(row):
+        if row["foreign_id"] == "bad":
+            raise RuntimeError("cannot process")
+
+    consumer = best_effort_consumer("be", fn, retries=1)
+    spec = Spec(log, store, consumer, StreamOptions(to_head=True))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert consumer.stats["skipped"] == 1
+    assert store.get_cursor("be") == 3  # stream never blocked
+
+
+def test_dead_letter_records_errors(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "ok"), (1, "bad1"), (1, "bad2")])
+    store = MemCursorStore()
+    errors_path = str(tmp_path / "consumer_errors")
+
+    def fn(row):
+        if row["foreign_id"].startswith("bad"):
+            raise RuntimeError(f"dl-{row['foreign_id']}")
+
+    consumer = dead_letter_consumer("dl", fn, errors_path, retries=0)
+    spec = Spec(log, store, consumer, StreamOptions(to_head=True))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    errs = read_consumer_errors(spark, errors_path)
+    rows = {r["event_id"]: r for r in errs.collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2]["consumer"] == "dl"
+    assert rows[2]["error_msg"] == "dl-bad1"
+    assert rows[2]["error_status"] == 1
+    assert store.get_cursor("dl") == 3
+
+    # redelivery upserts (no duplicate identity), like rsql/db.go:300-339
+    store2 = MemCursorStore()
+    spec2 = Spec(log, store2, dead_letter_consumer("dl", fn, errors_path, retries=0), StreamOptions(to_head=True))
+    with pytest.raises(ErrHeadReached):
+        run(spec2)
+    assert read_consumer_errors(spark, errors_path).where(F.col("event_id") == 2).count() == 1
+
+
+def test_ack_consumer_manual_cursor(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a"), (1, "b")])
+    store = MemCursorStore()
+
+    def fn(df, ack_consumer):
+        pass  # consume without acking
+
+    ack = AckConsumer("ackc", store, fn)
+    with pytest.raises(ErrHeadReached):
+        run(ack.spec(log, to_head=True))
+    assert store.get_cursor("ackc") == 0  # nothing acked → no cursor movement
+
+    def fn2(df, ack_consumer):
+        last = df.agg(F.max("event_id").alias("m")).collect()[0]["m"]
+        ack_consumer.ack(last)
+
+    ack2 = AckConsumer("ackc", store, fn2)
+    with pytest.raises(ErrHeadReached):
+        run(ack2.spec(log, to_head=True))
+    assert store.get_cursor("ackc") == 2
+
+
+def test_bootstrap_spec_starts_at_head(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "hist1"), (1, "hist2")])
+    store, seen = MemCursorStore(), []
+    spec = bootstrap_spec(log, store, collecting_consumer("bs", seen), to_head=True)
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == []  # history skipped
+    # second run resumes from stored cursor (not head again)
+    log.insert("new", 1)
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [3]
+
+
+def test_await_event(spark, tmp_path):
+    import threading
+
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "x")])
+    # from-head semantics: events existing before the call don't satisfy it
+    assert not await_event(log, "x", [1], timeout_sec=0.5, poll_interval=0.1)
+    # event arriving while awaiting is seen (reference listener path)
+    t = threading.Timer(0.3, lambda: log.insert("y", 2))
+    t.start()
+    assert await_event(log, "y", [2], timeout_sec=15.0, poll_interval=0.1)
+    t.join()
+    # poller path: pollFn observing current state wins immediately
+    assert await_event(log, "zzz", [9], poll_fn=lambda: True, timeout_sec=1.0)
+
+
+# --- structured streaming path -------------------------------------------
+
+
+def test_run_stream_checkpoint_is_cursor(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, str(i)) for i in range(5)])
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[int] = []
+
+    def fn(df, meta):
+        seen.extend(r["event_id"] for r in df.select("event_id").collect())
+
+    spec = Spec(log, MemCursorStore(), Consumer("sc", fn))
+    run_stream(spec, ckpt, available_now=True)
+    assert sorted(seen) == [1, 2, 3, 4, 5]
+
+    # restart: checkpoint remembers processed files; only new events arrive
+    seen.clear()
+    log.insert("new", 9)
+    run_stream(spec, ckpt, available_now=True)
+    assert sorted(seen) == [6]
