@@ -1,0 +1,341 @@
+"""Extended relational coverage: theta/range joins, correlated subqueries,
+argmax, percentiles, ntile/percent_rank, first/last_value, date & string &
+array scalar functions, HAVING, exact event dedup (SURVEY.md §2.2 rows not
+covered by the first batch)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from reflex_spark.queries import query
+from reflex_spark.queries.helpers import dsum, sql_dsum
+from reflex_spark.tables import load_tables
+
+
+@query(
+    "theta_join_overpriced_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice, p_retailprice
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey AND l_extendedprice > 40 * p_retailprice
+    """,
+)
+def theta_join_overpriced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join + theta residual (non-equi predicate stays in the hash
+    join's condition — no nested-loop blow-up)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"]),
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("l_extendedprice") > 40 * F.col("p_retailprice")),
+        )
+        .select("l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice", "p_retailprice")
+    )
+
+
+@query(
+    "range_join_events_near_orders",
+    oracle="""
+    SELECT o_orderkey, COUNT(*) AS n_events
+    FROM orders JOIN events
+      ON user_id = o_custkey
+     AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 11000 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def range_join_events_near_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join anchored on an equi key (user=customer): Catalyst plans a
+    hash join on the key with the time range as residual — the scalable
+    shape for event-window joins."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(
+            t["events"],
+            (F.col("user_id") == F.col("o_custkey"))
+            & (F.col("ts") >= F.col("o_orderdate"))
+            & (F.col("ts") < F.col("o_orderdate") + F.expr("INTERVAL 11000 DAY")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "correlated_above_segment_avg",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_avg
+      FROM customer)
+    WHERE c_acctbal > seg_avg
+    """,
+)
+def correlated_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics (customers above their segment's mean)
+    decorrelated into one window pass — no per-row subquery execution."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment")
+    seg_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        cust.withColumn("seg_avg", seg_avg)
+        .where(F.col("c_acctbal") > F.col("seg_avg"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+
+
+@query(
+    "having_active_event_types",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(*) > 100
+    """,
+)
+def having_active_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 100)
+    )
+
+
+@query(
+    "argmax_event_per_type",
+    oracle="""
+    SELECT event_type, event_id, user_id, value FROM (
+      SELECT event_type, event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def argmax_event_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax (max_by semantics) with a deterministic tie-break."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", "event_id", "user_id", "value")
+    )
+
+
+@query(
+    "percentiles_order_value",
+    oracle="""
+    SELECT o_orderstatus,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)), 6) AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)), 6) AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (engine-identical after round-6)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+@query(
+    "ntile_percent_rank_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def ntile_percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over a global ordering.
+
+    Scale note: a single unpartitioned window is a one-node sort; real
+    deployments partition (e.g. by month) or use approx quantiles. Kept
+    judged because the semantics are part of the surface.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "first_last_order_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           MIN(first_k) AS first_orderkey,
+           MIN(last_k) AS last_orderkey
+    FROM (
+      SELECT o_custkey,
+             first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_k,
+             last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_k
+      FROM orders)
+    GROUP BY o_custkey
+    """,
+)
+def first_last_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with explicit full frames."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_k"),
+            F.last("o_orderkey").over(w).alias("last_k"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("first_k").alias("first_orderkey"), F.min("last_k").alias("last_orderkey"))
+    )
+
+
+@query(
+    "date_functions_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 7 AS ship_by,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,  -- duckdb 0=Sun, spark 1=Sun
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
+    FROM orders
+    WHERE o_orderkey % 250 = 0
+    """,
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic scalar functions (Spark dayofweek is 1=Sunday..7;
+    DuckDB's is 0-based, aligned in the oracle)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    d = F.col("o_orderdate").cast("date")
+    return orders.where(F.col("o_orderkey") % 250 == 0).select(
+        "o_orderkey",
+        F.date_add(d, 7).alias("ship_by"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias("days_to_2002"),
+    )
+
+
+@query(
+    "string_functions_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           replace(p_brand, 'Brand#', 'B-') AS brand_short,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           CAST(strpos(p_type, 'A') AS INT) AS a_pos,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           reverse(p_type) AS type_rev,
+           CAST(length(p_name) AS INT) AS name_len
+    FROM part
+    WHERE p_partkey % 20 = 0
+    """,
+)
+def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions (instr==strpos: 1-based, 0 when absent)."""
+    part = load_tables(spark, sf_dir)["part"]
+    return part.where(F.col("p_partkey") % 20 == 0).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.regexp_replace("p_brand", "Brand#", "B-").alias("brand_short"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.instr(F.col("p_type"), "A").cast("int").alias("a_pos"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse("p_type").alias("type_rev"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+
+
+@query(
+    "array_functions_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_comp,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_comp,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_comp
+    FROM embeddings
+    WHERE vec_id % 25 = 0
+    """,
+)
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions over the embedding column."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return emb.where(F.col("vec_id") % 25 == 0).select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_comp"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_comp"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_comp"),
+    )
+
+
+@query(
+    "dedup_events_exact",
+    oracle="""
+    SELECT user_id, event_type, MIN(event_id) AS event_id
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the event stream (dropDuplicates semantics made
+    deterministic: keep min event_id per key; the streaming form is
+    dropDuplicatesWithinWatermark, tested in test_streaming_windows)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("user_id", "event_type").agg(F.min("event_id").alias("event_id"))
+
+
+@query(
+    "nation_order_volume",
+    oracle=f"""
+    SELECT n_name,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           {sql_dsum('o_totalprice', 'volume')}
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def nation_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join with distinct agg over the fact side."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "volume"),
+        )
+    )
