@@ -1,0 +1,174 @@
+"""Blob source, poller, metrics, tracing, multimodal, ANN recall tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from reflex_spark.functions.tracing import SpanContext, marshal, trace_id_hex, unmarshal
+from reflex_spark.operators.multimodal import decode_image, frame_sample, with_payload
+from reflex_spark.sources.blob import BlobBucket
+from reflex_spark.sources.event_log import EventLog
+from reflex_spark.sources.memory import seed_log
+from reflex_spark.sources.poller import Poller
+from reflex_spark.streaming.metrics import ProgressMetrics, consumer_lag_seconds
+from reflex_spark.streaming.cursors import MemCursorStore
+
+BLOB_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+
+def write_blob(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_blob_bucket_batch_and_stream(spark, tmp_path):
+    """Date-partitioned bucket incl. an empty blob (the reference's fixture
+    shape, rblob/testdata/2019/12/31/...-1to3 with empties)."""
+    root = str(tmp_path / "bucket")
+    write_blob(f"{root}/2024/01/01/Test-2024-01-01-00-00-00-1to2", [{"id": 1, "kind": "a"}, {"id": 2, "kind": "b"}])
+    write_blob(f"{root}/2024/01/02/Test-2024-01-02-00-00-00-empty", [])
+    write_blob(f"{root}/2024/01/03/Test-2024-01-03-00-00-00-3to3", [{"id": 3, "kind": "a"}])
+
+    bucket = BlobBucket(spark, root, BLOB_SCHEMA)
+    assert sorted(r["id"] for r in bucket.read().collect()) == [1, 2, 3]
+
+    q = (
+        bucket.read_stream(max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("blob_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r["id"] for r in spark.sql("SELECT * FROM blob_t").collect())
+    assert got == [1, 2, 3]
+
+
+def test_poller_drains_pages_into_log(spark, tmp_path):
+    """Pagination API → event log (reference rpatterns/poll.go)."""
+    pages = {
+        "": ([(1, "u1", __import__("datetime").datetime(2024, 1, 1), None, None)], "p1"),
+        "p1": ([(2, "u2", __import__("datetime").datetime(2024, 1, 1, 0, 1), None, None)], "p2"),
+        "p2": ([], "p2"),
+    }
+    row_schema = StructType(
+        [
+            StructField("event_type", IntegerType(), False),
+            StructField("foreign_id", StringType(), False),
+            StructField("timestamp", __import__("pyspark.sql.types", fromlist=["TimestampType"]).TimestampType(), False),
+            StructField("metadata", __import__("pyspark.sql.types", fromlist=["BinaryType"]).BinaryType(), True),
+            StructField("trace", __import__("pyspark.sql.types", fromlist=["BinaryType"]).BinaryType(), True),
+        ]
+    )
+    log = EventLog(spark, str(tmp_path / "log"))
+    poller = Poller(spark, lambda c: pages[c], log, row_schema)
+    assert poller.drain() == 2
+    assert log.head() == 2
+    assert poller.cursor == "p2"
+
+
+def test_consumer_lag_and_progress_metrics(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a"), (1, "b")])
+    store = MemCursorStore()
+    lag = consumer_lag_seconds(log, store, "c1")
+    assert lag > 0  # events are dated 2024 → large lag
+    store.set_cursor("c1", 2)
+    assert consumer_lag_seconds(log, store, "c1") == 0.0
+
+    metrics = ProgressMetrics.attach(spark)
+    try:
+        q = (
+            log.read_stream()
+            .writeStream.format("memory")
+            .queryName("metrics_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        import time
+
+        for _ in range(50):  # listener delivery is async
+            if metrics.rows:
+                break
+            time.sleep(0.1)
+        assert sum(metrics.rows) == 2
+        assert metrics.batch_durations_ms
+    finally:
+        metrics.detach()
+
+
+def test_trace_roundtrip(spark, tmp_path):
+    ctx = SpanContext(trace_id=bytes(range(16)), span_id=bytes(range(8)))
+    raw = marshal(ctx)
+    assert unmarshal(raw) == ctx
+    assert unmarshal(None) is None
+    assert unmarshal(b"garbage") is None  # undecodable → ignored, not fatal
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.insert("x", 1, metadata=None)
+    from reflex_spark.sources.memory import make_events
+
+    df = make_events(spark, [(1, "y")]).withColumn("trace", F.lit(raw))
+    log.append(df)
+    got = (
+        log.read()
+        .where(F.col("trace").isNotNull())
+        .select(trace_id_hex("trace").alias("tid"))
+        .collect()
+    )
+    assert got[0]["tid"] == bytes(range(16)).hex()
+
+
+def test_multimodal_decode_stub_and_frames(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "tiny")], ["doc_id", "text"])
+    payloads = with_payload(docs)
+    with pytest.raises(NotImplementedError):
+        decode_image(payloads).collect()
+    decoded = {r["doc_id"]: r for r in decode_image(payloads, fake=True).collect()}
+    assert decoded[1]["width"] == 16 + 11 % 64
+    assert decoded[1]["mean_luma"] == sum(b"hello world") % 256
+    frames = frame_sample(payloads, every_nth=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 2  # 11 bytes → 2 chunks of 4
+    assert b"".join(bytes(r["frame_bytes"]) for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])) == b"hello wo"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """The approximate path must agree with brute force within its bucket
+    (and achieve non-trivial recall on the fixture)."""
+    from reflex_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+    from reflex_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    q = emb.where(F.col("vec_id") == 0)
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=20).collect()]
+    approx = lsh_bucketed_topk(emb, q, k=20, num_planes=4).collect()
+    approx_ids = [r["vec_id"] for r in approx]
+    assert 0 not in approx_ids
+    # every approx hit is scored identically to the exact scorer
+    exact_scores = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(emb, q, k=500).collect()}
+    for r in approx:
+        assert abs(exact_scores[r["vec_id"]] - r["cos_sim"]) < 1e-9
+    # recall on random data with 4 planes: bucket holds ~1/16 of vectors;
+    # just require the mechanism returns a non-empty, valid candidate set
+    assert len(approx_ids) > 0
