@@ -61,14 +61,20 @@ def ngram_jaccard_pairs(
     """Doc pairs (id_a < id_b) with n-gram Jaccard >= threshold.
 
     When ``candidates`` (id_a, id_b) is given, only verifies those pairs —
-    this is the MinHash-LSH verify step. Without it, pairs form by joining on
-    shared shingles (exact but quadratic within a shingle's posting list).
+    this is the MinHash-LSH verify step: shingle rows are first pruned to
+    candidate docs (semi-joins), so the pair join touches only the
+    candidate neighborhood instead of every shared-shingle pair. Without
+    candidates, pairs form by joining on shared shingles (exact but
+    quadratic within a shingle's posting list).
     """
     sh = shingle_rows(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    if candidates is not None:
+        a = a.join(candidates.select("id_a").distinct(), "id_a", "left_semi")
+        b = b.join(candidates.select("id_b").distinct(), "id_b", "left_semi")
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
