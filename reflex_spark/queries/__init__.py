@@ -72,6 +72,7 @@ def _load_all() -> None:
         events,
         relational,
         relational_ext,
+        relational_tpch,
         similarity,
         text,
     )
