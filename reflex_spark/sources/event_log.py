@@ -58,11 +58,19 @@ def without_noops(df: DataFrame) -> DataFrame:
 
 
 class EventLog:
-    """Append-only event log at a directory path."""
+    """Append-only event log at a directory path.
 
-    def __init__(self, spark: SparkSession, path: str):
+    With ``partitioned=True`` the log is laid out as
+    ``event_date=YYYY-MM-DD/`` subdirectories (hive-style): time-bounded
+    scans prune whole partitions at the file listing — the layout a 100 TB
+    event log needs. Unpartitioned mode keeps single-directory simplicity
+    for small logs and tests.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, partitioned: bool = False):
         self.spark = spark
         self.path = path
+        self.partitioned = partitioned
 
     # -- producer side ----------------------------------------------------
 
@@ -88,7 +96,12 @@ class EventLog:
             events.withColumn("event_id", (F.lit(base) + w).cast("long"))
             .select([f.name for f in EVENT_SCHEMA.fields])
         )
-        out.write.mode("append").parquet(self.path)
+        if self.partitioned:
+            out.withColumn("event_date", F.col("timestamp").cast("date")).write.mode(
+                "append"
+            ).partitionBy("event_date").parquet(self.path)
+        else:
+            out.write.mode("append").parquet(self.path)
         return base + events.count()
 
     def insert(
@@ -115,11 +128,15 @@ class EventLog:
     # -- consumer side ----------------------------------------------------
 
     def read(self) -> DataFrame:
-        """Batch scan of the full log (empty DataFrame before first append)."""
+        """Batch scan of the full log (empty DataFrame before first append).
+        Partitioned logs expose the extra ``event_date`` partition column —
+        filter on it to prune partitions at the listing."""
         import os
 
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], EVENT_SCHEMA)
+        if self.partitioned:
+            return self.spark.read.parquet(self.path)
         return self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
 
     def read_after(self, after: int, limit: int | None = None) -> DataFrame:

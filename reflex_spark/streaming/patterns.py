@@ -236,6 +236,34 @@ def read_consumer_errors(spark, errors_path: str) -> DataFrame:
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
+# --- concurrent (P4) ------------------------------------------------------
+
+
+def concurrent_consumer(
+    name: str,
+    fn: Callable[[dict], None],
+    max_in_flight: int = 8,
+) -> Consumer:
+    """Concurrent out-of-order processing with ordered commit
+    (rpatterns/concurrent.go:27-153): rows of a batch run in parallel
+    across ``max_in_flight`` partitions; the cursor advances only when the
+    whole batch succeeds (Spark's microbatch barrier plays the reference's
+    GapSequence min-heap role — SURVEY.md §2.1 P4). First failure poisons
+    the batch: fail-fast, cursor unchanged, redelivery on restart."""
+    transform = row_consumer(fn)
+
+    def consume_batch(df: DataFrame, meta: dict) -> None:
+        statuses = transform(df.repartition(max_in_flight))
+        poisoned = statuses.where(~F.col("__consume_ok")).select("event_id", "__consume_error").limit(1).collect()
+        if poisoned:
+            row = poisoned[0]
+            raise RuntimeError(
+                f"concurrent consumer {name} poisoned by event {row['event_id']}: {row['__consume_error']}"
+            )
+
+    return Consumer(name=name, fn=consume_batch)
+
+
 # --- bootstrap (P8) -------------------------------------------------------
 
 

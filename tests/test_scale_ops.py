@@ -1,0 +1,113 @@
+"""Scale operators: salting, upsert/merge, concurrent pattern, partitioned
+event log pruning."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from reflex_spark.operators.skew import salted_agg, salted_join
+from reflex_spark.operators.upsert import latest_by_key, merge_rewrite
+from reflex_spark.sources.event_log import EventLog
+from reflex_spark.sources.memory import make_events, seed_log
+from reflex_spark.streaming import ErrHeadReached, MemCursorStore, Spec, StreamOptions, run
+from reflex_spark.streaming.patterns import concurrent_consumer
+from reflex_spark.tables import load_tables
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    plain = {
+        (r["event_type"],): (r["n"], r["users"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    # countDistinct can't re-aggregate from partials; salted form uses the
+    # two-phase-able aggregates (count/sum/min/max)
+    salted = {
+        (r["event_type"],): r["n"]
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            aggs=lambda: [F.count(F.lit(1)).alias("n")],
+            merges=lambda: [F.sum("n").cast("long").alias("n")],
+            num_salts=8,
+        ).collect()
+    }
+    assert salted == {k: v[0] for k, v in plain.items()}
+
+
+def test_salted_join_matches_plain(spark):
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    orders = t["orders"].withColumnRenamed("o_custkey", "custkey")
+    cust = t["customer"].withColumnRenamed("c_custkey", "custkey")
+    plain = orders.join(cust, "custkey").count()
+    salted = salted_join(orders, cust, "custkey", num_salts=8).count()
+    assert salted == plain
+
+
+def test_latest_by_key_and_merge_rewrite(spark, tmp_path):
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], ["k", "v", "version"]
+    ).write.parquet(base_path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 2), (3, "c", 1)], ["k", "v", "version"]
+    )
+    merged = merge_rewrite(
+        spark, base_path, updates, keys=["k"], version_col="version", out_path=str(tmp_path / "out")
+    )
+    rows = {r["k"]: (r["v"], r["version"]) for r in merged.collect()}
+    assert rows == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1)}
+    # stale update does not clobber newer base
+    merged2 = merge_rewrite(
+        spark,
+        str(tmp_path / "out"),
+        spark.createDataFrame([(2, "stale", 1)], ["k", "v", "version"]),
+        keys=["k"],
+        version_col="version",
+        out_path=str(tmp_path / "out2"),
+    )
+    assert {r["k"]: r["v"] for r in merged2.collect()}[2] == "b2"
+
+
+def test_concurrent_consumer_poisons_batch(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "ok1"), (1, "bad"), (1, "ok2")])
+    store = MemCursorStore()
+
+    def fn(row):
+        if row["foreign_id"] == "bad":
+            raise RuntimeError("poison")
+
+    consumer = concurrent_consumer("cc", fn, max_in_flight=3)
+    spec = Spec(log, store, consumer, StreamOptions(to_head=True))
+    with pytest.raises(Exception, match="poisoned by event 2"):
+        run(spec)
+    assert store.get_cursor("cc") == 0  # ordered commit: nothing acked
+
+    def fn_ok(row):
+        pass
+
+    spec_ok = Spec(log, store, concurrent_consumer("cc", fn_ok, 3), StreamOptions(to_head=True))
+    with pytest.raises(ErrHeadReached):
+        run(spec_ok)
+    assert store.get_cursor("cc") == 3
+
+
+def test_partitioned_log_prunes(spark, tmp_path):
+    log = EventLog(spark, str(tmp_path / "plog"), partitioned=True)
+    log.append(make_events(spark, [(1, "a")], start=datetime(2024, 1, 1)))
+    log.append(make_events(spark, [(1, "b")], start=datetime(2024, 1, 2)))
+    log.append(make_events(spark, [(1, "c")], start=datetime(2024, 1, 3)))
+    assert log.head() == 3
+
+    df = log.read().where(F.col("event_date") == "2024-01-02")
+    assert [r["foreign_id"] for r in df.collect()] == ["b"]
+    # the date predicate lands in PartitionFilters (listing-level pruning),
+    # not in the row-level data filters
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert pf and "event_date" in pf[0], plan
