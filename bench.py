@@ -37,6 +37,10 @@ HEADLINE = [
     "sim_pairs_cosine",
     "text_quality_scores",
     "asof_join_latest_order",
+    "q6_revenue_change",
+    "q10_returned_revenue",
+    "tfidf_top_terms",
+    "sample_documents_hash",
 ]
 
 

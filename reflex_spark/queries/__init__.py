@@ -70,6 +70,7 @@ def _load_all() -> None:
         return
     from reflex_spark.queries import (  # noqa: F401
         events,
+        pipeline,
         relational,
         relational_ext,
         relational_tpch,

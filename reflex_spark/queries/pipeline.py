@@ -1,0 +1,101 @@
+"""Judged queries: training-pipeline utilities (deterministic sampling,
+map/conditional expressions) over the fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reflex_spark.operators.sampling import hash_sample, sql_bucket, stratified_hash_sample
+from reflex_spark.queries import query
+from reflex_spark.tables import load_tables
+
+
+@query(
+    "sample_documents_hash",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {sql_bucket('doc_id')} < CAST(0.25 * 65536 AS BIGINT)
+    """,
+)
+def sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% sample by content hash: same rows every run, on
+    any engine or cluster size (unlike seed-based df.sample)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return hash_sample(docs, "doc_id", 0.25).select("doc_id", "lang")
+
+
+@query(
+    "sample_documents_stratified",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_kept
+    FROM documents
+    WHERE {sql_bucket('doc_id')} <
+          CASE WHEN lang = 'en' THEN CAST(0.1 * 65536 AS BIGINT)
+               ELSE CAST(0.5 * 65536 AS BIGINT) END
+    GROUP BY lang
+    """,
+)
+def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sampling: downsample the dominant language (en→10%),
+    keep the tail at 50% — the standard corpus-rebalancing op."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    kept = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.1}, default_rate=0.5)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "map_functions_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           2 AS n_keys,
+           event_type AS type_via_map
+    FROM events
+    WHERE event_id % 100 = 0
+    """,
+)
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions: parse the JSON payload into a map, then
+    map_keys/element_at/map_concat (oracle computes expected values by
+    plain expressions — the map plumbing is the Spark surface under test)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    m = F.from_json("props", "map<string,string>")
+    enriched = F.map_concat(m, F.create_map(F.lit("type"), F.col("event_type")))
+    return ev.where(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        F.element_at(m, "k").cast("long").alias("k_val"),
+        F.size(F.map_keys(enriched)).cast("int").alias("n_keys"),
+        F.element_at(enriched, "type").alias("type_via_map"),
+    )
+
+
+@query(
+    "conditional_expressions_customers",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 1000 THEN 'low'
+                ELSE 'healthy' END AS balance_band,
+           coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS segment_alias,
+           round(greatest(c_acctbal, 0.0), 2) AS floored_bal,
+           round(least(c_acctbal, 5000.0), 2) AS capped_bal
+    FROM customer
+    """,
+)
+def conditional_expressions_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF/GREATEST/LEAST scalar conditionals."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.when(bal < 0, "overdrawn").when(bal < 1000, "low").otherwise("healthy").alias(
+            "balance_band"
+        ),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("CAR")).alias(
+            "segment_alias"
+        ),
+        F.round(F.greatest(bal, F.lit(0.0)), 2).alias("floored_bal"),
+        F.round(F.least(bal, F.lit(5000.0)), 2).alias("capped_bal"),
+    )
