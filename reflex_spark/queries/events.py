@@ -213,6 +213,38 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "setop_except_all_purchases",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics: multiplicities subtract)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.exceptAll(b)
+
+
+@query(
+    "setop_intersect_all_purchases",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics: min of multiplicities)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "click").select("user_id")
+    return a.intersectAll(b)
+
+
+@query(
     "events_json_props",
     oracle=f"""
     SELECT event_type,

@@ -143,6 +143,13 @@ def run_stream(
     stream = spec.log.read_stream(max_files_per_trigger=None)
     if spec.options.drop_noops:
         stream = without_noops(stream)
+    if spec.options.lag_seconds:
+        # destination-side lag, like the poll path (reference run.go:79-87);
+        # evaluated per microbatch against the processing-time clock
+        stream = stream.where(
+            F.col("timestamp")
+            <= F.expr(f"current_timestamp() - INTERVAL {spec.options.lag_seconds} SECONDS")
+        )
 
     def handle(batch_df, batch_id: int):
         spec.consumer.consume(batch_df, {"batch_id": batch_id})
