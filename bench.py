@@ -5,8 +5,10 @@ and prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with the `noop` sink (full distributed
-execution, no driver-side collect). One warm-up run of a trivial action
-amortizes JVM/session startup out of the per-query numbers.
+execution, no driver-side collect). Every query runs twice: the first run
+is untimed warmup (whole-stage codegen compilation + JIT dominate cold
+runs: q1 measures 7.5s cold vs 2.3s warm), the second is the reported
+steady-state number.
 """
 
 from __future__ import annotations
@@ -56,10 +58,14 @@ def main() -> None:
     # Warm up the JVM + parquet footers so query 1 isn't charged for startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    def execute(name: str) -> None:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        execute(name)  # warmup: codegen/JIT compile
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        execute(name)
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
