@@ -57,6 +57,7 @@ def ngram_jaccard_pairs(
     n: int = DEFAULT_SHINGLE,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Doc pairs (id_a < id_b) with n-gram Jaccard >= threshold.
 
@@ -65,9 +66,10 @@ def ngram_jaccard_pairs(
     candidate docs (semi-joins), so the pair join touches only the
     candidate neighborhood instead of every shared-shingle pair. Without
     candidates, pairs form by joining on shared shingles (exact but
-    quadratic within a shingle's posting list).
+    quadratic within a shingle's posting list). ``shingles`` lets callers
+    share one cached shingle scan across signature + verify stages.
     """
-    sh = shingle_rows(df, id_col, text_col, n).cache()
+    sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -107,11 +109,12 @@ def minhash_signatures(
     text_col: str,
     n: int = DEFAULT_SHINGLE,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: for hash j, min over shingles of
     substr(md5('j|' || shingle), 1, 16) — lexicographic min on hex strings.
     """
-    sh = shingle_rows(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, n)
     mins = [
         F.min(F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))), 1, 16)).alias(f"mh{j}")
         for j in range(num_hashes)
@@ -135,7 +138,8 @@ def minhash_lsh_pairs(
     hash-bucket collisions.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sh = shingle_rows(df, id_col, text_col, n).cache()  # shared: signatures + verify
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=sh)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(f"band{b}")
         for b in range(bands)
@@ -153,7 +157,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return ngram_jaccard_pairs(df, id_col, text_col, n, threshold, candidates=candidates)
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, n, threshold, candidates=candidates, shingles=sh
+    )
 
 
 def simhash64(text: Column | str, n_tokens_bits: int = 64) -> Column:

@@ -81,6 +81,42 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: right events within
+    ``within`` after the left event on the same key (SURVEY §2.2 joins row,
+    'stream-stream join with watermark').
+
+    Both sides carry watermarks so the join state is bounded: a buffered
+    left row can be evicted once the right watermark passes
+    left_ts + within. Column names are prefixed l_/r_ to avoid collisions.
+    """
+    lt, rt = f"l_{left_ts}", f"r_{right_ts}"
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(key).alias("l_key"),
+        F.col(left_ts).alias(lt),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, left_ts)],
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(key).alias("r_key"),
+        F.col(right_ts).alias(rt),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}")),
+    )
+
+
 def running_count_per_key(
     events: DataFrame,
     key_col: str = "foreign_id",

@@ -102,3 +102,22 @@ def test_running_count_per_key_state(spark, tmp_path):
     )
     counts = {r["foreign_id"]: r["n_events"] for r in out.collect()}
     assert counts == {"a": 3, "b": 1}
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked interval join between two event streams on foreign_id."""
+    from reflex_spark.streaming.windows import stream_stream_join
+
+    left = seed_log(spark, str(tmp_path / "left"), [(1, "u1"), (1, "u2")], step_seconds=60)
+    right_rows = make_events(
+        spark, [(2, "u1"), (2, "u3")], start=EPOCH + timedelta(minutes=10), step_seconds=60
+    )
+    right = seed_log(spark, str(tmp_path / "right"), [])
+    right.append(right_rows)
+
+    joined = stream_stream_join(
+        left.read_stream(), right.read_stream(), key="foreign_id", within="1 hour"
+    )
+    out = run_to_memory(joined, "ssj_t", "append", spark)
+    rows = [(r["l_key"], r["l_event_type"], r["r_event_type"]) for r in out.collect()]
+    assert rows == [("u1", 1, 2)]  # only u1 has a right event within the hour
