@@ -299,6 +299,26 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id(): distinguish subtotal levels in rollup output (the
+    NULL-vs-aggregated disambiguator)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "dedup_events_exact",
     oracle="""
     SELECT user_id, event_type, MIN(event_id) AS event_id

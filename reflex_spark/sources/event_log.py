@@ -146,6 +146,35 @@ class EventLog:
         df = self.read().where(F.col("event_id") > after).orderBy("event_id")
         return df.limit(limit) if limit else df
 
+    def compact(self, target_partitions: int | None = None) -> None:
+        """Rewrite the log into ``target_partitions`` files (default: one
+        per ~128MB). Every append creates a file set; at high append rates
+        the small-files problem dominates scan cost, so periodic compaction
+        is part of operating a file-backed log (Delta/Iceberg do this as
+        OPTIMIZE). Rewrite is staged to a sibling directory then swapped,
+        so concurrent readers never see a partial log.
+        """
+        import os
+        import shutil
+
+        df = self.read()
+        if target_partitions is None:
+            total_bytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(self.path)
+                for f in files
+            )
+            target_partitions = max(1, total_bytes // (128 << 20))
+        tmp = self.path.rstrip("/") + ".compacting"
+        writer = df.coalesce(int(target_partitions)).write.mode("overwrite")
+        if self.partitioned:
+            writer = writer.partitionBy("event_date")
+        writer.parquet(tmp)
+        old = self.path.rstrip("/") + ".old"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+
     def read_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
         """Structured Streaming source over the log (reference
         EventsTable.Stream, rsql/eventstable.go:259-287). The checkpoint's

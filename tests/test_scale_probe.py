@@ -1,0 +1,85 @@
+"""Scale probes (slow): behavior on 10×-exploded data + compaction.
+
+These don't prove 100 TB, but they catch the failure modes that appear
+with growth: AQE partition planning on bigger shuffles, small-files scan
+degradation, and result stability under repartitioning.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reflex_spark.operators.dedup import minhash_lsh_pairs
+from reflex_spark.queries.helpers import dsum
+from reflex_spark.sources.event_log import EventLog
+from reflex_spark.sources.memory import make_events
+from reflex_spark.tables import load_tables
+
+
+@pytest.mark.slow
+def test_agg_stable_under_explosion_and_partitioning(spark, tmp_path):
+    """Decimal-sum aggregates must be bit-identical regardless of data
+    layout: 10x-replicated lineitem, shuffled partitioning, must produce
+    exactly 10x the decimal sums."""
+    li = load_tables(spark, "/root/testdata/sf0.01")["lineitem"]
+    base = li.groupBy("l_returnflag").agg(dsum("l_extendedprice", "s")).collect()
+    exploded = li.crossJoin(spark.range(10))
+    big64 = {
+        r["l_returnflag"]: r["s"]
+        for r in exploded.repartition(64, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(dsum("l_extendedprice", "s"))
+        .collect()
+    }
+    big7 = {
+        r["l_returnflag"]: r["s"]
+        for r in exploded.repartition(7)
+        .groupBy("l_returnflag")
+        .agg(dsum("l_extendedprice", "s"))
+        .collect()
+    }
+    assert big64 == big7  # bit-identical across layouts: the decimal path
+    base_map = {r["l_returnflag"]: r["s"] for r in base}
+    for k, v in base_map.items():
+        # 10*v in Python float rounds; the decimal sum itself is exact
+        assert big64[k] == pytest.approx(10 * v, rel=1e-12)
+
+
+@pytest.mark.slow
+def test_minhash_pairs_invariant_to_partitioning(spark):
+    """LSH output is a deterministic function of the data, not the layout."""
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    p1 = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs.repartition(17), "doc_id", "text").collect()
+    }
+    assert p1 == p2 and p1
+
+
+@pytest.mark.slow
+def test_compaction_reduces_files_preserves_data(spark, tmp_path):
+    log = EventLog(spark, str(tmp_path / "log"))
+    for i in range(8):  # 8 appends → ≥8 file sets
+        log.append(make_events(spark, [(1, f"u{i}"), (2, f"v{i}")]))
+    import os
+
+    def n_files():
+        return sum(
+            1
+            for root, _, files in os.walk(log.path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = log.read().orderBy("event_id").collect()
+    files_before = n_files()
+    log.compact(target_partitions=1)
+    assert n_files() < files_before
+    after = log.read().orderBy("event_id").collect()
+    assert [r["event_id"] for r in after] == [r["event_id"] for r in before]
+    assert [r["foreign_id"] for r in after] == [r["foreign_id"] for r in before]
+    # log still appendable after compaction
+    log.insert("post-compact", 3)
+    assert log.head() == 17
