@@ -1,0 +1,87 @@
+"""Sharded event log (scale-out) and materialized rollup tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reflex_spark.sources.memory import make_events
+from reflex_spark.sources.sharded_log import ShardedEventLog, shard_of
+from reflex_spark.streaming import Consumer, ErrHeadReached, MemCursorStore, Spec, StreamOptions, run
+from reflex_spark.streaming.materialize import MaterializedCounts
+from reflex_spark.sources.memory import seed_log
+
+
+def test_sharded_log_routes_and_orders(spark, tmp_path):
+    from datetime import timedelta
+
+    from reflex_spark.sources.memory import EPOCH
+
+    log = ShardedEventLog(spark, str(tmp_path / "slog"), n_shards=3)
+    log.append(make_events(spark, [(1, f"user{i % 5}") for i in range(20)]))
+    # second append is later in event time too (arrival order == event time)
+    log.append(
+        make_events(spark, [(2, f"user{i % 5}") for i in range(10)], start=EPOCH + timedelta(hours=1))
+    )
+
+    df = log.read()
+    assert df.count() == 30
+    # each key lives in exactly one shard
+    spread = df.groupBy("foreign_id").agg(F.countDistinct("shard").alias("s")).collect()
+    assert all(r["s"] == 1 for r in spread)
+    # per-key order by event_id matches timestamp order (per-shard dense ids)
+    rows = df.where(F.col("foreign_id") == "user0").orderBy("event_id").collect()
+    ts = [r["timestamp"] for r in rows]
+    assert ts == sorted(ts)
+    # ids are dense within each shard
+    for m, head in enumerate(log.heads()):
+        ids = sorted(
+            r["event_id"] for r in df.where(F.col("shard") == m).collect()
+        )
+        assert ids == list(range(1, head + 1))
+
+
+def test_sharded_log_stream_reads_all(spark, tmp_path):
+    log = ShardedEventLog(spark, str(tmp_path / "slog"), n_shards=2)
+    log.append(make_events(spark, [(1, f"k{i}") for i in range(6)]))
+    q = (
+        log.read_stream()
+        .writeStream.format("memory")
+        .queryName("sharded_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) c FROM sharded_t").collect()[0]["c"] == 6
+
+
+def test_materialized_counts_incremental_and_idempotent(spark, tmp_path):
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a"), (1, "b"), (2, "a")])
+    mat = MaterializedCounts(spark, str(tmp_path / "rollup"), keys=["event_type"])
+    store = MemCursorStore()
+    spec = Spec(log, store, Consumer("mat", mat.apply_batch), StreamOptions(to_head=True, batch_limit=2))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    counts = {r["event_type"]: r["n_events"] for r in mat.read().collect()}
+    assert counts == {1: 2, 2: 1}
+
+    # redelivery of the same batches is a no-op (idempotent merge)
+    store2 = MemCursorStore()
+    spec2 = Spec(log, store2, Consumer("mat2", mat.apply_batch), StreamOptions(to_head=True, batch_limit=2))
+    with pytest.raises(ErrHeadReached):
+        run(spec2)
+    counts2 = {r["event_type"]: r["n_events"] for r in mat.read().collect()}
+    assert counts2 == counts
+
+    # new events merge incrementally
+    log.insert("c", 1)
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    counts3 = {r["event_type"]: r["n_events"] for r in mat.read().collect()}
+    assert counts3 == {1: 3, 2: 1}
+    # rollup equals batch recompute over the log (ground truth)
+    truth = {
+        r["event_type"]: r["n"]
+        for r in log.read().groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts3 == truth
