@@ -72,6 +72,41 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_user_summary_pandas",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           round(MAX(value), 2) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_summary_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-map Pandas surface (applyInPandas): per-user summary computed
+    in an Arrow-batched pandas function. Only exact-comparable stats
+    (count/min/max) so the oracle check stays bit-exact; the point under
+    test is the UDAF-like execution path, not the arithmetic."""
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "first_event": [pdf["event_id"].min()],
+                "max_value": [round(pdf["value"].max(), 2)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        summarize, "user_id long, n_events long, first_event long, max_value double"
+    )
+
+
+@query(
     "conditional_expressions_customers",
     oracle="""
     SELECT c_custkey,

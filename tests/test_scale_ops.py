@@ -111,3 +111,26 @@ def test_partitioned_log_prunes(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
     assert pf and "event_date" in pf[0], plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key → SortMergeJoin without any
+    Exchange (the storage-pinned co-location that replaces per-query
+    shuffles for fact-fact joins at scale)."""
+    from reflex_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    write_bucketed(t["orders"], "orders_bkt", "o_custkey", num_buckets=4)
+    write_bucketed(t["customer"], "customer_bkt", "c_custkey", num_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "orders_bkt", "customer_bkt", "o_custkey", "c_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        assert j.count() == t["orders"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")

@@ -187,3 +187,21 @@ def test_jdbc_reader_shapes_pushdown_query(spark):
     # rebuild the inner query for inspection
     inner = t.reader(spark, 42, 100)
     assert t._select_expr() == "id AS event_id, type AS event_type, fid AS foreign_id, ts AS timestamp"
+
+
+def test_shingle_udtf(spark):
+    """Python UDTF lane: lateral-join the table function over documents."""
+    from reflex_spark.functions.udtf_demo import ShingleUDTF
+
+    spark.udtf.register("shingles", ShingleUDTF)
+    spark.createDataFrame([(1, "a b c d"), (2, "x y")], ["doc_id", "text"]).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    rows = spark.sql(
+        "SELECT doc_id, s.shingle, s.pos FROM udtf_docs, "
+        "LATERAL shingles(text, 3) s ORDER BY doc_id, pos"
+    ).collect()
+    assert [(r["doc_id"], r["shingle"]) for r in rows] == [
+        (1, "a b c"),
+        (1, "b c d"),
+    ]  # doc 2 has <3 words → no rows
