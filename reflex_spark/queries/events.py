@@ -294,6 +294,53 @@ def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_trailing_hour_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                -- floor(epoch) matches Spark unix_timestamp's truncation
+                OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_1h
+    FROM events
+    """,
+)
+def events_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per-user trailing-1-hour value sum (time-based
+    frame over epoch seconds; decimal path keeps it order-independent).
+
+    Frame semantics note: RANGE includes ALL rows tied on the order key, so
+    no tie-break column is needed — ties share one result."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("trailing_1h"),
+    )
+
+
+@query(
+    "union_distinct_user_ids",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def union_distinct_user_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) set op."""
+    ev = load_tables(spark, sf_dir)["events"]
+    a = ev.where(F.col("event_type") == "view").select("user_id")
+    b = ev.where(F.col("event_type") == "click").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+@query(
     "events_pivot_type_counts",
     oracle="""
     SELECT user_id,
