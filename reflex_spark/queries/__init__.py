@@ -75,6 +75,7 @@ def _load_all() -> None:
         relational_ext,
         relational_tpch,
         similarity,
+        streaming_judged,
         text,
     )
 
