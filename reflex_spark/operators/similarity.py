@@ -160,6 +160,84 @@ def cosine_pairs_blocked(
     return src.mapInPandas(block, "id_a long, id_b long, cos_sim double")
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: deterministic mini k-means (init = first
+    n_lists vectors by id, fixed iteration count, no RNG), returning
+    (assigned DataFrame with `ivf_list` column, centroids ndarray).
+
+    The centroid fit runs driver-side on a bounded sample (n_lists and dim
+    are small; at 100 TB you fit on a hash-sample and broadcast); the
+    assignment pass is a vectorized mapInPandas over the full table.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sample = (
+        embeddings.orderBy(id_col).limit(max(n_lists * 64, 512)).select(id_col, vec_col).toPandas()
+    )
+    X = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    centroids = X[:n_lists].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_lists):
+            members = X[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+
+    sc = embeddings.sparkSession.sparkContext
+    b_c = sc.broadcast(centroids)
+
+    def assign_lists(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = ((V[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+            pdf = pdf.copy()
+            pdf["ivf_list"] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    out_schema = embeddings.select(id_col, vec_col).schema.add("ivf_list", "integer")
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign_lists, out_schema)
+    return assigned, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only vectors whose list is among the query's n_probe
+    nearest centroids. At scale `ivf_list` becomes the partition key, so a
+    probe reads n_probe partitions instead of the full table; recall is
+    tuned by n_probe (n_probe = n_lists degenerates to exact search)."""
+    import numpy as np
+
+    assigned, centroids = ivf_assign(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
+    q_row = query.select(vec_col).collect()[0][0]
+    qv = np.array(q_row, dtype=np.float64)
+    probe_lists = np.argsort(((centroids - qv) ** 2).sum(axis=1))[:n_probe].tolist()
+    q = query.select(F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__q_vec"))
+    scored = (
+        assigned.where(F.col("ivf_list").isin(probe_lists))
+        .join(F.broadcast(q))
+        .where(F.col(id_col) != F.col("__q_id"))
+        .select(id_col, cosine(F.col(vec_col), F.col("__q_vec")).alias("cos_sim"))
+    )
+    return top_k(scored, k, F.col("cos_sim").desc(), F.col(id_col))
+
+
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random ±1 hyperplanes from md5 bytes (no RNG —
     reproducible across runs/engines; replaces a seeded Gaussian)."""

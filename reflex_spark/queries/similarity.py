@@ -54,6 +54,17 @@ def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blocked(emb, threshold=0.4)
 
 
+@query("sim_ann_ivf_topk")  # approximate — judged rows-only; recall tested in pytest
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (fixed-init k-means), probe
+    the 4 nearest of 16 inverted lists, exact cosine within them."""
+    from reflex_spark.operators.similarity import ivf_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") == 0)
+    return ivf_topk(emb, q, k=20, n_lists=16, n_probe=4)
+
+
 @query("sim_ann_lsh_topk")  # approximate — judged rows-only; recall tested in pytest
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: random-hyperplane LSH bucketing, then exact cosine within the

@@ -205,3 +205,22 @@ def test_shingle_udtf(spark):
         (1, "a b c"),
         (1, "b c d"),
     ]  # doc 2 has <3 words → no rows
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with n_probe=n_lists degenerates to exact search (recall=1);
+    smaller n_probe returns correctly-scored hits from probed lists."""
+    from reflex_spark.operators.similarity import cosine_topk, ivf_topk
+    from reflex_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    q = emb.where(F.col("vec_id") == 0)
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    full_probe = [r["vec_id"] for r in ivf_topk(emb, q, k=10, n_lists=8, n_probe=8).collect()]
+    assert full_probe == exact  # full probe == exact search
+    partial = ivf_topk(emb, q, k=10, n_lists=8, n_probe=2).collect()
+    scores = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(emb, q, k=500).collect()}
+    for r in partial:
+        assert scores[r["vec_id"]] == r["cos_sim"]  # scores exact within probed lists
+    recall = len(set(r["vec_id"] for r in partial) & set(exact)) / len(exact)
+    assert recall >= 0.2  # random 64-dim data: partial probe still finds some
