@@ -294,6 +294,56 @@ def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sessionized",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-id assignment: running count of session starts per user
+    (the row-level companion of events_session_count)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_session).over(wsum).cast("long").alias("session_id"),
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 20.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY CAST(floor(value / 20.0) AS BIGINT)
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-division bucketing (the shuffle-free
+    way to histogram at scale: bucket is computed map-side, agg combines)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy(
+        F.floor(F.col("value") / 20.0).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "events_trailing_hour_sum",
     oracle="""
     SELECT event_id, user_id,

@@ -110,6 +110,29 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_vocab_richness",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / {T.sql_token_count('text')}, 6) AS richness
+    FROM documents
+    """,
+)
+def text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness (type-token ratio): a standard text-quality
+    signal for corpus filtering."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    uniq = F.size(F.array_distinct(toks)).cast("long")
+    return docs.select(
+        "doc_id",
+        uniq.alias("n_unique"),
+        F.round(uniq.cast("double") / F.size(toks).cast("double"), 6).alias("richness"),
+    )
+
+
+@query(
     "dedup_exact_docs",
     oracle="""
     SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
