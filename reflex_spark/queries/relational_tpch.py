@@ -101,6 +101,91 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q14_promo_revenue_pct",
+    oracle=f"""
+    SELECT round(
+             100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                        AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+           6) AS promo_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share)."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo.cast("decimal(18,6)")).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, {sql_dsum('l_quantity', 'total_qty')}
+    FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate, filter on the aggregate (HAVING over a
+    decimal sum), with the customer join."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+
+
+@query(
+    "correlated_max_order",
+    oracle="""
+    SELECT c_custkey, max_order FROM (
+      SELECT o_custkey AS c_custkey,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS max_order
+      FROM orders GROUP BY o_custkey)
+    WHERE max_order > 400000
+    """,
+)
+def correlated_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose largest order exceeds a threshold (correlated-max
+    filter decorrelated into agg+filter; max is exact so no rounding)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.max("o_totalprice").cast("double").alias("max_order"))
+        .where(F.col("max_order") > 400000)
+    )
+
+
+@query(
     "monthly_revenue_trend",
     oracle=f"""
     SELECT month_start, revenue,

@@ -224,3 +224,27 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
         assert scores[r["vec_id"]] == r["cos_sim"]  # scores exact within probed lists
     recall = len(set(r["vec_id"] for r in partial) & set(exact)) / len(exact)
     assert recall >= 0.2  # random 64-dim data: partial probe still finds some
+
+
+def test_simhash_quality(spark):
+    """SimHash invariants: content-defined (identical docs → identical
+    signature, found at distance 0 by the blocked search) and edit-local
+    (one-word edit flips only a few of 60 bits). Note: the 4-block
+    candidate search guarantees recall only for distance <= 3; larger
+    distances are best-effort (pigeonhole) — asserted via direct signature
+    comparison instead."""
+    from reflex_spark.operators.dedup import simhash64, simhash_hamming_pairs
+
+    base = "spark engine merges sorted batches into the event log stream daily"
+    edited = "spark engine merges sorted batches into the request log stream daily"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited)],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash64("text").alias("sh")).collect()}
+    assert sigs[1] == sigs[2]  # deterministic and content-defined
+    edit_distance = bin(int(sigs[1], 16) ^ int(sigs[3], 16)).count("1")
+    assert 0 < edit_distance <= 20  # one-word edit: few of 60 bits flip
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_hamming_pairs(docs, "doc_id", "text", max_distance=8).collect()}
+    assert pairs.get((1, 2)) == 0  # identical docs share every block
