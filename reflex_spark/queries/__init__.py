@@ -69,6 +69,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from reflex_spark.queries import (  # noqa: F401
+        behavioral,
         events,
         pipeline,
         relational,

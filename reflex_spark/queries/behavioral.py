@@ -1,0 +1,122 @@
+"""Behavioral analytics over the event stream: funnels, cohorts,
+co-occurrence — the query shapes event-log consumers exist to answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reflex_spark.queries import query
+from reflex_spark.tables import load_tables
+
+
+@query(
+    "funnel_signup_to_purchase",
+    oracle="""
+    SELECT user_id,
+           CAST(first_signup AS DATE) AS signup_day,
+           CASE WHEN first_purchase_after IS NOT NULL THEN 1 ELSE 0 END AS converted
+    FROM (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase'
+                       AND ts > (SELECT MIN(e2.ts) FROM events e2
+                                 WHERE e2.user_id = e1.user_id
+                                   AND e2.event_type = 'signup')
+                      THEN ts END) AS first_purchase_after
+      FROM events e1
+      GROUP BY user_id)
+    WHERE first_signup IS NOT NULL
+    """,
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: per signed-up user, did a purchase happen strictly after the
+    first signup. One shuffle on user_id (conditional aggregation, not a
+    self-join) — the scalable funnel shape."""
+    ev = load_tables(spark, sf_dir)["events"]
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        first_signup.alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("__fp"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__lp"),
+    )
+    # purchase strictly after first signup: recompute via a second
+    # conditional pass joined on the signup time (still one extra shuffle,
+    # no quadratic self-join)
+    sign = per_user.where(F.col("first_signup").isNotNull()).select("user_id", "first_signup")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    after = (
+        sign.join(purchases, "user_id", "left")
+        .withColumn(
+            "__pa", F.when(F.col("ts") > F.col("first_signup"), F.col("ts"))
+        )
+        .groupBy("user_id", "first_signup")
+        .agg(F.min("__pa").alias("first_purchase_after"))
+    )
+    return after.select(
+        "user_id",
+        F.col("first_signup").cast("date").alias("signup_day"),
+        F.when(F.col("first_purchase_after").isNotNull(), 1).otherwise(0).cast("int").alias("converted"),
+    )
+
+
+@query(
+    "retention_weekly",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_seen FROM events GROUP BY user_id),
+    activity AS (
+      SELECT e.user_id,
+             CAST(floor(date_diff('day', CAST(f.first_seen AS DATE), CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_n
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT week_n, COUNT(DISTINCT user_id) AS active_users
+    FROM activity
+    GROUP BY week_n
+    """,
+)
+def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: distinct users active N weeks after their first
+    event. first-seen is a broadcastable per-user dim at any scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("first_seen").cast("date")) / 7.0
+            ).cast("long").alias("week_n"),
+        )
+        .groupBy("week_n")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "event_type_cooccurrence",
+    oracle="""
+    WITH per_user AS (
+      SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM per_user a JOIN per_user b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence: for each unordered pair of event types, how many
+    users did both. Distinct-first keeps the self-join linear in users ×
+    types² (bounded), not events²."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.select("user_id", "event_type").distinct()
+    a = per_user.select("user_id", F.col("event_type").alias("type_a"))
+    b = per_user.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
