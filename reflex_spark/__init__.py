@@ -19,8 +19,38 @@ though tests run on local[32].
 """
 
 from reflex_spark.session import get_spark
+from reflex_spark.sources.event_log import EventLog, without_noops
+from reflex_spark.sources.sharded_log import ShardedEventLog
+from reflex_spark.streaming import (
+    Consumer,
+    ErrHeadReached,
+    FileCursorStore,
+    MemCursorStore,
+    ReadThroughCursorStore,
+    Spec,
+    StreamOptions,
+    run,
+    run_forever,
+)
 from reflex_spark.tables import TABLES, load_tables, register_views
 
-__all__ = ["get_spark", "TABLES", "load_tables", "register_views"]
+__all__ = [
+    "get_spark",
+    "TABLES",
+    "load_tables",
+    "register_views",
+    "EventLog",
+    "ShardedEventLog",
+    "without_noops",
+    "Consumer",
+    "ErrHeadReached",
+    "FileCursorStore",
+    "MemCursorStore",
+    "ReadThroughCursorStore",
+    "Spec",
+    "StreamOptions",
+    "run",
+    "run_forever",
+]
 
 __version__ = "0.1.0"

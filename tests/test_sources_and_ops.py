@@ -248,3 +248,32 @@ def test_simhash_quality(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
              simhash_hamming_pairs(docs, "doc_id", "text", max_distance=8).collect()}
     assert pairs.get((1, 2)) == 0  # identical docs share every block
+
+
+def test_quickstart_example(spark, tmp_path):
+    """The examples/quickstart.py walkthrough runs end-to-end."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import quickstart
+
+    results = quickstart.main(str(tmp_path / "qs"))
+    assert results["head"] == 11
+    assert results["consumed"] == 11
+    assert results["dead_lettered"] >= 1
+    assert len(results["nearest"]) == 3
+
+
+def test_hash_sample_subset_monotone(spark):
+    """hash_sample(r1) ⊆ hash_sample(r2) for r1 <= r2 (bucket construction):
+    growing a sample never churns previously selected rows."""
+    from reflex_spark.operators.sampling import hash_sample
+    from reflex_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    s10 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.10).select("doc_id").collect()}
+    s25 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.25).select("doc_id").collect()}
+    s50 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.50).select("doc_id").collect()}
+    assert s10 <= s25 <= s50
+    assert 0.03 <= len(s25) / 500 <= 0.6  # rate roughly honored
