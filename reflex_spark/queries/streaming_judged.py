@@ -38,7 +38,10 @@ class _FixtureEventsLog:
     def read(self) -> DataFrame:
         return self._df
 
-    def read_after(self, after: int, limit: int | None = None) -> DataFrame:
+    def read_after(
+        self, after: int, limit: int | None = None, dense_only: bool = False
+    ) -> DataFrame:
+        # fixture ids are dense and static; the gap guard is a no-op here
         df = self._df.where(F.col("event_id") > after).orderBy("event_id")
         return df.limit(limit) if limit else df
 

@@ -139,12 +139,32 @@ class EventLog:
             return self.spark.read.parquet(self.path)
         return self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
 
-    def read_after(self, after: int, limit: int | None = None) -> DataFrame:
+    def read_after(
+        self, after: int, limit: int | None = None, dense_only: bool = False
+    ) -> DataFrame:
         """Ordered scan after a cursor (reference base loader SQL
         rsql/db.go:122-182: WHERE id > ? ORDER BY id ASC LIMIT n).
-        The id predicate pushes down to the parquet scan."""
+        The id predicate pushes down to the parquet scan.
+
+        ``dense_only=True`` is the reference's gap detection
+        (rsql/loader.go:96-134): return only the contiguous id prefix after
+        the cursor. A reader that lists the directory while a multi-file
+        append is mid-commit can observe id k+1 without id k; advancing the
+        cursor past the hole would silently lose k. Truncating at the first
+        gap blocks until the missing file lands — at-least-once preserved.
+        The poll run loop enables this guard.
+        """
         df = self.read().where(F.col("event_id") > after).orderBy("event_id")
-        return df.limit(limit) if limit else df
+        if limit:
+            df = df.limit(limit)
+        if dense_only:
+            w = Window.orderBy("event_id")
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("event_id") == F.lit(after) + F.col("__rn"))
+                .drop("__rn")
+            )
+        return df
 
     def compact(self, target_partitions: int | None = None) -> None:
         """Rewrite the log into ``target_partitions`` files (default: one

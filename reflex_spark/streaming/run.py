@@ -39,6 +39,7 @@ class StreamOptions:
     batch_limit: int = 1000  # WithEventLookupLimit (rsql/db.go:27)
     drop_noops: bool = True  # noop filter (rsql/loader.go:64-94)
     poll_backoff: float = 0.2  # WithEventsBackoff (scaled for tests)
+    require_dense: bool = True  # gap detection (rsql/loader.go:96-134)
 
 
 @dataclass
@@ -52,13 +53,27 @@ class Spec:
 
 
 def _load_batch(spec: Spec, after: int):
-    df = spec.log.read_after(after, spec.options.batch_limit)
+    df = spec.log.read_after(
+        after, spec.options.batch_limit, dense_only=spec.options.require_dense
+    )
     if spec.options.drop_noops:
         df = without_noops(df)
     if spec.options.lag_seconds:
-        df = df.where(
-            F.col("timestamp")
-            <= F.expr(f"current_timestamp() - INTERVAL {spec.options.lag_seconds} SECONDS")
+        # Prefix-truncate at the FIRST too-recent event instead of filtering
+        # rows out of the middle: the cursor advances to the batch max, so a
+        # mid-batch filter would permanently skip held-back events when
+        # timestamps are out of id order. Truncation redelivers them later —
+        # the reference's per-event delay has the same effect (run.go:79-87).
+        cutoff = F.expr(
+            f"current_timestamp() - INTERVAL {spec.options.lag_seconds} SECONDS"
+        )
+        recent_min = df.where(F.col("timestamp") > cutoff).agg(
+            F.min("event_id").alias("__recent_min")
+        )
+        df = (
+            df.join(F.broadcast(recent_min))
+            .where(F.col("__recent_min").isNull() | (F.col("event_id") < F.col("__recent_min")))
+            .drop("__recent_min")
         )
     return df
 

@@ -373,3 +373,58 @@ def test_run_stream_checkpoint_is_cursor(spark, tmp_path):
     log.insert("new", 9)
     run_stream(spec, ckpt, available_now=True)
     assert sorted(seen) == [6]
+
+
+def test_gap_detection_blocks_until_filled(spark, tmp_path):
+    """Reference G1 parity (rsql/loader.go:96-134): a hole in the id
+    sequence (e.g. a reader listing mid-append) truncates the batch — the
+    cursor never jumps the hole, and delivery resumes once it fills."""
+    from pyspark.sql.types import StructType
+
+    from reflex_spark.sources.event_log import EVENT_SCHEMA
+
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a"), (1, "b"), (1, "c")])  # ids 1-3
+    # simulate a partially-visible append: ids 5,6 exist, 4 not yet visible
+    from datetime import datetime
+
+    rows = [(i, 1, f"late{i}", datetime(2024, 1, 2), None, None) for i in (5, 6)]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("append").parquet(str(tmp_path / "log"))
+
+    store, seen = MemCursorStore(), []
+    spec = Spec(log, store, collecting_consumer("gap", seen), StreamOptions(to_head=True))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [1, 2, 3]  # truncated at the hole
+    assert store.get_cursor("gap") == 3  # cursor never jumped the gap
+
+    # the missing event lands → delivery resumes in order
+    spark.createDataFrame(
+        [(4, 1, "filled", datetime(2024, 1, 2), None, None)], EVENT_SCHEMA
+    ).write.mode("append").parquet(str(tmp_path / "log"))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [1, 2, 3, 4, 5, 6]
+    assert store.get_cursor("gap") == 6
+
+
+def test_lag_prefix_truncation_no_skip(spark, tmp_path):
+    """Out-of-id-order timestamps: the lag filter must truncate at the
+    first too-recent event, not filter the middle — otherwise the cursor
+    skips held-back events forever."""
+    from datetime import datetime, timedelta
+
+    old, future = datetime(2024, 1, 1), datetime.utcnow() + timedelta(hours=2)
+    # id 1 old, id 2 FUTURE (held), id 3 old — a mid-batch hold
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append(make_events(spark, [(1, "a")], start=old))
+    log.append(make_events(spark, [(1, "b")], start=future))
+    log.append(make_events(spark, [(1, "c")], start=old + timedelta(hours=1)))
+
+    store, seen = MemCursorStore(), []
+    spec = Spec(
+        log, store, collecting_consumer("lagp", seen), StreamOptions(to_head=True, lag_seconds=3600)
+    )
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [1]  # truncated BEFORE the held event — 3 not skipped-past
+    assert store.get_cursor("lagp") == 1  # cursor stops at the hold point
