@@ -154,8 +154,28 @@ def run_stream(
 ):
     """Structured Streaming path: the checkpoint directory IS the cursor
     (offset log + commit log, SURVEY.md §1.1 Cursor row). foreachBatch
-    gives the same at-least-once contract as the poll path."""
+    gives the same at-least-once contract as the poll path.
+
+    from_head (bootstrap): on the FIRST start the current head id is
+    recorded beside the checkpoint and events at or below it are filtered
+    for the lifetime of the query — restarts reuse the recorded head, so
+    the boundary never moves (reference rpatterns/bootstrap.go: skip
+    history only when no cursor exists)."""
+    import json
+    import os
+
     stream = spec.log.read_stream(max_files_per_trigger=None)
+    if spec.options.from_head:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        head_file = os.path.join(checkpoint_dir, "bootstrap_head.json")
+        if os.path.exists(head_file):
+            with open(head_file) as f:
+                head = json.load(f)["head"]
+        else:
+            head = spec.log.head()
+            with open(head_file, "w") as f:
+                json.dump({"head": head}, f)
+        stream = stream.where(F.col("event_id") > head)
     if spec.options.drop_noops:
         stream = without_noops(stream)
     if spec.options.lag_seconds:

@@ -428,3 +428,22 @@ def test_lag_prefix_truncation_no_skip(spark, tmp_path):
         run(spec)
     assert seen == [1]  # truncated BEFORE the held event — 3 not skipped-past
     assert store.get_cursor("lagp") == 1  # cursor stops at the hold point
+
+
+def test_run_stream_from_head_bootstrap(spark, tmp_path):
+    """Streaming-path bootstrap: first start skips history; the recorded
+    head boundary survives restarts (only genuinely-new events arrive)."""
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "hist1"), (1, "hist2")])
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[int] = []
+
+    def fn(df, meta):
+        seen.extend(r["event_id"] for r in df.select("event_id").collect())
+
+    spec = Spec(log, MemCursorStore(), Consumer("bss", fn), StreamOptions(from_head=True))
+    run_stream(spec, ckpt, available_now=True)
+    assert seen == []  # history skipped
+
+    log.insert("new1", 1)
+    run_stream(spec, ckpt, available_now=True)
+    assert sorted(seen) == [3]  # boundary did not move on restart
