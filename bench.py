@@ -41,8 +41,14 @@ HEADLINE = [
     "asof_join_latest_order",
     "q6_revenue_change",
     "q10_returned_revenue",
+    "q14_promo_revenue_pct",
+    "q18_large_orders",
     "tfidf_top_terms",
     "sample_documents_hash",
+    "funnel_signup_to_purchase",
+    "retention_weekly",
+    "events_trailing_hour_sum",
+    "range_join_events_near_orders",
 ]
 
 

@@ -43,11 +43,29 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """(id, shingle) rows, distinct per doc."""
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"))
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = DEFAULT_SHINGLE, spread: bool = False
+) -> DataFrame:
+    """(id, shingle) rows, distinct per doc.
+
+    ``spread=True`` repartitions when the input has fewer partitions than
+    the target — the downstream md5 signature work is CPU-bound and would
+    otherwise run inside however few tasks the scan produced (a
+    single-file table = a single task). The target is capped at 8: A/B at
+    sf0.1 measured 4.6s (1 task) / 3.6s (8) / 6.0s (32) for the full LSH
+    pipeline — beyond ~8, per-stage scheduling overhead outweighs the CPU
+    spread at these batch sizes, while large inputs arrive pre-partitioned
+    and skip this branch entirely. Results are partitioning-invariant
+    (tested), so this is purely a scheduling choice.
+    """
+    out = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
     )
+    if spread:
+        target = min(8, df.sparkSession.sparkContext.defaultParallelism)
+        if out.rdd.getNumPartitions() < target:
+            out = out.repartition(target)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -69,7 +87,11 @@ def ngram_jaccard_pairs(
     quadratic within a shingle's posting list). ``shingles`` lets callers
     share one cached shingle scan across signature + verify stages.
     """
-    sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, n).cache()
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_rows(df, id_col, text_col, n, spread=True).cache()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -138,7 +160,8 @@ def minhash_lsh_pairs(
     hash-bucket collisions.
     """
     rows = num_hashes // bands
-    sh = shingle_rows(df, id_col, text_col, n).cache()  # shared: signatures + verify
+    # shared across signatures + verify; spread so md5 work parallelizes
+    sh = shingle_rows(df, id_col, text_col, n, spread=True).cache()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=sh)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(f"band{b}")
