@@ -303,14 +303,15 @@ def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def grouping_sets_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via Spark SQL on registered views."""
-    load_tables(spark, sf_dir)["part"].createOrReplaceTempView("part")
+    """Explicit GROUPING SETS via Spark SQL (prefixed temp view so the
+    caller's own view names are never clobbered)."""
+    load_tables(spark, sf_dir)["part"].createOrReplaceTempView("__reflex_spark_part")
     return spark.sql(
         f"""
         SELECT p_brand, p_type,
                COUNT(*) AS n_parts,
                {sql_davg('p_retailprice', 'avg_price')}
-        FROM part
+        FROM __reflex_spark_part
         GROUP BY GROUPING SETS ((p_brand), (p_type))
         """
     )
