@@ -57,6 +57,41 @@ def without_noops(df: DataFrame) -> DataFrame:
     )
 
 
+def adapt_events(
+    df: DataFrame,
+    *,
+    event_id: str,
+    event_type: str,
+    foreign_id: str,
+    timestamp: str,
+    metadata: str | None = None,
+    trace: str | None = None,
+    type_mapping: dict[str, int] | None = None,
+) -> DataFrame:
+    """Map an arbitrary physical events table to the canonical schema.
+
+    Reference parity: the functional column-remapping options
+    (WithEventIDField/WithEventTypeField/..., rsql/eventstable.go:67-118,
+    defaults rsql/db.go:21-38) — point the engine at any existing table.
+    ``type_mapping`` converts string type labels to the int enum (the
+    reference's EventType is an int enum, api.go:45-49).
+    """
+    type_col = F.col(event_type)
+    if type_mapping is not None:
+        expr = F.lit(None).cast("int")
+        for label, code in type_mapping.items():
+            expr = F.when(type_col == label, code).otherwise(expr)
+        type_col = expr
+    return df.select(
+        F.col(event_id).cast("long").alias("event_id"),
+        type_col.cast("int").alias("event_type"),
+        F.col(foreign_id).cast("string").alias("foreign_id"),
+        F.col(timestamp).cast("timestamp").alias("timestamp"),
+        (F.col(metadata) if metadata else F.lit(None)).cast("binary").alias("metadata"),
+        (F.col(trace) if trace else F.lit(None)).cast("binary").alias("trace"),
+    )
+
+
 class EventLog:
     """Append-only event log at a directory path.
 

@@ -35,6 +35,15 @@ def consumer_lag_seconds(log: EventLog, cstore: CursorStore, consumer: str) -> f
     return float(row["lag"]) if row["lag"] is not None else 0.0
 
 
+def lag_alert(
+    log: EventLog, cstore: CursorStore, consumer: str, threshold_seconds: float = 30 * 60
+) -> bool:
+    """Consumer lag alert (reference WithConsumerLagAlert, consumer.go:13-15,
+    default 30 min): True when the oldest unconsumed event exceeds the
+    threshold — wire into whatever pager replaces the prometheus alert."""
+    return consumer_lag_seconds(log, cstore, consumer) > threshold_seconds
+
+
 @dataclass
 class ProgressMetrics:
     """Collects StreamingQueryProgress events (the Spark-native metric bus).

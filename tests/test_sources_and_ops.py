@@ -277,3 +277,38 @@ def test_hash_sample_subset_monotone(spark):
     s50 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.50).select("doc_id").collect()}
     assert s10 <= s25 <= s50
     assert 0.03 <= len(s25) / 500 <= 0.6  # rate roughly honored
+
+
+def test_adapt_events_column_remapping(spark):
+    """Reference WithEventIDField/... parity: point the engine at the
+    driver's events fixture (different names, string types) and get the
+    canonical schema back."""
+    from reflex_spark.sources.event_log import EVENT_SCHEMA, adapt_events
+    from reflex_spark.tables import load_tables
+
+    raw = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    mapped = adapt_events(
+        raw,
+        event_id="event_id",
+        event_type="event_type",
+        foreign_id="user_id",
+        timestamp="ts",
+        type_mapping={"view": 1, "click": 2, "signup": 3, "purchase": 4, "error": 5},
+    )
+    assert [f.name for f in mapped.schema.fields] == [f.name for f in EVENT_SCHEMA.fields]
+    assert mapped.schema["event_type"].dataType.simpleString() == "int"
+    assert mapped.where(F.col("event_type").isNull()).count() == 0  # full mapping
+    assert mapped.count() == raw.count()
+    one = mapped.orderBy("event_id").first()
+    assert one["event_id"] == 0 and isinstance(one["foreign_id"], str)
+
+
+def test_lag_alert_threshold(spark, tmp_path):
+    from reflex_spark.streaming.metrics import lag_alert
+    from reflex_spark.streaming.cursors import MemCursorStore
+
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a")])  # dated 2024 → huge lag
+    store = MemCursorStore()
+    assert lag_alert(log, store, "c", threshold_seconds=60)
+    store.set_cursor("c", 1)
+    assert not lag_alert(log, store, "c", threshold_seconds=60)
