@@ -335,6 +335,33 @@ def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_years_agg",
+    oracle="""
+    WITH y AS (SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS INT) AS yr FROM orders)
+    SELECT o_custkey, string_agg(CAST(yr AS VARCHAR), ',' ORDER BY yr) AS years
+    FROM y GROUP BY o_custkey
+    """,
+)
+def orders_years_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation made deterministic: collect_set is unordered, so
+    sort_array before array_join — the only safe listagg shape on a
+    distributed engine."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.select("o_custkey", F.year("o_orderdate").cast("int").alias("yr"))
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("yr")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("years")
+        )
+    )
+
+
+@query(
     "nation_order_volume",
     oracle=f"""
     SELECT n_name,

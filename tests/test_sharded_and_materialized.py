@@ -85,3 +85,30 @@ def test_materialized_counts_incremental_and_idempotent(spark, tmp_path):
         for r in log.read().groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert counts3 == truth
+
+
+def test_sharded_log_parallel_consume_topology(spark, tmp_path):
+    """The scale-out consume topology: one independent consumer per shard,
+    each with its own cursor, together covering the stream exactly once
+    (per-shard dense ids make each shard an ordinary EventLog)."""
+    slog = ShardedEventLog(spark, str(tmp_path / "slog"), n_shards=2)
+    slog.append(make_events(spark, [(1, f"user{i}") for i in range(12)]))
+
+    seen: dict[int, list[tuple[int, str]]] = {0: [], 1: []}
+    store = MemCursorStore()
+    for m, shard in enumerate(slog.shards):
+        def fn(df, meta, m=m):
+            seen[m].extend(
+                (r["event_id"], r["foreign_id"])
+                for r in df.select("event_id", "foreign_id").orderBy("event_id").collect()
+            )
+        spec = Spec(shard, store, Consumer(f"shard_{m}", fn), StreamOptions(to_head=True))
+        with pytest.raises(ErrHeadReached):
+            run(spec)
+
+    all_fids = sorted(f for rows in seen.values() for _, f in rows)
+    assert all_fids == sorted(f"user{i}" for i in range(12))  # exact cover
+    for m, rows in seen.items():
+        ids = [i for i, _ in rows]
+        assert ids == sorted(ids) == list(range(1, len(ids) + 1))  # dense, ordered
+        assert store.get_cursor(f"shard_{m}") == len(ids)
