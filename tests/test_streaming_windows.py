@@ -121,3 +121,18 @@ def test_stream_stream_join(spark, tmp_path):
     out = run_to_memory(joined, "ssj_t", "append", spark)
     rows = [(r["l_key"], r["l_event_type"], r["r_event_type"]) for r in out.collect()]
     assert rows == [("u1", 1, 2)]  # only u1 has a right event within the hour
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream-static join: streaming events enriched against a static
+    dimension (broadcast per microbatch — no streaming state needed)."""
+    from pyspark.sql import functions as F
+
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "u1"), (2, "u2"), (1, "u3")])
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "silver")], ["foreign_id", "tier"]
+    )
+    enriched = log.read_stream().join(F.broadcast(dim), "foreign_id", "left")
+    out = run_to_memory(enriched, "ssd_t", "append", spark)
+    rows = {r["foreign_id"]: r["tier"] for r in out.collect()}
+    assert rows == {"u1": "gold", "u2": "silver", "u3": None}
