@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from reflex_spark.streaming.consumer import Consumer, row_consumer
 from reflex_spark.streaming.cursors import CursorStore
-from reflex_spark.streaming.run import ErrHeadReached, Spec, StreamOptions, run
+from reflex_spark.streaming.run import Spec, StreamOptions, run
 
 
 # --- batch window (P1) ----------------------------------------------------
