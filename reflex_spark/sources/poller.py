@@ -31,21 +31,31 @@ class Poller:
         log: EventLog,
         row_schema,
         backoff: float = 0.2,  # reference default backoff, scaled for tests
+        cstore=None,  # optional CursorStore: persists the page cursor
+        name: str = "poller",
     ):
         self.spark = spark
         self.poll_fn = poll_fn
         self.log = log
         self.row_schema = row_schema
         self.backoff = backoff
-        self.cursor = ""
+        self._cstore = cstore
+        self._name = name
+        restored = cstore.get_cursor(name) if cstore else 0
+        # string page cursors (the reference's rblob-style composite
+        # cursors, WithCursorStrings): unset stores return int 0
+        self.cursor = restored if isinstance(restored, str) else ""
 
     def poll_once(self) -> int:
-        """One poll: append the page (if any) to the log. Returns row count."""
+        """One poll: append the page (if any) to the log, then persist the
+        page cursor — a restart resumes from the last committed page."""
         rows, self.cursor = self.poll_fn(self.cursor)
         if not rows:
             return 0
         df: DataFrame = self.spark.createDataFrame(rows, self.row_schema)
         self.log.append(df)
+        if self._cstore is not None and self.cursor:
+            self._cstore.set_cursor(self._name, self.cursor)
         return len(rows)
 
     def drain(self, max_polls: int = 1000) -> int:

@@ -10,6 +10,11 @@ Parity notes:
   commit-per-microbatch model (SURVEY.md §4).
 - MemCursorStore mirrors rpatterns/cursor.go:70-119 (tests/seeding).
 - ReadThroughCursorStore mirrors rpatterns/cursor.go:22-62 (migration).
+- Cursors are int by default but stores also accept strings
+  (WithCursorStrings, rsql/cursorstable.go:17-44): the monotonic guard
+  compares values of whichever type is stored — mixing types for one
+  consumer raises, mirroring the MySQL string/int comparison hazard note
+  (rsql/db.go:259-261).
 """
 
 from __future__ import annotations
@@ -24,10 +29,26 @@ class CursorRegressionError(ValueError):
     """Attempt to move a cursor backwards (reference rsql/db.go:286-291)."""
 
 
-class CursorStore(Protocol):
-    def get_cursor(self, consumer: str) -> int: ...
+Cursor = int | str
 
-    def set_cursor(self, consumer: str, cursor: int) -> None: ...
+
+def _check_monotonic(consumer: str, current: Cursor, new: Cursor) -> None:
+    if isinstance(current, int) and current == 0:
+        return  # unset
+    if type(current) is not type(new):
+        raise CursorRegressionError(
+            f"cursor type change for {consumer}: {type(current).__name__} -> {type(new).__name__}"
+        )
+    if new < current:  # int or lexicographic string compare
+        raise CursorRegressionError(
+            f"cursor regression for {consumer}: {current!r} -> {new!r}"
+        )
+
+
+class CursorStore(Protocol):
+    def get_cursor(self, consumer: str) -> Cursor: ...
+
+    def set_cursor(self, consumer: str, cursor: Cursor) -> None: ...
 
     def flush(self) -> None: ...
 
@@ -35,17 +56,14 @@ class CursorStore(Protocol):
 class MemCursorStore:
     """In-memory cursor store (reference rpatterns/cursor.go:70-119)."""
 
-    def __init__(self, seed: dict[str, int] | None = None):
-        self._cursors: dict[str, int] = dict(seed or {})
+    def __init__(self, seed: dict[str, Cursor] | None = None):
+        self._cursors: dict[str, Cursor] = dict(seed or {})
 
-    def get_cursor(self, consumer: str) -> int:
+    def get_cursor(self, consumer: str) -> Cursor:
         return self._cursors.get(consumer, 0)
 
-    def set_cursor(self, consumer: str, cursor: int) -> None:
-        if cursor < self._cursors.get(consumer, 0):
-            raise CursorRegressionError(
-                f"cursor regression for {consumer}: {self._cursors[consumer]} -> {cursor}"
-            )
+    def set_cursor(self, consumer: str, cursor: Cursor) -> None:
+        _check_monotonic(consumer, self._cursors.get(consumer, 0), cursor)
         self._cursors[consumer] = cursor
 
     def flush(self) -> None:
@@ -63,19 +81,16 @@ class FileCursorStore:
         safe = consumer.replace("/", "_")
         return os.path.join(self.path, f"{safe}.json")
 
-    def get_cursor(self, consumer: str) -> int:
+    def get_cursor(self, consumer: str) -> Cursor:
         try:
             with open(self._file(consumer)) as f:
-                return int(json.load(f)["cursor"])
+                return json.load(f)["cursor"]
         except FileNotFoundError:
             return 0
 
-    def set_cursor(self, consumer: str, cursor: int) -> None:
+    def set_cursor(self, consumer: str, cursor: Cursor) -> None:
         current = self.get_cursor(consumer)
-        if cursor < current:
-            raise CursorRegressionError(
-                f"cursor regression for {consumer}: {current} -> {cursor}"
-            )
+        _check_monotonic(consumer, current, cursor)
         fd, tmp = tempfile.mkstemp(dir=self.path)
         with os.fdopen(fd, "w") as f:
             json.dump({"cursor": cursor}, f)
@@ -94,11 +109,11 @@ class ReadThroughCursorStore:
         self.primary = primary
         self.fallback = fallback
 
-    def get_cursor(self, consumer: str) -> int:
+    def get_cursor(self, consumer: str) -> Cursor:
         c = self.primary.get_cursor(consumer)
         return c if c else self.fallback.get_cursor(consumer)
 
-    def set_cursor(self, consumer: str, cursor: int) -> None:
+    def set_cursor(self, consumer: str, cursor: Cursor) -> None:
         self.primary.set_cursor(consumer, cursor)
 
     def flush(self) -> None:

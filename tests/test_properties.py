@@ -74,3 +74,20 @@ def test_file_cursor_store_equivalent_to_mem(tmp_path_factory, updates):
             mem_err = True
         assert fs_err == mem_err
         assert fs.get_cursor("c") == mem.get_cursor("c")
+
+
+def test_string_cursor_store_support(tmp_path):
+    """WithCursorStrings parity: lexicographic monotonic guard, type-mix
+    rejection, persistence."""
+    import pytest
+
+    from reflex_spark.streaming.cursors import FileCursorStore, MemCursorStore
+
+    for store in (MemCursorStore(), FileCursorStore(str(tmp_path / "c"))):
+        store.set_cursor("s", "2024/01/01|10|3")
+        store.set_cursor("s", "2024/01/02|5|0")  # lexicographically later
+        with pytest.raises(CursorRegressionError):
+            store.set_cursor("s", "2023/12/31|1|0")
+        with pytest.raises(CursorRegressionError):
+            store.set_cursor("s", 5)  # type change rejected
+        assert store.get_cursor("s") == "2024/01/02|5|0"

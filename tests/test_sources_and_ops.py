@@ -312,3 +312,51 @@ def test_lag_alert_threshold(spark, tmp_path):
     assert lag_alert(log, store, "c", threshold_seconds=60)
     store.set_cursor("c", 1)
     assert not lag_alert(log, store, "c", threshold_seconds=60)
+
+
+def test_poller_resumes_from_persisted_cursor(spark, tmp_path):
+    """Poller + string cursor store: a restarted poller re-requests only
+    pages after the last committed one."""
+    import datetime as dt
+
+    from reflex_spark.streaming.cursors import FileCursorStore
+
+    calls = []
+    pages = {
+        "": ([(1, "u1", dt.datetime(2024, 1, 1), None, None)], "page-1"),
+        "page-1": ([(2, "u2", dt.datetime(2024, 1, 1, 0, 1), None, None)], "page-2"),
+        "page-2": ([], "page-2"),
+    }
+
+    def poll(cursor):
+        calls.append(cursor)
+        return pages[cursor]
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", IntegerType(), False),
+            StructField("foreign_id", StringType(), False),
+            StructField("timestamp", TimestampType(), False),
+            StructField("metadata", BinaryType(), True),
+            StructField("trace", BinaryType(), True),
+        ]
+    )
+    store = FileCursorStore(str(tmp_path / "cur"))
+    log = EventLog(spark, str(tmp_path / "log"))
+    p1 = Poller(spark, poll, log, schema, cstore=store, name="ingest")
+    assert p1.poll_once() == 1  # first page only, then "crash"
+    assert store.get_cursor("ingest") == "page-1"
+
+    p2 = Poller(spark, poll, log, schema, cstore=store, name="ingest")
+    assert p2.drain() == 1  # resumes at page-1 → only page 2 fetched
+    assert calls == ["", "page-1", "page-2"]  # page 1 never re-fetched
+    assert log.head() == 2
