@@ -75,6 +75,7 @@ def _load_all() -> None:
         relational,
         relational_ext,
         relational_tpch,
+        relational_tpch2,
         similarity,
         streaming_judged,
         text,
