@@ -49,6 +49,12 @@ HEADLINE = [
     "retention_weekly",
     "events_trailing_hour_sum",
     "range_join_events_near_orders",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "dedup_embedding_cosine",
 ]
 
 

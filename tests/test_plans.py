@@ -76,3 +76,42 @@ def test_agg_partial_before_shuffle(spark):
     first_agg = plan.index("HashAggregate")
     exchange = plan.index("Exchange")
     assert first_agg < exchange
+
+
+def test_q7_q8_dims_broadcast(spark):
+    """q7/q8 star joins: every dimension side must broadcast (the only
+    SortMergeJoins allowed are fact-to-fact on orderkey/custkey)."""
+    for name in ("q7_nation_volume", "q8_market_share"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_q8_dim_filters_pushed(spark):
+    plan = plan_of(spark, "q8_market_share")
+    assert "EqualTo(r_name,EUROPE)" in plan  # region filter at the scan
+    assert "EqualTo(p_type,PROMO)" in plan  # part filter at the scan
+
+
+def test_q19_brand_filter_pushed(spark):
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert "In(p_brand" in plan  # brand-band union pushed into part scan
+
+
+def test_q15_shipdate_pushed(spark):
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_q22_anti_join_shape(spark):
+    plan = plan_of(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    # anti join's build side reads only o_custkey (column pruning)
+    orders_schema = [
+        seg.split("\n")[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "o_custkey" in seg.split("\n")[0]
+    ]
+    assert orders_schema and all(
+        "o_totalprice" not in s for s in orders_schema
+    )

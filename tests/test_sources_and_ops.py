@@ -360,3 +360,56 @@ def test_poller_resumes_from_persisted_cursor(spark, tmp_path):
     assert p2.drain() == 1  # resumes at page-1 → only page 2 fetched
     assert calls == ["", "page-1", "page-2"]  # page 1 never re-fetched
     assert log.head() == 2
+
+
+def test_filter_combinators_and_metadata_filter(spark):
+    """filters.AllEventFilters/AnyEventFilters/MetadataEventFilter parity
+    (filters/combine.go, filters/metadata.go)."""
+    from reflex_spark.functions.events import (
+        all_filters,
+        any_filters,
+        is_any_type,
+        is_type,
+        metadata_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, '{"amount": 5}'),
+            (2, 2, '{"amount": 50}'),
+            (3, 1, None),
+        ],
+        "event_id long, event_type int, metadata string",
+    ).withColumn("metadata", F.col("metadata").cast("binary"))
+
+    both = df.where(
+        all_filters(is_type("event_type", 1), F.col("event_id") < 3)
+    )
+    assert [r.event_id for r in both.orderBy("event_id").collect()] == [1]
+
+    either = df.where(
+        any_filters(is_any_type("event_type", 2), F.col("event_id") == 3)
+    )
+    assert [r.event_id for r in either.orderBy("event_id").collect()] == [2, 3]
+
+    # metadata deserialization + data predicate; null payload filters out
+    rich = df.where(
+        metadata_filter("metadata", "amount int", lambda m: m["amount"] >= 10)
+    )
+    assert [r.event_id for r in rich.collect()] == [2]
+
+    # strict mode: malformed payload fails the consumer (fail-fast),
+    # non-strict drops it
+    bad = spark.createDataFrame(
+        [(9, '{not-json')], "event_id long, metadata string"
+    ).withColumn("metadata", F.col("metadata").cast("binary"))
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        bad.where(
+            metadata_filter("metadata", "amount int", lambda m: m["amount"] > 0)
+        ).collect()
+    lax = bad.where(
+        metadata_filter(
+            "metadata", "amount int", lambda m: m["amount"] > 0, strict=False
+        )
+    )
+    assert lax.count() == 0
