@@ -80,16 +80,27 @@ class AckConsumer:
         def flush(self) -> None:
             self.inner.flush()
 
-    def __init__(self, name: str, cstore: CursorStore, fn: Callable[[DataFrame, "AckConsumer"], None]):
+    def __init__(
+        self,
+        name: str,
+        cstore: CursorStore,
+        fn: Callable[[DataFrame, "AckConsumer"], None],
+        event_filter: Column | None = None,
+    ):
         self.name = name
         self._store = cstore
         self._fn = fn
+        self._event_filter = event_filter
 
     def ack(self, event_id: int) -> None:
         self._store.set_cursor(self.name, event_id)
 
     def spec(self, log, **opt_kwargs: Any) -> Spec:
-        consumer = Consumer(name=self.name, fn=lambda df, meta: self._fn(df, self))
+        consumer = Consumer(
+            name=self.name,
+            fn=lambda df, meta: self._fn(df, self),
+            event_filter=self._event_filter,
+        )
         return Spec(
             log=log,
             cstore=self._NoSetStore(self._store),
@@ -108,33 +119,75 @@ def shard_filter(n: int, m: int, key: Column) -> Column:
     return F.crc32(key.cast("string")) % n == m
 
 
+def default_shard_name(name: str, m: int, n: int) -> str:
+    """Default shard cursor name (rpatterns/parallel.go makeName)."""
+    return f"{name}_{m}_of_{n}"
+
+
 def parallel_specs(
     log,
     cstore: CursorStore,
     name: str,
     n: int,
     consume_batch: Callable[[DataFrame, dict], None],
-    key_col: str = "foreign_id",
+    key_col: str | Column = "foreign_id",
+    name_formatter: Callable[[str, int, int], str] = default_shard_name,
+    shard_opts: Callable[[int], dict] | None = None,
     **opt_kwargs: Any,
 ) -> list[Spec]:
     """N independent shard consumers over one stream, each with its own
     cursor ``{name}_{m}_of_{n}`` (rpatterns/parallel.go:102-124). Events
     for one key always land in the same shard → per-key ordering holds.
 
+    ``key_col`` may be a column name or an arbitrary Column expression —
+    the latter is the WithHashFn custom-hash analogue
+    (rpatterns/parallel.go:315-321); name/type/foreign-id HashOptions are
+    just different column choices. ``name_formatter`` is WithNameFormatter;
+    ``shard_opts`` is WithConsumerSpecificOpts (per-shard StreamOptions
+    kwargs merged over ``opt_kwargs``).
+
     In-engine note: within one Spark job, repartition(n, key) +
     sortWithinPartitions("event_id") achieves the same per-key ordered
     parallelism with a single cursor; parallel_specs is for independently
     scheduled/restarted consumers, which is what the reference offers.
     """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
     specs = []
     for m in range(n):
+        kwargs = {**opt_kwargs, **(shard_opts(m) if shard_opts else {})}
         consumer = Consumer(
-            name=f"{name}_{m}_of_{n}",
+            name=name_formatter(name, m, n),
             fn=consume_batch,
-            event_filter=shard_filter(n, m, F.col(key_col)),
+            event_filter=shard_filter(n, m, key),
         )
-        specs.append(Spec(log=log, cstore=cstore, consumer=consumer, options=StreamOptions(**opt_kwargs)))
+        specs.append(Spec(log=log, cstore=cstore, consumer=consumer, options=StreamOptions(**kwargs)))
     return specs
+
+
+def parallel_ack_specs(
+    log,
+    cstore: CursorStore,
+    name: str,
+    n: int,
+    consume_batch: Callable[[DataFrame, AckConsumer], None],
+    key_col: str | Column = "foreign_id",
+    name_formatter: Callable[[str, int, int], str] = default_shard_name,
+    **opt_kwargs: Any,
+) -> list[Spec]:
+    """ParallelAck (rpatterns/parallel.go:206-229): N hash-sharded
+    consumers whose cursors only advance on explicit ``ack`` — the shard
+    filter composes with the ack no-set store, so each shard owns both
+    which events it sees and when its cursor moves."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return [
+        AckConsumer(
+            name_formatter(name, m, n),
+            cstore,
+            consume_batch,
+            event_filter=shard_filter(n, m, key),
+        ).spec(log, **opt_kwargs)
+        for m in range(n)
+    ]
 
 
 def ordered_by_key(df: DataFrame, n_partitions: int, key_col: str = "foreign_id") -> DataFrame:

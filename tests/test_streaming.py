@@ -29,6 +29,7 @@ from reflex_spark.streaming.patterns import (
     bootstrap_spec,
     dead_letter_consumer,
     ordered_by_key,
+    parallel_ack_specs,
     parallel_specs,
     read_consumer_errors,
     shard_filter,
@@ -447,3 +448,54 @@ def test_run_stream_from_head_bootstrap(spark, tmp_path):
     log.insert("new1", 1)
     run_stream(spec, ckpt, available_now=True)
     assert sorted(seen) == [3]  # boundary did not move on restart
+
+
+def test_parallel_ack_specs_shard_and_manual_cursor(spark, tmp_path):
+    """ParallelAck parity (rpatterns/parallel.go:206-229): shard filters
+    compose with manual ack; un-acked shards don't move, acked shards
+    advance to their own max seen id. Custom name formatter + custom hash
+    expression (WithNameFormatter / WithHashFn analogues)."""
+    log = seed_log(spark, str(tmp_path / "log"), [(1, f"fid{i}") for i in range(12)])
+    store = MemCursorStore()
+    seen: dict[str, list[int]] = {}
+
+    def fn(df, ack_consumer):
+        ids = [r["event_id"] for r in df.select("event_id").collect()]
+        seen.setdefault(ack_consumer.name, []).extend(ids)
+        if ack_consumer.name.endswith("shard0"):  # only shard 0 acks
+            ack_consumer.ack(max(ids))
+
+    specs = parallel_ack_specs(
+        log,
+        store,
+        "pack",
+        2,
+        fn,
+        key_col=F.col("event_id") % 100,  # custom hash expression
+        name_formatter=lambda name, m, n: f"{name}-shard{m}",
+        to_head=True,
+    )
+    for spec in specs:
+        with pytest.raises(ErrHeadReached):
+            run(spec)
+    covered = sorted(seen["pack-shard0"] + seen["pack-shard1"])
+    assert covered == list(range(1, 13))  # disjoint cover, nothing dropped
+    assert store.get_cursor("pack-shard0") == max(seen["pack-shard0"])
+    assert store.get_cursor("pack-shard1") == 0  # never acked
+
+
+def test_parallel_specs_per_shard_opts(spark, tmp_path):
+    """WithConsumerSpecificOpts analogue: per-shard option overrides."""
+    log = seed_log(spark, str(tmp_path / "log"), [(1, f"f{i}") for i in range(4)])
+    specs = parallel_specs(
+        log,
+        MemCursorStore(),
+        "pso",
+        2,
+        lambda df, meta: None,
+        shard_opts=lambda m: {"batch_limit": 1 + m},
+        to_head=True,
+    )
+    assert specs[0].options.batch_limit == 1
+    assert specs[1].options.batch_limit == 2
+    assert specs[0].options.to_head and specs[1].options.to_head
