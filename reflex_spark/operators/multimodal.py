@@ -115,3 +115,108 @@ def frame_sample(
         F.col("frame.frame_idx").alias("frame_idx"),
         F.col("frame.frame_bytes").alias("frame_bytes"),
     )
+
+
+def resize_image(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize shape: (id, payload, width, height) -> same with target dims.
+
+    STUB codec: the pseudo-resize scales the byte budget by the area ratio
+    (truncate/cycle-pad), deterministic in the input bytes. The Spark-side
+    contract is the real part: payload bytes round-trip executor-side
+    through Arrow without driver involvement, and the output schema keeps
+    the binary column + refreshed metadata.
+    """
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def scale(b: bytes) -> bytes:
+                if not b:
+                    return b
+                src_area = (16 + len(b) % 64) * (16 + (len(b) // 64) % 64)
+                n = max(1, int(len(b) * (target_w * target_h) / src_area))
+                reps = (n + len(b) - 1) // len(b)
+                return (b * reps)[:n]
+
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": pdf[payload_col].map(scale),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, out_schema)
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = False,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Audio feature extraction: (id, sample_rate, n_samples, duration_s, rms).
+
+    STUB: real decode needs an audio codec (ffmpeg/soundfile — not
+    installed); fake=True treats the payload as 16-bit PCM so features are
+    deterministic functions of the bytes while the Arrow-batched pipeline
+    shape stays real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs not available in this environment; pass fake=True "
+            "to exercise the pipeline with a deterministic pseudo-decode"
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_s", DoubleType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def features(b: bytes) -> tuple[int, float, float]:
+                samples = np.frombuffer(b[: len(b) - len(b) % 2], dtype="<i2").astype(np.float64)
+                n = len(samples)
+                rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+                return n, n / sample_rate, round(rms, 6)
+
+            feats = pdf[payload_col].map(features)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": sample_rate,
+                    "n_samples": feats.map(lambda t: t[0]),
+                    "duration_s": feats.map(lambda t: t[1]),
+                    "rms": feats.map(lambda t: t[2]),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, out_schema)

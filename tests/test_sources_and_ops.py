@@ -16,7 +16,13 @@ from pyspark.sql.types import (
 )
 
 from reflex_spark.functions.tracing import SpanContext, marshal, trace_id_hex, unmarshal
-from reflex_spark.operators.multimodal import decode_image, frame_sample, with_payload
+from reflex_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+    frame_sample,
+    resize_image,
+    with_payload,
+)
 from reflex_spark.sources.blob import BlobBucket
 from reflex_spark.sources.event_log import EventLog
 from reflex_spark.sources.memory import seed_log
@@ -413,3 +419,26 @@ def test_filter_combinators_and_metadata_filter(spark):
         )
     )
     assert lax.count() == 0
+
+
+def test_multimodal_resize_and_audio_stub(spark):
+    """Resize keeps the binary payload executor-side with refreshed dims;
+    audio pseudo-decode derives PCM features deterministically."""
+    docs = spark.createDataFrame([(1, "hello world"), (2, "tiny")], ["doc_id", "text"])
+    payloads = with_payload(docs)
+
+    resized = {r["doc_id"]: r for r in resize_image(payloads, 32, 32).collect()}
+    assert resized[1]["width"] == 32 and resized[1]["height"] == 32
+    src = b"hello world"
+    src_area = (16 + len(src) % 64) * (16 + (len(src) // 64) % 64)
+    want_len = max(1, int(len(src) * (32 * 32) / src_area))
+    assert len(bytes(resized[1]["payload"])) == want_len
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(payloads).collect()
+    audio = {r["doc_id"]: r for r in decode_audio(payloads, fake=True).collect()}
+    import numpy as np
+    pcm = np.frombuffer(src[:10], dtype="<i2").astype(np.float64)
+    assert audio[1]["n_samples"] == 5
+    assert audio[1]["duration_s"] == 5 / 16000
+    assert abs(audio[1]["rms"] - round(float(np.sqrt(np.mean(pcm ** 2))), 6)) < 1e-9
