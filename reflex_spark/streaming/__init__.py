@@ -18,8 +18,12 @@ from reflex_spark.streaming.cursors import (
 )
 from reflex_spark.streaming.run import (
     ErrHeadReached,
+    ErrStopped,
     Spec,
     StreamOptions,
+    is_expected,
+    is_head_reached_err,
+    is_stopped_err,
     run,
     run_forever,
 )
@@ -32,6 +36,10 @@ __all__ = [
     "MemCursorStore",
     "ReadThroughCursorStore",
     "ErrHeadReached",
+    "ErrStopped",
+    "is_expected",
+    "is_head_reached_err",
+    "is_stopped_err",
     "Spec",
     "StreamOptions",
     "run",

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import time
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -29,6 +30,28 @@ class ErrHeadReached(Exception):
     """Stream consumed to head in to_head mode (reference errors.go:20-24)."""
 
 
+class ErrStopped(Exception):
+    """Stream stopped gracefully (reference errors.go ErrStopped / graceful
+    server stop, server.go:31-42). Consumers should treat this as expected
+    and reconnect/restart."""
+
+
+def is_head_reached_err(exc: BaseException) -> bool:
+    """reflex.IsHeadReachedErr (errors.go:38-40)."""
+    return isinstance(exc, ErrHeadReached)
+
+
+def is_stopped_err(exc: BaseException) -> bool:
+    """reflex.IsStoppedErr (errors.go:33-35)."""
+    return isinstance(exc, ErrStopped)
+
+
+def is_expected(exc: BaseException) -> bool:
+    """reflex.IsExpected (errors.go:43-55): errors normal during streaming
+    (head reached, graceful stop, cancellation)."""
+    return isinstance(exc, (ErrHeadReached, ErrStopped, KeyboardInterrupt))
+
+
 @dataclass
 class StreamOptions:
     """Reference stream options (options.go), poll-path semantics."""
@@ -40,6 +63,7 @@ class StreamOptions:
     drop_noops: bool = True  # noop filter (rsql/loader.go:64-94)
     poll_backoff: float = 0.2  # WithEventsBackoff (scaled for tests)
     require_dense: bool = True  # gap detection (rsql/loader.go:96-134)
+    stop: Callable[[], bool] | None = None  # graceful stop signal (→ ErrStopped)
 
 
 @dataclass
@@ -95,6 +119,8 @@ def run(spec: Spec, max_batches: int | None = None) -> int:
     batches = 0
     try:
         while max_batches is None or batches < max_batches:
+            if spec.options.stop is not None and spec.options.stop():
+                raise ErrStopped(f"{name} stopped at {cursor}")
             # NOTE: read_after().limit(n) + max() needs one pass; collect the
             # batch's max id via a tiny agg — the batch itself stays
             # distributed through consume.
@@ -120,7 +146,7 @@ def run(spec: Spec, max_batches: int | None = None) -> int:
     return cursor
 
 
-EXPECTED_ERRORS = (ErrHeadReached,)
+EXPECTED_ERRORS = (ErrHeadReached, ErrStopped)
 
 
 def run_forever(

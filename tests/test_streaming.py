@@ -499,3 +499,54 @@ def test_parallel_specs_per_shard_opts(spark, tmp_path):
     assert specs[0].options.batch_limit == 1
     assert specs[1].options.batch_limit == 2
     assert specs[0].options.to_head and specs[1].options.to_head
+
+
+def test_graceful_stop_and_error_predicates(spark, tmp_path):
+    """ErrStopped + IsExpected/IsStoppedErr/IsHeadReachedErr parity
+    (errors.go:20-55; graceful server stop server.go:31-42)."""
+    from reflex_spark.streaming import (
+        ErrStopped,
+        is_expected,
+        is_head_reached_err,
+        is_stopped_err,
+    )
+
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a"), (1, "b"), (1, "c")])
+    store, seen = MemCursorStore(), []
+    stop_after_one = {"batches": 0}
+
+    def should_stop() -> bool:
+        return stop_after_one["batches"] >= 1
+
+    def fn(df, meta):
+        seen.extend(r["event_id"] for r in df.select("event_id").collect())
+        stop_after_one["batches"] += 1
+
+    spec = Spec(
+        log,
+        store,
+        Consumer("stopc", fn),
+        StreamOptions(to_head=True, batch_limit=2, stop=should_stop),
+    )
+    with pytest.raises(ErrStopped):
+        run(spec)
+    assert seen == [1, 2]  # one batch consumed, then stopped
+    assert store.get_cursor("stopc") == 2  # cursor committed before stop
+
+    head = ErrHeadReached("x")
+    stopped = ErrStopped("y")
+    assert is_head_reached_err(head) and not is_head_reached_err(stopped)
+    assert is_stopped_err(stopped) and not is_stopped_err(head)
+    assert is_expected(head) and is_expected(stopped)
+    assert not is_expected(RuntimeError("boom"))
+
+    # run_forever treats graceful stop as expected (short backoff path)
+    failures = run_forever(
+        lambda: Spec(
+            log, MemCursorStore(), Consumer("s2", lambda df, meta: None),
+            StreamOptions(to_head=True, stop=lambda: True),
+        ),
+        stop_after=2,
+        expected_backoff=0.0,
+    )
+    assert len(failures) == 2 and all(is_stopped_err(f) for f in failures)
