@@ -9,7 +9,7 @@ Two execution paths with identical operator semantics:
   checkpoint); the checkpoint is the cursor (SURVEY.md §1.1).
 """
 
-from reflex_spark.streaming.consumer import Consumer, ConsumerError
+from reflex_spark.streaming.consumer import Consumer, ConsumerError, FilterError
 from reflex_spark.streaming.cursors import (
     CursorStore,
     FileCursorStore,
@@ -22,6 +22,7 @@ from reflex_spark.streaming.run import (
     Spec,
     StreamOptions,
     is_expected,
+    is_filter_err,
     is_head_reached_err,
     is_stopped_err,
     run,
@@ -31,6 +32,7 @@ from reflex_spark.streaming.run import (
 __all__ = [
     "Consumer",
     "ConsumerError",
+    "FilterError",
     "CursorStore",
     "FileCursorStore",
     "MemCursorStore",
@@ -38,6 +40,7 @@ __all__ = [
     "ErrHeadReached",
     "ErrStopped",
     "is_expected",
+    "is_filter_err",
     "is_head_reached_err",
     "is_stopped_err",
     "Spec",

@@ -25,6 +25,13 @@ class ConsumerError(RuntimeError):
     """Wraps a consumer callback failure (reference errors.go:57-64)."""
 
 
+class FilterError(RuntimeError):
+    """Wraps an event-filter failure (reference errors.go filterErr /
+    IsFilterErr): a filter that cannot be applied (bad column/expression)
+    is distinguished from business-logic failures so callers can route it
+    (filter bugs are permanent; consume bugs may be transient)."""
+
+
 @dataclass
 class Consumer:
     """A named consumer of event batches.
@@ -42,10 +49,13 @@ class Consumer:
     stats: dict[str, int] = field(default_factory=lambda: {"batches": 0, "events": 0, "errors": 0, "recovered": 0})
 
     def apply_filters(self, df: DataFrame) -> DataFrame:
-        if self.include_types is not None:
-            df = df.where(F.col("event_type").isin(list(self.include_types)))
-        if self.event_filter is not None:
-            df = df.where(self.event_filter)
+        try:
+            if self.include_types is not None:
+                df = df.where(F.col("event_type").isin(list(self.include_types)))
+            if self.event_filter is not None:
+                df = df.where(self.event_filter)
+        except Exception as exc:  # noqa: BLE001 — classify as filter error
+            raise FilterError(f"consumer {self.name}: error in filter: {exc}") from exc
         return df
 
     def consume(self, df: DataFrame, meta: dict[str, Any]) -> None:

@@ -46,6 +46,13 @@ def is_stopped_err(exc: BaseException) -> bool:
     return isinstance(exc, ErrStopped)
 
 
+def is_filter_err(exc: BaseException) -> bool:
+    """reflex.IsFilterErr (errors.go:57-59)."""
+    from reflex_spark.streaming.consumer import FilterError
+
+    return isinstance(exc, FilterError)
+
+
 def is_expected(exc: BaseException) -> bool:
     """reflex.IsExpected (errors.go:43-55): errors normal during streaming
     (head reached, graceful stop, cancellation)."""

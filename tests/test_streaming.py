@@ -550,3 +550,21 @@ def test_graceful_stop_and_error_predicates(spark, tmp_path):
         expected_backoff=0.0,
     )
     assert len(failures) == 2 and all(is_stopped_err(f) for f in failures)
+
+
+def test_filter_error_classified(spark, tmp_path):
+    """IsFilterErr parity (errors.go:57-64): an unapplicable event filter
+    raises FilterError, distinct from consumer/business failures."""
+    from reflex_spark.streaming import FilterError, is_filter_err
+
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a")])
+    spec = Spec(
+        log,
+        MemCursorStore(),
+        Consumer("fc", lambda df, meta: None, event_filter=F.col("no_such_column") > 0),
+        StreamOptions(to_head=True),
+    )
+    with pytest.raises(FilterError) as exc_info:
+        run(spec)
+    assert is_filter_err(exc_info.value)
+    assert not is_filter_err(RuntimeError("x"))
