@@ -134,3 +134,31 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_cosine_pairs_blocked_is_distributed_and_tile_invariant(spark):
+    """Scale-posture guard for the blocked GEMM (VERDICT r1 #1):
+
+    1. the kernel source must not collect the table driver-side
+       (no toPandas/collect/broadcast-of-the-matrix on that path);
+    2. the result is invariant to the tiling (tiny rows_per_block forces
+       many tiles; per-task memory is bounded by 2 blocks) and matches the
+       expression-based brute-force oracle path exactly.
+    """
+    import inspect
+
+    from reflex_spark.operators.similarity import cosine_pairs, cosine_pairs_blocked
+
+    src_text = inspect.getsource(cosine_pairs_blocked)
+    assert "toPandas" not in src_text
+    assert ".collect(" not in src_text
+    assert "sparkContext.broadcast" not in src_text and "sc.broadcast" not in src_text
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in cosine_pairs(emb, 0.4).collect()}
+    for rpb in (64, 10_000):  # many tiles vs single tile
+        tiled = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in cosine_pairs_blocked(emb, 0.4, rows_per_block=rpb).collect()
+        }
+        assert tiled == exact, f"rows_per_block={rpb}"
