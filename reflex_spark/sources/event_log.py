@@ -110,11 +110,15 @@ class EventLog:
     # -- producer side ----------------------------------------------------
 
     def head(self) -> int:
-        """Max assigned event_id, 0 if empty (reference rsql/db.go:112-120)."""
-        try:
-            row = self.read().agg(F.max("event_id").alias("m")).collect()[0]
-        except Exception:
-            return 0
+        """Max assigned event_id, 0 if empty (reference rsql/db.go:112-120).
+
+        Real read errors PROPAGATE: swallowing a transient storage failure
+        here would restart id assignment at base=0 in append() and silently
+        corrupt the dense-id invariant. Emptiness is handled structurally
+        in read() (missing/empty directory → empty DataFrame), not by
+        catching exceptions.
+        """
+        row = self.read().agg(F.max("event_id").alias("m")).collect()[0]
         return row["m"] if row["m"] is not None else 0
 
     def append(self, events: DataFrame) -> int:
@@ -171,6 +175,10 @@ class EventLog:
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         if self.partitioned:
+            # Partition discovery needs >=1 data file; an existing but
+            # file-less directory is an empty log, not an error.
+            if not any(files for _, _, files in os.walk(self.path)):
+                return self.spark.createDataFrame([], EVENT_SCHEMA)
             return self.spark.read.parquet(self.path)
         return self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
 

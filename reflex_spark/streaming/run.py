@@ -21,7 +21,12 @@ from typing import Any
 
 from pyspark.sql import functions as F
 
-from reflex_spark.sources.event_log import EventLog, without_noops
+from reflex_spark.sources.event_log import (
+    NOOP_FOREIGN_ID,
+    NOOP_TYPE,
+    EventLog,
+    without_noops,
+)
 from reflex_spark.streaming.consumer import Consumer
 from reflex_spark.streaming.cursors import CursorStore
 
@@ -84,11 +89,14 @@ class Spec:
 
 
 def _load_batch(spec: Spec, after: int):
+    """Load the deliverable id window after the cursor. Noops are NOT
+    dropped here: the run loop advances the cursor over them (reference
+    wrapNoopFilter returns the last noop id as a cursor override,
+    rsql/loader.go:64-94) — filtering before the max-id agg would strand
+    the cursor on an all-noop window forever."""
     df = spec.log.read_after(
         after, spec.options.batch_limit, dense_only=spec.options.require_dense
     )
-    if spec.options.drop_noops:
-        df = without_noops(df)
     if spec.options.lag_seconds:
         # Prefix-truncate at the FIRST too-recent event instead of filtering
         # rows out of the middle: the cursor advances to the batch max, so a
@@ -131,23 +139,33 @@ def run(spec: Spec, max_batches: int | None = None) -> int:
             # NOTE: read_after().limit(n) + max() needs one pass; collect the
             # batch's max id via a tiny agg — the batch itself stays
             # distributed through consume.
-            batch = _load_batch(spec, cursor).cache()
+            window = _load_batch(spec, cursor).cache()
             try:
-                row = batch.agg(
-                    F.max("event_id").alias("m"), F.count(F.lit(1)).alias("n")
+                is_noop = (F.col("foreign_id") == F.lit(NOOP_FOREIGN_ID)) & (
+                    F.col("event_type") == F.lit(NOOP_TYPE)
+                )
+                row = window.agg(
+                    F.max("event_id").alias("m"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.when(~is_noop, 1)).alias("n_real"),
                 ).collect()[0]
                 if row["n"] == 0:
                     if spec.options.to_head:
                         raise ErrHeadReached(f"{name} reached head at {cursor}")
                     time.sleep(spec.options.poll_backoff)
                     continue
-                spec.consumer.consume(batch, {"cursor": cursor, "batch": batches})
-                spec.consumer.stats["events"] += row["n"]
+                n_deliver = row["n_real"] if spec.options.drop_noops else row["n"]
+                if n_deliver:
+                    batch = without_noops(window) if spec.options.drop_noops else window
+                    spec.consumer.consume(batch, {"cursor": cursor, "batch": batches})
+                    spec.consumer.stats["events"] += n_deliver
+                    batches += 1
+                # Cursor advances over noops too (all-noop windows would
+                # otherwise livelock the poll loop re-reading forever).
                 cursor = row["m"]
                 spec.cstore.set_cursor(name, cursor)
-                batches += 1
             finally:
-                batch.unpersist()
+                window.unpersist()
     finally:
         spec.cstore.flush()
     return cursor
@@ -211,15 +229,23 @@ def run_stream(
         stream = stream.where(F.col("event_id") > head)
     if spec.options.drop_noops:
         stream = without_noops(stream)
-    if spec.options.lag_seconds:
-        # destination-side lag, like the poll path (reference run.go:79-87);
-        # evaluated per microbatch against the processing-time clock
-        stream = stream.where(
-            F.col("timestamp")
-            <= F.expr(f"current_timestamp() - INTERVAL {spec.options.lag_seconds} SECONDS")
-        )
 
     def handle(batch_df, batch_id: int):
+        if spec.options.lag_seconds:
+            # Lag must DELAY delivery, never filter: the file-source
+            # checkpoint marks a batch's files processed as soon as the
+            # microbatch commits, so rows dropped by a timestamp predicate
+            # would be lost forever (breaking at-least-once). Mirror the
+            # reference's per-event delay (run.go:79-87) at batch
+            # granularity: sleep until the batch's newest event is older
+            # than the lag, then deliver the whole batch.
+            max_epoch = batch_df.agg(
+                F.max(F.col("timestamp").cast("double")).alias("m")
+            ).collect()[0]["m"]
+            if max_epoch is not None:
+                wait = max_epoch + spec.options.lag_seconds - time.time()
+                if wait > 0:
+                    time.sleep(wait)
         spec.consumer.consume(batch_df, {"batch_id": batch_id})
 
     writer = stream.writeStream.foreachBatch(handle).option(

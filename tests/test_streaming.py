@@ -568,3 +568,82 @@ def test_filter_error_classified(spark, tmp_path):
         run(spec)
     assert is_filter_err(exc_info.value)
     assert not is_filter_err(RuntimeError("x"))
+
+
+# --- round-2 regression tests (ADVICE r1) ---------------------------------
+
+
+def test_cursor_advances_over_all_noop_window(spark, tmp_path):
+    """An all-noop window must advance the cursor (reference wrapNoopFilter
+    returns the last noop id as a cursor override, rsql/loader.go:64-94);
+    before the fix a run of >= batch_limit noops livelocked the poll loop
+    and to_head raised ErrHeadReached despite real events past the noops."""
+    log = EventLog(spark, str(tmp_path / "log"))
+    # ids 1-3 are noops, 4-5 are real events
+    log.append(make_events(spark, [(0, "0"), (0, "0"), (0, "0"), (1, "a"), (1, "b")]))
+    seen: list[int] = []
+    store = MemCursorStore()
+    spec = Spec(
+        log,
+        store,
+        collecting_consumer("noopwin", seen),
+        StreamOptions(to_head=True, batch_limit=2),  # first window = noops only
+    )
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [4, 5]  # noops filtered, real events delivered
+    assert store.get_cursor("noopwin") == 5
+
+    # trailing noops: cursor must advance past them before head is declared
+    log.append(make_events(spark, [(0, "0"), (0, "0")], start=EPOCH + timedelta(hours=1)))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert seen == [4, 5]  # nothing new delivered
+    assert store.get_cursor("noopwin") == 7  # ...but cursor is at the noop head
+
+
+def test_run_stream_lag_delays_not_drops(spark, tmp_path):
+    """run_stream lag must DELAY delivery, never filter: the file-source
+    checkpoint marks files processed per microbatch, so filtered rows would
+    be permanently lost (ADVICE r1 high). Events newer than the lag are
+    still delivered — after the lag has elapsed — and never redelivered."""
+    import time as _time
+    from datetime import timezone
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    log.append(make_events(spark, [(1, "a"), (1, "b")], start=now, step_seconds=0.1))
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[int] = []
+
+    def fn(df, meta):
+        seen.extend(r["event_id"] for r in df.select("event_id").collect())
+
+    spec = Spec(log, MemCursorStore(), Consumer("lagstream", fn), StreamOptions(lag_seconds=2.0))
+    t0 = _time.time()
+    run_stream(spec, ckpt, available_now=True)
+    elapsed = _time.time() - t0
+    assert sorted(seen) == [1, 2]  # delivered, not dropped
+    assert elapsed >= 1.0  # and the delivery was actually delayed
+
+    # restart: nothing is redelivered
+    seen.clear()
+    run_stream(spec, ckpt, available_now=True)
+    assert seen == []
+
+
+def test_head_empty_dir_ok_but_corruption_raises(spark, tmp_path):
+    """head() returns 0 for structurally-empty logs but PROPAGATES real
+    read errors — swallowing them restarted id assignment at 0 and
+    corrupted the dense-id invariant (ADVICE r1 medium)."""
+    # existing-but-empty partitioned directory: empty log, not an error
+    pdir = tmp_path / "plog"
+    pdir.mkdir()
+    assert EventLog(spark, str(pdir), partitioned=True).head() == 0
+
+    # corrupt parquet file: must raise, not return 0
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a")])
+    assert log.head() == 1
+    (tmp_path / "log" / "part-corrupt.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        log.head()
