@@ -214,8 +214,22 @@ class EventLog:
         per ~128MB). Every append creates a file set; at high append rates
         the small-files problem dominates scan cost, so periodic compaction
         is part of operating a file-backed log (Delta/Iceberg do this as
-        OPTIMIZE). Rewrite is staged to a sibling directory then swapped,
-        so concurrent readers never see a partial log.
+        OPTIMIZE).
+
+        Swap protocol: the rewrite is staged into a versioned sibling data
+        directory and committed by atomically replacing a symlink at
+        ``self.path`` — concurrent head()/read() always resolve a complete
+        log, never an absent or partial one. The FIRST compaction converts
+        a plain directory to the symlink layout and has a sub-millisecond
+        non-atomic window (rename away + symlink in); quiesce readers
+        around that one conversion, or use ManifestEventLog, whose CURRENT
+        pointer is atomic from the start.
+
+        Compaction must NOT run while checkpointed *streaming* readers
+        (read_stream) are attached: they track processed files, so the
+        rewritten files would be re-ingested wholesale as duplicates. Poll
+        consumers (run()) are safe — their cursor is an event id and
+        compaction preserves ids.
         """
         import os
         import shutil
@@ -228,15 +242,26 @@ class EventLog:
                 for f in files
             )
             target_partitions = max(1, total_bytes // (128 << 20))
-        tmp = self.path.rstrip("/") + ".compacting"
+        base = self.path.rstrip("/")
+        new_data = f"{base}.data.{int(time.time() * 1e6):x}"
         writer = df.coalesce(int(target_partitions)).write.mode("overwrite")
         if self.partitioned:
             writer = writer.partitionBy("event_date")
-        writer.parquet(tmp)
-        old = self.path.rstrip("/") + ".old"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old)
+        writer.parquet(new_data)
+        if os.path.islink(base):
+            old_target = os.path.realpath(base)
+            tmp_link = base + ".lnk"
+            if os.path.lexists(tmp_link):
+                os.remove(tmp_link)
+            os.symlink(new_data, tmp_link)
+            os.replace(tmp_link, base)  # atomic: symlink replaces symlink
+            shutil.rmtree(old_target, ignore_errors=True)
+        else:
+            # one-time conversion to the symlink layout (tiny window)
+            old = base + ".old"
+            os.rename(base, old)
+            os.symlink(new_data, base)
+            shutil.rmtree(old)
 
     def read_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
         """Structured Streaming source over the log (reference

@@ -13,6 +13,21 @@ way Delta/Iceberg's transaction logs do, with two invariants:
    (no data scan) — on an object store this is the difference between a
    metadata GET and a full-table LIST+scan per append.
 
+Compaction commits by atomically repointing a ``CURRENT`` file at a new
+manifest generation (``manifest-<gen>/``), LevelDB-style: there is never a
+moment where the manifest is absent, so a concurrent ``head()``/``read()``
+sees either the old batch set or the new one — no window where head()=0
+could corrupt id assignment.
+
+**Compaction vs streaming readers**: compaction rewrites committed events
+into NEW files under ``batches/``. A checkpointed streaming reader
+(``read_stream``) tracks processed *files*, so it will re-ingest the
+compacted copies as duplicates — full duplicate delivery of the whole log.
+Do NOT run ``compact()`` while streaming consumers are attached; quiesce
+them and reset (or discard) their checkpoints afterwards. Poll-path
+consumers (``run()``) are safe: their cursor is an event id, and compaction
+preserves ids.
+
 Single-writer per log, like EventLog's dense-id assignment; shard with
 ShardedEventLog for write scale-out (it accepts any EventLog-shaped ctor).
 """
@@ -21,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,18 +49,28 @@ from reflex_spark.sources.event_log import EVENT_SCHEMA, EventLog
 class ManifestEventLog(EventLog):
     def __init__(self, spark: SparkSession, path: str):
         super().__init__(spark, path)
-        self._manifest_dir = os.path.join(path, "manifest")
         self._batches_dir = os.path.join(path, "batches")
+        self._current_file = os.path.join(path, "CURRENT")
 
     # -- manifest bookkeeping ---------------------------------------------
 
+    @property
+    def _manifest_dir(self) -> str:
+        """Resolve the live manifest generation via CURRENT (absent CURRENT
+        = generation 0 at the legacy path ``manifest/``)."""
+        if os.path.exists(self._current_file):
+            with open(self._current_file) as f:
+                return os.path.join(self.path, f.read().strip())
+        return os.path.join(self.path, "manifest")
+
     def _entries(self) -> list[dict]:
-        if not os.path.isdir(self._manifest_dir):
+        mdir = self._manifest_dir
+        if not os.path.isdir(mdir):
             return []
         out = []
-        for name in sorted(os.listdir(self._manifest_dir)):
+        for name in sorted(os.listdir(mdir)):
             if name.endswith(".json"):
-                with open(os.path.join(self._manifest_dir, name)) as f:
+                with open(os.path.join(mdir, name)) as f:
                     out.append(json.load(f))
         return out
 
@@ -65,12 +91,13 @@ class ManifestEventLog(EventLog):
         out.write.mode("overwrite").parquet(batch_dir)  # fully written first
         n = self.spark.read.parquet(batch_dir).count()
         entry = {"seq": seq, "dir": batch_dir, "min_id": base + 1, "max_id": base + n}
-        os.makedirs(self._manifest_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
+        mdir = self._manifest_dir
+        os.makedirs(mdir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(entry, f)
         # the commit point: one atomic rename makes the whole batch visible
-        os.replace(tmp, os.path.join(self._manifest_dir, f"{seq:08d}.json"))
+        os.replace(tmp, os.path.join(mdir, f"{seq:08d}.json"))
         return base + n
 
     # -- consumer ----------------------------------------------------------
@@ -84,7 +111,9 @@ class ManifestEventLog(EventLog):
     def read_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
         """Streaming over the batches tree. The file source's per-file
         ledger tolerates mid-append discovery (no loss, only deferral), so
-        streaming does not need the manifest."""
+        streaming does not need the manifest. See the module docstring for
+        the compaction hazard: compact() rewrites events into new files and
+        a checkpointed streaming reader would re-ingest all of them."""
         reader = self.spark.readStream.schema(EVENT_SCHEMA)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -93,28 +122,34 @@ class ManifestEventLog(EventLog):
         )
 
     def compact(self, target_partitions: int | None = None) -> None:
-        """Rewrite every committed batch into one, then swap the manifest
-        to a single entry — readers see either the old set or the new one."""
+        """Rewrite every committed batch into one, then atomically repoint
+        CURRENT at a new single-entry manifest generation — a concurrent
+        reader sees either the old batch set or the new one, never an empty
+        manifest. Must not run with streaming consumers attached (module
+        docstring); poll consumers are unaffected (ids are preserved)."""
         entries = self._entries()
         if not entries:
             return
         head = self.head()
+        old_mdir = self._manifest_dir
+        base = os.path.basename(old_mdir)
+        gen = int(base.rsplit("-", 1)[1]) + 1 if "-" in base else 1
         df = self.read()
         # unique dir per compaction: never clobber a dir the live manifest
         # might still reference (e.g. the previous compaction's output)
         new_dir = os.path.join(self._batches_dir, f"compact-{os.urandom(6).hex()}")
         df.coalesce(int(target_partitions or 1)).write.mode("overwrite").parquet(new_dir)
-        new_manifest = os.path.join(self.path, "manifest.new")
-        os.makedirs(new_manifest, exist_ok=True)
-        with open(os.path.join(new_manifest, f"{0:08d}.json"), "w") as f:
+        new_mdir = os.path.join(self.path, f"manifest-{gen}")
+        os.makedirs(new_mdir, exist_ok=True)
+        with open(os.path.join(new_mdir, f"{0:08d}.json"), "w") as f:
             json.dump({"seq": 0, "dir": new_dir, "min_id": 1, "max_id": head}, f)
-        old = self._manifest_dir + ".old"
-        os.rename(self._manifest_dir, old)
-        os.rename(new_manifest, self._manifest_dir)
-        import shutil
-
-        shutil.rmtree(old)
-        # drop the now-unreferenced batch dirs so directory-based streaming
-        # readers don't pick up stale files
+        # commit point: atomically repoint CURRENT at the new generation
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(f"manifest-{gen}")
+        os.replace(tmp, self._current_file)
+        shutil.rmtree(old_mdir)
+        # drop the now-unreferenced batch dirs; checkpointed streaming
+        # readers have already processed them (their ledger is per-file)
         for e in entries:
             shutil.rmtree(e["dir"], ignore_errors=True)

@@ -6,20 +6,31 @@ each microbatch's partial aggregate into a persistent parquet table, so the
 rollup is always queryable and each batch costs O(batch + touched keys) —
 never a recompute of history.
 
-Exactly-once: merges are idempotent per (keys, batch-partial) because the
-merge key includes the group keys and values are additive under
-redelivery-dedup (the batch's event-id range is recorded; a redelivered
-batch id is skipped), giving effective exactly-once on at-least-once
-delivery — the same recipe as the chaos tests.
+Exactly-once on at-least-once delivery: dedup is keyed on the event ids
+actually merged, not on batch boundaries. A high-watermark (max event_id
+merged so far) is committed *inside* the staged table directory, so the
+single directory rename that publishes the new table also publishes the
+ledger — there is no window where the table is swapped but the ledger is
+stale (the prior design marked the ledger after the swap, so a crash
+between the two double-counted the batch; and its min-max batch key was
+not stable when a restarted stream re-batched with different boundaries).
+
+Assumption (holds for both run() and run_stream() over an EventLog): events
+are delivered in non-decreasing event_id order across batches — redelivery
+replays a suffix, never an arbitrary subset. Rows at or below the watermark
+are dropped; rows above it are merged and the watermark advances.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_WATERMARK_FILE = "_watermark.json"  # "_" prefix → invisible to parquet scans
 
 
 class MaterializedCounts:
@@ -30,46 +41,61 @@ class MaterializedCounts:
         self.path = path.rstrip("/")
         self.keys = keys
         self.value_col = value_col
-        self._applied_path = f"{self.path}.applied.json"
+
+    # -- crash recovery ----------------------------------------------------
+
+    def _recover(self) -> None:
+        """Finish or undo an interrupted swap (idempotent).
+
+        The swap sequence is: write staging (table + watermark) → rename
+        path→old → rename staging→path → rmtree old. Staging is complete
+        before the first rename, so a crash that left `path` absent rolls
+        FORWARD (publish staging); a crash with `path` present means the
+        staging dir is unpublished garbage (or `old` is) — delete it.
+        """
+        old, tmp = self.path + ".old", self.path + ".staging"
+        if not os.path.exists(self.path):
+            if os.path.exists(tmp):
+                os.rename(tmp, self.path)  # roll forward: staging was complete
+            elif os.path.exists(old):
+                os.rename(old, self.path)  # staging already gone: roll back
+        for leftover in (old, tmp):
+            if os.path.exists(self.path) and os.path.exists(leftover):
+                shutil.rmtree(leftover)
 
     # -- consumer side -----------------------------------------------------
 
-    def _applied(self) -> set[str]:
-        try:
-            with open(self._applied_path) as f:
-                return set(json.load(f))
-        except FileNotFoundError:
-            return set()
-
-    def _mark_applied(self, batch_key: str) -> None:
-        applied = self._applied() | {batch_key}
-        with open(self._applied_path, "w") as f:
-            json.dump(sorted(applied), f)
+    def watermark(self) -> int:
+        """Max event_id merged into the published table (0 = none)."""
+        self._recover()
+        wf = os.path.join(self.path, _WATERMARK_FILE)
+        if os.path.exists(wf):
+            with open(wf) as f:
+                return json.load(f)["max_event_id"]
+        return 0
 
     def apply_batch(self, batch: DataFrame, meta: dict) -> None:
         """foreachBatch/poll consumer fn: merge one batch's partials.
 
-        Idempotent under redelivery: the batch's identity (min-max event id)
-        is recorded; a seen batch is skipped.
+        Idempotent under redelivery and re-batching: only rows above the
+        committed watermark are merged, and the new watermark is committed
+        in the same rename that publishes the merged table.
         """
-        bounds = batch.agg(
-            F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
-        ).collect()[0]
-        if bounds["lo"] is None:
-            return
-        batch_key = f"{bounds['lo']}-{bounds['hi']}"
-        if batch_key in self._applied():
-            return
+        wm = self.watermark()
+        fresh = batch.where(F.col("event_id") > wm)
+        hi = fresh.agg(F.max("event_id").alias("hi")).collect()[0]["hi"]
+        if hi is None:
+            return  # fully redelivered batch — already merged
 
         aggs = [F.count(F.lit(1)).alias("n_events")]
         if self.value_col:
             aggs.append(
                 F.sum(F.col(self.value_col).cast("decimal(18,6)")).alias("sum_value")
             )
-        partial = batch.groupBy(*self.keys).agg(*aggs)
+        partial = fresh.groupBy(*self.keys).agg(*aggs)
 
         if os.path.exists(self.path):
-            current = self.spark.read.parquet(self.path)
+            current = self.read()
             merged = (
                 current.unionByName(partial)
                 .groupBy(*self.keys)
@@ -84,17 +110,19 @@ class MaterializedCounts:
             )
         else:
             merged = partial.withColumn("n_events", F.col("n_events").cast("long"))
+
         tmp = self.path + ".staging"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, _WATERMARK_FILE), "w") as f:
+            json.dump({"max_event_id": int(hi)}, f)
         old = self.path + ".old"
         if os.path.exists(self.path):
             os.rename(self.path, old)
-        os.rename(tmp, self.path)
+        os.rename(tmp, self.path)  # commit point: table + watermark together
         if os.path.exists(old):
-            import shutil
-
             shutil.rmtree(old)
-        self._mark_applied(batch_key)
 
     # -- query side --------------------------------------------------------
 

@@ -73,3 +73,33 @@ def test_manifest_log_compact_preserves_and_cleans(spark, tmp_path):
     with pytest.raises(ErrHeadReached):
         run(spec)
     assert seen == [1, 2, 3, 4, 5]
+
+
+def test_manifest_compact_current_pointer_atomic(spark, tmp_path):
+    """Compaction commits via the CURRENT pointer: at every step the
+    manifest resolves to a complete generation (head() never sees 0), and
+    repeated compactions bump generations and keep appends working."""
+    import os
+
+    from reflex_spark.sources.memory import make_events
+
+    log = ManifestEventLog(spark, str(tmp_path / "mlog"))
+    log.append(make_events(spark, [(1, "a"), (1, "b")]))
+    log.append(make_events(spark, [(2, "c")]))
+    assert log.head() == 3
+
+    log.compact()
+    assert os.path.exists(str(tmp_path / "mlog" / "CURRENT"))
+    assert log.head() == 3
+    assert log.read().count() == 3
+
+    # appends continue against the new generation with dense ids
+    log.append(make_events(spark, [(3, "d")]))
+    assert log.head() == 4
+
+    # second compaction: generation bumps again, old generation cleaned
+    log.compact()
+    assert log.head() == 4
+    assert log.read().count() == 4
+    gens = [d for d in os.listdir(str(tmp_path / "mlog")) if d.startswith("manifest")]
+    assert gens == ["manifest-2"]

@@ -83,3 +83,26 @@ def test_compaction_reduces_files_preserves_data(spark, tmp_path):
     # log still appendable after compaction
     log.insert("post-compact", 3)
     assert log.head() == 17
+
+
+def test_compact_symlink_flip_atomic(spark, tmp_path):
+    """After the one-time conversion, every compaction swaps a symlink
+    atomically — the log path always resolves to a complete directory."""
+    import os
+
+    from reflex_spark.sources.memory import seed_log
+
+    path = str(tmp_path / "slog")
+    log = seed_log(spark, path, [(1, str(i)) for i in range(6)])
+    log.compact(target_partitions=1)  # conversion: plain dir -> symlink
+    assert os.path.islink(path)
+    assert log.head() == 6
+    log.insert("post", 2)  # append through the symlink
+    assert log.head() == 7
+    log.compact(target_partitions=1)  # atomic flip path
+    assert os.path.islink(path)
+    assert log.head() == 7
+    assert log.read().count() == 7
+    # exactly one data generation remains
+    gens = [d for d in os.listdir(str(tmp_path)) if d.startswith("slog.data.")]
+    assert len(gens) == 1

@@ -5,7 +5,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from reflex_spark.sources.memory import make_events
+from datetime import timedelta
+
+from reflex_spark.sources.memory import EPOCH, make_events
 from reflex_spark.sources.sharded_log import ShardedEventLog, shard_of
 from reflex_spark.streaming import Consumer, ErrHeadReached, MemCursorStore, Spec, StreamOptions, run
 from reflex_spark.streaming.materialize import MaterializedCounts
@@ -112,3 +114,47 @@ def test_sharded_log_parallel_consume_topology(spark, tmp_path):
         ids = [i for i, _ in rows]
         assert ids == sorted(ids) == list(range(1, len(ids) + 1))  # dense, ordered
         assert store.get_cursor(f"shard_{m}") == len(ids)
+
+
+def test_materialized_rebatched_redelivery_and_crash_recovery(spark, tmp_path):
+    """ADVICE r1: dedup must key on event ids merged (watermark), not batch
+    boundaries, and the ledger must commit atomically with the table."""
+    import os
+
+    log = seed_log(spark, str(tmp_path / "log"), [(1, "a"), (1, "b"), (2, "a"), (2, "b")])
+    path = str(tmp_path / "rollup")
+    mat = MaterializedCounts(spark, path, keys=["event_type"])
+
+    # first delivery with batch_limit=3 → batches [1-3], [4]
+    spec = Spec(log, MemCursorStore(), Consumer("m1", mat.apply_batch), StreamOptions(to_head=True, batch_limit=3))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert {r["event_type"]: r["n_events"] for r in mat.read().collect()} == {1: 2, 2: 2}
+    assert mat.watermark() == 4
+
+    # redelivery RE-BATCHED with different boundaries ([1-2], [3-4]) — the
+    # old min-max batch key would not match and would double-count
+    spec2 = Spec(log, MemCursorStore(), Consumer("m2", mat.apply_batch), StreamOptions(to_head=True, batch_limit=2))
+    with pytest.raises(ErrHeadReached):
+        run(spec2)
+    assert {r["event_type"]: r["n_events"] for r in mat.read().collect()} == {1: 2, 2: 2}
+
+    # partial overlap: a batch straddling the watermark merges only the suffix
+    log.append(make_events(spark, [(3, "x")], start=EPOCH + timedelta(hours=1)))
+    full = log.read()  # ids 1-5: 1-4 are below watermark
+    mat.apply_batch(full, {})
+    assert {r["event_type"]: r["n_events"] for r in mat.read().collect()} == {1: 2, 2: 2, 3: 1}
+    assert mat.watermark() == 5
+
+    # crash mid-swap (table dir absent, staging complete): roll forward
+    os.rename(path, path + ".staging")
+    assert mat.watermark() == 5  # recovered
+    assert {r["event_type"]: r["n_events"] for r in mat.read().collect()} == {1: 2, 2: 2, 3: 1}
+
+    # crash post-swap (stale .old left behind): cleaned up
+    import shutil
+
+    shutil.copytree(path, path + ".old")
+    mat._recover()
+    assert not os.path.exists(path + ".old")
+    assert mat.watermark() == 5
