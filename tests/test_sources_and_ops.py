@@ -442,3 +442,95 @@ def test_multimodal_resize_and_audio_stub(spark):
     assert audio[1]["n_samples"] == 5
     assert audio[1]["duration_s"] == 5 / 16000
     assert abs(audio[1]["rms"] - round(float(np.sqrt(np.mean(pcm ** 2))), 6)) < 1e-9
+
+
+# --- mid-blob resumable poll path (reference rblob/blob.go:367-416) --------
+
+
+def test_blob_cursor_format_parity():
+    """Mirror rblob/blob_internal_test.go TestCursor/TestLegacyCursor:
+    encode/decode roundtrip, lexicographic ordering, legacy parse."""
+    from reflex_spark.sources.blob import BlobCursor
+
+    order = []
+    for off in (0, 9, 10, 999):
+        c = BlobCursor(key="path/to/file", offset=off)
+        assert BlobCursor.decode(c.encode()) == c
+        order.append(c.encode())
+    eof = BlobCursor(key="path/to/file", eof=True)
+    assert eof.encode() == "path/to/file|eof"
+    assert BlobCursor.decode(eof.encode()) == eof
+    order.append(eof.encode())
+    assert order == sorted(order)  # monotonic under string compare
+    assert order[0] == "path/to/file|01|0"
+    assert order[2] == "path/to/file|02|10"
+
+    legacy = BlobCursor.decode("file|123")
+    assert (legacy.key, legacy.offset, legacy.eof) == ("file", 123, False)
+    assert BlobCursor.decode(0) == BlobCursor()
+
+
+def test_run_blobs_mid_blob_resume(spark, tmp_path):
+    """Crash inside a blob redelivers only the uncommitted suffix — not the
+    whole blob (round-1 VERDICT gap #2)."""
+    from reflex_spark.sources.blob import BlobBucket, run_blobs
+    from reflex_spark.streaming import Consumer, ErrHeadReached
+
+    root = str(tmp_path / "bucket")
+    write_blob(f"{root}/a/blob1", [{"id": i, "kind": "x"} for i in range(1, 6)])  # 5 recs
+    write_blob(f"{root}/b/blob2", [{"id": 9, "kind": "y"}])
+    bucket = BlobBucket(spark, root, BLOB_SCHEMA)
+    store = MemCursorStore()
+    seen: list[int] = []
+
+    def crashing(df, meta):
+        ids = [r["id"] for r in df.orderBy("id").collect()]
+        if 3 in ids:
+            raise RuntimeError("boom at record 3")
+        seen.extend(ids)
+
+    with pytest.raises(Exception, match="boom"):
+        run_blobs(bucket, store, Consumer("bc", crashing), records_per_batch=2)
+    # chunk [1,2] committed; crash on [3,4]; cursor = 2 records into blob1
+    assert seen == [1, 2]
+    assert store.get_cursor("bc") == f"{root}/a/blob1|01|2"
+
+    def ok(df, meta):
+        seen.extend(r["id"] for r in df.orderBy("id").collect())
+
+    with pytest.raises(ErrHeadReached):
+        run_blobs(bucket, store, Consumer("bc", ok), records_per_batch=2)
+    # only the suffix [3,4,5] redelivered, then blob2
+    assert seen == [1, 2, 3, 4, 5, 9]
+    assert store.get_cursor("bc") == f"{root}/b/blob2|eof"
+
+    # a new lexicographically-later blob is picked up on the next run
+    write_blob(f"{root}/c/blob3", [{"id": 11, "kind": "z"}])
+    with pytest.raises(ErrHeadReached):
+        run_blobs(bucket, store, Consumer("bc", ok), records_per_batch=2)
+    assert seen[-1] == 11
+
+
+def test_run_blobs_empty_blob_and_shrink_detection(spark, tmp_path):
+    from reflex_spark.sources.blob import BlobBucket, BlobChangedError, BlobCursor, run_blobs
+    from reflex_spark.streaming import Consumer, ErrHeadReached
+
+    root = str(tmp_path / "bucket")
+    write_blob(f"{root}/a/empty", [])
+    write_blob(f"{root}/b/blob", [{"id": 1, "kind": "x"}])
+    bucket = BlobBucket(spark, root, BLOB_SCHEMA)
+    store = MemCursorStore()
+    seen: list[int] = []
+
+    def ok(df, meta):
+        seen.extend(r["id"] for r in df.collect())
+
+    with pytest.raises(ErrHeadReached):
+        run_blobs(bucket, store, Consumer("eb", ok))
+    assert seen == [1]
+    assert store.get_cursor("eb") == f"{root}/b/blob|eof"
+
+    # cursor pointing past the blob's record count → immutability violation
+    store2 = MemCursorStore({"eb2": BlobCursor(key=f"{root}/b/blob", offset=99).encode()})
+    with pytest.raises(BlobChangedError):
+        run_blobs(bucket, store2, Consumer("eb2", ok))
