@@ -162,3 +162,20 @@ def test_cosine_pairs_blocked_is_distributed_and_tile_invariant(spark):
             for r in cosine_pairs_blocked(emb, 0.4, rows_per_block=rpb).collect()
         }
         assert tiled == exact, f"rows_per_block={rpb}"
+
+
+def test_spread_target_scales_with_input_size(spark):
+    """Round-1 weak #3: the CPU-bound shingle stage's task target must grow
+    with input size instead of being capped at 8."""
+    from reflex_spark.operators.dedup import _spread_target, _spread_target_for
+    from reflex_spark.tables import load_tables
+
+    # small input: the measured sweet spot
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    assert _spread_target(docs) == 8
+
+    para = 32
+    assert _spread_target_for(10 << 20, para) == 8          # 10MB -> sweet spot
+    assert _spread_target_for(10 << 30, para) == 128        # 10GB -> 4x parallelism cap
+    assert _spread_target_for(2 << 30, para) == 64          # 2GB -> ~one task / 32MB
+    assert _spread_target_for(0, 4) == 4                    # bounded by cluster size
