@@ -4,12 +4,13 @@ via Arrow-batched mapInPandas (north-star extension).
 Model: a modality column is `payload: binary` plus a metadata struct
 (mime, width/height/duration, etc.) — the same opaque-bytes shape as the
 reference's Event.MetaData (api.go:17). All Spark-side plumbing (schema,
-batch iteration, partition parallelism) is real and tested; the actual
-codec step is stubbed because image/audio libraries are not in this
-container — `decode_image` raises NotImplementedError unless
-`fake=True`, which substitutes a deterministic pseudo-decode so the
-pipeline shape (decode → feature-extract → aggregate) is exercised
-end-to-end.
+batch iteration, partition parallelism) is real and tested, and so are
+the codecs for the two formats decodable without binary wheels: PNG
+(from-scratch zlib+numpy decoder/encoder) and 16-bit PCM WAV (stdlib
+wave) — see functions/codecs.py. Unsupported formats (JPEG, MP3, ...)
+raise NotImplementedError naming the format; `fake=True` substitutes the
+round-1 deterministic pseudo-codec so pipeline shape can be exercised
+with arbitrary bytes.
 
 Scale posture: payloads never pass through the driver; mapInPandas streams
 Arrow record batches executor-side, so the pipeline is bounded by
@@ -56,17 +57,13 @@ def decode_image(
 ) -> DataFrame:
     """Decode image payloads to (id, width, height, mean_luma).
 
-    STUB: real decode needs an image codec (PIL/opencv — not installed).
-    With fake=True a deterministic pseudo-decode derives dimensions and
-    luminance from the payload bytes, keeping the distributed pipeline
-    (Arrow batches, schema contract, partition parallelism) fully real.
+    Real codec: PNG (depth-8 gray/RGB/RGBA) via the from-scratch
+    stdlib+numpy decoder in functions/codecs.py — no PIL needed. An
+    unsupported format raises NotImplementedError from the executor task
+    (surfacing the failing payload's format). ``fake=True`` keeps the
+    round-1 deterministic pseudo-decode for pipeline-shape tests with
+    arbitrary bytes.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image codecs not available in this environment; pass fake=True "
-            "to exercise the pipeline with a deterministic pseudo-decode"
-        )
-
     import pandas as pd
 
     out_schema = StructType(
@@ -79,16 +76,28 @@ def decode_image(
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from reflex_spark.functions.codecs import decode_png, luma
+
         for pdf in batches:
             payloads = pdf[payload_col]
+            if fake:
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "width": payloads.map(lambda b: 16 + len(b) % 64),
+                        "height": payloads.map(lambda b: 16 + (len(b) // 64) % 64),
+                        "mean_luma": payloads.map(lambda b: sum(b[:32]) % 256 if len(b) else 0),
+                    }
+                )
+                continue
+            widths, heights, lumas = [], [], []
+            for b in payloads:
+                arr = decode_png(b)
+                widths.append(arr.shape[1])
+                heights.append(arr.shape[0])
+                lumas.append(int(round(float(luma(arr).mean()))))
             yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    # pseudo-decode: dimensions/luma are pure functions of the bytes
-                    "width": payloads.map(lambda b: 16 + len(b) % 64),
-                    "height": payloads.map(lambda b: 16 + (len(b) // 64) % 64),
-                    "mean_luma": payloads.map(lambda b: sum(b[:32]) % 256 if len(b) else 0),
-                }
+                {id_col: pdf[id_col], "width": widths, "height": heights, "mean_luma": lumas}
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, out_schema)
@@ -123,14 +132,15 @@ def resize_image(
     target_h: int,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    fake: bool = False,
 ) -> DataFrame:
-    """Resize shape: (id, payload, width, height) -> same with target dims.
+    """Resize: (id, payload) -> (id, resized payload, width, height).
 
-    STUB codec: the pseudo-resize scales the byte budget by the area ratio
-    (truncate/cycle-pad), deterministic in the input bytes. The Spark-side
-    contract is the real part: payload bytes round-trip executor-side
-    through Arrow without driver involvement, and the output schema keeps
-    the binary column + refreshed metadata.
+    Real codec: PNG decode → deterministic nearest-neighbor resample →
+    PNG re-encode, all executor-side (functions/codecs.py). ``fake=True``
+    keeps the round-1 pseudo-resize (byte budget scaled by area ratio) for
+    pipeline-shape tests with arbitrary bytes. Payload bytes round-trip
+    through Arrow without driver involvement either way.
     """
     import pandas as pd
     from pyspark.sql.types import BinaryType
@@ -145,19 +155,25 @@ def resize_image(
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            def scale(b: bytes) -> bytes:
-                if not b:
-                    return b
-                src_area = (16 + len(b) % 64) * (16 + (len(b) // 64) % 64)
-                n = max(1, int(len(b) * (target_w * target_h) / src_area))
-                reps = (n + len(b) - 1) // len(b)
-                return (b * reps)[:n]
+        from reflex_spark.functions.codecs import decode_png, encode_png, resize_nearest
 
+        def pseudo(b: bytes) -> bytes:
+            if not b:
+                return b
+            src_area = (16 + len(b) % 64) * (16 + (len(b) // 64) % 64)
+            n = max(1, int(len(b) * (target_w * target_h) / src_area))
+            reps = (n + len(b) - 1) // len(b)
+            return (b * reps)[:n]
+
+        def real(b: bytes) -> bytes:
+            return encode_png(resize_nearest(decode_png(b), target_w, target_h))
+
+        fn = pseudo if fake else real
+        for pdf in batches:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "payload": pdf[payload_col].map(scale),
+                    "payload": pdf[payload_col].map(fn),
                     "width": target_w,
                     "height": target_h,
                 }
@@ -175,17 +191,12 @@ def decode_audio(
 ) -> DataFrame:
     """Audio feature extraction: (id, sample_rate, n_samples, duration_s, rms).
 
-    STUB: real decode needs an audio codec (ffmpeg/soundfile — not
-    installed); fake=True treats the payload as 16-bit PCM so features are
-    deterministic functions of the bytes while the Arrow-batched pipeline
-    shape stays real.
+    Real codec: 16-bit PCM WAV via the stdlib wave module
+    (functions/codecs.py) — sample rate comes from the RIFF header and the
+    ``sample_rate`` argument is ignored. ``fake=True`` keeps the round-1
+    pseudo-decode (raw bytes as headerless PCM at ``sample_rate``) for
+    pipeline-shape tests with arbitrary bytes.
     """
-    if not fake:
-        raise NotImplementedError(
-            "audio codecs not available in this environment; pass fake=True "
-            "to exercise the pipeline with a deterministic pseudo-decode"
-        )
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType
@@ -201,21 +212,28 @@ def decode_audio(
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            def features(b: bytes) -> tuple[int, float, float]:
-                samples = np.frombuffer(b[: len(b) - len(b) % 2], dtype="<i2").astype(np.float64)
-                n = len(samples)
-                rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
-                return n, n / sample_rate, round(rms, 6)
+        from reflex_spark.functions.codecs import decode_wav
 
+        def features(b: bytes) -> tuple[int, int, float, float]:
+            if fake:
+                samples = np.frombuffer(b[: len(b) - len(b) % 2], dtype="<i2").astype(np.float64)
+                rate = sample_rate
+            else:
+                rate, s = decode_wav(b)
+                samples = s.astype(np.float64).mean(axis=1)  # downmix to mono
+            n = len(samples)
+            rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+            return rate, n, n / rate, round(rms, 6)
+
+        for pdf in batches:
             feats = pdf[payload_col].map(features)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "sample_rate": sample_rate,
-                    "n_samples": feats.map(lambda t: t[0]),
-                    "duration_s": feats.map(lambda t: t[1]),
-                    "rms": feats.map(lambda t: t[2]),
+                    "sample_rate": feats.map(lambda t: t[0]),
+                    "n_samples": feats.map(lambda t: t[1]),
+                    "duration_s": feats.map(lambda t: t[2]),
+                    "rms": feats.map(lambda t: t[3]),
                 }
             )
 
