@@ -102,10 +102,36 @@ class EventLog:
     for small logs and tests.
     """
 
-    def __init__(self, spark: SparkSession, path: str, partitioned: bool = False):
+    #: Refusal threshold for a single unsharded append: id assignment runs
+    #: one global row_number window = one task, the deliberate
+    #: auto-increment analogue. Tens of millions of rows through one task
+    #: serializes the write; that's a sharding problem, not an append.
+    DEFAULT_MAX_APPEND_ROWS = 10_000_000
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partitioned: bool = False,
+        max_append_rows: int | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.partitioned = partitioned
+        self.max_append_rows = (
+            max_append_rows if max_append_rows is not None else self.DEFAULT_MAX_APPEND_ROWS
+        )
+
+    def _guard_append_size(self, n: int) -> None:
+        if n > self.max_append_rows:
+            raise ValueError(
+                f"append of {n} rows exceeds max_append_rows="
+                f"{self.max_append_rows}: a single append assigns ids through "
+                "one global window task (the auto-increment analogue). Use "
+                "ShardedEventLog for write scale-out (per-shard dense ids), "
+                "or raise max_append_rows explicitly if you accept the "
+                "single-task serialization."
+            )
 
     # -- producer side ----------------------------------------------------
 
@@ -130,6 +156,8 @@ class EventLog:
         commit. Returns the new head id.
         """
         base = self.head()
+        n = events.count()
+        self._guard_append_size(n)
         w = F.row_number().over(Window.orderBy("timestamp", "foreign_id"))
         out = (
             events.withColumn("event_id", (F.lit(base) + w).cast("long"))
@@ -141,7 +169,7 @@ class EventLog:
             ).partitionBy("event_date").parquet(self.path)
         else:
             out.write.mode("append").parquet(self.path)
-        return base + events.count()
+        return base + n
 
     def insert(
         self,

@@ -82,6 +82,7 @@ class ManifestEventLog(EventLog):
 
     def append(self, events: DataFrame) -> int:
         base = self.head()
+        self._guard_append_size(events.count())
         seq = len(self._entries())
         batch_dir = os.path.join(self._batches_dir, f"{seq:08d}")
         w = F.row_number().over(Window.orderBy("timestamp", "foreign_id"))
