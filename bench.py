@@ -55,6 +55,12 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
     "dedup_embedding_cosine",
+    # round 2 additions: approximate paths + streaming machinery, so
+    # regressions there are visible round-over-round (VERDICT r1 #8)
+    "dedup_simhash",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "stream_rollup_counts",
 ]
 
 

@@ -65,14 +65,16 @@ class MaterializedCounts:
 
     # -- consumer side -----------------------------------------------------
 
-    def watermark(self) -> int:
-        """Max event_id merged into the published table (0 = none)."""
+    def watermark(self) -> int | None:
+        """Max event_id merged into the published table (None = nothing
+        merged yet — NOT 0: fixture-adapted logs may contain event_id 0,
+        and a zero sentinel would silently drop it on the first batch)."""
         self._recover()
         wf = os.path.join(self.path, _WATERMARK_FILE)
         if os.path.exists(wf):
             with open(wf) as f:
                 return json.load(f)["max_event_id"]
-        return 0
+        return None
 
     def apply_batch(self, batch: DataFrame, meta: dict) -> None:
         """foreachBatch/poll consumer fn: merge one batch's partials.
@@ -82,7 +84,7 @@ class MaterializedCounts:
         in the same rename that publishes the merged table.
         """
         wm = self.watermark()
-        fresh = batch.where(F.col("event_id") > wm)
+        fresh = batch if wm is None else batch.where(F.col("event_id") > wm)
         hi = fresh.agg(F.max("event_id").alias("hi")).collect()[0]["hi"]
         if hi is None:
             return  # fully redelivered batch — already merged

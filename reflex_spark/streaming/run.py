@@ -141,14 +141,16 @@ def run(spec: Spec, max_batches: int | None = None) -> int:
             # distributed through consume.
             window = _load_batch(spec, cursor).cache()
             try:
-                is_noop = (F.col("foreign_id") == F.lit(NOOP_FOREIGN_ID)) & (
-                    F.col("event_type") == F.lit(NOOP_TYPE)
-                )
-                row = window.agg(
-                    F.max("event_id").alias("m"),
-                    F.count(F.lit(1)).alias("n"),
-                    F.count(F.when(~is_noop, 1)).alias("n_real"),
-                ).collect()[0]
+                aggs = [F.max("event_id").alias("m"), F.count(F.lit(1)).alias("n")]
+                if spec.options.drop_noops:
+                    # only reference the noop columns when filtering is on:
+                    # adapted tables without foreign_id stream fine with
+                    # drop_noops=False
+                    is_noop = (F.col("foreign_id") == F.lit(NOOP_FOREIGN_ID)) & (
+                        F.col("event_type") == F.lit(NOOP_TYPE)
+                    )
+                    aggs.append(F.count(F.when(~is_noop, 1)).alias("n_real"))
+                row = window.agg(*aggs).collect()[0]
                 if row["n"] == 0:
                     if spec.options.to_head:
                         raise ErrHeadReached(f"{name} reached head at {cursor}")

@@ -160,6 +160,18 @@ def test_materialized_rebatched_redelivery_and_crash_recovery(spark, tmp_path):
     assert mat.watermark() == 5
 
 
+def test_materialized_first_batch_keeps_event_id_zero(spark, tmp_path):
+    """Regression: watermark() returned 0 for "nothing merged yet", so the
+    `event_id > wm` dedup filter silently dropped event_id 0 on the FIRST
+    batch (fixture-adapted logs start at id 0; engine logs start at 1)."""
+    mat = MaterializedCounts(spark, str(tmp_path / "rollup"), keys=["event_type"])
+    batch = spark.createDataFrame([(0, "a"), (1, "a"), (2, "b")], "event_id long, event_type string")
+    assert mat.watermark() is None
+    mat.apply_batch(batch, {})
+    assert {r["event_type"]: r["n_events"] for r in mat.read().collect()} == {"a": 2, "b": 1}
+    assert mat.watermark() == 2
+
+
 def test_append_guardrail_routes_to_sharded(spark, tmp_path):
     """Round-1 VERDICT #7: an oversized unsharded append refuses loudly
     (single-task id window) and points at ShardedEventLog; the sharded
