@@ -19,8 +19,11 @@ though tests run on local[32].
 """
 
 from reflex_spark.session import get_spark
-from reflex_spark.sources.event_log import EventLog, without_noops
+from reflex_spark.sources.event_log import EventLog, Gap, without_noops
+from reflex_spark.sources.gapfill import fill_gaps
+from reflex_spark.sources.head_cache import ErrConsecEvent, HeadCache
 from reflex_spark.sources.sharded_log import ShardedEventLog
+from reflex_spark.streaming.notify import InMemNotifier, StubNotifier
 from reflex_spark.streaming import (
     Consumer,
     ErrHeadReached,
@@ -42,6 +45,12 @@ __all__ = [
     "EventLog",
     "ShardedEventLog",
     "without_noops",
+    "Gap",
+    "fill_gaps",
+    "HeadCache",
+    "ErrConsecEvent",
+    "InMemNotifier",
+    "StubNotifier",
     "Consumer",
     "ErrHeadReached",
     "FileCursorStore",

@@ -21,6 +21,8 @@ union; per-shard ordering is preserved, global ordering is (shard, id).
 from __future__ import annotations
 
 import time
+from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +50,15 @@ EVENT_SCHEMA = StructType(
 
 NOOP_FOREIGN_ID = "0"
 NOOP_TYPE = 0
+
+
+@dataclass(frozen=True)
+class Gap:
+    """A hole in the dense event-id sequence: ids in (prev, next) are
+    absent (reference rsql/gapfill.go:15-24 — no gap iff prev+1 == next)."""
+
+    prev: int
+    next: int
 
 
 def without_noops(df: DataFrame) -> DataFrame:
@@ -114,6 +125,7 @@ class EventLog:
         path: str,
         partitioned: bool = False,
         max_append_rows: int | None = None,
+        notifier=None,
     ):
         self.spark = spark
         self.path = path
@@ -121,6 +133,11 @@ class EventLog:
         self.max_append_rows = (
             max_append_rows if max_append_rows is not None else self.DEFAULT_MAX_APPEND_ROWS
         )
+        #: Optional insert notifier (reference EventsNotifier,
+        #: rsql/eventstable.go:554-571): append() fires it, the poll run
+        #: loop parks on it at head instead of sleeping the backoff.
+        self.notifier = notifier
+        self._gap_listeners: list[Callable[[Gap], None]] = []
 
     def _guard_append_size(self, n: int) -> None:
         if n > self.max_append_rows:
@@ -169,6 +186,8 @@ class EventLog:
             ).partitionBy("event_date").parquet(self.path)
         else:
             out.write.mode("append").parquet(self.path)
+        if self.notifier is not None:
+            self.notifier.notify()
         return base + n
 
     def insert(
@@ -236,6 +255,80 @@ class EventLog:
                 .drop("__rn")
             )
         return df
+
+    # -- gap filling (G2) --------------------------------------------------
+
+    def listen_gaps(self, fn: Callable[[Gap], None]) -> None:
+        """Register a gap listener (reference EventsTable.ListenGaps,
+        rsql/eventstable.go:289-304). The poll run loop calls
+        ``detect_gap``/``emit_gap`` when a dense read stalls; listeners
+        (e.g. the noop filler from ``sources.gapfill.fill_gaps``) unblock
+        the stream."""
+        self._gap_listeners.append(fn)
+
+    def emit_gap(self, gap: Gap) -> None:
+        for fn in self._gap_listeners:
+            fn(gap)
+
+    def detect_gap(self, after: int) -> Gap | None:
+        """Is the id right after ``after`` missing while later ids exist?
+
+        One ids-only agg (column-pruned, predicate pushed): the poll loop
+        calls this only when a dense read returns empty, so steady-state
+        polling pays nothing. All mid-window holes eventually become
+        holes-at-cursor (the loop consumes the dense prefix first), so
+        checking at the cursor is complete."""
+        row = (
+            self.read()
+            .where(F.col("event_id") > after)
+            .agg(F.min("event_id").alias("m"))
+            .collect()[0]
+        )
+        if row["m"] is not None and row["m"] > after + 1:
+            return Gap(prev=after, next=row["m"])
+        return None
+
+    def missing_ids(self, gap: Gap) -> list[int]:
+        """Ids in (prev, next) not yet committed (a writer may land files
+        during the filler's grace wait)."""
+        present = {
+            r["event_id"]
+            for r in self.read()
+            .where((F.col("event_id") > gap.prev) & (F.col("event_id") < gap.next))
+            .select("event_id")
+            .collect()
+        }
+        return [i for i in range(gap.prev + 1, gap.next) if i not in present]
+
+    def fill_noops(self, ids: list[int]) -> int:
+        """Insert noop events at exactly these ids (reference fillGap,
+        rsql/gapfill.go:70-95: noop = foreign_id '0', type 0). Re-checks
+        committed ids immediately before the write, so a racing writer's
+        rows are kept (the file-log analogue of the reference tolerating
+        the duplicate-key error when someone got there first). Returns the
+        number of noops written."""
+        if not ids:
+            return 0
+        still_missing = self.missing_ids(Gap(prev=min(ids) - 1, next=max(ids) + 1))
+        fill = sorted(set(ids) & set(still_missing))
+        if not fill:
+            return 0
+        from datetime import datetime, timezone
+
+        ts = datetime.now(timezone.utc).replace(tzinfo=None)
+        df = self.spark.createDataFrame(
+            [(i, NOOP_TYPE, NOOP_FOREIGN_ID, ts, None, None) for i in fill],
+            EVENT_SCHEMA,
+        )
+        if self.partitioned:
+            df.withColumn("event_date", F.col("timestamp").cast("date")).write.mode(
+                "append"
+            ).partitionBy("event_date").parquet(self.path)
+        else:
+            df.write.mode("append").parquet(self.path)
+        if self.notifier is not None:
+            self.notifier.notify()
+        return len(fill)
 
     def compact(self, target_partitions: int | None = None) -> None:
         """Rewrite the log into ``target_partitions`` files (default: one

@@ -101,6 +101,17 @@ class ManifestEventLog(EventLog):
         os.replace(tmp, os.path.join(mdir, f"{seq:08d}.json"))
         return base + n
 
+    def fill_noops(self, ids: list[int]) -> int:
+        """Gap filling is structurally unnecessary here: a batch's ids are
+        assigned from the committed head and become visible in one atomic
+        manifest rename, so the id sequence can never have holes (a
+        crashed writer's uncommitted batch dir is invisible and its ids
+        are re-assigned by the next append)."""
+        raise NotImplementedError(
+            "ManifestEventLog cannot have id holes; gap filling applies to "
+            "plain EventLog directories only"
+        )
+
     # -- consumer ----------------------------------------------------------
 
     def read(self) -> DataFrame:

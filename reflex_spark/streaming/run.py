@@ -131,11 +131,17 @@ def run(spec: Spec, max_batches: int | None = None) -> int:
         cursor = spec.log.head()
         spec.cstore.set_cursor(name, cursor)
 
+    notifier = getattr(spec.log, "notifier", None)
     batches = 0
     try:
         while max_batches is None or batches < max_batches:
             if spec.options.stop is not None and spec.options.stop():
                 raise ErrStopped(f"{name} stopped at {cursor}")
+            # Subscribe BEFORE loading: an append landing between the load
+            # and the wait fires the already-registered event, so the
+            # waiter wakes immediately (reference ch := notifier.C() before
+            # the head re-check — no lost wakeups).
+            sub = notifier.subscribe() if notifier is not None else None
             # NOTE: read_after().limit(n) + max() needs one pass; collect the
             # batch's max id via a tiny agg — the batch itself stays
             # distributed through consume.
@@ -152,9 +158,32 @@ def run(spec: Spec, max_batches: int | None = None) -> int:
                     aggs.append(F.count(F.when(~is_noop, 1)).alias("n_real"))
                 row = window.agg(*aggs).collect()[0]
                 if row["n"] == 0:
+                    # Empty dense read: either true head, or the stream is
+                    # stuck behind an id hole. With gap listeners attached
+                    # (sources.gapfill.fill_gaps), detect and emit — the
+                    # filler unblocks the next poll (reference ListenGaps /
+                    # FillGaps, rsql/gapfill.go:26-40). Detection is one
+                    # ids-only agg and runs only on empty polls.
+                    if spec.options.require_dense and getattr(
+                        spec.log, "_gap_listeners", None
+                    ):
+                        gap = spec.log.detect_gap(cursor)
+                        if gap is not None:
+                            spec.log.emit_gap(gap)
+                            if spec.log.detect_gap(cursor) is not None:
+                                # listener declined to fill — back off so a
+                                # non-filling listener cannot busy-spin us
+                                time.sleep(spec.options.poll_backoff)
+                            continue  # re-poll the (now fillable) window
                     if spec.options.to_head:
                         raise ErrHeadReached(f"{name} reached head at {cursor}")
-                    time.sleep(spec.options.poll_backoff)
+                    if sub is not None:
+                        # Park on the insert notifier (G4): an append wakes
+                        # us instantly; the backoff is only the fallback
+                        # for out-of-process writers.
+                        sub.wait(spec.options.poll_backoff)
+                    else:
+                        time.sleep(spec.options.poll_backoff)
                     continue
                 n_deliver = row["n_real"] if spec.options.drop_noops else row["n"]
                 if n_deliver:
@@ -168,6 +197,8 @@ def run(spec: Spec, max_batches: int | None = None) -> int:
                 spec.cstore.set_cursor(name, cursor)
             finally:
                 window.unpersist()
+                if sub is not None:
+                    notifier.unsubscribe(sub)
     finally:
         spec.cstore.flush()
     return cursor
