@@ -11,11 +11,13 @@ Two execution paths with identical operator semantics:
 
 from reflex_spark.streaming.consumer import Consumer, ConsumerError, FilterError
 from reflex_spark.streaming.cursors import (
+    BufferedCursorStore,
     CursorStore,
     FileCursorStore,
     MemCursorStore,
     ReadThroughCursorStore,
 )
+from reflex_spark.streaming.notify import InMemNotifier, StubNotifier
 from reflex_spark.streaming.run import (
     ErrHeadReached,
     ErrStopped,
@@ -33,10 +35,13 @@ __all__ = [
     "Consumer",
     "ConsumerError",
     "FilterError",
+    "BufferedCursorStore",
     "CursorStore",
     "FileCursorStore",
     "MemCursorStore",
     "ReadThroughCursorStore",
+    "InMemNotifier",
+    "StubNotifier",
     "ErrHeadReached",
     "ErrStopped",
     "is_expected",

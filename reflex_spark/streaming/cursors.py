@@ -5,9 +5,15 @@ Parity notes:
   store's `WHERE cursor < ?` update + dup-key regression error
   (rsql/db.go:265-291).
 - FileCursorStore persists via atomic rename (crash-safe like the
-  reference's SQL txn); the async 5s flush buffer (rsql/cursorstable.go)
-  is deliberately absent — each set is durable, matching Spark's
+  reference's SQL txn); each set is durable, matching Spark's
   commit-per-microbatch model (SURVEY.md §4).
+- BufferedCursorStore is the reference's async flush buffer
+  (rsql/cursorstable.go:43,169-230): sets coalesce in memory and reach
+  the durable store at most once per flush interval, cutting cursor-write
+  QPS for high-batch-rate consumers; stop/close flushes (the run loop
+  calls flush() in its finally). Crash cost: up to one interval of
+  cursor progress is redelivered — at-least-once preserved (the buffer
+  only delays writes, never advances them).
 - MemCursorStore mirrors rpatterns/cursor.go:70-119 (tests/seeding).
 - ReadThroughCursorStore mirrors rpatterns/cursor.go:22-62 (migration).
 - Cursors are int by default but stores also accept strings
@@ -22,6 +28,8 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
+import time
 from typing import Protocol
 
 
@@ -98,6 +106,52 @@ class FileCursorStore:
 
     def flush(self) -> None:
         pass
+
+
+class BufferedCursorStore:
+    """Write-behind buffer over a durable store (reference async cursor
+    flush, rsql/cursorstable.go:43,169-230 — 5s default).
+
+    Sets are buffered in memory and written through at most once per
+    ``flush_interval``; the write-through happens on the setting call's
+    thread (piggybacked on the poll cadence — same QPS bound as the
+    reference's flush goroutine, no thread lifecycle to manage, and
+    deterministic in tests). Reads see the buffered value (read-your-
+    writes). ``flush()`` drains unconditionally; the run loop calls it on
+    every exit path.
+    """
+
+    def __init__(self, inner: CursorStore, flush_interval: float = 5.0, clock=time.monotonic):
+        self.inner = inner
+        self.flush_interval = flush_interval
+        self._clock = clock
+        self._mu = threading.Lock()
+        self._buf: dict[str, Cursor] = {}
+        self._last_flush = clock()
+        self.writes_buffered = 0  # observability: QPS saved vs direct store
+
+    def get_cursor(self, consumer: str) -> Cursor:
+        with self._mu:
+            if consumer in self._buf:
+                return self._buf[consumer]
+        return self.inner.get_cursor(consumer)
+
+    def set_cursor(self, consumer: str, cursor: Cursor) -> None:
+        current = self.get_cursor(consumer)
+        _check_monotonic(consumer, current, cursor)
+        with self._mu:
+            self._buf[consumer] = cursor
+            self.writes_buffered += 1
+            due = self._clock() - self._last_flush >= self.flush_interval
+        if due:
+            self.flush()
+
+    def flush(self) -> None:
+        with self._mu:
+            buf, self._buf = dict(self._buf), {}
+            self._last_flush = self._clock()
+        for consumer, cursor in buf.items():
+            self.inner.set_cursor(consumer, cursor)
 
 
 class ReadThroughCursorStore:

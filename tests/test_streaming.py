@@ -647,3 +647,57 @@ def test_head_empty_dir_ok_but_corruption_raises(spark, tmp_path):
     (tmp_path / "log" / "part-corrupt.parquet").write_bytes(b"not a parquet file")
     with pytest.raises(Exception):
         log.head()
+
+
+def test_buffered_cursor_store_coalesces_writes(spark, tmp_path):
+    """C1 parity (rsql/cursorstable.go:43,169-230): sets coalesce in the
+    buffer and reach the durable store at most once per interval; flush()
+    drains; the buffer never advances the durable cursor past what was
+    set (at-least-once preserved on crash = lost buffer)."""
+    from reflex_spark.streaming import BufferedCursorStore
+
+    class CountingStore(MemCursorStore):
+        def __init__(self):
+            super().__init__()
+            self.writes = 0
+
+        def set_cursor(self, consumer, cursor):
+            super().set_cursor(consumer, cursor)
+            self.writes += 1
+
+    inner = CountingStore()
+    clock = {"t": 0.0}
+    buf = BufferedCursorStore(inner, flush_interval=5.0, clock=lambda: clock["t"])
+    for i in range(1, 11):
+        buf.set_cursor("c", i)
+    assert inner.writes == 0  # nothing due yet
+    assert buf.get_cursor("c") == 10  # read-your-writes
+    assert inner.get_cursor("c") == 0  # durable store untouched (behind, never ahead)
+
+    clock["t"] = 6.0
+    buf.set_cursor("c", 11)  # interval elapsed -> this set flushes
+    assert inner.writes == 1 and inner.get_cursor("c") == 11
+
+    buf.set_cursor("c", 12)
+    buf.flush()  # explicit drain (the run loop's finally)
+    assert inner.writes == 2 and inner.get_cursor("c") == 12
+
+    # monotonic guard still enforced at the buffer
+    with pytest.raises(CursorRegressionError):
+        buf.set_cursor("c", 3)
+
+
+def test_buffered_cursor_store_in_run_loop(spark, tmp_path):
+    """End-to-end: a poll consumer over a buffered FILE store persists its
+    final cursor via the run loop's finally-flush."""
+    from reflex_spark.streaming import BufferedCursorStore
+
+    log = seed_log(spark, str(tmp_path / "log"), [(1, f"u{i}") for i in range(6)])
+    inner = FileCursorStore(str(tmp_path / "cursors"))
+    store = BufferedCursorStore(inner, flush_interval=3600.0)  # never due mid-run
+    spec = Spec(log, store, Consumer("buffered", lambda df, m: None),
+                StreamOptions(to_head=True, batch_limit=2))
+    with pytest.raises(ErrHeadReached):
+        run(spec)
+    assert inner.get_cursor("buffered") == 6  # durable after finally-flush
+    assert store.writes_buffered == 3  # one per batch, zero mid-run file writes
