@@ -61,6 +61,23 @@ def lang_id(text: Column | str) -> Column:
     return F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
 
 
+# GPT-2-style pre-tokenizer pattern, minus the \s+(?!\S) lookahead (RE2 —
+# DuckDB's engine — has no lookahead; dropping it only affects how trailing
+# whitespace groups, and whitespace matches are not counted as tokens here).
+# Contractions | letter runs | digit runs | punctuation runs.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token counting: matches of the GPT-2-style pre-tokenizer
+    regex. On prose this tracks real BPE token counts to within the
+    subword-merge factor — the standard cheap estimator for token budgets
+    in training-data pipelines (whitespace count under-counts punctuation
+    and digit runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast("long")
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of lowercased text."""
     c = F.col(text) if isinstance(text, str) else text
@@ -102,3 +119,10 @@ def sql_lang_id(expr: str = "text") -> str:
 
 def sql_fingerprint(expr: str = "text") -> str:
     return f"md5(lower({expr}))"
+
+
+def sql_bpe_token_count(expr: str = "text") -> str:
+    # '' escapes the apostrophe inside a SQL string literal; DuckDB standard
+    # strings pass backslashes through to RE2 unprocessed, so \s survives.
+    pattern = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{pattern}')) AS BIGINT)"

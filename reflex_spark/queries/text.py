@@ -65,6 +65,27 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_token_stats",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM({T.sql_bpe_token_count('text')}) AS BIGINT) AS sum_bpe_tokens,
+           CAST(SUM({T.sql_token_count('text')}) AS BIGINT) AS sum_ws_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2-style pre-tokenizer regex) next to
+    whitespace counting — the token-budget estimator pair for a training
+    corpus, aggregated per language."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.groupBy("lang").agg(
+        F.sum(T.bpe_token_count("text")).alias("sum_bpe_tokens"),
+        F.sum(T.token_count("text")).alias("sum_ws_tokens"),
+    )
+
+
+@query(
     "text_quality_scores",
     oracle=f"""
     SELECT doc_id,
