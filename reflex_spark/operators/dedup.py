@@ -253,6 +253,45 @@ def simhash64(text: Column | str, n_tokens_bits: int = 64) -> Column:
     return F.lpad(F.conv(fp.cast("string"), 10, 16), 16, "0")
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash fingerprints as a DataFrame transform: explode distinct
+    tokens, hash each ONCE, then one 60-column hash aggregate (partial +
+    final, whole-stage codegen) computes every bit's vote.
+
+    Produces fingerprints identical to ``simhash64`` (equivalence-tested);
+    exists because the single-expression form re-derives the token hash
+    per bit inside one giant Catalyst expression — multi-MB task binaries
+    and 60× the md5 work. The agg form is the plan you'd want at 100 TB:
+    narrow explode, map-side partial votes, one shuffle on the doc id.
+    """
+    bits = 60
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    tok_hash = F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast("long")
+    # explode_outer keeps empty documents (their fingerprint is all-zero,
+    # matching the expression form's zero-vote result)
+    ex = df.select(F.col(id_col), F.explode_outer(toks).alias("__t")).select(
+        id_col, tok_hash.alias("__h")
+    )
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("__h").isNull(), 0)
+                .when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(
+        F.col(id_col), F.lpad(F.conv(fp.cast("string"), 10, 16), 16, "0").alias("sh")
+    )
+
+
 def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str, max_distance: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
@@ -260,7 +299,7 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str, max_distanc
     shares at least one block by pigeonhole) instead of the all-pairs join;
     here we form pairs on a prefix block then verify exact popcount.
     """
-    sig = df.select(F.col(id_col), simhash64(text_col).alias("sh")).cache()
+    sig = simhash_signatures(df, id_col, text_col).cache()
     blocks = sig.select(
         F.col(id_col),
         "sh",

@@ -63,13 +63,18 @@ def stream_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = _FixtureEventsLog(spark, sf_dir)
     rollup_path = tempfile.mkdtemp(prefix="stream_rollup_") + "/table"
     mat = MaterializedCounts(spark, rollup_path, keys=["event_type"], value_col="value")
+    # A fixed count of incremental merges at any SF (≈5 batches): the
+    # correctness value is the merge across batch boundaries, not the
+    # number of loop rounds — a constant limit made the bench O(SF) in
+    # driver round-trips (50 rounds × rollup read-modify-write at sf0.1).
+    batch_limit = max(2000, log.head() // 5 + 1)
     spec = Spec(
         log,  # type: ignore[arg-type] — duck-typed log
         # fixture ids start at 0 (the engine's own logs start at 1), so the
         # initial exclusive cursor must sit below the first id
         MemCursorStore({"stream_rollup": -1}),
         Consumer("stream_rollup", mat.apply_batch),
-        StreamOptions(to_head=True, batch_limit=2000, drop_noops=False),
+        StreamOptions(to_head=True, batch_limit=batch_limit, drop_noops=False),
     )
     try:
         run(spec)

@@ -257,6 +257,25 @@ def test_simhash_quality(spark):
     assert pairs.get((1, 2)) == 0  # identical docs share every block
 
 
+def test_simhash_signatures_equivalent_to_expression_form(spark):
+    """The explode+agg fast path produces byte-identical fingerprints to
+    the single-expression simhash64 (including the empty-document case)."""
+    from reflex_spark.operators.dedup import simhash64, simhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "spark merges sorted batches daily"),
+         (2, "a totally different document about joins and shuffles"),
+         (3, "spark merges sorted batches daily"),
+         (4, "")],
+        ["doc_id", "text"],
+    )
+    expr_form = {r["doc_id"]: r["sh"]
+                 for r in docs.select("doc_id", simhash64("text").alias("sh")).collect()}
+    agg_form = {r["doc_id"]: r["sh"]
+                for r in simhash_signatures(docs, "doc_id", "text").collect()}
+    assert expr_form == agg_form
+
+
 def test_quickstart_example(spark, tmp_path):
     """The examples/quickstart.py walkthrough runs end-to-end."""
     import sys
