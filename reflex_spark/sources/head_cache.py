@@ -112,25 +112,41 @@ class HeadCache:
 
     def _read_through(self, after: int, limit: int | None) -> DataFrame:
         """Load a full cache window (not just the caller's batch) so that
-        followers hit (reference readThrough, rcache.go:117-152)."""
+        followers hit (reference readThrough, rcache.go:117-152).
+
+        The plain (non-dense) plan is tried first — a window with unique
+        ids > after is consecutive iff ``hi == after + n``, checked from
+        the same agg that does the bookkeeping — so the log's dense
+        truncation (an unpartitioned row_number window) is paid only when
+        a hole is actually present."""
         window = max(limit or 0, self.limit)
-        fresh = self.log.read_after(after, window, dense_only=True)
+        fresh = self.log.read_after(after, window, dense_only=False)
         if HeadCache.disabled:
             return fresh.limit(limit) if limit else fresh
-        fresh = fresh.cache()
-        row = fresh.agg(
-            F.min("event_id").alias("lo"),
-            F.max("event_id").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        if row["n"] == 0:
+
+        def load_stats(df):
+            df = df.cache()
+            r = df.agg(
+                F.min("event_id").alias("lo"),
+                F.max("event_id").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            return df, r["lo"], r["hi"], r["n"]
+
+        fresh, lo, hi, n = load_stats(fresh)
+        if n and (lo != after + 1 or n != hi - lo + 1):
+            # hole in the window: retruncate to the contiguous prefix
+            fresh.unpersist()
+            fresh, lo, hi, n = load_stats(
+                self.log.read_after(after, window, dense_only=True)
+            )
+        if n == 0:
             fresh.unpersist()
             return fresh
-        lo, hi, n = row["lo"], row["hi"], row["n"]
-        if n != hi - lo + 1 or lo != after + 1:
-            # dense_only upstream makes this unreachable; if a custom log
-            # violates it, fail loudly rather than cache a window with
-            # holes (reference ErrConsecEvent).
+        if lo != after + 1 or n != hi - lo + 1:
+            # the log's dense_only contract is violated (custom log): fail
+            # loudly rather than cache a window with holes (reference
+            # ErrConsecEvent).
             fresh.unpersist()
             raise ErrConsecEvent(f"non-consecutive window after {after}: [{lo},{hi}] n={n}")
         self.invalidate()

@@ -88,15 +88,20 @@ class Spec:
     options: StreamOptions = field(default_factory=StreamOptions)
 
 
-def _load_batch(spec: Spec, after: int):
+def _load_batch(spec: Spec, after: int, dense: bool = False):
     """Load the deliverable id window after the cursor. Noops are NOT
     dropped here: the run loop advances the cursor over them (reference
     wrapNoopFilter returns the last noop id as a cursor override,
     rsql/loader.go:64-94) — filtering before the max-id agg would strand
-    the cursor on an all-noop window forever."""
-    df = spec.log.read_after(
-        after, spec.options.batch_limit, dense_only=spec.options.require_dense
-    )
+    the cursor on an all-noop window forever.
+
+    ``dense`` requests the log's dense-truncated plan (a row_number over
+    an UNPARTITIONED window — every batch row through one task). The run
+    loop avoids it on the healthy path: a window with unique ids > cursor
+    is dense iff ``max == cursor + count``, which the per-batch agg
+    already computes, so the window op is paid only when a hole is
+    actually present (mid-append races — rare)."""
+    df = spec.log.read_after(after, spec.options.batch_limit, dense_only=dense)
     if spec.options.lag_seconds:
         # Prefix-truncate at the FIRST too-recent event instead of filtering
         # rows out of the middle: the cursor advances to the batch max, so a
@@ -157,6 +162,17 @@ def run(spec: Spec, max_batches: int | None = None) -> int:
                     )
                     aggs.append(F.count(F.when(~is_noop, 1)).alias("n_real"))
                 row = window.agg(*aggs).collect()[0]
+                if (
+                    spec.options.require_dense
+                    and row["n"]
+                    and row["m"] != cursor + row["n"]
+                ):
+                    # Hole inside the window (a reader racing a mid-commit
+                    # multi-file append): fall back to the dense-truncated
+                    # plan so only the contiguous prefix is delivered.
+                    window.unpersist()
+                    window = _load_batch(spec, cursor, dense=True).cache()
+                    row = window.agg(*aggs).collect()[0]
                 if row["n"] == 0:
                     # Empty dense read: either true head, or the stream is
                     # stuck behind an id hole. With gap listeners attached
