@@ -106,7 +106,12 @@ class HeadCache:
         ):
             self.hits += 1
             df = self._df.where(F.col("event_id") > after)
-            return df.limit(limit) if limit else df
+            # orderBy before limit so a limited hit is always the lowest-id
+            # prefix of the dense cached window — without it, limit() may
+            # take an arbitrary subset across partitions, and a dense_only
+            # caller (the run loop's gap fallback re-enters this same hit
+            # path) would silently advance past skipped rows.
+            return df.orderBy("event_id").limit(limit) if limit else df
         self.misses += 1
         return self._read_through(after, limit)
 

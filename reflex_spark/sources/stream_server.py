@@ -139,7 +139,11 @@ class StreamServer:
                         .collect()
                     )
                     if lag:
-                        cutoff = datetime.utcnow().timestamp() - lag
+                        # time.time() is the true epoch regardless of host
+                        # TZ; utcnow().timestamp() would re-interpret the
+                        # naive UTC datetime in the host zone and shift the
+                        # cutoff by the UTC offset.
+                        cutoff = time.time() - lag
                         head_rows = []
                         for r in rows:  # prefix-truncate at first too-recent
                             if r["timestamp"].replace(tzinfo=timezone.utc).timestamp() > cutoff:

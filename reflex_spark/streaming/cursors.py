@@ -126,6 +126,11 @@ class BufferedCursorStore:
         self.flush_interval = flush_interval
         self._clock = clock
         self._mu = threading.Lock()
+        # Serializes the drain-and-write sequence: two concurrent flushes
+        # (an interval flush racing the run loop's exit flush on another
+        # thread) could otherwise write an older cursor to the inner store
+        # after a newer one, tripping the inner monotonic guard.
+        self._flush_mu = threading.Lock()
         self._buf: dict[str, Cursor] = {}
         self._last_flush = clock()
         self.writes_buffered = 0  # observability: QPS saved vs direct store
@@ -147,11 +152,12 @@ class BufferedCursorStore:
             self.flush()
 
     def flush(self) -> None:
-        with self._mu:
-            buf, self._buf = dict(self._buf), {}
-            self._last_flush = self._clock()
-        for consumer, cursor in buf.items():
-            self.inner.set_cursor(consumer, cursor)
+        with self._flush_mu:
+            with self._mu:
+                buf, self._buf = dict(self._buf), {}
+                self._last_flush = self._clock()
+            for consumer, cursor in buf.items():
+                self.inner.set_cursor(consumer, cursor)
 
 
 class ReadThroughCursorStore:

@@ -288,13 +288,19 @@ def run_stream(
             # reference's per-event delay (run.go:79-87) at batch
             # granularity: sleep until the batch's newest event is older
             # than the lag, then deliver the whole batch.
-            max_epoch = batch_df.agg(
-                F.max(F.col("timestamp").cast("double")).alias("m")
-            ).collect()[0]["m"]
-            if max_epoch is not None:
-                wait = max_epoch + spec.options.lag_seconds - time.time()
-                if wait > 0:
-                    time.sleep(wait)
+            # Compute the wait entirely in Spark's clock domain (both
+            # timestamp and current_timestamp() cast through the same
+            # session timezone, so any non-UTC offset cancels), like the
+            # poll path's _load_batch does.
+            wait = batch_df.agg(
+                (
+                    F.max(F.col("timestamp")).cast("double")
+                    + F.lit(float(spec.options.lag_seconds))
+                    - F.current_timestamp().cast("double")
+                ).alias("wait")
+            ).collect()[0]["wait"]
+            if wait is not None and wait > 0:
+                time.sleep(wait)
         spec.consumer.consume(batch_df, {"batch_id": batch_id})
 
     writer = stream.writeStream.foreachBatch(handle).option(
