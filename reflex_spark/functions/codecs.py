@@ -1,11 +1,14 @@
 """Real media codecs on stdlib + numpy only: PNG (zlib inflate + scanline
-unfilter) and WAV (RIFF PCM via the stdlib wave module).
+unfilter), baseline JPEG (huffman + dequant + IDCT), and WAV (RIFF PCM via
+the stdlib wave module).
 
 No PIL/opencv/ffmpeg exists in this environment, so these are complete
-from-scratch implementations of the two formats whose containers are
-stdlib-decodable: PNG bit-depth 8 in grayscale/RGB/RGBA (non-interlaced)
-and 16-bit PCM WAV. Anything else raises NotImplementedError with the
-format named — the multimodal operators surface that per-payload.
+from-scratch implementations of the three formats decodable without binary
+wheels: PNG bit-depth 8 in grayscale/RGB/RGBA (non-interlaced), baseline
+(SOF0) JPEG in grayscale/YCbCr with arbitrary sampling factors, and 16-bit
+PCM WAV. Anything else (progressive JPEG, MP3, video) raises
+NotImplementedError with the format named — the multimodal operators
+surface that per-payload.
 
 Perf posture: the unfilter loop is per-scanline numpy (vectorized across
 the row for Up/None, per-pixel-column for Sub/Average/Paeth) — fine for
@@ -143,6 +146,518 @@ def luma(arr: np.ndarray) -> np.ndarray:
         return arr[:, :, 0].astype(np.float64)
     r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
     return 0.299 * r + 0.587 * g + 0.114 * b  # alpha (if any) ignored
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81). Decoder: SOI/APPn/DQT/SOF0/DHT/DRI/SOS/EOI
+# marker parse, canonical-huffman entropy decode with byte unstuffing and
+# restart markers, dequantize, float64 separable IDCT, per-component
+# nearest-replication upsample, JFIF full-range YCbCr->RGB. Progressive
+# (SOF2), arithmetic, hierarchical and 12-bit variants raise
+# NotImplementedError. Encoder: 4:4:4 baseline with the T.81 Annex K
+# example quantization + huffman tables — enough to produce real JPEG
+# bytes for tests and sinks without PIL.
+# --------------------------------------------------------------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Orthonormal DCT-II basis: block_spatial = C.T @ coeffs @ C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+# T.81 Annex K.1 example quantization tables (luminance, chrominance).
+_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# T.81 Annex K.3 example huffman tables: (bits[1..16], huffval).
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def is_jpeg(data: bytes) -> bool:
+    return bytes(data[:2]) == b"\xff\xd8"
+
+
+def _build_huff_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical huffman per T.81 C.2: symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_huff_decoder(
+    bits: list[int], huffval: list[int]
+) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for MSB-first bit-at-a-time decode."""
+    return {(ln, code): sym for sym, (code, ln) in _build_huff_codes(bits, huffval).items()}
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded JPEG data.
+
+    Byte unstuffing (FF 00 -> FF) and restart-marker handling are done by
+    the caller, which hands over clean segments.
+    """
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 sign extension of a SIZE-bit magnitude."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _idct_block(coeffs: np.ndarray) -> np.ndarray:
+    return _DCT_C.T @ coeffs @ _DCT_C
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 array (H, W, C) with C=1 (grayscale)
+    or C=3 (RGB via JFIF full-range YCbCr). Supports SOF0 8-bit with
+    arbitrary sampling factors and restart intervals; progressive /
+    arithmetic / 12-bit raise NotImplementedError.
+
+    Spark-side callers (operators/multimodal.py) run this executor-side
+    inside mapInPandas — the driver never sees payload bytes.
+    """
+    data = bytes(data)
+    if not is_jpeg(data):
+        raise NotImplementedError("unsupported image format (PNG/JPEG only)")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict[tuple[int, int], int]] = {}
+    huff_ac: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(comp_id, hi, vi, tq)])
+    restart_interval = 0
+    scan = None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before marker (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
+                    i += 128
+                nat = np.empty(64, dtype=np.int64)
+                nat[_ZIGZAG] = tbl
+                quant[tq] = nat.reshape(8, 8)
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if precision != 8:
+                raise NotImplementedError(f"unsupported JPEG precision {precision}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG frame type SOF{marker - 0xC0} (baseline SOF0 only)"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nsym = sum(bits)
+                huffval = list(seg[i + 17 : i + 17 + nsym])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff_decoder(bits, huffval)
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF) for c in range(ns)]
+            break  # entropy-coded data follows
+        # APPn / COM / others: skipped
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, comps = frame
+
+    # Split entropy data into restart segments, unstuffing FF00.
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF and i + 1 < len(data):
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    scan_by_comp = {s[0]: s for s in scan}
+    planes = {
+        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for cid, hi, vi, _ in comps
+    }
+    pred = {cid: 0 for cid, *_ in comps}
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    n_mcus = mcux * mcuy
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            pred = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(mcu, mcux)
+        for cid, hi, vi, tq in comps:
+            _, td, ta = scan_by_comp[cid]
+            dc_tbl, ac_tbl = huff_dc[td], huff_ac[ta]
+            q = quant[tq]
+            for by in range(vi):
+                for bx in range(hi):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = reader.decode_symbol(dc_tbl)
+                    diff = _extend(reader.read_bits(size), size)
+                    pred[cid] += diff
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(ac_tbl)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflow")
+                        zz[k] = _extend(reader.read_bits(s), s)
+                        k += 1
+                    coeffs = np.empty(64, dtype=np.int64)
+                    coeffs[_ZIGZAG] = zz
+                    block = _idct_block((coeffs.reshape(8, 8) * q).astype(np.float64))
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for cid, hi, vi, _ in comps:
+        p = planes[cid]
+        if hi != hmax or vi != vmax:  # nearest-replication upsample
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0] + 128), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    if len(out_planes) != 3:
+        raise NotImplementedError(f"unsupported JPEG component count {len(out_planes)}")
+    y, cb, cr = (p + 128 for p in out_planes)
+    cb, cr = cb - 128, cr - 128
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+
+
+def _csize(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75, restart_interval: int = 0) -> bytes:
+    """uint8 (H, W), (H, W, 1) or (H, W, 3 RGB) -> baseline JPEG bytes.
+
+    4:4:4 sampling, T.81 Annex K example quant (scaled by IJG-style
+    quality 1-100) + huffman tables; optional DRI/RSTn restart markers
+    every ``restart_interval`` MCUs. Deterministic.
+    """
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch not in (1, 3):
+        raise NotImplementedError(f"unsupported channel count {ch}")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qtabs = []
+    for base in (_QUANT_LUMA, _QUANT_CHROMA)[: (1 if ch == 1 else 2)]:
+        q = np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+        qtabs.append(q.reshape(8, 8))
+
+    if ch == 3:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        comp_q = [0, 1, 1]
+        comp_h = [0, 1, 1]  # huffman table ids (dc/ac pair index)
+    else:
+        planes = [a[:, :, 0].astype(np.float64) - 128.0]
+        comp_q = [0]
+        comp_h = [0]
+
+    dc_codes = [_build_huff_codes(*_HUFF_DC_LUMA), _build_huff_codes(*_HUFF_DC_CHROMA)]
+    ac_codes = [_build_huff_codes(*_HUFF_AC_LUMA), _build_huff_codes(*_HUFF_AC_CHROMA)]
+
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((by * 8, bx * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[-1:, :]  # edge-replicate padding
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+
+    writer = _BitWriter()
+    pred = [0] * len(planes)
+    mcu = 0
+    for yb in range(by):
+        for xb in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                pred = [0] * len(planes)
+            mcu += 1
+            for ci, p in enumerate(padded):
+                q = qtabs[comp_q[ci]]
+                block = p[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                coeffs = _DCT_C @ block @ _DCT_C.T
+                quantized = np.round(coeffs / q).astype(np.int64)
+                zz = quantized.reshape(-1)[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size = _csize(diff)
+                code, ln = dc_codes[comp_h[ci]][size]
+                writer.write(code, ln)
+                if size:
+                    mag = diff if diff >= 0 else diff + (1 << size) - 1
+                    writer.write(mag, size)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if k > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[comp_h[ci]][0xF0]
+                        writer.write(code, ln)
+                        run -= 16
+                    size = _csize(v)
+                    code, ln = ac_codes[comp_h[ci]][(run << 4) | size]
+                    writer.write(code, ln)
+                    mag = v if v >= 0 else v + (1 << size) - 1
+                    writer.write(mag, size)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[comp_h[ci]][0x00]  # EOB
+                    writer.write(code, ln)
+    writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qtabs):
+        zz = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        out += seg(0xDB, bytes([tq]) + zz.tobytes())
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, comp_q[ci]])  # 4:4:4
+    out += seg(0xC0, sof)
+    tables = [(_HUFF_DC_LUMA, 0x00), (_HUFF_AC_LUMA, 0x10)]
+    if nc == 3:
+        tables += [(_HUFF_DC_CHROMA, 0x01), (_HUFF_AC_CHROMA, 0x11)]
+    for (bits, huffval), tclass in tables:
+        out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(huffval))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        tid = comp_h[ci]
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])  # spectral selection (baseline fixed)
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Dispatch PNG/JPEG by magic bytes -> uint8 (H, W, C)."""
+    if is_png(data):
+        return decode_png(data)
+    if is_jpeg(data):
+        return decode_jpeg(data)
+    raise NotImplementedError("unsupported image format (PNG/JPEG only)")
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:

@@ -5,9 +5,10 @@ Model: a modality column is `payload: binary` plus a metadata struct
 (mime, width/height/duration, etc.) — the same opaque-bytes shape as the
 reference's Event.MetaData (api.go:17). All Spark-side plumbing (schema,
 batch iteration, partition parallelism) is real and tested, and so are
-the codecs for the two formats decodable without binary wheels: PNG
-(from-scratch zlib+numpy decoder/encoder) and 16-bit PCM WAV (stdlib
-wave) — see functions/codecs.py. Unsupported formats (JPEG, MP3, ...)
+the codecs for the three formats decodable without binary wheels: PNG
+(from-scratch zlib+numpy decoder/encoder), baseline JPEG (from-scratch
+huffman + IDCT decoder/encoder), and 16-bit PCM WAV (stdlib wave) — see
+functions/codecs.py. Unsupported formats (progressive JPEG, MP3, video)
 raise NotImplementedError naming the format; `fake=True` substitutes the
 round-1 deterministic pseudo-codec so pipeline shape can be exercised
 with arbitrary bytes.
@@ -57,8 +58,9 @@ def decode_image(
 ) -> DataFrame:
     """Decode image payloads to (id, width, height, mean_luma).
 
-    Real codec: PNG (depth-8 gray/RGB/RGBA) via the from-scratch
-    stdlib+numpy decoder in functions/codecs.py — no PIL needed. An
+    Real codecs: PNG (depth-8 gray/RGB/RGBA) and baseline JPEG
+    (SOF0, gray + YCbCr, any sampling factors) via the from-scratch
+    stdlib+numpy decoders in functions/codecs.py — no PIL needed. An
     unsupported format raises NotImplementedError from the executor task
     (surfacing the failing payload's format). ``fake=True`` keeps the
     round-1 deterministic pseudo-decode for pipeline-shape tests with
@@ -76,7 +78,7 @@ def decode_image(
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from reflex_spark.functions.codecs import decode_png, luma
+        from reflex_spark.functions.codecs import decode_image_bytes, luma
 
         for pdf in batches:
             payloads = pdf[payload_col]
@@ -92,7 +94,7 @@ def decode_image(
                 continue
             widths, heights, lumas = [], [], []
             for b in payloads:
-                arr = decode_png(b)
+                arr = decode_image_bytes(b)
                 widths.append(arr.shape[1])
                 heights.append(arr.shape[0])
                 lumas.append(int(round(float(luma(arr).mean()))))
@@ -155,7 +157,11 @@ def resize_image(
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from reflex_spark.functions.codecs import decode_png, encode_png, resize_nearest
+        from reflex_spark.functions.codecs import (
+            decode_image_bytes,
+            encode_png,
+            resize_nearest,
+        )
 
         def pseudo(b: bytes) -> bytes:
             if not b:
@@ -166,7 +172,9 @@ def resize_image(
             return (b * reps)[:n]
 
         def real(b: bytes) -> bytes:
-            return encode_png(resize_nearest(decode_png(b), target_w, target_h))
+            # JPEG inputs accepted too; output is always PNG (lossless,
+            # deterministic) so resized payloads hash stably.
+            return encode_png(resize_nearest(decode_image_bytes(b), target_w, target_h))
 
         fn = pseudo if fake else real
         for pdf in batches:
