@@ -139,7 +139,7 @@ def events_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 30 * 60),
         1,
     ).otherwise(0)
     return (
@@ -315,7 +315,7 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60), 1
+        prev_ts.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 30 * 60), 1
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(

@@ -20,6 +20,7 @@ from reflex_spark.queries import query
 from reflex_spark.queries.helpers import sql_dsum
 from reflex_spark.streaming import Consumer, ErrHeadReached, MemCursorStore, Spec, StreamOptions, run
 from reflex_spark.streaming.materialize import MaterializedCounts
+from reflex_spark.streaming.run import run_stream
 from reflex_spark.tables import load_tables
 
 
@@ -85,3 +86,97 @@ def stream_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "stream_restart_rollup",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_restart_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged end-to-end Structured Streaming run WITH a checkpoint restart
+    (reference cursor contract, rsql/cursorstable.go:46-53: a restarted
+    consumer resumes exactly after its committed cursor).
+
+    The fixture events are replayed into a real EventLog in two phases; the
+    SAME checkpoint consumes both via ``run_stream`` (foreachBatch →
+    incremental rollup merge). Between the phases the streaming query fully
+    stops and restarts — the checkpoint's file ledger is the cursor. Any
+    checkpoint defect shows up as lost phase-1 files (missing counts) or a
+    re-read (the rollup's monotonic watermark would mask a re-read, but the
+    watermark itself then proves delivery stayed in order). The oracle is
+    the one-shot SQL aggregate over the same fixture.
+
+    Value payloads ride the canonical schema's opaque ``metadata`` bytes
+    (reference api.go:18 MetaData []byte): double → string → binary on
+    append, and back on consume. Java's double<->string round-trip is exact,
+    so the decimal rollup sum is bit-identical to the oracle's.
+    """
+    import shutil
+
+    ev = load_tables(spark, sf_dir)["events"]
+    labels = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    code_of = {lbl: i + 1 for i, lbl in enumerate(labels)}  # 0 is the noop type
+
+    type_code = F.lit(None).cast("int")
+    for lbl, code in code_of.items():
+        type_code = F.when(F.col("event_type") == lbl, code).otherwise(type_code)
+    canonical = ev.select(
+        type_code.alias("event_type"),
+        F.col("user_id").cast("string").alias("foreign_id"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.col("value").cast("string").cast("binary").alias("metadata"),
+        F.lit(None).cast("binary").alias("trace"),
+        F.col("event_id").alias("__orig_id"),
+    )
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+
+    from reflex_spark.sources.event_log import EventLog
+
+    base = tempfile.mkdtemp(prefix="stream_restart_")
+    log = EventLog(spark, f"{base}/log")
+    mat = MaterializedCounts(
+        spark, f"{base}/rollup", keys=["event_type"], value_col="value"
+    )
+
+    def consume(batch: DataFrame, meta: dict) -> None:
+        mat.apply_batch(
+            batch.withColumn("value", F.col("metadata").cast("string").cast("double")),
+            meta,
+        )
+
+    spec = Spec(
+        log,
+        MemCursorStore(),
+        Consumer("stream_restart", consume),
+        StreamOptions(drop_noops=False),
+    )
+    ckpt = f"{base}/ckpt"
+    try:
+        # Phase 1: first half (two appends → two file sets), consume to head.
+        half1 = canonical.where(F.col("__orig_id") <= mid).drop("__orig_id")
+        log.append(half1.where(F.col("event_type") % 2 == 1))
+        log.append(half1.where(F.col("event_type") % 2 == 0))
+        run_stream(spec, ckpt, available_now=True)
+        # Phase 2: append the rest, RESTART the stopped query on the same
+        # checkpoint; maxFilesPerTrigger=1 makes the resumed run multi-batch.
+        log.append(canonical.where(F.col("__orig_id") > mid).drop("__orig_id"))
+        run_stream(spec, ckpt, available_now=True, max_files_per_trigger=1)
+
+        label_col = F.lit(None).cast("string")
+        for lbl, code in code_of.items():
+            label_col = F.when(F.col("event_type") == code, lbl).otherwise(label_col)
+        out = mat.read().select(
+            label_col.alias("event_type"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -251,6 +251,7 @@ def run_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     timeout_sec: float = 120.0,
+    max_files_per_trigger: int | None = None,
 ):
     """Structured Streaming path: the checkpoint directory IS the cursor
     (offset log + commit log, SURVEY.md §1.1 Cursor row). foreachBatch
@@ -264,7 +265,7 @@ def run_stream(
     import json
     import os
 
-    stream = spec.log.read_stream(max_files_per_trigger=None)
+    stream = spec.log.read_stream(max_files_per_trigger=max_files_per_trigger)
     if spec.options.from_head:
         os.makedirs(checkpoint_dir, exist_ok=True)
         head_file = os.path.join(checkpoint_dir, "bootstrap_head.json")
@@ -294,7 +295,7 @@ def run_stream(
             # poll path's _load_batch does.
             wait = batch_df.agg(
                 (
-                    F.max(F.col("timestamp")).cast("double")
+                    F.max(F.col("timestamp")).cast("timestamp").cast("double")
                     + F.lit(float(spec.options.lag_seconds))
                     - F.current_timestamp().cast("double")
                 ).alias("wait")
