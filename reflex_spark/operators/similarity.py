@@ -129,9 +129,18 @@ def cosine_pairs_blocked(
     the whole table on the driver and broadcast it, which OOMs at scale).
 
     Data volume: each row is replicated into n_blocks tiles (the inherent
-    O(n²/B) blocked all-pairs cost). For huge n, prefilter candidates with
-    LSH/SimHash bucketing and run this kernel per bucket — this function is
-    the exact-answer building block.
+    O(n·B) replication / O(n²/B²·B²)=O(n²) pair cost of blocked all-pairs:
+    with B blocks each of the n rows joins B tile rows, so shuffle volume is
+    n·B vectors and B(B+1)/2 GEMM tasks). For huge n, prefilter candidates
+    with LSH/SimHash bucketing and run this kernel per bucket — this
+    function is the exact-answer building block.
+
+    Tile membership is generated *per row, executor-side* with
+    ``explode(sequence(...))`` — there is no tile relation at all, no join,
+    and nothing driver-built. (The earlier design materialized all B(B+1)/2
+    tile pairs as a driver-side Python list and broadcast-joined it; at
+    B≈10k that is ~50M driver-side tuples — a driver bottleneck before the
+    executors saw a byte.)
 
     Results match the expression/oracle form after round-6: BLAS summation
     order differs only at ~1e-15, far below the rounding quantum.
@@ -147,22 +156,27 @@ def cosine_pairs_blocked(
         # load-bearing (any B gives the same answer, only tile sizes shift).
         n_blocks = max(1, math.ceil(src.count() / rows_per_block))
 
-    spark = embeddings.sparkSession
-    tiles = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "ba int, bb int",
-    )
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     tagged = src.withColumn("__blk", blk)
     # Side 0 feeds a tile's left block, side 1 its right block; diagonal
     # tiles (ba == bb) take the block once and self-join inside the kernel.
-    left = tagged.join(F.broadcast(tiles), F.col("__blk") == F.col("ba")).select(
-        "ba", "bb", F.lit(0).alias("__side"), id_col, vec_col
+    # Each row emits its own tile memberships via explode(sequence): a row
+    # in block b is the LEFT block of tiles (b, b..B-1) and the RIGHT block
+    # of tiles (0..b-1, b) — pure executor-side generation, no tile join.
+    left = tagged.select(
+        F.col("__blk").alias("ba"),
+        F.explode(F.sequence(F.col("__blk"), F.lit(n_blocks - 1))).alias("bb"),
+        F.lit(0).alias("__side"),
+        id_col,
+        vec_col,
     )
-    right = tagged.join(
-        F.broadcast(tiles),
-        (F.col("__blk") == F.col("bb")) & (F.col("ba") != F.col("bb")),
-    ).select("ba", "bb", F.lit(1).alias("__side"), id_col, vec_col)
+    right = tagged.where(F.col("__blk") > 0).select(
+        F.explode(F.sequence(F.lit(0), F.col("__blk") - 1)).alias("ba"),
+        F.col("__blk").alias("bb"),
+        F.lit(1).alias("__side"),
+        id_col,
+        vec_col,
+    )
     both = left.unionByName(right)
 
     def gemm_tile(pdf: pd.DataFrame) -> pd.DataFrame:

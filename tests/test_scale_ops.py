@@ -153,8 +153,21 @@ def test_cosine_pairs_blocked_is_distributed_and_tile_invariant(spark):
     assert "toPandas" not in src_text
     assert ".collect(" not in src_text
     assert "sparkContext.broadcast" not in src_text and "sc.broadcast" not in src_text
+    # round-2 ADVICE / round-3 VERDICT #1: tile enumeration must not be a
+    # driver-built local list either.
+    assert "createDataFrame" not in src_text
 
     emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    # Plan guard: no LocalTableScan anywhere (a driver-materialized tile
+    # list would appear as one); tile membership is explode(sequence()).
+    plan = (
+        cosine_pairs_blocked(emb, 0.4, rows_per_block=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LocalTableScan" not in plan
+    assert "Generate explode" in plan
     exact = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in cosine_pairs(emb, 0.4).collect()}
     for rpb in (64, 10_000):  # many tiles vs single tile
         tiled = {
