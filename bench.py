@@ -85,6 +85,11 @@ def main() -> None:
         t0 = time.perf_counter()
         execute(name)
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Queries are independent: drop their cached intermediates so one
+        # query's cache cannot distort the next (see SCALE_NOTES.md §7 —
+        # accumulated caches inflated the 34-query total by ~40s at sf0.1).
+        # The warmup→timed cache reuse within a query is unaffected.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
