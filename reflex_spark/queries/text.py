@@ -214,7 +214,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8)
 
 
-@query("dedup_simhash")  # bit-twiddling parity in SQL not worth it: rows-only check
+@query(
+    "dedup_simhash",
+    # Full bit-parity oracle (round-4, VERDICT r3 #4): replicate the 60-bit
+    # md5 bit-vote pipeline in DuckDB. Token hash = first 15 md5 hex chars
+    # as a bigint (built with integer shifts — power() is a double and
+    # loses bits past 2^53); votes per bit over distinct tokens; bit = vote
+    # > 0; block join on the 4 hex prefixes; exact popcount verify.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 14),
+               j -> (strpos('0123456789abcdef', substr(md5(t), j + 1, 1)) - 1)::BIGINT
+                    << (4 * (14 - j)))) AS BIGINT) AS hv
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, generate_series(0, 59) AS g(i)
+      GROUP BY doc_id, i
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS f
+      FROM votes GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, f, lpad(to_hex(f), 16, '0') AS sh FROM fp),
+    blocks AS (
+      SELECT doc_id, f, i AS block_idx, substr(sh, 1 + 4 * i, 4) AS block_key
+      FROM sig, generate_series(0, 3) AS g(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
+      FROM blocks a
+      JOIN blocks b ON a.block_idx = b.block_idx AND a.block_key = b.block_key
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 8
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit) near-dup pairs with Hamming <= 8, blocked on 4-hex
     prefixes (pigeonhole guarantees recall for distance <= 8 with 15 hex
