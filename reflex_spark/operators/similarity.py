@@ -318,6 +318,135 @@ def lsh_signs(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def lsh_bucket_int(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature as an integer (bit p-1-i set when plane i's dot
+    is >= 0 — MSB-first, so int and string forms sort identically)."""
+    p = len(planes)
+    b = F.lit(0)
+    for i, plane in enumerate(planes):
+        b = b + F.when(
+            dot(vec, F.array(*[F.lit(v).cast("float") for v in plane])) >= 0,
+            F.lit(1 << (p - 1 - i)),
+        ).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    num_planes: int = 4,
+    max_hamming: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN for a (small) query set: score candidates in
+    every bucket within ``max_hamming`` bit flips of each query's
+    signature. Returns per-query top-k: (__q_id, vec_id, cos_sim, rank).
+
+    This is the standard recall lever for sign LSH: r=0 is the classic
+    single-bucket probe; r=num_planes scans everything (exact). The probe
+    set is enumerated as an explicit bucket list (2^p patterns filtered by
+    popcount of the XOR), so candidate selection stays an equi-join on the
+    bucket key — at 100 TB the bucket is a partition key and a probe reads
+    C(p, <=r) partitions, never the full table. Each row matches exactly
+    one bucket, so the join cannot duplicate candidates.
+    """
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(num_planes, dim)
+    emb_b = embeddings.withColumn("__bucket", lsh_bucket_int(F.col(vec_col), planes))
+    q = queries.select(
+        F.col(id_col).alias("__q_id"),
+        F.col(vec_col).alias("__q_vec"),
+        lsh_bucket_int(F.col(vec_col), planes).alias("__q_bucket"),
+    )
+    probes = (
+        q.select(
+            "__q_id",
+            "__q_vec",
+            "__q_bucket",
+            F.explode(F.sequence(F.lit(0), F.lit((1 << num_planes) - 1))).alias("__bucket"),
+        )
+        .where(
+            F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__q_bucket"))) <= max_hamming
+        )
+        .drop("__q_bucket")
+    )
+    scored = (
+        emb_b.join(F.broadcast(probes), "__bucket")
+        .where(F.col(id_col) != F.col("__q_id"))
+        .select(
+            "__q_id",
+            id_col,
+            cosine(F.col(vec_col), F.col("__q_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("__q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def exact_topk_multi(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact per-query top-k for a (small, broadcast) query set:
+    (__q_id, vec_id, cos_sim, rank). The ground truth for recall checks."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__q_vec"))
+    scored = (
+        embeddings.join(F.broadcast(q))
+        .where(F.col(id_col) != F.col("__q_id"))
+        .select("__q_id", id_col, cosine(F.col(vec_col), F.col("__q_vec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("__q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk_multi(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN for a (small) query set in ONE pass over the table:
+    (__q_id, vec_id, cos_sim, rank). Per-query probe lists are computed
+    driver-side from the bounded centroid set (n_lists × n_queries scalar
+    distances — control-plane work) and broadcast; candidate selection is
+    `ivf_list IN probe_lists[q]`, so at scale a probe still reads n_probe
+    list-partitions per query instead of the full table."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    assigned, centroids = ivf_assign(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded query set
+    spark = embeddings.sparkSession
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r[vec_col], dtype=np.float64)
+        lists = np.argsort(((centroids - qv) ** 2).sum(axis=1))[:n_probe].tolist()
+        probe_rows.append((r[id_col], list(r[vec_col]), [int(x) for x in lists]))
+    q = spark.createDataFrame(
+        probe_rows, "__q_id long, __q_vec array<float>, __q_lists array<int>"
+    )
+    scored = (
+        assigned.join(F.broadcast(q), F.array_contains(F.col("__q_lists"), F.col("ivf_list")))
+        .where(F.col(id_col) != F.col("__q_id"))
+        .select("__q_id", id_col, cosine(F.col(vec_col), F.col("__q_vec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("__q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query: DataFrame,
