@@ -180,3 +180,141 @@ def stream_restart_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_watermark_rollup",
+    # The oracle REPLAYS Spark's watermark semantics, measured empirically
+    # on this engine (see tests/test_streaming_windows.py watermark-rule
+    # test): with per-file micro-batches, the late filter for batch k uses
+    # the watermark computed from event time seen through batch k-2 (the
+    # reported watermark itself lags one batch), and a row is dropped iff
+    # its window END <= that cutoff (equality drops — verified at the
+    # boundary). All ts math is CAST to microseconds: Spark truncates the
+    # fixture's nanos to micros, and ntile order / cutoff comparisons must
+    # agree to the exact tie.
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             (event_id % 23 = 0) AS late
+      FROM events
+    ),
+    ontime AS (
+      SELECT event_id, ts, value,
+             ntile(2) OVER (ORDER BY ts, event_id) - 1 AS b
+      FROM base WHERE NOT late
+    ),
+    batched AS (
+      SELECT ts, value, b FROM ontime
+      UNION ALL
+      SELECT ts, value, 2 AS b FROM base WHERE late
+    ),
+    batch_max AS (SELECT b, MAX(ts) AS mx FROM batched GROUP BY b),
+    phi AS (
+      SELECT b,
+             MAX(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - INTERVAL 30 MINUTE AS cutoff
+      FROM batch_max
+    ),
+    kept AS (
+      SELECT bd.ts, bd.value
+      FROM batched bd JOIN phi ON bd.b = phi.b
+      WHERE phi.cutoff IS NULL
+         OR date_trunc('hour', bd.ts) + INTERVAL 1 HOUR > phi.cutoff
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM kept
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged event-time streaming with a REAL watermark and injected late
+    data (VERDICT r3 #6; reference anchor: the lag/at-least-once contract,
+    run.go:79-87 and README "Characteristics" — reflex delays delivery
+    rather than dropping, so the watermark late-drop rule is the Spark-side
+    dual of that contract and is pinned here end-to-end).
+
+    Every 23rd fixture event is held back and appended LAST (the straggler
+    batch); the on-time remainder is appended in two event-time halves so
+    the watermark genuinely advances between micro-batches
+    (maxFilesPerTrigger=1 → one batch per append, mtimes strictly ordered).
+    The streaming query is withWatermark('timestamp', '30 minutes') →
+    hourly tumbling window agg in update mode; stragglers whose window fell
+    behind the watermark are dropped by Spark itself. The DuckDB oracle
+    recomputes the same batch schedule and drop rule from first principles,
+    so a hash match proves the engine's REAL late-data behavior, not a
+    mock of it.
+
+    The foreachBatch merge overwrites per-window rows (update-mode
+    emissions are cumulative); the final dict is bounded by the number of
+    hourly windows — control-plane size, like MaterializedCounts.
+    """
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from reflex_spark.sources.event_log import EventLog
+
+    ev = load_tables(spark, sf_dir)["events"]
+    late = F.col("event_id") % 23 == 0
+    w = Window.orderBy("ts", "event_id")  # bounded fixture: single-pass ntile
+    ontime = ev.where(~late).withColumn("__b", F.ntile(2).over(w) - 1)
+    parts = [
+        ontime.where(F.col("__b") == 0),
+        ontime.where(F.col("__b") == 1),
+        ev.where(late),
+    ]
+
+    base = tempfile.mkdtemp(prefix="stream_wm_")
+    log = EventLog(spark, f"{base}/log")
+    final: dict = {}
+
+    def merge(batch_df: DataFrame, _bid: int) -> None:
+        # update-mode emissions are cumulative per window: overwrite-merge.
+        for r in batch_df.collect():  # bounded: one row per hourly window
+            final[r["window_start"]] = (r["n_events"], r["sum_value"])
+
+    try:
+        for p in parts:
+            log.append(
+                p.select(
+                    F.lit(1).alias("event_type"),
+                    F.col("user_id").cast("string").alias("foreign_id"),
+                    F.col("ts").cast("timestamp").alias("timestamp"),
+                    F.col("value").cast("string").cast("binary").alias("metadata"),
+                    F.lit(None).cast("binary").alias("trace"),
+                )
+            )
+            _time.sleep(0.1)  # strictly-ordered file mtimes → batch order
+        agg = (
+            log.read_stream(max_files_per_trigger=1)
+            .withColumn("value", F.col("metadata").cast("string").cast("double"))
+            .withWatermark("timestamp", "30 minutes")
+            .groupBy(F.window("timestamp", "1 hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            )
+            .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(k, n, s) for k, (n, s) in sorted(final.items())],
+        "window_start timestamp, n_events long, sum_value double",
+    )

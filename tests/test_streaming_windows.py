@@ -136,3 +136,92 @@ def test_stream_static_dimension_join(spark, tmp_path):
     out = run_to_memory(enriched, "ssd_t", "append", spark)
     rows = {r["foreign_id"]: r["tier"] for r in out.collect()}
     assert rows == {"u1": "gold", "u2": "silver", "u3": None}
+
+
+def test_watermark_late_drop_rule(spark, tmp_path):
+    """Pin the EMPIRICAL late-drop semantics the stream_watermark_rollup
+    oracle replays (measured on pyspark 4.1.2, availableNow + per-file
+    micro-batches, update mode):
+
+    - the filter for batch k uses the watermark computed from event time
+      seen through batch k-2 (the reported watermark lags one batch);
+    - a row is dropped iff its window END <= that cutoff — equality DROPS.
+
+    Three single-file batches; delay 30m; hourly windows. Batch 0's max ts
+    is 11:30, so the batch-2 cutoff is exactly 11:00: the 10:20 straggler
+    (window end 11:00) must drop on the boundary, 11:10 (window end 12:00)
+    must survive, and batch 1's straggler must NOT drop (its cutoff comes
+    from batch -1 = none).
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    def mk(ts_list):
+        return spark.createDataFrame([(t,) for t in ts_list], "ts string").select(
+            F.col("ts").cast("timestamp").alias("ts")
+        )
+
+    src = str(tmp_path / "in")
+    mk(["2020-01-01 10:15:00", "2020-01-01 11:30:00"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(0.2)
+    # batch 1: straggler 10:20 — filter cutoff for batch 1 is from batch
+    # -1 (none) → kept even though the reported watermark is already 11:00
+    mk(["2020-01-01 10:20:00", "2020-01-01 11:45:00"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(0.2)
+    # batch 2: cutoff = max ts of batch 0 (11:30) - 30m = 11:00 exactly
+    mk(["2020-01-01 10:20:00", "2020-01-01 11:10:00"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    updates = []
+
+    def handle(bdf, bid):
+        updates.append(
+            (bid, sorted((str(r["window"]["start"]), r["cnt"]) for r in bdf.collect()))
+        )
+
+    stream = spark.readStream.schema("ts timestamp").option("maxFilesPerTrigger", 1).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_batch = dict(updates)
+    # batch 1: straggler accepted (win 10:00 → 2), 11:45 lands in win 11:00
+    assert ("2020-01-01 10:00:00", 2) in by_batch[1]
+    # batch 2: 10:20 dropped ON the boundary (no win-10 update), 11:10 kept
+    assert by_batch[2] == [("2020-01-01 11:00:00", 3)]
+
+
+def test_stream_watermark_rollup_drops_stragglers(spark):
+    """The judged watermark query must actually exercise the drop path:
+    some of the held-back every-23rd events fall behind the watermark and
+    are dropped, others survive — never all or none."""
+    from pyspark.sql import functions as F
+
+    from reflex_spark.queries import all_queries
+    from reflex_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    total = load_tables(spark, sf)["events"].count()
+    late_pool = load_tables(spark, sf)["events"].where(F.col("event_id") % 23 == 0).count()
+    kept = (
+        all_queries()["stream_watermark_rollup"](spark, sf)
+        .agg(F.sum("n_events"))
+        .collect()[0][0]
+    )
+    dropped = total - kept
+    assert 0 < dropped < late_pool, f"dropped {dropped} of {late_pool} stragglers"
