@@ -88,6 +88,37 @@ def stream_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canonical_events(ev: DataFrame):
+    """Map the fixture's string event types onto the canonical log schema
+    (int event_type; 0 reserved for noops) with the double ``value`` riding
+    the opaque metadata bytes (reference api.go:18 MetaData []byte).
+    Returns (canonical_df with __orig_id, label→code dict). Java's
+    double<->string round-trip is exact, so decimal rollup sums stay
+    bit-identical to the oracle's."""
+    labels = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    code_of = {lbl: i + 1 for i, lbl in enumerate(labels)}
+    type_code = F.lit(None).cast("int")
+    for lbl, code in code_of.items():
+        type_code = F.when(F.col("event_type") == lbl, code).otherwise(type_code)
+    canonical = ev.select(
+        type_code.alias("event_type"),
+        F.col("user_id").cast("string").alias("foreign_id"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.col("value").cast("string").cast("binary").alias("metadata"),
+        F.lit(None).cast("binary").alias("trace"),
+        F.col("event_id").alias("__orig_id"),
+    )
+    return canonical, code_of
+
+
+def _label_back(code_of: dict):
+    """Inverse of _canonical_events' type coding, as a Column."""
+    label_col = F.lit(None).cast("string")
+    for lbl, code in code_of.items():
+        label_col = F.when(F.col("event_type") == code, lbl).otherwise(label_col)
+    return label_col
+
+
 @query(
     "stream_restart_rollup",
     oracle=f"""
@@ -120,20 +151,7 @@ def stream_restart_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     ev = load_tables(spark, sf_dir)["events"]
-    labels = sorted(r[0] for r in ev.select("event_type").distinct().collect())
-    code_of = {lbl: i + 1 for i, lbl in enumerate(labels)}  # 0 is the noop type
-
-    type_code = F.lit(None).cast("int")
-    for lbl, code in code_of.items():
-        type_code = F.when(F.col("event_type") == lbl, code).otherwise(type_code)
-    canonical = ev.select(
-        type_code.alias("event_type"),
-        F.col("user_id").cast("string").alias("foreign_id"),
-        F.col("ts").cast("timestamp").alias("timestamp"),
-        F.col("value").cast("string").cast("binary").alias("metadata"),
-        F.lit(None).cast("binary").alias("trace"),
-        F.col("event_id").alias("__orig_id"),
-    )
+    canonical, code_of = _canonical_events(ev)
     mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
 
     from reflex_spark.sources.event_log import EventLog
@@ -168,11 +186,8 @@ def stream_restart_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.append(canonical.where(F.col("__orig_id") > mid).drop("__orig_id"))
         run_stream(spec, ckpt, available_now=True, max_files_per_trigger=1)
 
-        label_col = F.lit(None).cast("string")
-        for lbl, code in code_of.items():
-            label_col = F.when(F.col("event_type") == code, lbl).otherwise(label_col)
         out = mat.read().select(
-            label_col.alias("event_type"),
+            _label_back(code_of).alias("event_type"),
             F.col("n_events").cast("long").alias("n_events"),
             F.col("sum_value").cast("double").alias("sum_value"),
         )
@@ -318,3 +333,96 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, n, s) for k, (n, s) in sorted(final.items())],
         "window_start timestamp, n_events long, sum_value double",
     )
+
+
+@query(
+    "stream_sharded_rollup",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_sharded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged end-to-end sharded-log consume (VERDICT r3 #7): the
+    Kafka-partition scale-out model the reference README cites, proven the
+    way stream_rollup_counts proves the single log.
+
+    Fixture events are routed into a 3-shard ShardedEventLog by foreign_id
+    hash (per-shard dense ids → per-key order, sharded_log.py); each shard
+    is consumed by its OWN poll-loop Spec with its own cursor and its own
+    MaterializedCounts rollup, in ~3 batches per shard (at-least-once,
+    cursor store, batch limits — the full consume machinery per shard).
+    The merged result re-aggregates the per-shard rollups; decimal sums
+    make the shard merge bit-identical to the one-shot SQL aggregate, so
+    the oracle catches any event lost to mis-routing, any double-consume,
+    and any shard whose cursor skipped a batch.
+    """
+    import shutil
+
+    from reflex_spark.sources.sharded_log import ShardedEventLog
+
+    ev = load_tables(spark, sf_dir)["events"]
+    canonical, code_of = _canonical_events(ev)
+
+    n_shards = 3
+    base = tempfile.mkdtemp(prefix="stream_sharded_")
+    slog = ShardedEventLog(spark, f"{base}/log", n_shards=n_shards)
+    try:
+        slog.append(canonical.drop("__orig_id"), key_col="foreign_id")
+
+        mats = []
+        for m, shard in enumerate(slog.shards):
+            mat = MaterializedCounts(
+                spark, f"{base}/rollup/shard={m}", keys=["event_type"], value_col="value"
+            )
+            mats.append(mat)
+
+            def consume(batch: DataFrame, meta: dict, _mat=mat) -> None:
+                _mat.apply_batch(
+                    batch.withColumn(
+                        "value", F.col("metadata").cast("string").cast("double")
+                    ),
+                    meta,
+                )
+
+            head = shard.head()
+            spec = Spec(
+                shard,
+                MemCursorStore(),
+                Consumer(f"sharded_rollup_{m}_of_{n_shards}", consume),
+                StreamOptions(
+                    to_head=True,
+                    batch_limit=max(1, head // 3 + 1),
+                    drop_noops=False,
+                ),
+            )
+            try:
+                run(spec)
+            except ErrHeadReached:
+                pass
+
+        merged = None
+        for mat in mats:
+            df = mat.read().select("event_type", "n_events", "sum_value")
+            merged = df if merged is None else merged.unionByName(df)
+        out = (
+            merged.groupBy("event_type")
+            .agg(
+                F.sum(F.col("n_events").cast("long")).alias("n_events"),
+                # per-shard sums are decimal-exact; their merge re-enters
+                # decimal so the 3-way shard split can't perturb the total
+                F.sum(F.col("sum_value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                _label_back(code_of).alias("event_type"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
