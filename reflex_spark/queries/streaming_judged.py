@@ -181,9 +181,13 @@ def stream_restart_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.append(half1.where(F.col("event_type") % 2 == 1))
         log.append(half1.where(F.col("event_type") % 2 == 0))
         run_stream(spec, ckpt, available_now=True)
-        # Phase 2: append the rest, RESTART the stopped query on the same
-        # checkpoint; maxFilesPerTrigger=1 makes the resumed run multi-batch.
-        log.append(canonical.where(F.col("__orig_id") > mid).drop("__orig_id"))
+        # Phase 2: append the rest as TWO appends (each append is one
+        # part-file, so one file would mean one micro-batch), then RESTART
+        # the stopped query on the same checkpoint; maxFilesPerTrigger=1
+        # makes the resumed run genuinely multi-batch.
+        half2 = canonical.where(F.col("__orig_id") > mid).drop("__orig_id")
+        log.append(half2.where(F.col("event_type") % 2 == 1))
+        log.append(half2.where(F.col("event_type") % 2 == 0))
         run_stream(spec, ckpt, available_now=True, max_files_per_trigger=1)
 
         out = mat.read().select(

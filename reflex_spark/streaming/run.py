@@ -261,7 +261,17 @@ def run_stream(
     recorded beside the checkpoint and events at or below it are filtered
     for the lifetime of the query — restarts reuse the recorded head, so
     the boundary never moves (reference rpatterns/bootstrap.go: skip
-    history only when no cursor exists)."""
+    history only when no cursor exists).
+
+    ``max_files_per_trigger`` PRECONDITION: the file source orders batches
+    by (mtime, path), not event_id. Consumers that dedup on a max-id
+    watermark (MaterializedCounts.apply_batch) would silently drop a
+    lower-id batch delivered after a higher-id one. This holds today
+    because EventLog.append writes ONE part-file per append with ids
+    assigned by a single global row_number — so file order == id order as
+    long as appends are sequential. If appends ever produce multiple files
+    with interleaved ids, key the consumer's dedup on the actual delivered
+    ids instead of the max-id watermark."""
     import json
     import os
 
@@ -313,6 +323,15 @@ def run_stream(
     query.awaitTermination(timeout_sec)
     if query.isActive:
         query.stop()
+        if available_now:
+            # availableNow promises "consume to head then stop"; expiring
+            # the timeout mid-stream would silently hand callers a PARTIAL
+            # result (e.g. a rollup missing the tail batches). Fail loudly —
+            # the checkpoint keeps at-least-once intact for a retry.
+            raise TimeoutError(
+                f"run_stream(available_now=True) timed out after {timeout_sec}s "
+                "before reaching head; results would be partial"
+            )
     if query.exception() is not None:
         raise query.exception()
     return query
