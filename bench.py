@@ -61,6 +61,11 @@ HEADLINE = [
     "sim_ann_ivf_topk",
     "sim_ann_lsh_topk",
     "stream_rollup_counts",
+    # round 4 additions: recall invariants + the two new end-to-end
+    # streaming shapes, so regressions there are visible round-over-round
+    "sim_ann_recall",
+    "stream_watermark_rollup",
+    "stream_sharded_rollup",
 ]
 
 
