@@ -4,11 +4,12 @@ the stdlib wave module).
 
 No PIL/opencv/ffmpeg exists in this environment, so these are complete
 from-scratch implementations of the three formats decodable without binary
-wheels: PNG bit-depth 8 in grayscale/RGB/RGBA (non-interlaced), baseline
-(SOF0) JPEG in grayscale/YCbCr with arbitrary sampling factors, and 16-bit
-PCM WAV. Anything else (progressive JPEG, MP3, video) raises
-NotImplementedError with the format named — the multimodal operators
-surface that per-payload.
+wheels: PNG bit-depth 8 in grayscale/RGB/RGBA (non-interlaced), JPEG in
+grayscale/YCbCr with arbitrary sampling factors — both baseline (SOF0,
+with restart markers) and progressive (SOF2: spectral selection +
+successive approximation, round 4) — and 16-bit PCM WAV. Anything else
+(arithmetic/hierarchical JPEG, MP3, video) raises NotImplementedError
+with the format named — the multimodal operators surface that per-payload.
 
 Perf posture (round 4, vectorized): PNG unfilter batches runs of
 None/Sub/Up rows through 2D uint8-wraparound cumsums (Sub is a per-channel
@@ -451,10 +452,12 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 array (H, W, C) with C=1 (grayscale)
-    or C=3 (RGB via JFIF full-range YCbCr). Supports SOF0 8-bit with
-    arbitrary sampling factors and restart intervals; progressive /
-    arithmetic / 12-bit raise NotImplementedError.
+    """JPEG bytes -> uint8 array (H, W, C) with C=1 (grayscale) or C=3
+    (RGB via JFIF full-range YCbCr). Supports 8-bit baseline (SOF0) and
+    progressive (SOF2 — spectral selection + successive approximation,
+    round 4) with arbitrary sampling factors; baseline also handles
+    restart intervals. Arithmetic / hierarchical / 12-bit raise
+    NotImplementedError.
 
     Spark-side callers (operators/multimodal.py) run this executor-side
     inside mapInPandas — the driver never sees payload bytes.
@@ -504,9 +507,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2 progressive: its own multi-scan decoder
+            return _decode_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"unsupported JPEG frame type SOF{marker - 0xC0} (baseline SOF0 only)"
+                f"unsupported JPEG frame type SOF{marker - 0xC0} (SOF0/SOF2 only)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -671,14 +676,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         raise ValueError("JPEG AC run overflow")
                     app(base + (k << 12) + (mag + 2048))
                     k += 1
-    out_planes = []
-    for (cid, hi, vi, tq), (_c, _nb, _d, _a, _app, packed) in zip(comps, comp_meta):
+    zz_of = {}
+    for (cid, hi, vi, _tq), (_c, _nb, _d, _a, _app, packed) in zip(comps, comp_meta):
         nb = n_mcus * vi * hi
         pk = np.array(packed, np.int64)
         zz_flat = np.zeros(nb * 64, np.int32)
         zz_flat[pk >> 12] = (pk & 4095) - 2048  # ONE scatter per component
+        zz_of[cid] = zz_flat.reshape(nb, 64)
+    return _assemble_image(comps, quant, zz_of, h, w, mcux, mcuy, hmax, vmax)
+
+
+def _assemble_image(comps, quant, zz_of, h, w, mcux, mcuy, hmax, vmax) -> np.ndarray:
+    """Shared reconstruction tail for baseline + progressive decode:
+    per-component zigzag coefficient matrices (nb, 64) → un-zigzag,
+    dequantize, batched IDCT, plane scatter, upsample, color convert."""
+    out_planes = []
+    for cid, hi, vi, tq in comps:
+        zz_mat = zz_of[cid]
+        nb = zz_mat.shape[0]
         nat = np.zeros((nb, 64), np.int32)
-        nat[:, _ZIGZAG] = zz_flat.reshape(nb, 64)  # un-zigzag every block
+        nat[:, _ZIGZAG] = zz_mat  # un-zigzag every block at once
         deq = nat.reshape(-1, 8, 8).astype(np.float64) * quant[tq]
         blocks = _DCT_C.T @ deq @ _DCT_C  # batched IDCT (matmul broadcasts)
         p = (
@@ -700,6 +717,226 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded span starting at ``pos``: returns (RST-split,
+    FF00-unstuffed segments, position of the terminating marker)."""
+    m = re.search(rb"\xff(?=[^\x00\xd0-\xd7])", data[pos:])
+    end = pos + m.start() if m else len(data)
+    entropy = data[pos:end]
+    segs = [s.replace(b"\xff\x00", b"\xff") for s in re.split(rb"\xff[\xd0-\xd7]", entropy)]
+    return segs, end
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2): spectral-selection + successive-
+    approximation scans per ITU-T T.81 G.2, including DC/AC refinement
+    and EOB-run coding. Coefficients accumulate across scans in zigzag
+    order; reconstruction shares the baseline tail (_assemble_image).
+
+    Perf posture: progressive is the honest slow path (a _BitReader per
+    scan, per-coefficient Python) — the multi-scan structure defeats the
+    baseline decoder's single-pass combined LUT. Roughly baseline-scalar
+    speed; fine for thumbnail/feature payloads, and the PIL swap-in seam
+    applies here too.
+    """
+    quant: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, list[int]] = {}
+    ac_tabs: dict[int, list[int]] = {}
+    frame = None
+    restart_interval = 0
+    scans = []  # (scomps=[(cid, dc_lut|None, ac_lut|None)], Ss, Se, Ah, Al, ri, segments)
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
+                    i += 128
+                nat = np.empty(64, dtype=np.int64)
+                nat[_ZIGZAG] = tbl
+                quant[tq] = nat.reshape(8, 8)
+        elif marker == 0xC2:
+            precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if precision != 8:
+                raise NotImplementedError(f"unsupported JPEG precision {precision}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nsym = sum(bits)
+                huffval = list(seg[i + 17 : i + 17 + nsym])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huff_decoder(bits, huffval)
+                i += 17 + nsym
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                td, ta = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF
+                scomps.append((cs, dc_tabs.get(td), ac_tabs.get(ta)))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            segments, pos = _entropy_segments(data, pos)
+            scans.append((scomps, ss, se, ah, al, restart_interval, segments))
+    if frame is None or not scans:
+        raise ValueError("JPEG missing SOF2/SOS")
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_cid = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+    # zigzag-order coefficient store per comp (Python list: the scan loops
+    # are per-coefficient Python; numpy scalar writes would be slower)
+    coef = {cid: [0] * (mcux * hi * mcuy * vi * 64) for cid, hi, vi, _ in comps}
+
+    for scomps, ss, se, ah, al, ri, segments in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("bad progressive scan: DC scan with Se != 0")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("bad progressive scan: interleaved AC scan")
+        reader = _BitReader(segments[0])
+        seg_idx = 0
+        eobrun = 0
+        preds = {cid: 0 for cid, _d, _a in scomps}
+        p1, m1 = 1 << al, -1 << al
+
+        def restart():
+            nonlocal reader, seg_idx, eobrun, preds
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            eobrun = 0
+            preds = {cid: 0 for cid, _d, _a in scomps}
+
+        if len(scomps) > 1:  # interleaved: DC scans only (enforced above)
+            for mcu in range(mcux * mcuy):
+                if ri and mcu and mcu % ri == 0:
+                    restart()
+                my, mx = divmod(mcu, mcux)
+                for cid, dc_lut, _ac in scomps:
+                    hi, vi = by_cid[cid]
+                    cf = coef[cid]
+                    for blk in range(vi * hi):
+                        base = (mcu * vi * hi + blk) * 64
+                        if ah == 0:  # DC first
+                            size = reader.decode_symbol(dc_lut)
+                            preds[cid] += _extend(reader.read_bits(size), size)
+                            cf[base] = preds[cid] << al
+                        elif reader.read_bits(1):  # DC refinement bit
+                            cf[base] |= p1
+        else:  # non-interleaved: the component's own block grid
+            cid, dc_lut, ac_lut = scomps[0]
+            hi, vi = by_cid[cid]
+            cf = coef[cid]
+            wb = (-(-(w * hi) // hmax) + 7) // 8
+            hb = (-(-(h * vi) // vmax) + 7) // 8
+            unit = 0
+            for by in range(hb):
+                for bx in range(wb):
+                    if ri and unit and unit % ri == 0:
+                        restart()
+                    unit += 1
+                    bi = ((by // vi) * mcux + bx // hi) * (vi * hi) + (by % vi) * hi + bx % hi
+                    base = bi * 64
+                    if ss == 0:
+                        if ah == 0:
+                            size = reader.decode_symbol(dc_lut)
+                            preds[cid] += _extend(reader.read_bits(size), size)
+                            cf[base] = preds[cid] << al
+                        elif reader.read_bits(1):
+                            cf[base] |= p1
+                    elif ah == 0:  # AC first (T.81 G.2.2 / EOB-run coding)
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = reader.decode_symbol(ac_lut)
+                            r, s = rs >> 4, rs & 15
+                            if s:
+                                k += r
+                                if k > se:
+                                    raise ValueError("JPEG AC band overflow")
+                                cf[base + k] = _extend(reader.read_bits(s), s) << al
+                                k += 1
+                            else:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.read_bits(r)
+                                    eobrun -= 1  # counts this block
+                                    break
+                                k += 16  # ZRL
+                    else:  # AC refinement (T.81 G.2.3)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = reader.decode_symbol(ac_lut)
+                                r, s = rs >> 4, rs & 15
+                                val = 0
+                                if s:
+                                    # magnitude in a refinement scan is 1
+                                    val = p1 if reader.read_bits(1) else m1
+                                elif r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.read_bits(r)
+                                    break
+                                # advance: correct already-nonzero coeffs,
+                                # count r zero-history positions
+                                while k <= se:
+                                    c = cf[base + k]
+                                    if c:
+                                        if reader.read_bits(1) and not (c & p1):
+                                            cf[base + k] = c + (p1 if c >= 0 else m1)
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if s and k <= se:
+                                    cf[base + k] = val
+                                k += 1
+                        if eobrun > 0:
+                            # EOB-run tail: correction bits only
+                            while k <= se:
+                                c = cf[base + k]
+                                if c and reader.read_bits(1) and not (c & p1):
+                                    cf[base + k] = c + (p1 if c >= 0 else m1)
+                                k += 1
+                            eobrun -= 1
+
+    zz_of = {
+        cid: np.array(coef[cid], np.int32).reshape(-1, 64) for cid, *_ in comps
+    }
+    return _assemble_image(comps, quant, zz_of, h, w, mcux, mcuy, hmax, vmax)
 
 
 class _BitWriter:
@@ -852,6 +1089,258 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75, restart_interval: int = 0) -
     sos += bytes([0, 63, 0])  # spectral selection (baseline fixed)
     out += seg(0xDA, sos)
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# libjpeg-style default progression: coarse DC first (Al=1), low AC bands,
+# then successive-approximation refinements, DC refine, AC refines.
+_PROG_SCRIPT_3 = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_PROG_SCRIPT_1 = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 75, scans: list | None = None
+) -> bytes:
+    """uint8 (H, W), (H, W, 1) or (H, W, 3 RGB) -> progressive (SOF2)
+    JPEG bytes, 4:4:4, with a libjpeg-style default scan script (spectral
+    selection + successive approximation, EOB-run coding, buffered
+    refinement bits per T.81 G.3). ``scans`` overrides the script as
+    [(comp_indices, Ss, Se, Ah, Al), ...].
+
+    The quantized coefficients are computed with the EXACT per-block
+    sequence of the baseline encoder, so a progressive stream of an image
+    decodes byte-identically to its baseline stream (pinned in
+    tests/test_codecs.py) — progressive coding is a lossless reordering
+    of the same coefficients. Deterministic; no restart markers.
+    """
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch not in (1, 3):
+        raise NotImplementedError(f"unsupported channel count {ch}")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qtabs = []
+    for base in (_QUANT_LUMA, _QUANT_CHROMA)[: (1 if ch == 1 else 2)]:
+        q = np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+        qtabs.append(q.reshape(8, 8))
+
+    if ch == 3:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        comp_q = [0, 1, 1]
+        comp_h = [0, 1, 1]
+    else:
+        planes = [a[:, :, 0].astype(np.float64) - 128.0]
+        comp_q = [0]
+        comp_h = [0]
+    scans = scans if scans is not None else (_PROG_SCRIPT_3 if ch == 3 else _PROG_SCRIPT_1)
+
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((by * 8, bx * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[-1:, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+
+    # Quantized zigzag coefficients, same per-block math as encode_jpeg
+    # (bit-identical coefficients are what make the equivalence test valid)
+    zz_comp = []
+    for ci, p in enumerate(padded):
+        q = qtabs[comp_q[ci]]
+        rows = []
+        for yb in range(by):
+            for xb in range(bx):
+                block = p[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                coeffs = _DCT_C @ block @ _DCT_C.T
+                quantized = np.round(coeffs / q).astype(np.int64)
+                rows.append(quantized.reshape(-1)[_ZIGZAG])
+        zz_comp.append([r.tolist() for r in rows])
+    nb = by * bx
+
+    dc_codes = [_build_huff_codes(*_HUFF_DC_LUMA), _build_huff_codes(*_HUFF_DC_CHROMA)]
+    ac_codes = [_build_huff_codes(*_HUFF_AC_LUMA), _build_huff_codes(*_HUFF_AC_CHROMA)]
+
+    def scan_bytes(comp_idx: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first (interleaved in comp order)
+            pred = {ci: 0 for ci in comp_idx}
+            for bi in range(nb):
+                for ci in comp_idx:
+                    t = zz_comp[ci][bi][0] >> al  # arithmetic shift, T.81 G.1.2.1
+                    diff = t - pred[ci]
+                    pred[ci] = t
+                    size = _csize(diff)
+                    code, ln = dc_codes[comp_h[ci]][size]
+                    wtr.write(code, ln)
+                    if size:
+                        mag = diff if diff >= 0 else diff + (1 << size) - 1
+                        wtr.write(mag, size)
+        elif ss == 0:  # DC refinement: one raw bit per block
+            for bi in range(nb):
+                for ci in comp_idx:
+                    wtr.write((zz_comp[ci][bi][0] >> al) & 1, 1)
+        elif ah == 0:  # AC first: EOB-run coded band
+            (ci,) = comp_idx
+            codes = ac_codes[comp_h[ci]]
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    code, ln = codes[n << 4]
+                    wtr.write(code, ln)
+                    if n:
+                        wtr.write(eobrun - (1 << n), n)
+                    eobrun = 0
+
+            for bi in range(nb):
+                blk = zz_comp[ci][bi]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = blk[k]
+                    mag = (v if v >= 0 else -v) >> al
+                    if mag == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        code, ln = codes[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    size = mag.bit_length()
+                    code, ln = codes[(run << 4) | size]
+                    wtr.write(code, ln)
+                    sval = mag if v >= 0 else -mag
+                    wtr.write(sval if sval >= 0 else sval + (1 << size) - 1, size)
+                    run = 0
+                if run:
+                    # Cap runs at 1 (plain EOB0): the Annex K tables carry
+                    # no EOBn (n>0) symbols — longer runs need custom
+                    # huffman tables. The decoder handles full EOBn runs
+                    # (tests craft them with a custom table).
+                    eobrun += 1
+                    flush_eob()
+            flush_eob()
+        else:  # AC refinement (T.81 G.3 / buffered correction bits)
+            (ci,) = comp_idx
+            codes = ac_codes[comp_h[ci]]
+            eobrun = 0
+            # Two buffers, as in the reference algorithm: bits owned by the
+            # pending EOB run flush WITH the EOB symbol; bits accrued in
+            # the current block since the last symbol flush AFTER the next
+            # symbol. Conflating them desynchronizes the decoder.
+            be_bits: list[int] = []  # owned by the pending EOB run
+            br_bits: list[int] = []  # current block, since last symbol
+
+            def flush_eob_refine():
+                nonlocal eobrun
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    code, ln = codes[n << 4]
+                    wtr.write(code, ln)
+                    if n:
+                        wtr.write(eobrun - (1 << n), n)
+                    eobrun = 0
+                for bit in be_bits:
+                    wtr.write(bit, 1)
+                be_bits.clear()
+
+            def flush_br():
+                for bit in br_bits:
+                    wtr.write(bit, 1)
+                br_bits.clear()
+
+            for bi in range(nb):
+                blk = zz_comp[ci][bi]
+                absval = [((v if v >= 0 else -v) >> al) for v in blk[ss : se + 1]]
+                eob_pos = -1  # index into the band of the last newly-significant
+                for j, t in enumerate(absval):
+                    if t == 1:
+                        eob_pos = j
+                run = 0
+                for j, t in enumerate(absval):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and j <= eob_pos:
+                        flush_eob_refine()
+                        code, ln = codes[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                        flush_br()
+                    if t > 1:  # significant in an earlier scan: correction bit
+                        br_bits.append(t & 1)
+                        continue
+                    # newly significant (magnitude exactly 1 in this scan)
+                    flush_eob_refine()
+                    code, ln = codes[(run << 4) | 1]
+                    wtr.write(code, ln)
+                    wtr.write(1 if blk[ss + j] >= 0 else 0, 1)
+                    flush_br()
+                    run = 0
+                if run or br_bits:
+                    eobrun += 1
+                    be_bits.extend(br_bits)
+                    br_bits.clear()
+                    flush_eob_refine()  # EOB0 only: Annex K has no EOBn codes
+            flush_eob_refine()
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qtabs):
+        zzq = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        out += seg(0xDB, bytes([tq]) + zzq.tobytes())
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, comp_q[ci]])
+    out += seg(0xC2, sof)
+    tables = [(_HUFF_DC_LUMA, 0x00), (_HUFF_AC_LUMA, 0x10)]
+    if nc == 3:
+        tables += [(_HUFF_DC_CHROMA, 0x01), (_HUFF_AC_CHROMA, 0x11)]
+    for (bits, huffval), tclass in tables:
+        out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(huffval))
+    for comp_idx, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            tid = comp_h[ci]
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += scan_bytes(comp_idx, ss, se, ah, al)
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -6,9 +6,10 @@ Model: a modality column is `payload: binary` plus a metadata struct
 reference's Event.MetaData (api.go:17). All Spark-side plumbing (schema,
 batch iteration, partition parallelism) is real and tested, and so are
 the codecs for the three formats decodable without binary wheels: PNG
-(from-scratch zlib+numpy decoder/encoder), baseline JPEG (from-scratch
-huffman + IDCT decoder/encoder), and 16-bit PCM WAV (stdlib wave) — see
-functions/codecs.py. Unsupported formats (progressive JPEG, MP3, video)
+(from-scratch zlib+numpy decoder/encoder), JPEG — baseline AND
+progressive since round 4 (from-scratch huffman + IDCT, spectral
+selection / successive approximation) — and 16-bit PCM WAV (stdlib wave);
+see functions/codecs.py. Unsupported formats (arithmetic JPEG, MP3, video)
 raise NotImplementedError naming the format; `fake=True` substitutes the
 round-1 deterministic pseudo-codec so pipeline shape can be exercised
 with arbitrary bytes.
@@ -58,8 +59,8 @@ def decode_image(
 ) -> DataFrame:
     """Decode image payloads to (id, width, height, mean_luma).
 
-    Real codecs: PNG (depth-8 gray/RGB/RGBA) and baseline JPEG
-    (SOF0, gray + YCbCr, any sampling factors) via the from-scratch
+    Real codecs: PNG (depth-8 gray/RGB/RGBA) and JPEG — baseline SOF0
+    and progressive SOF2 (gray + YCbCr, any sampling factors) via the from-scratch
     stdlib+numpy decoders in functions/codecs.py — no PIL needed. An
     unsupported format raises NotImplementedError from the executor task
     (surfacing the failing payload's format). ``fake=True`` keeps the

@@ -475,8 +475,10 @@ def test_jpeg_unsupported_variants_raise():
     enc = bytearray(encode_jpeg(grad))
     sof_at = enc.find(b"\xff\xc0")
     assert sof_at > 0
-    enc[sof_at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    # SOF2 (progressive) is supported since round 4; SOF1 (extended
+    # sequential) still gates honestly
+    enc[sof_at + 1] = 0xC1
+    with pytest.raises(NotImplementedError, match="SOF1"):
         decode_jpeg(bytes(enc))
     with pytest.raises(NotImplementedError):
         decode_jpeg(b"\x00\x01not an image")
@@ -547,3 +549,84 @@ def test_codec_decode_microbench():
     assert png_x >= 5.0, f"PNG only {png_x:.1f}x"
     assert jpg_x >= 3.0, f"JPEG only {jpg_x:.1f}x"
     assert both_x >= 4.5, f"combined only {both_x:.1f}x"
+
+
+# --------------------------------------------------------------------------
+# progressive JPEG (round 4)
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive coding is a lossless reordering of the same quantized
+    coefficients, so a progressive stream must decode byte-identically to
+    the baseline stream of the same image — across gray/RGB, qualities,
+    and the full default scan script (spectral selection + successive
+    approximation, DC/AC refinement, buffered correction bits)."""
+    from reflex_spark.functions.codecs import encode_jpeg_progressive
+
+    rng = _det_rng(7)
+    grad = (np.add.outer(np.arange(24) * 7, np.arange(17) * 5) % 256).astype(np.uint8)
+    cases = [
+        np.full((16, 16), 128, np.uint8),
+        grad,
+        rng.integers(0, 256, (24, 17, 3), dtype=np.uint8),
+        (np.add.outer(np.arange(64), np.arange(48))[:, :, None] % 256 * np.ones((1, 1, 3))).astype(
+            np.uint8
+        ),
+        (
+            ((np.add.outer(np.arange(128) * 3, np.arange(96))[:, :, None] % 256)
+             + rng.integers(0, 32, (128, 96, 3))) % 256
+        ).astype(np.uint8),
+    ]
+    for img in cases:
+        for q in (30, 75, 95):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(base, prog), f"shape {img.shape} q {q}"
+
+
+def test_jpeg_progressive_spectral_only_script():
+    """A custom scans list works: pure spectral selection (no successive
+    approximation) in three bands."""
+    from reflex_spark.functions.codecs import encode_jpeg_progressive
+
+    img = (np.add.outer(np.arange(32) * 5, np.arange(24) * 3) % 256).astype(np.uint8)
+    scans = [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)]
+    enc = encode_jpeg_progressive(img, quality=75, scans=scans)
+    assert np.array_equal(decode_jpeg(enc), decode_jpeg(encode_jpeg(img, quality=75)))
+
+
+def test_jpeg_progressive_eobrun_decode():
+    """EOBn runs (n > 0) never come out of our encoder (the Annex K
+    tables lack EOBn codes), but real progressive files use them — craft a
+    stream with a custom single-symbol AC table whose only code is EOB2,
+    covering 4 blocks in one run. A flat image has all-zero AC, so the
+    decode must be exactly flat 128."""
+    from reflex_spark.functions.codecs import _ZIGZAG as ZZ  # noqa: N811
+
+    # quant table: all ones (values don't matter for zero coefficients)
+    q = np.ones(64, dtype=np.uint8)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + q.tobytes())
+    out += seg(0xC2, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+    # DC table: standard luma; AC table: single symbol 0x20 (EOB2), code '0'
+    from reflex_spark.functions.codecs import _HUFF_DC_LUMA
+
+    out += seg(0xC4, bytes([0x00]) + bytes(_HUFF_DC_LUMA[0]) + bytes(_HUFF_DC_LUMA[1]))
+    ac_bits = [1] + [0] * 15
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x20]))
+    # DC-first scan: 4 blocks, all diffs 0 -> DC size-0 symbol ('00') x4
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    out += bytes([0b00000000])  # four '00' codes
+    # AC-first scan: EOB2 symbol ('0') + 2 extra bits '00' -> EOBRUN = 4
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    out += bytes([0b00011111])  # '0' + '00' + 1-padding
+    out += b"\xff\xd9"
+
+    decoded = decode_jpeg(bytes(out))
+    assert decoded.shape == (16, 16, 1)
+    assert np.array_equal(decoded, np.full((16, 16, 1), 128, np.uint8))

@@ -660,6 +660,36 @@ def test_multimodal_real_png_pipeline(spark):
     assert np.array_equal(decode_png(resized[2]), resize_nearest(img2, 4, 6))
 
 
+def test_multimodal_real_jpeg_pipeline(spark):
+    """decode_image runs BOTH JPEG codecs (baseline + progressive, round
+    4) end-to-end through Spark: the same image in either coding must
+    yield identical metadata rows."""
+    import numpy as np
+
+    from reflex_spark.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        luma,
+    )
+
+    img = (np.arange(24 * 16 * 3, dtype=np.int32).reshape(24, 16, 3) * 11 % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_jpeg(img, quality=90))),
+            (2, bytearray(encode_jpeg_progressive(img, quality=90))),
+        ],
+        "doc_id long, payload binary",
+    )
+    decoded = {r["doc_id"]: r for r in decode_image(df).collect()}
+    for did in (1, 2):
+        assert (decoded[did]["width"], decoded[did]["height"]) == (16, 24)
+    # identical decoded pixels → identical luma metadata
+    assert decoded[1]["mean_luma"] == decoded[2]["mean_luma"]
+    expect = int(round(float(luma(decode_jpeg(encode_jpeg(img, quality=90))).mean())))
+    assert decoded[1]["mean_luma"] == expect
+
+
 def test_multimodal_real_wav_pipeline(spark):
     """decode_audio runs the REAL WAV codec: header rate, exact sample
     count, deterministic rms."""
