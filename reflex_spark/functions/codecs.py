@@ -1345,13 +1345,267 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+# --------------------------------------------------------------------------
+# GIF (87a/89a): LZW decode per the public GIF89a specification — very
+# common in web-scraped training corpora. Decoder: global/local color
+# tables, interlace, multi-frame composition (disposal none/keep/restore-
+# background), GCE transparency. Encoder: palettized images (<=256 unique
+# colors — no quantizer), full frames, optional interlace; variable-width
+# LZW with clear-code dict resets.
+# --------------------------------------------------------------------------
+
+
+def is_gif(data: bytes) -> bool:
+    return bytes(data[:6]) in (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytearray:
+    """GIF variable-width LZW, LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return out  # missing EOI: tolerate (common in the wild)
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(dictionary):
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        if prev is not None and len(dictionary) < 4096:
+            dictionary.append(prev + entry[:1])
+            if len(dictionary) == 1 << width and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """GIF variable-width LZW encoder (emits clear up front and on reset)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    run = b""
+    for byte in indices:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code <= 4095:
+            table[cand] = next_code
+            if next_code == 1 << width and width < 12:
+                width += 1
+            next_code += 1
+        else:  # dict full: reset (decoder mirrors on the clear code)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        run = bytes([byte])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """GIF bytes -> list of composed uint8 (H, W, 3) frames (full-canvas,
+    disposal + transparency applied)."""
+    data = bytes(data)
+    if not is_gif(data):
+        raise NotImplementedError("unsupported image format (not a GIF)")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags, bg_idx, _ar = data[10], data[11], data[12]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:, :] = gct[bg_idx]
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    prev_canvas = canvas.copy()
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                blk_len = data[pos]
+                gflags = data[pos + 1]
+                disposal = (gflags >> 2) & 7
+                transparent = data[pos + 4] if gflags & 1 else None
+                pos += blk_len + 1
+            # skip remaining sub-blocks (and the whole block for other labels)
+            while data[pos] != 0:
+                pos += data[pos] + 1
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, fw, fh = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+        iflags = data[pos + 9]
+        pos += 10
+        ct = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 7)
+            ct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = data[pos]
+        pos += 1
+        sub = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            sub += data[pos + 1 : pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(min_code, bytes(sub)), np.uint8, fh * fw).reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            deinter = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, fh, step)
+                for r in rows:
+                    deinter[r] = idx[src]
+                    src += 1
+            idx = deinter
+        prev_canvas = canvas.copy()
+        region = canvas[top : top + fh, left : left + fw]
+        rgb = ct[np.minimum(idx, len(ct) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            region[:] = np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore background
+            bg = ct[bg_idx] if bg_idx < len(ct) else 0
+            canvas[top : top + fh, left : left + fw] = bg
+        elif disposal == 3:  # restore previous
+            canvas = prev_canvas.copy()
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> first composed frame as uint8 (H, W, 3)."""
+    return decode_gif_frames(data)[0]
+
+
+def encode_gif(
+    frames: np.ndarray | list[np.ndarray], interlace: bool = False
+) -> bytes:
+    """uint8 (H, W, 3) frame or list of frames -> GIF89a bytes.
+
+    Palettized: the global color table is built from the distinct colors
+    across all frames (<= 256, else NotImplementedError — this encoder has
+    no quantizer). Full-canvas frames, optional interlace. Deterministic:
+    palette sorted lexicographically."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, ch = frames[0].shape
+    if ch != 3 or any(f.shape != (h, w, 3) for f in frames):
+        raise NotImplementedError("encode_gif needs same-size (H, W, 3) frames")
+    colors = np.unique(np.concatenate([f.reshape(-1, 3) for f in frames], axis=0), axis=0)
+    if len(colors) > 256:
+        raise NotImplementedError(
+            f"encode_gif is palettized-only: {len(colors)} distinct colors > 256"
+        )
+    # palette size = power of two >= max(2, n_colors)
+    depth = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])
+    out += pal.tobytes()
+    if len(frames) > 1:  # netscape loop extension (loop forever)
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = max(2, depth)
+    for f in frames:
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace else 0])
+        idx = np.array([[lut[tuple(px)] for px in row] for row in f], dtype=np.uint8)
+        if interlace:
+            order = [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)]
+            idx = idx[order]
+        out += bytes([min_code])
+        lzw = _lzw_encode(min_code, idx.tobytes())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_image_bytes(data: bytes) -> np.ndarray:
-    """Dispatch PNG/JPEG by magic bytes -> uint8 (H, W, C)."""
+    """Dispatch PNG/JPEG/GIF by magic bytes -> uint8 (H, W, C)."""
     if is_png(data):
         return decode_png(data)
     if is_jpeg(data):
         return decode_jpeg(data)
-    raise NotImplementedError("unsupported image format (PNG/JPEG only)")
+    if is_gif(data):
+        return decode_gif(data)
+    raise NotImplementedError("unsupported image format (PNG/JPEG/GIF only)")
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:

@@ -129,6 +129,54 @@ def frame_sample(
     )
 
 
+def animation_frames(
+    df: DataFrame,
+    every_nth: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL frame extraction for animated payloads (GIF, round 4): decode
+    frames executor-side, emit every Nth composed frame re-encoded as PNG
+    bytes -> (id, frame_idx, width, height, frame_png).
+
+    This replaces the byte-chunker shape of ``frame_sample`` with an
+    actual codec for the one animated format decodable without binary
+    wheels; the explode/partition shape is identical (frames fan out
+    executor-side via mapInPandas — payloads never transit the driver).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, frame_idx int, width int, height int, frame_png binary"
+    )
+
+    def explode_frames(batches):
+        from reflex_spark.functions.codecs import decode_gif_frames, encode_png
+
+        for pdf in batches:
+            ids, idxs, ws, hs, pngs = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_gif_frames(bytes(payload))
+                for i in range(0, len(frames), every_nth):
+                    arr = frames[i]
+                    ids.append(did)
+                    idxs.append(i)
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+                    pngs.append(encode_png(arr))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "frame_png": pngs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(explode_frames, out_schema)
+
+
 def resize_image(
     df: DataFrame,
     target_w: int,

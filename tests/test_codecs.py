@@ -630,3 +630,92 @@ def test_jpeg_progressive_eobrun_decode():
     decoded = decode_jpeg(bytes(out))
     assert decoded.shape == (16, 16, 1)
     assert np.array_equal(decoded, np.full((16, 16, 1), 128, np.uint8))
+
+
+# --------------------------------------------------------------------------
+# GIF (round 4)
+# --------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_and_interlace():
+    """Palettized roundtrip is pixel-exact, interlaced or not; multi-frame
+    animations compose; >4096-entry LZW dictionaries hit the clear-code
+    reset path and survive."""
+    from reflex_spark.functions.codecs import decode_gif, decode_gif_frames, encode_gif
+
+    rng = _det_rng(3)
+    # 23-color image (odd palette size exercises the depth rounding)
+    img = (rng.integers(0, 23, size=(21, 17, 1)) * np.array([[7, 11, 13]])).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True)), img)
+
+    frames = [
+        (rng.integers(0, 4, size=(9, 13, 1)) * np.array([[50, 60, 70]])).astype(np.uint8)
+        for _ in range(5)
+    ]
+    got = decode_gif_frames(encode_gif(frames))
+    assert len(got) == 5
+    for expect, actual in zip(frames, got):
+        assert np.array_equal(expect, actual)
+
+    # large random 256-color image: LZW dictionary overflows 4096 entries,
+    # forcing the encoder's clear-code reset and the decoder's mirror
+    big = rng.integers(0, 256, size=(96, 96), dtype=np.uint8)
+    big_rgb = np.stack([big, big, 255 - big], axis=2)
+    assert np.array_equal(decode_gif(encode_gif(big_rgb)), big_rgb)
+
+
+def test_gif_known_bytes():
+    """Hand-assembled 1x1 white GIF with hand-packed LZW codes: pins the
+    bit-level format (LSB-first packing, clear/EOI codes) independently of
+    our own encoder."""
+    from reflex_spark.functions.codecs import decode_gif
+
+    # screen 1x1, GCT depth 1 (2 colors: black, white)
+    data = (
+        b"GIF89a"
+        + struct.pack("<HH", 1, 1)
+        + bytes([0x80, 0, 0])
+        + bytes([0, 0, 0, 255, 255, 255])
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+        # LZW min code size 2: clear=4, eoi=5, width 3.
+        # codes clear(4), pixel(1), eoi(5) packed LSB-first:
+        # acc = 4 | 1<<3 | 5<<6 = 332 -> bytes 0x4C, 0x01
+        + bytes([2])  # min code size
+        + bytes([2, 332 & 0xFF, 332 >> 8])  # one 2-byte sub-block
+        + b"\x00\x3b"
+    )
+    out = decode_gif(data)
+    assert out.shape == (1, 1, 3)
+    assert out[0, 0].tolist() == [255, 255, 255]
+
+
+def test_gif_transparency_and_disposal():
+    """Frame 2 is a partial overlay with a transparent index: transparent
+    pixels must show frame 1's pixels through."""
+    from reflex_spark.functions.codecs import decode_gif_frames
+
+    # hand-build: 2x2 canvas, GCT 4 colors; frame1 full red; frame2 is a
+    # 2x1 top strip [transparent, green] with GCE transparent_idx=3
+    pal = bytes([200, 0, 0,  0, 200, 0,  0, 0, 200,  9, 9, 9])
+    def lzw(min_code, idxs):
+        from reflex_spark.functions.codecs import _lzw_encode
+        return _lzw_encode(min_code, bytes(idxs))
+
+    def blocks(b):
+        return bytes([len(b)]) + b + b"\x00"
+
+    data = (
+        b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x81, 0, 0]) + pal
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes([2]) + blocks(lzw(2, [0, 0, 0, 0]))
+        + b"\x21\xf9\x04" + bytes([0x01, 0, 0, 3]) + b"\x00"  # GCE: transparent idx 3
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 1) + b"\x00"
+        + bytes([2]) + blocks(lzw(2, [3, 1]))
+        + b"\x3b"
+    )
+    frames = decode_gif_frames(data)
+    assert len(frames) == 2
+    assert frames[0].tolist() == [[[200, 0, 0], [200, 0, 0]], [[200, 0, 0], [200, 0, 0]]]
+    # transparent top-left shows red through; top-right is green
+    assert frames[1].tolist() == [[[200, 0, 0], [0, 200, 0]], [[200, 0, 0], [200, 0, 0]]]

@@ -690,6 +690,32 @@ def test_multimodal_real_jpeg_pipeline(spark):
     assert decoded[1]["mean_luma"] == expect
 
 
+def test_multimodal_real_gif_pipeline(spark):
+    """GIF payloads flow through decode_image (first frame) and
+    animation_frames (real frame extraction, every Nth frame as PNG)."""
+    import numpy as np
+
+    from reflex_spark.functions.codecs import decode_png, encode_gif
+    from reflex_spark.operators.multimodal import animation_frames
+
+    rng = np.random.default_rng(9)
+    frames = [
+        (rng.integers(0, 5, size=(10, 8, 1)) * np.array([[40, 30, 20]])).astype(np.uint8)
+        for _ in range(6)
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(frames)))], "doc_id long, payload binary"
+    )
+    row = decode_image(df).collect()[0]
+    assert (row["width"], row["height"]) == (8, 10)
+
+    sampled = {r["frame_idx"]: r for r in animation_frames(df, every_nth=2).collect()}
+    assert sorted(sampled) == [0, 2, 4]
+    for i, r in sampled.items():
+        assert (r["width"], r["height"]) == (8, 10)
+        assert np.array_equal(decode_png(bytes(r["frame_png"])), frames[i])
+
+
 def test_multimodal_real_wav_pipeline(spark):
     """decode_audio runs the REAL WAV codec: header rate, exact sample
     count, deterministic rms."""
