@@ -2,17 +2,22 @@
 
 Reference parity: the dead-letter error table upserts by (consumer,
 event_id) keeping a stable identity (rsql/db.go:300-339, SURVEY.md §4
-custom-work 3). Without a transactional table format, plain parquet can't
-rewrite in place, so the engine offers both halves of the standard pattern:
+custom-work 3). Plain parquet can't rewrite in place, so the engine
+offers three tiers:
 
 - append + ``latest_by_key`` view      — O(append) writes, dedup on read
   (how streaming/patterns.py records consumer errors), compacted lazily;
 - ``merge_rewrite``                    — batch MERGE: full-outer combine of
   base and updates, rewrite to a new directory (atomic at directory-swap
-  level, the parquet analogue of Delta's MERGE INTO).
+  level);
+- ``sources/tx_table.TxTable``         — the real transactional path
+  (round 4): commit log, snapshot isolation, optimistic concurrency, and
+  file-level copy-on-write ``merge_by_key`` that rewrites only touched
+  files — the engine's own MERGE INTO.
 
 At 100 TB merge_rewrite is run per partition (date/shard) so only touched
-partitions rewrite — pass the partition subdirectory as ``base_path``.
+partitions rewrite — pass the partition subdirectory as ``base_path``;
+TxTable.merge_by_key already has that touched-files-only cost profile.
 """
 
 from __future__ import annotations

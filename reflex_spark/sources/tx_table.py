@@ -1,0 +1,213 @@
+"""TxTable: a minimal transactional table format (Delta-style, from the
+public Delta Lake protocol ideas) over plain parquet + a JSON commit log.
+
+Closes SURVEY.md §4 custom-work 3's caveat: the dead-letter upsert
+(operators/upsert.py) emulated MERGE with append+latest-view or a full
+rewrite because plain parquet cannot rewrite in place. TxTable supplies
+the real thing, scoped to what the engine needs:
+
+- **Commit log**: ``<path>/_txlog/<version>.json``, one entry per commit,
+  listing files added and removed (paths relative to ``<path>/data``).
+  A reader's snapshot is ``adds - removes`` over entries ≤ its version.
+- **Atomic commits, optimistic concurrency**: a commit is the atomic
+  O_CREAT|O_EXCL creation of the next version's log file. Two writers
+  racing the same version: exactly one wins; the loser gets
+  ``ConcurrentCommitError`` and retries against the new snapshot. (POSIX
+  local-FS semantics; an object store would swap in a conditional-put.)
+- **Snapshot isolation**: readers pin a version at open; concurrent
+  commits never change what an open snapshot reads. Torn writes (data
+  files without a log entry) are invisible by construction.
+- **File-level copy-on-write MERGE**: ``merge_by_key`` rewrites ONLY the
+  data files that contain matched keys (found via an input_file_name
+  semi-join), writes unmatched updates as new files, and commits the
+  add/remove sets. At 100 TB with date/shard-partitioned files this is
+  the same touched-files-only cost profile as Delta's MERGE INTO.
+- **Vacuum**: delete data files unreferenced by any retained version.
+
+Reference parity: the reflex dead-letter table's stable-identity upsert
+(rsql/db.go:300-339) maps to ``merge_by_key`` with keys=(consumer,
+event_id) — see tests/test_tx_table.py for that exact shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from reflex_spark.operators.upsert import latest_by_key
+
+
+class ConcurrentCommitError(Exception):
+    """Another writer committed this version first — reread and retry."""
+
+
+class TxTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.log_dir = os.path.join(self.path, "_txlog")
+        self.data_dir = os.path.join(self.path, "data")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- log ---------------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f[:-5]) for f in os.listdir(self.log_dir) if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        """-1 when the table has no commits yet."""
+        vs = self._versions()
+        return vs[-1] if vs else -1
+
+    def _entry(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:020d}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, version: int, entry: dict) -> None:
+        """Atomically create the version file; lose the race → error."""
+        target = os.path.join(self.log_dir, f"{version:020d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} was committed by another writer"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(entry, f)
+
+    def _snapshot_files(self, version: int) -> tuple[list[str], StructType | None]:
+        files: list[str] = []
+        schema = None
+        for v in self._versions():
+            if v > version:
+                break
+            e = self._entry(v)
+            if e.get("schema"):
+                schema = StructType.fromJson(json.loads(e["schema"]))
+            removes = set(e.get("removes", []))
+            files = [f for f in files if f not in removes]
+            files.extend(e.get("adds", []))
+        return files, schema
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read. ``version=None`` pins the latest at call time —
+        the returned DataFrame keeps reading that snapshot even if the
+        table advances underneath it."""
+        v = self.latest_version() if version is None else version
+        files, schema = self._snapshot_files(v)
+        if not files:
+            if schema is None:
+                raise ValueError("TxTable is empty and has no schema yet")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*[os.path.join(self.data_dir, f) for f in files])
+
+    # -- writes ------------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Materialize df as new immutable data files; invisible until a
+        log entry references them (torn writes cannot corrupt a reader)."""
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        names = []
+        for part in sorted(os.listdir(tmp)):
+            if not part.endswith(".parquet"):
+                continue
+            name = f"{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(tmp, part), os.path.join(self.data_dir, name))
+            names.append(name)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return names
+
+    def append(self, df: DataFrame) -> int:
+        """Blind append: no read-set, so it is commutative and auto-retries
+        the version race (the already-written files are reused; only the
+        log entry re-targets the new head). Returns the committed version."""
+        adds = self._write_files(df)
+        entry = {"op": "append", "adds": adds, "schema": df.schema.json()}
+        while True:
+            try:
+                version = self.latest_version() + 1
+                self._commit(version, entry)
+                return version
+            except ConcurrentCommitError:
+                continue
+
+    def merge_by_key(
+        self, updates: DataFrame, keys: list[str], version_col: str
+    ) -> int:
+        """MERGE INTO semantics, file-level copy-on-write: matched rows are
+        replaced when the update wins by ``version_col`` (ties broken
+        deterministically, matching operators/upsert.latest_by_key);
+        unmatched update rows insert. Only data files containing matched
+        keys are rewritten. Raises ConcurrentCommitError if the table
+        advanced between snapshot and commit — retry with a fresh call."""
+        base_version = self.latest_version()
+        if base_version < 0:
+            # empty table: MERGE degenerates to insert
+            adds = self._write_files(latest_by_key(updates, keys, version_col))
+            self._commit(0, {"op": "merge", "adds": adds, "schema": updates.schema.json()})
+            return 0
+        files, _schema = self._snapshot_files(base_version)
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        base = self.spark.read.parquet(*paths).withColumn(
+            "__file", F.input_file_name()
+        )
+        touched = {
+            os.path.basename(r["__file"].replace("file://", ""))
+            for r in base.join(
+                F.broadcast(updates.select(*keys).distinct()), keys, "left_semi"
+            )
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        if touched:
+            touched_paths = [os.path.join(self.data_dir, f) for f in sorted(touched)]
+            touched_rows = self.spark.read.parquet(*touched_paths)
+            merged = latest_by_key(
+                touched_rows.unionByName(updates), keys, version_col
+            )
+            adds = self._write_files(merged)
+        else:
+            adds = self._write_files(latest_by_key(updates, keys, version_col))
+        entry = {
+            "op": "merge",
+            "adds": adds,
+            "removes": sorted(touched),
+            "schema": updates.schema.json(),
+        }
+        self._commit(base_version + 1, entry)
+        return base_version + 1
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files referenced by NO retained snapshot (the last
+        ``keep_versions`` versions stay readable) — including files from
+        torn writes that were never committed. Older versions become
+        unreadable (as after Delta's VACUUM); the log itself is kept —
+        it is tiny and snapshots replay it from version 0. Returns the
+        deleted file names."""
+        versions = self._versions()
+        retained = versions[-keep_versions:] if keep_versions else []
+        live: set[str] = set()
+        for v in retained:
+            files, _ = self._snapshot_files(v)
+            live.update(files)
+        deleted = []
+        for name in sorted(os.listdir(self.data_dir)):
+            if name.endswith(".parquet") and name not in live:
+                os.remove(os.path.join(self.data_dir, name))
+                deleted.append(name)
+        return deleted

@@ -1,0 +1,142 @@
+"""TxTable: transactional parquet with MERGE (SURVEY §4 custom-work 3).
+
+Pins the four guarantees the format exists for: MERGE correctness against
+the latest_by_key oracle, snapshot isolation, optimistic-concurrency
+conflict on the version race, and torn-write invisibility + vacuum.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from reflex_spark.operators.upsert import latest_by_key
+from reflex_spark.sources.tx_table import ConcurrentCommitError, TxTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("k", "v", "ver").collect())
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(data, "k long, v string, ver long")
+
+
+def test_merge_matches_latest_by_key_oracle(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    base = _mk(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)])
+    t.append(base)
+    updates = _mk(spark, [(2, "B", 2), (4, "d", 1), (3, "old", 0)])
+    t.merge_by_key(updates, ["k"], "ver")
+    expect = _rows(latest_by_key(base.unionByName(updates), ["k"], "ver"))
+    assert _rows(t.read()) == expect
+    # k=3: the stale update (ver 0) must NOT have replaced ver 1
+    assert (3, "c", 1) in _rows(t.read())
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write is file-level: a merge touching only one append's
+    keys must remove only that append's files from the snapshot."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1)]).coalesce(1))
+    t.append(_mk(spark, [(100, "z", 1)]).coalesce(1))
+    files_before, _ = t._snapshot_files(t.latest_version())
+    assert len(files_before) == 2
+    t.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")
+    entry = t._entry(t.latest_version())
+    assert len(entry["removes"]) == 1  # only the file containing k=1
+    # the untouched file is still in the snapshot
+    files_after, _ = t._snapshot_files(t.latest_version())
+    assert set(files_before) & set(files_after)
+    assert _rows(t.read()) == [(1, "A", 2), (100, "z", 1)]
+
+
+def test_snapshot_isolation(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1)]))
+    v1 = t.latest_version()
+    snap = t.read()  # pins v1
+    t.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")
+    # the open snapshot still reads the old state; a fresh read sees the new
+    assert _rows(snap) == [(1, "a", 1)]
+    assert _rows(t.read()) == [(1, "A", 2)]
+    assert _rows(t.read(version=v1)) == [(1, "a", 1)]
+
+
+def test_concurrent_merge_conflicts_and_retry(spark, tmp_path):
+    """Two writers race one version: the loser gets ConcurrentCommitError;
+    a retry against the fresh snapshot lands both writers' intents."""
+    path = str(tmp_path / "t")
+    a, b = TxTable(spark, path), TxTable(spark, path)
+    a.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+    # simulate the race: B commits between A's snapshot and A's commit by
+    # pre-creating A's target version through B
+    b.merge_by_key(_mk(spark, [(2, "B", 2)]), ["k"], "ver")
+    with pytest.raises(ConcurrentCommitError):
+        # A believed the head was version 0; version 1 is taken now
+        a._commit(1, {"op": "merge", "adds": [], "removes": []})
+    # full-path conflict: monkeypatch latest_version to return the stale head
+    stale = a.latest_version() - 1
+    orig = TxTable.latest_version
+    try:
+        TxTable.latest_version = lambda self: stale  # type: ignore[method-assign]
+        with pytest.raises(ConcurrentCommitError):
+            a.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")
+    finally:
+        TxTable.latest_version = orig  # type: ignore[method-assign]
+    # retry with the true head succeeds and preserves B's write
+    a.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")
+    assert _rows(a.read()) == [(1, "A", 2), (2, "B", 2)]
+
+
+def test_torn_write_invisible_and_vacuumed(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1)]))
+    before = _rows(t.read())
+    # a crashed writer left data files with no log entry
+    orphan = os.path.join(t.data_dir, "deadbeef.parquet")
+    _mk(spark, [(9, "junk", 9)]).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "junk")
+    )
+    part = next(
+        f for f in os.listdir(str(tmp_path / "junk")) if f.endswith(".parquet")
+    )
+    os.rename(str(tmp_path / "junk" / part), orphan)
+    assert _rows(t.read()) == before  # invisible to readers
+    deleted = t.vacuum(keep_versions=1)
+    assert "deadbeef.parquet" in deleted
+    assert _rows(t.read()) == before
+
+
+def test_vacuum_drops_old_version_files(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1)]).coalesce(1))
+    t.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")
+    old_files, _ = t._snapshot_files(0)
+    deleted = t.vacuum(keep_versions=1)
+    assert set(old_files) <= set(deleted)  # v0's rewritten file reclaimed
+    assert _rows(t.read()) == [(1, "A", 2)]
+
+
+def test_dead_letter_identity_on_tx_table(spark, tmp_path):
+    """Reference parity shape (rsql/db.go:300-339): the dead-letter table
+    upserts by (consumer, event_id) with a stable identity — replaying the
+    same error twice leaves one row; a newer error for the same identity
+    replaces the message."""
+    t = TxTable(spark, str(tmp_path / "errors"))
+    err = spark.createDataFrame(
+        [("c1", 7, "boom", 1)], "consumer string, event_id long, msg string, attempt long"
+    )
+    t.merge_by_key(err, ["consumer", "event_id"], "attempt")
+    t.merge_by_key(err, ["consumer", "event_id"], "attempt")  # idempotent replay
+    assert t.read().count() == 1
+    retry = spark.createDataFrame(
+        [("c1", 7, "boom again", 2)],
+        "consumer string, event_id long, msg string, attempt long",
+    )
+    t.merge_by_key(retry, ["consumer", "event_id"], "attempt")
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["msg"] == "boom again" and rows[0]["attempt"] == 2
