@@ -66,6 +66,7 @@ HEADLINE = [
     "sim_ann_recall",
     "stream_watermark_rollup",
     "stream_sharded_rollup",
+    "tx_merge_orders",
 ]
 
 

@@ -430,3 +430,88 @@ def stream_sharded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "tx_merge_orders",
+    # Oracle replays the MERGE from first principles: latest row per key
+    # (version desc, then the deterministic remaining-column tie-break of
+    # latest_by_key) over base UNION updates, then the rollup aggregate.
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price, 1 AS ver
+      FROM orders
+    ),
+    updates AS (
+      SELECT o_orderkey AS k, 'R' AS status, o_totalprice * 1.1 AS price, 2 AS ver
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000 AS k, 'N' AS status, o_totalprice AS price, 1 AS ver
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    merged AS (
+      SELECT k, status, price FROM (
+        SELECT k, status, price,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC, status DESC, price DESC) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+      WHERE rn = 1
+    )
+    SELECT status, COUNT(*) AS n_orders, {sql_dsum('price', 'sum_price')}
+    FROM merged GROUP BY status
+    """,
+)
+def tx_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged MERGE INTO on the transactional table (round 4): append the
+    orders fixture to a TxTable, merge a deterministic update set (every
+    7th key re-priced + re-statused at a higher version; every 13th key
+    offset to an unmatched key → insert), then aggregate the merged
+    snapshot. The oracle recomputes the merge in SQL, so a hash match
+    proves the commit log + copy-on-write file rewrite produced exactly
+    the rows MERGE INTO semantics demand — no lost updates, no stale
+    winners, no dropped inserts.
+    """
+    import shutil
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("ver"),
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("R").alias("status"),
+            (F.col("o_totalprice") * 1.1).alias("price"),
+            F.lit(2).alias("ver"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("k"),
+                F.lit("N").alias("status"),
+                F.col("o_totalprice").alias("price"),
+                F.lit(1).alias("ver"),
+            )
+        )
+    )
+    base_dir = tempfile.mkdtemp(prefix="tx_merge_")
+    try:
+        t = TxTable(spark, f"{base_dir}/orders")
+        t.append(base)
+        t.merge_by_key(updates, ["k"], "ver")
+        out = (
+            t.read()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("price").cast("decimal(18,6)")).cast("double").alias("sum_price"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out
