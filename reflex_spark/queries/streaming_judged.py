@@ -1,12 +1,20 @@
-"""Judged query that exercises the streaming machinery end-to-end.
+"""Judged queries that exercise the streaming + storage machinery
+end-to-end, each hash-checked against a first-principles SQL oracle:
 
-`stream_rollup_counts` consumes the events fixture through the engine's
-poll run loop (cursor store, batch limits, at-least-once consume) into an
-incrementally-merged materialized rollup — then returns the rollup. The
-oracle is the plain SQL aggregate over the same events: if the consume
-loop dropped, duplicated, or mis-merged anything, the hash check fails.
-Decimal sums make the incremental merge bit-identical to the one-shot
-aggregate regardless of batch boundaries.
+- `stream_rollup_counts`   — poll run loop (cursor store, batch limits,
+  at-least-once) into an incrementally-merged rollup;
+- `stream_restart_rollup`  — Structured Streaming with a checkpoint
+  restart across a stopped query (multi-batch resume);
+- `stream_watermark_rollup`— REAL withWatermark late-data drops; the
+  oracle replays the measured drop rule (round 4);
+- `stream_sharded_rollup`  — 3-shard ShardedEventLog, per-shard cursors
+  and rollups merged exactly (round 4);
+- `tx_merge_orders`        — MERGE INTO on the transactional TxTable
+  (round 4).
+
+Decimal sums make every incremental/merged path bit-identical to the
+one-shot aggregate regardless of batch or shard boundaries — if a loop
+dropped, duplicated, or mis-merged anything, the hash check fails.
 """
 
 from __future__ import annotations

@@ -11,7 +11,11 @@ hot paths. This file pins:
    256x256 RGB PNG (realistic filter mix) and a 256x256 RGB baseline JPEG
    (ratio-based, so it is robust to machine speed);
 3. JPEG codec behavior that round 3 landed untested: roundtrip error
-   bounds, restart-marker streams, grayscale, unsupported-variant gates.
+   bounds, restart-marker streams, grayscale, unsupported-variant gates;
+4. progressive JPEG (round 4): byte-identical to baseline decode of the
+   same image across scan scripts, plus a hand-crafted EOBn-run stream;
+5. GIF (round 4): palettized/interlaced/multi-frame roundtrips, a
+   hand-packed known-bytes stream, transparency + disposal composition.
 """
 
 from __future__ import annotations
