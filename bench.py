@@ -67,6 +67,7 @@ HEADLINE = [
     "stream_watermark_rollup",
     "stream_sharded_rollup",
     "tx_merge_orders",
+    "dedup_clusters",
 ]
 
 

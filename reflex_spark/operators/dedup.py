@@ -321,3 +321,58 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str, max_distanc
         .where(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a dup-pair graph: (node, cluster_id) for
+    every node appearing in ``pairs``, where cluster_id is the minimum id
+    reachable — the transitive-closure step a dedup pipeline needs before
+    keeping one document per cluster (pairs alone under-delete: A~B and
+    B~C must collapse to one survivor even when A~C was never emitted).
+
+    Min-label propagation: every round each node takes the min of its own
+    label and its neighbors' labels; converges in O(cluster diameter)
+    rounds (near-dup clusters are shallow — a handful of rounds in
+    practice). Each round is one shuffle join + aggregate, with
+    ``localCheckpoint`` truncating the iterative lineage so plans stay
+    flat. The per-round driver work is a single convergence count —
+    control-plane only. At extreme scale with adversarially deep
+    components, the O(log n)-round alternative is the public
+    large-star/small-star alternation (MapReduce-CC literature); the
+    DataFrame shapes are the same.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = edges.join(labels, edges["b"] == labels["node"]).groupBy("a").agg(
+            F.min("label").alias("nl")
+        )
+        new = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                labels["node"],
+                F.least(labels["label"], F.coalesce(neigh["nl"], labels["label"])).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

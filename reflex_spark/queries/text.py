@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from reflex_spark.operators import text as T
 from reflex_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -212,6 +213,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verify. The linear-scale fuzzy-dedup path."""
     docs = load_tables(spark, sf_dir)["documents"]
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8)
+
+
+@query(
+    "dedup_clusters",
+    # Same MinHash-LSH pair pipeline as dedup_minhash_lsh, then the
+    # transitive closure as a recursive CTE: cluster id = min id reachable.
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    sig AS (SELECT doc_id, {_SQL_MINHASH_SIG} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id,
+             unnest([0, 1, 2, 3]) AS band_idx,
+             unnest([{_SQL_BAND_KEYS}]) AS band_key
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    dup AS (
+      SELECT j.id_a, j.id_b
+      FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.8),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dup
+      UNION SELECT id_b, id_a FROM dup),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS keep_id
+    FROM reach GROUP BY a
+    HAVING a <> LEAST(a, MIN(b))
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup (the step after pair generation): connected
+    components over the MinHash-LSH dup pairs, keep min(doc_id) per
+    cluster, emit every OTHER member as (doc_id, keep_id) — the actionable
+    delete list. Pairs alone under-delete: A~B and B~C must collapse to
+    one survivor even when A~C was never emitted; the closure is min-label
+    propagation (operators/dedup.connected_components), O(diameter)
+    rounds of one shuffle each. The oracle recomputes the same closure as
+    a recursive CTE."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return (
+        cc.where(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("keep_id"))
+    )
 
 
 @query(

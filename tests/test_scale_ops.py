@@ -192,3 +192,33 @@ def test_spread_target_scales_with_input_size(spark):
     assert _spread_target_for(10 << 30, para) == 128        # 10GB -> 4x parallelism cap
     assert _spread_target_for(2 << 30, para) == 64          # 2GB -> ~one task / 32MB
     assert _spread_target_for(0, 4) == 4                    # bounded by cluster size
+
+
+def test_connected_components_clusters(spark):
+    """Min-label propagation: chain + triangle + pair resolve to their
+    min-id clusters; transitivity holds (A~B, B~C collapse without A~C);
+    an insufficient iteration budget raises instead of silently returning
+    partial clusters."""
+    import pytest
+
+    from reflex_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = sorted(tuple(r) for r in connected_components(pairs).collect())
+    assert out == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    ]
+    # a 12-node chain cannot converge in 2 rounds: loud failure, not
+    # silent partial clusters
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50, 62)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    full = connected_components(chain)
+    assert {r["label"] for r in full.collect()} == {50}
