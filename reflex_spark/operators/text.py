@@ -126,3 +126,16 @@ def sql_bpe_token_count(expr: str = "text") -> str:
     # strings pass backslashes through to RE2 unprocessed, so \s survives.
     pattern = BPE_TOKEN_PATTERN.replace("'", "''")
     return f"CAST(len(regexp_extract_all({expr}, '{pattern}')) AS BIGINT)"
+
+
+def digit_token_count(text: Column | str) -> Column:
+    """Tokens that are pure digit runs (price lists, tables, boilerplate)."""
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).cast("long")
+
+
+def sql_digit_token_count(expr: str = "text") -> str:
+    return (
+        f"CAST(len(list_filter(string_split({expr}, ' '), "
+        f"x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT)"
+    )

@@ -347,3 +347,51 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").cast("long").alias("max_bytes"),
         F.sum(F.col("nb").cast("long")).alias("total_bytes"),
     )
+
+
+@query(
+    "text_gopher_filter",
+    oracle=f"""
+    SELECT doc_id,
+           {T.sql_token_count('text')} AS n_tokens,
+           ({T.sql_token_count('text')} BETWEEN 30 AND 100000) AS ok_len,
+           ({T.sql_avg_word_len('text')} BETWEEN 2.5 AND 8.0) AS ok_word_len,
+           (CAST({T.sql_stopword_count('text')} AS DOUBLE)
+              / {T.sql_token_count('text')} >= 0.01) AS ok_stopwords,
+           (CAST({T.sql_digit_token_count('text')} AS DOUBLE)
+              / {T.sql_token_count('text')} <= 0.2) AS ok_digits,
+           (({T.sql_token_count('text')} BETWEEN 30 AND 100000)
+            AND ({T.sql_avg_word_len('text')} BETWEEN 2.5 AND 8.0)
+            AND (CAST({T.sql_stopword_count('text')} AS DOUBLE)
+                   / {T.sql_token_count('text')} >= 0.01)
+            AND (CAST({T.sql_digit_token_count('text')} AS DOUBLE)
+                   / {T.sql_token_count('text')} <= 0.2)) AS passes
+    FROM documents
+    """,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality gate in the style of the published
+    Gopher rules (Rae et al. 2021, public): token-count bounds, mean-word-
+    length band, stopword presence, digit-token ratio — each surfaced as a
+    flag plus the AND. The canonical pre-training corpus filter shape;
+    thresholds tuned to the synthetic fixture so both kept and dropped
+    documents exist at every SF. Pure JVM expressions, one scan, no
+    shuffle (a filter this cheap should never cost more than the read)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = T.token_count("text")
+    awl = T.avg_word_len("text")
+    stop_ratio = T.stopword_count("text").cast("double") / n.cast("double")
+    digit_ratio = T.digit_token_count("text").cast("double") / n.cast("double")
+    ok_len = (n >= 30) & (n <= 100000)
+    ok_word_len = (awl >= 2.5) & (awl <= 8.0)
+    ok_stop = stop_ratio >= 0.01
+    ok_digits = digit_ratio <= 0.2
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ok_len.alias("ok_len"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_digits.alias("ok_digits"),
+        (ok_len & ok_word_len & ok_stop & ok_digits).alias("passes"),
+    )
