@@ -618,6 +618,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     if mag < 1 << (s - 1):
                         mag += 1 - (1 << s)
                     preds[ci] += mag
+                # T.81 F.1.1.5.1: for 8-bit precision the DC difference sum
+                # must stay in [-2048, 2047]. A hostile/corrupt stream can
+                # drift the predictor outside that range (DC size codes up
+                # to 15 decode fine) — raise instead of wrapping silently in
+                # the 12-bit packing below, matching every other
+                # malformed-input path in this decoder.
+                if not -2048 <= preds[ci] <= 2047:
+                    raise ValueError("JPEG DC predictor out of range")
                 app(base | ((preds[ci] + 2048) & 4095))
                 # --- AC: one combined-LUT hit per coefficient ---
                 k = 1

@@ -336,7 +336,14 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
         if q.isActive:
+            # Mirror run_stream (commit 6cd5e04): a query still active after
+            # the deadline means the rollup is PARTIAL — raise, never return
+            # partial results that would surface as a confusing hash mismatch.
             q.stop()
+            raise TimeoutError(
+                "stream_watermark_rollup: availableNow query did not finish "
+                "within 120s; results would be partial"
+            )
         if q.exception() is not None:
             raise q.exception()
     finally:

@@ -192,13 +192,36 @@ class TxTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    # Default retention mirrors Delta's VACUUM default (168 h): a data file
+    # younger than this is never deleted even if no retained snapshot
+    # references it, because it may belong to an in-flight commit — a writer
+    # that finished _write_files but has not yet won _commit. Without the
+    # age guard, vacuum would delete those files as "torn writes" and the
+    # writer's subsequent commit would reference missing files, permanently
+    # corrupting the table.
+    DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
+
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        retention_seconds: float | None = None,
+    ) -> list[str]:
         """Delete data files referenced by NO retained snapshot (the last
-        ``keep_versions`` versions stay readable) — including files from
-        torn writes that were never committed. Older versions become
-        unreadable (as after Delta's VACUUM); the log itself is kept —
-        it is tiny and snapshots replay it from version 0. Returns the
-        deleted file names."""
+        ``keep_versions`` versions stay readable) AND older than
+        ``retention_seconds`` (default 7 days, Delta-style). The age window
+        is what makes vacuum safe under concurrent writers: freshly written
+        but not-yet-committed files survive. Pass ``retention_seconds=0``
+        ONLY when the caller holds exclusive access to the table. Genuinely
+        torn writes (a writer that died before commit) are reclaimed once
+        they age past the window. Older versions become unreadable (as
+        after Delta's VACUUM); the log itself is kept — it is tiny and
+        snapshots replay it from version 0. Returns the deleted file names.
+        """
+        import time
+
+        if retention_seconds is None:
+            retention_seconds = self.DEFAULT_RETENTION_SECONDS
+        cutoff = time.time() - retention_seconds
         versions = self._versions()
         retained = versions[-keep_versions:] if keep_versions else []
         live: set[str] = set()
@@ -208,6 +231,12 @@ class TxTable:
         deleted = []
         for name in sorted(os.listdir(self.data_dir)):
             if name.endswith(".parquet") and name not in live:
-                os.remove(os.path.join(self.data_dir, name))
+                full = os.path.join(self.data_dir, name)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # too young — may be an in-flight commit
+                    os.remove(full)
+                except FileNotFoundError:
+                    continue  # another vacuum raced us; already gone
                 deleted.append(name)
         return deleted

@@ -106,7 +106,10 @@ def test_torn_write_invisible_and_vacuumed(spark, tmp_path):
     )
     os.rename(str(tmp_path / "junk" / part), orphan)
     assert _rows(t.read()) == before  # invisible to readers
-    deleted = t.vacuum(keep_versions=1)
+    # default retention spares the young orphan (it could be an in-flight
+    # commit); exclusive-access retention_seconds=0 reclaims it
+    assert "deadbeef.parquet" not in t.vacuum(keep_versions=1)
+    deleted = t.vacuum(keep_versions=1, retention_seconds=0)
     assert "deadbeef.parquet" in deleted
     assert _rows(t.read()) == before
 
@@ -116,9 +119,80 @@ def test_vacuum_drops_old_version_files(spark, tmp_path):
     t.append(_mk(spark, [(1, "a", 1)]).coalesce(1))
     t.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")
     old_files, _ = t._snapshot_files(0)
-    deleted = t.vacuum(keep_versions=1)
+    deleted = t.vacuum(keep_versions=1, retention_seconds=0)
     assert set(old_files) <= set(deleted)  # v0's rewritten file reclaimed
     assert _rows(t.read()) == [(1, "A", 2)]
+
+
+def test_vacuum_never_deletes_retained_snapshot_files(spark, tmp_path):
+    """Reader-side proof: files any retained version references survive
+    vacuum even at retention 0, and the retained old snapshot still READS
+    correctly afterwards (VERDICT r4 #5)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1)]).coalesce(1))
+    t.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")
+    t.merge_by_key(_mk(spark, [(1, "AA", 3)]), ["k"], "ver")
+    deleted = t.vacuum(keep_versions=2, retention_seconds=0)
+    # version 1 is retained: its files survive and it reads back exactly
+    assert _rows(t.read(version=1)) == [(1, "A", 2)]
+    assert _rows(t.read()) == [(1, "AA", 3)]
+    v1_files, _ = t._snapshot_files(1)
+    assert not set(v1_files) & set(deleted)
+    # version 0 was NOT retained: its unique file was reclaimed
+    v0_files, _ = t._snapshot_files(0)
+    assert set(v0_files) - set(v1_files) <= set(deleted)
+
+
+def test_vacuum_retention_protects_inflight_commit(spark, tmp_path):
+    """The ADVICE r4 scenario: writer B has finished _write_files but not
+    yet committed when vacuum runs. With the default retention window B's
+    young files survive, B's commit then succeeds, and the table reads
+    back whole — no dangling file references."""
+    path = str(tmp_path / "t")
+    a, b = TxTable(spark, path), TxTable(spark, path)
+    a.append(_mk(spark, [(1, "a", 1)]))
+    # B is mid-commit: data files on disk, no log entry yet
+    b_adds = b._write_files(_mk(spark, [(2, "b", 1)]))
+    assert a.vacuum(keep_versions=1) == []  # young files: spared
+    b._commit(b.latest_version() + 1, {"op": "append", "adds": b_adds})
+    assert _rows(a.read()) == [(1, "a", 1), (2, "b", 1)]
+
+
+def test_two_racing_committers_both_land(spark, tmp_path):
+    """Two real threads merge different keys concurrently with a retry
+    loop; the version-race loser retries against the fresh snapshot and
+    BOTH updates land (VERDICT r4 #5; reference anchor: the dead-letter
+    txn upsert contract, rsql/db.go:300-339)."""
+    import threading
+
+    path = str(tmp_path / "t")
+    t0 = TxTable(spark, path)
+    t0.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+    start = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def writer(key: int, val: str) -> None:
+        t = TxTable(spark, path)
+        df = _mk(spark, [(key, val, 2)])
+        start.wait()
+        for _ in range(10):
+            try:
+                t.merge_by_key(df, ["k"], "ver")
+                return
+            except ConcurrentCommitError:
+                continue
+        errs.append(RuntimeError(f"writer {key} never committed"))
+
+    th = [
+        threading.Thread(target=writer, args=(1, "A")),
+        threading.Thread(target=writer, args=(2, "B")),
+    ]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join(timeout=120)
+    assert not errs
+    assert _rows(t0.read()) == [(1, "A", 2), (2, "B", 2)]
 
 
 def test_dead_letter_identity_on_tx_table(spark, tmp_path):
