@@ -11,7 +11,7 @@ successive approximation, round 4) — and 16-bit PCM WAV. Anything else
 (arithmetic/hierarchical JPEG, MP3, video) raises NotImplementedError
 with the format named — the multimodal operators surface that per-payload.
 
-Perf posture (round 4, vectorized): PNG unfilter batches runs of
+Perf posture (rounds 4-5, vectorized): PNG unfilter batches runs of
 None/Sub/Up rows through 2D uint8-wraparound cumsums (Sub is a per-channel
 prefix sum along the row; a run of Up rows is a prefix sum down the rows)
 and decodes the sequential Average/Paeth rows with tight Python-list loops
@@ -22,9 +22,24 @@ dequantize/IDCT/plane-scatter math is batched across every block of a
 component in single numpy matmul/transpose calls. Measured vs the round-3
 scalar decoders (tests/test_codecs.py microbench, byte-identical outputs):
 PNG ~10-13×, JPEG ~4× (the entropy loop is at the CPython per-coefficient
-floor, ~0.7µs/coeff), combined payload mix ~5.5×. Still well off a native
-codec — if a binary wheel (PIL) ever lands in the image, swap it in behind
-the same function signatures; every caller goes through this module.
+floor, ~0.7µs/coeff), combined payload mix ~5.5×.
+
+Round 5 extended the treatment to the round-4 paths: progressive JPEG
+scans run on inlined bit windows with combined AC-first and AC-refinement
+LUTs (sign/EOBn bits folded into the probe), DC-refinement scans decode
+wholesale via np.unpackbits, coefficients accumulate in numpy via
+batched scatters, and whole EOB-run tails are extracted with one
+unpackbits slice; GIF LZW decodes cycle-at-a-time (numpy batch code
+extraction, prefix-link dictionary arrays resolved by pointer doubling,
+transpose pointer-chase emission, scalar fallback for long-chain
+repetitive cycles). Measured vs the round-4 decoders (same microbench,
+byte-identical): GIF LZW ~3.4-3.7× on photo-like frames, progressive
+~1.3-1.5× full-decode — round 4's progressive already decoded symbols
+through the 16-bit LUT, so its AC loops were (and remain) at the same
+per-coefficient CPython floor as baseline. Still well off a native
+codec — if a binary wheel (PIL) ever lands in the image, swap it in
+behind the same function signatures; every caller goes through this
+module.
 """
 
 from __future__ import annotations
@@ -332,7 +347,9 @@ def _build_huff_decoder(bits: tuple[int, ...], huffval: tuple[int, ...]) -> list
 _HUFF_LUT_CACHE: dict[tuple, list[int]] = {}
 
 # window &= _MASKS[wbits] — one list index instead of shift+sub per consume
-_MASKS = [(1 << i) - 1 for i in range(96)]
+# (160 entries: progressive AC refinement batches up to 63 correction bits
+# on top of a 48-bit refill, so the window can briefly exceed 96 bits)
+_MASKS = [(1 << i) - 1 for i in range(160)]
 
 
 def _build_ac_lut2(bits: list[int], huffval: list[int]) -> list[int]:
@@ -375,6 +392,66 @@ def _build_ac_lut2(bits: list[int], huffval: list[int]) -> list[int]:
                 )
             else:  # slow path: symbol consumed, magnitude read separately
                 lut[base : base + span] = length | (run << 5) | (s << 23)
+            code += 1
+            k += 1
+        code <<= 1
+    as_list = lut.tolist()
+    if len(_HUFF_LUT_CACHE) > 64:
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = as_list
+    return as_list
+
+
+def _build_refine_lut(bits: tuple, huffval: tuple) -> list[int]:
+    """Combined AC-REFINEMENT LUT (T.81 G.2.3): index = next 16 bits,
+    value packs the fully-decoded refinement symbol:
+
+        bits 0-4   total consumed bits (code + 1 sign bit for new-coeff
+                   entries; code + r EOBn extra bits when they fit)
+        bits 5-8   zero run r (0-15)
+        bits 9-10  kind: 0 = new coefficient (sign at bit 11)
+                         1 = EOBn (full eobrun count at bits 11+)
+                         2 = ZRL
+                         3 = slow path (code consumed only; r at 5-8,
+                             new-coeff flag at bit 11)
+        Entry 0 = invalid prefix.
+
+    In a refinement scan a newly-significant coefficient's magnitude is
+    always one bit (its sign), so code+sign — and code+EOBn-extra-bits —
+    fold into one probe exactly like the baseline value LUT."""
+    key = ("ref", tuple(bits), tuple(huffval))
+    cached = _HUFF_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.zeros(1 << 16, dtype=np.uint32)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = huffval[k]
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            run, s = sym >> 4, sym & 0xF
+            if s:  # new coefficient: fold the sign bit
+                if length + 1 <= 16:
+                    tl = length + 1
+                    sign = (np.arange(span, dtype=np.int64) >> (16 - tl)) & 1
+                    lut[base : base + span] = (
+                        tl | (run << 5) | (sign.astype(np.uint32) << 11)
+                    )
+                else:
+                    lut[base : base + span] = length | (run << 5) | (3 << 9) | (1 << 11)
+            elif run == 15:  # ZRL
+                lut[base : base + span] = length | (15 << 5) | (2 << 9)
+            elif length + run <= 16:  # EOBn: fold the r extra bits
+                tl = length + run
+                extra = (np.arange(span, dtype=np.int64) >> (16 - tl)) & (
+                    (1 << run) - 1
+                )
+                lut[base : base + span] = (
+                    tl | (run << 5) | (1 << 9) | (((1 << run) + extra).astype(np.uint32) << 11)
+                )
+            else:  # EOBn whose extra bits overflow the probe
+                lut[base : base + span] = length | (run << 5) | (3 << 9)
             code += 1
             k += 1
         code <<= 1
@@ -737,21 +814,62 @@ def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     return segs, end
 
 
+def _prog_noninter_bases(
+    w: int, h: int, hi: int, vi: int, hmax: int, vmax: int, mcux: int
+) -> list[int]:
+    """Flat coefficient-base offsets (bi * 64) for a non-interleaved
+    scan's block grid, in scan order (row-major over the component's own
+    wb x hb grid), computed with numpy instead of per-block arithmetic."""
+    wb = (-(-(w * hi) // hmax) + 7) // 8
+    hb = (-(-(h * vi) // vmax) + 7) // 8
+    bys = np.arange(hb, dtype=np.int64)[:, None]
+    bxs = np.arange(wb, dtype=np.int64)[None, :]
+    bi = ((bys // vi) * mcux + bxs // hi) * (vi * hi) + (bys % vi) * hi + bxs % hi
+    return (bi.reshape(-1) * 64).tolist()
+
+
+def _prog_refine_bits(
+    segments: list[bytes], n_units: int, unit_bits: int, ri: int
+) -> np.ndarray:
+    """Concatenated bit array (MSB-first, one uint8 per bit) for a DC
+    refinement scan: each restart segment contributes exactly
+    units_in_segment * unit_bits payload bits; trailing pad bits drop."""
+    chunks = []
+    units_left = n_units
+    si = 0
+    while units_left > 0:
+        k = min(ri, units_left) if ri else units_left
+        if si >= len(segments):
+            raise ValueError("JPEG entropy data truncated")
+        ub = np.unpackbits(np.frombuffer(segments[si], np.uint8))
+        need = k * unit_bits
+        if len(ub) < need:
+            raise ValueError("JPEG entropy data truncated")
+        chunks.append(ub[:need])
+        units_left -= k
+        si += 1
+    return np.concatenate(chunks) if chunks else np.empty(0, np.uint8)
+
+
 def _decode_progressive(data: bytes) -> np.ndarray:
     """Progressive JPEG (SOF2): spectral-selection + successive-
     approximation scans per ITU-T T.81 G.2, including DC/AC refinement
     and EOB-run coding. Coefficients accumulate across scans in zigzag
     order; reconstruction shares the baseline tail (_assemble_image).
 
-    Perf posture: progressive is the honest slow path (a _BitReader per
-    scan, per-coefficient Python) — the multi-scan structure defeats the
-    baseline decoder's single-pass combined LUT. Roughly baseline-scalar
-    speed; fine for thumbnail/feature payloads, and the PIL swap-in seam
-    applies here too.
+    Perf posture (round 5): the scan loops use the same inlined
+    bit-window + 16-bit-lookahead LUT treatment as the baseline decoder
+    — AC-first scans ride the combined value LUT (_build_ac_lut2), DC
+    and AC-refinement symbols the two-step LUT — and DC-refinement
+    scans, being raw one-bit-per-block streams, are decoded wholesale
+    with np.unpackbits. Byte-identical to the round-4 _BitReader loops
+    (pinned with a copied-baseline microbench in tests/test_codecs.py).
+    The residual floor is AC-refinement's per-coefficient CPython; the
+    documented PIL swap-in seam applies here too.
     """
     quant: dict[int, np.ndarray] = {}
-    dc_tabs: dict[int, list[int]] = {}
-    ac_tabs: dict[int, list[int]] = {}
+    dc_tabs: dict[int, tuple] = {}
+    ac_tabs: dict[int, tuple] = {}
     frame = None
     restart_interval = 0
     scans = []  # (scomps=[(cid, dc_lut|None, ac_lut|None)], Ss, Se, Ah, Al, ri, segments)
@@ -798,7 +916,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
                 bits = list(seg[i + 1 : i + 17])
                 nsym = sum(bits)
                 huffval = list(seg[i + 17 : i + 17 + nsym])
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huff_decoder(bits, huffval)
+                # store the SPEC (a scan must capture table contents at
+                # SOS time; LUT builds are content-cached and cheap)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = (tuple(bits), tuple(huffval))
                 i += 17 + nsym
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -821,129 +941,516 @@ def _decode_progressive(data: bytes) -> np.ndarray:
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     by_cid = {cid: (hi, vi) for cid, hi, vi, _ in comps}
-    # zigzag-order coefficient store per comp (Python list: the scan loops
-    # are per-coefficient Python; numpy scalar writes would be slower)
-    coef = {cid: [0] * (mcux * hi * mcuy * vi * 64) for cid, hi, vi, _ in comps}
+    # zigzag-order coefficient store per comp. Kept as numpy throughout:
+    # every scan path below COLLECTS its writes in Python lists and
+    # applies them as one vectorized scatter per scan (the round-4 list
+    # store cost ~25 ms in the final list->numpy conversion alone).
+    coef = {
+        cid: np.zeros(mcux * hi * mcuy * vi * 64, np.int32)
+        for cid, hi, vi, _ in comps
+    }
+    n_mcus = mcux * mcuy
 
     for scomps, ss, se, ah, al, ri, segments in scans:
         if ss == 0 and se != 0:
             raise ValueError("bad progressive scan: DC scan with Se != 0")
         if ss > 0 and len(scomps) != 1:
             raise ValueError("bad progressive scan: interleaved AC scan")
-        reader = _BitReader(segments[0])
-        seg_idx = 0
-        eobrun = 0
-        preds = {cid: 0 for cid, _d, _a in scomps}
         p1, m1 = 1 << al, -1 << al
 
-        def restart():
-            nonlocal reader, seg_idx, eobrun, preds
-            seg_idx += 1
-            reader = _BitReader(segments[seg_idx])
-            eobrun = 0
-            preds = {cid: 0 for cid, _d, _a in scomps}
-
-        if len(scomps) > 1:  # interleaved: DC scans only (enforced above)
-            for mcu in range(mcux * mcuy):
-                if ri and mcu and mcu % ri == 0:
-                    restart()
-                my, mx = divmod(mcu, mcux)
-                for cid, dc_lut, _ac in scomps:
+        if ss == 0 and ah > 0:
+            # ---- DC refinement: a raw one-bit-per-block stream ----------
+            # Fully vectorized: np.unpackbits per restart segment, then
+            # one ``|= p1`` per SET bit only (clear bits are no-ops).
+            if len(scomps) > 1:
+                total_nb = sum(by_cid[c][0] * by_cid[c][1] for c, _d, _a in scomps)
+                bit_arr = _prog_refine_bits(segments, n_mcus, total_nb, ri)
+                off = 0
+                for cid, _dc, _ac in scomps:
                     hi, vi = by_cid[cid]
-                    cf = coef[cid]
-                    for blk in range(vi * hi):
-                        base = (mcu * vi * hi + blk) * 64
-                        if ah == 0:  # DC first
-                            size = reader.decode_symbol(dc_lut)
-                            preds[cid] += _extend(reader.read_bits(size), size)
-                            cf[base] = preds[cid] << al
-                        elif reader.read_bits(1):  # DC refinement bit
-                            cf[base] |= p1
-        else:  # non-interleaved: the component's own block grid
-            cid, dc_lut, ac_lut = scomps[0]
-            hi, vi = by_cid[cid]
-            cf = coef[cid]
-            wb = (-(-(w * hi) // hmax) + 7) // 8
-            hb = (-(-(h * vi) // vmax) + 7) // 8
-            unit = 0
-            for by in range(hb):
-                for bx in range(wb):
-                    if ri and unit and unit % ri == 0:
-                        restart()
-                    unit += 1
-                    bi = ((by // vi) * mcux + bx // hi) * (vi * hi) + (by % vi) * hi + bx % hi
-                    base = bi * 64
-                    if ss == 0:
-                        if ah == 0:
-                            size = reader.decode_symbol(dc_lut)
-                            preds[cid] += _extend(reader.read_bits(size), size)
-                            cf[base] = preds[cid] << al
-                        elif reader.read_bits(1):
-                            cf[base] |= p1
-                    elif ah == 0:  # AC first (T.81 G.2.2 / EOB-run coding)
-                        if eobrun > 0:
-                            eobrun -= 1
-                            continue
-                        k = ss
-                        while k <= se:
-                            rs = reader.decode_symbol(ac_lut)
-                            r, s = rs >> 4, rs & 15
-                            if s:
-                                k += r
-                                if k > se:
-                                    raise ValueError("JPEG AC band overflow")
-                                cf[base + k] = _extend(reader.read_bits(s), s) << al
-                                k += 1
-                            else:
-                                if r != 15:
-                                    eobrun = 1 << r
-                                    if r:
-                                        eobrun += reader.read_bits(r)
-                                    eobrun -= 1  # counts this block
-                                    break
-                                k += 16  # ZRL
-                    else:  # AC refinement (T.81 G.2.3)
-                        k = ss
-                        if eobrun == 0:
-                            while k <= se:
-                                rs = reader.decode_symbol(ac_lut)
-                                r, s = rs >> 4, rs & 15
-                                val = 0
-                                if s:
-                                    # magnitude in a refinement scan is 1
-                                    val = p1 if reader.read_bits(1) else m1
-                                elif r != 15:
-                                    eobrun = 1 << r
-                                    if r:
-                                        eobrun += reader.read_bits(r)
-                                    break
-                                # advance: correct already-nonzero coeffs,
-                                # count r zero-history positions
-                                while k <= se:
-                                    c = cf[base + k]
-                                    if c:
-                                        if reader.read_bits(1) and not (c & p1):
-                                            cf[base + k] = c + (p1 if c >= 0 else m1)
-                                    else:
-                                        r -= 1
-                                        if r < 0:
-                                            break
-                                    k += 1
-                                if s and k <= se:
-                                    cf[base + k] = val
-                                k += 1
-                        if eobrun > 0:
-                            # EOB-run tail: correction bits only
-                            while k <= se:
-                                c = cf[base + k]
-                                if c and reader.read_bits(1) and not (c & p1):
-                                    cf[base + k] = c + (p1 if c >= 0 else m1)
-                                k += 1
-                            eobrun -= 1
+                    nb = vi * hi
+                    mc = np.arange(n_mcus, dtype=np.int64)[:, None]
+                    bk = np.arange(nb, dtype=np.int64)[None, :]
+                    bit_idx = (mc * total_nb + off + bk).reshape(-1)
+                    cpos = ((mc * nb + bk) * 64).reshape(-1)
+                    coef[cid][cpos[bit_arr[bit_idx] == 1]] |= p1
+                    off += nb
+            else:
+                cid, _dc, _ac = scomps[0]
+                hi, vi = by_cid[cid]
+                bases = np.array(
+                    _prog_noninter_bases(w, h, hi, vi, hmax, vmax, mcux), np.int64
+                )
+                bit_arr = _prog_refine_bits(segments, len(bases), 1, ri)
+                coef[cid][bases[bit_arr == 1]] |= p1
+            continue
 
-    zz_of = {
-        cid: np.array(coef[cid], np.int32).reshape(-1, 64) for cid, *_ in comps
-    }
+        if ss == 0:
+            # ---- DC first: one huffman size + magnitude per block -------
+            # Inlined bit window + two-step LUT (baseline treatment); the
+            # decoded predictors are appended per comp and applied as one
+            # scatter per scan.
+            plan = []  # (ci, dc_lut, nb, vals_append)
+            vals: list[list[int]] = []
+            for ci, (cid, dc_spec, _ac) in enumerate(scomps):
+                hi, vi = by_cid[cid]
+                vs: list[int] = []
+                vals.append(vs)
+                plan.append((ci, _build_huff_decoder(*dc_spec), vi * hi, vs.append))
+            if len(scomps) > 1:
+                n_units = n_mcus
+            else:
+                cid0, _d, _a = scomps[0]
+                hi, vi = by_cid[cid0]
+                n_units = len(_prog_noninter_bases(w, h, hi, vi, hmax, vmax, mcux))
+            preds = [0] * len(scomps)
+            seg_idx = 0
+            seg = segments[0]
+            spos = 0
+            window = 0
+            wbits = 0
+            for unit in range(n_units):
+                if ri and unit and unit % ri == 0:
+                    seg_idx += 1
+                    seg = segments[seg_idx]
+                    spos = 0
+                    window = 0
+                    wbits = 0
+                    preds = [0] * len(scomps)
+                for ci, dc_lut, nb, vapp in plan:
+                    for _blk in range(nb):
+                        if wbits < 27:  # refill 6 bytes (max code+mag = 27)
+                            chunk = seg[spos : spos + 6]
+                            if chunk:
+                                nb8 = len(chunk) << 3
+                                spos += 6
+                                window = (window << nb8) | int.from_bytes(chunk, "big")
+                                wbits += nb8
+                        peek = (
+                            window >> (wbits - 16)
+                            if wbits >= 16
+                            else (window << (16 - wbits)) & 0xFFFF
+                        )
+                        v = dc_lut[peek]
+                        ln = v & 31
+                        if ln == 0 or ln > wbits:
+                            raise ValueError(
+                                "JPEG entropy data truncated"
+                                if wbits < 16
+                                else "invalid JPEG huffman code"
+                            )
+                        s = v >> 5
+                        wbits -= ln
+                        window &= _MASKS[wbits]
+                        if s:
+                            if s > wbits:
+                                chunk = seg[spos : spos + 6]
+                                if chunk:
+                                    nb8 = len(chunk) << 3
+                                    spos += 6
+                                    window = (window << nb8) | int.from_bytes(
+                                        chunk, "big"
+                                    )
+                                    wbits += nb8
+                                if s > wbits:
+                                    raise ValueError("JPEG entropy data truncated")
+                            wbits -= s
+                            mag = window >> wbits
+                            window &= _MASKS[wbits]
+                            if mag < 1 << (s - 1):
+                                mag += 1 - (1 << s)
+                            preds[ci] += mag
+                        vapp(preds[ci])
+            for ci, (cid, _dc, _ac) in enumerate(scomps):
+                hi, vi = by_cid[cid]
+                if len(scomps) > 1:  # block order: mcu-major, nb blocks each
+                    pos = np.arange(n_mcus * vi * hi, dtype=np.int64) * 64
+                else:
+                    pos = np.array(
+                        _prog_noninter_bases(w, h, hi, vi, hmax, vmax, mcux), np.int64
+                    )
+                coef[cid][pos] = np.array(vals[ci], np.int32) << al
+            continue
+
+        # ---- AC scans: single component, its own block grid -------------
+        cid, _dc, ac_spec = scomps[0]
+        hi, vi = by_cid[cid]
+        bases1 = _prog_noninter_bases(w, h, hi, vi, hmax, vmax, mcux)
+        cf = coef[cid]
+        seg_idx = 0
+        seg = segments[0]
+        spos = 0
+        window = 0
+        wbits = 0
+        eobrun = 0
+
+        if ah == 0:
+            # ---- AC first (T.81 G.2.2 / EOB-run coding): combined LUT ---
+            # Decoded coefficients are appended packed ((pos << 32) |
+            # (value + 2^31)) and applied as ONE scatter per scan — the
+            # baseline decoder's treatment.
+            ac2 = _build_ac_lut2(list(ac_spec[0]), list(ac_spec[1]))
+            packed: list[int] = []
+            papp = packed.append
+            for unit, base in enumerate(bases1):
+                if ri and unit and unit % ri == 0:
+                    seg_idx += 1
+                    seg = segments[seg_idx]
+                    spos = 0
+                    window = 0
+                    wbits = 0
+                    eobrun = 0
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    if wbits < 26:
+                        chunk = seg[spos : spos + 6]
+                        if chunk:
+                            nb8 = len(chunk) << 3
+                            spos += 6
+                            window = (window << nb8) | int.from_bytes(chunk, "big")
+                            wbits += nb8
+                    peek = (
+                        window >> (wbits - 16)
+                        if wbits >= 16
+                        else (window << (16 - wbits)) & 0xFFFF
+                    )
+                    v = ac2[peek]
+                    tl = v & 31
+                    if tl == 0 or tl > wbits:
+                        if tl == 0 and wbits >= 16:
+                            raise ValueError("invalid JPEG huffman code")
+                        raise ValueError("JPEG entropy data truncated")
+                    wbits -= tl
+                    window &= _MASKS[wbits]
+                    vf = (v >> 11) & 4095
+                    if vf:
+                        if vf != 2048:  # fast path: coefficient fully decoded
+                            k += (v >> 5) & 63
+                            if k > se:
+                                raise ValueError("JPEG AC band overflow")
+                            papp(
+                                ((base + k) << 32)
+                                | (((vf - 2048) << al) + 0x80000000)
+                            )
+                            k += 1
+                            continue
+                        r = (v >> 5) & 63
+                        if r != 15:  # EOBn: 1 << r blocks (+ r extra bits)
+                            eobrun = 1 << r
+                            if r:
+                                if r > wbits:
+                                    chunk = seg[spos : spos + 6]
+                                    if chunk:
+                                        nb8 = len(chunk) << 3
+                                        spos += 6
+                                        window = (window << nb8) | int.from_bytes(
+                                            chunk, "big"
+                                        )
+                                        wbits += nb8
+                                    if r > wbits:
+                                        raise ValueError("JPEG entropy data truncated")
+                                wbits -= r
+                                eobrun += window >> wbits
+                                window &= _MASKS[wbits]
+                            eobrun -= 1  # counts this block
+                            break
+                        k += 16  # ZRL
+                        continue
+                    # slow path: code consumed, read the magnitude bits
+                    s = (v >> 23) & 15
+                    k += (v >> 5) & 63
+                    if k > se:
+                        raise ValueError("JPEG AC band overflow")
+                    if s > wbits:
+                        chunk = seg[spos : spos + 6]
+                        if chunk:
+                            nb8 = len(chunk) << 3
+                            spos += 6
+                            window = (window << nb8) | int.from_bytes(chunk, "big")
+                            wbits += nb8
+                        if s > wbits:
+                            raise ValueError("JPEG entropy data truncated")
+                    wbits -= s
+                    mag = window >> wbits
+                    window &= _MASKS[wbits]
+                    if mag < 1 << (s - 1):
+                        mag += 1 - (1 << s)
+                    papp(((base + k) << 32) | ((mag << al) + 0x80000000))
+                    k += 1
+            if packed:
+                pk = np.array(packed, np.int64)
+                cf[pk >> 32] = (pk & 0xFFFFFFFF) - 0x80000000
+            continue
+
+        # ---- AC refinement (T.81 G.2.3): map-walk + batched bit reads ---
+        # The refinement stream's bit schedule is fixed by the PRE-scan
+        # coefficient state: one correction bit per already-nonzero band
+        # position passed, and the zero-history positions are where new
+        # coefficients can land. Both maps are precomputed with numpy, so
+        # the loop never touches zero positions (the round-4 walk spent
+        # ~4 statements on every one of them) and correction bits are
+        # consumed in ONE batched window read per advance. Corrections and
+        # placements are collected and applied as scatters at scan end —
+        # sound because a position gets at most one write per scan and
+        # nothing in the scan reads post-write state: corrections never
+        # change nonzero-ness or sign (|c| >= 2*p1 pre-scan), placements
+        # land on consumed zero-history positions. (The round-4 walk's
+        # defensive ``not (c & p1)`` re-check is provably dead on any
+        # stream whose earlier scans used Al' > Al, which T.81 G.1.1.1.2
+        # requires — pre-scan values are even multiples of 2*p1.)
+        rlut = _build_refine_lut(*ac_spec)
+        bases_arr = np.array(bases1, np.int64)
+        band = np.arange(ss, se + 1, dtype=np.int64)
+        gathered = cf[bases_arr[:, None] + band[None, :]]
+        nzmask = gathered != 0
+        bsel, ksel = np.nonzero(nzmask)
+        nzpos_np = bases_arr[bsel] + ss + ksel
+        nzdelta_np = np.where(gathered[bsel, ksel] >= 0, p1, m1)
+        nzpos_all = nzpos_np.tolist()
+        nzdelta_all = nzdelta_np.tolist()
+        ncounts = np.count_nonzero(nzmask, axis=1)
+        noffs = np.concatenate(([0], np.cumsum(ncounts))).tolist()
+        zsel, zksel = np.nonzero(~nzmask)
+        zpos_all = (bases_arr[zsel] + ss + zksel).tolist()
+        zoffs = np.concatenate(
+            ([0], np.cumsum((se + 1 - ss) - ncounts))
+        ).tolist()
+        cpos: list[int] = []  # corrections: positions whose bit was 1
+        cdel: list[int] = []  # ...and their +-p1 delta (pre-scan sign)
+        packedr: list[int] = []  # placements, packed like AC first
+        capp, dapp, papp = cpos.append, cdel.append, packedr.append
+        cchunks: list[np.ndarray] = []  # bulk-tail correction scatters
+        dchunks: list[np.ndarray] = []
+        ub_cache: list = [None] * len(segments)
+        nblocks = len(bases1)
+        b = 0
+        # Refills below use ``spos += len(chunk)`` so the absolute bit
+        # offset ``(spos << 3) - wbits`` stays exact — the bulk EOB-tail
+        # path below re-syncs the window from it.
+        while b < nblocks:
+            if ri and b and b % ri == 0:
+                seg_idx += 1
+                seg = segments[seg_idx]
+                spos = 0
+                window = 0
+                wbits = 0
+                eobrun = 0
+            ni, nend = noffs[b], noffs[b + 1]
+            zi, zend = zoffs[b], zoffs[b + 1]
+            if eobrun == 0:
+                while ni < nend or zi < zend:
+                    if wbits < 16:
+                        chunk = seg[spos : spos + 6]
+                        if chunk:
+                            nb8 = len(chunk) << 3
+                            spos += len(chunk)
+                            window = (window << nb8) | int.from_bytes(chunk, "big")
+                            wbits += nb8
+                    peek = (
+                        window >> (wbits - 16)
+                        if wbits >= 16
+                        else (window << (16 - wbits)) & 0xFFFF
+                    )
+                    v = rlut[peek]
+                    tl = v & 31
+                    if tl == 0 or tl > wbits:
+                        raise ValueError(
+                            "JPEG entropy data truncated"
+                            if wbits < 16
+                            else "invalid JPEG huffman code"
+                        )
+                    wbits -= tl
+                    window &= _MASKS[wbits]
+                    vk = v & 1536  # kind bits 9-10
+                    if vk == 0:  # new coefficient, sign folded at bit 11
+                        r = (v >> 5) & 15
+                        val = p1 if v & 2048 else m1
+                    elif vk == 512:  # EOBn, count folded in
+                        eobrun = v >> 11
+                        break
+                    elif vk == 1024:  # ZRL: pass 16 zero-history positions
+                        if zi + 15 < zend:
+                            boundary = zpos_all[zi + 15]
+                            zi += 16
+                            j = ni
+                            while j < nend and nzpos_all[j] < boundary:
+                                j += 1
+                        else:  # fewer than 16 zeros left: pass everything
+                            boundary = None
+                            j = nend
+                        nb_ = j - ni
+                        if nb_:
+                            while wbits < nb_:
+                                chunk = seg[spos : spos + 6]
+                                if not chunk:
+                                    raise ValueError("JPEG entropy data truncated")
+                                nb8 = len(chunk) << 3
+                                spos += len(chunk)
+                                window = (window << nb8) | int.from_bytes(chunk, "big")
+                                wbits += nb8
+                            wbits -= nb_
+                            bv = window >> wbits
+                            window &= _MASKS[wbits]
+                            t = ni + nb_ - 1
+                            while bv:
+                                if bv & 1:
+                                    capp(nzpos_all[t])
+                                    dapp(nzdelta_all[t])
+                                bv >>= 1
+                                t -= 1
+                        ni = j
+                        if boundary is None:
+                            zi = zend
+                        continue
+                    else:  # slow path: finish the probe manually
+                        r = (v >> 5) & 15
+                        if v & 2048:  # new coefficient: read the sign bit
+                            if not wbits:
+                                chunk = seg[spos : spos + 6]
+                                if chunk:
+                                    nb8 = len(chunk) << 3
+                                    spos += len(chunk)
+                                    window = (window << nb8) | int.from_bytes(
+                                        chunk, "big"
+                                    )
+                                    wbits += nb8
+                                if not wbits:
+                                    raise ValueError("JPEG entropy data truncated")
+                            wbits -= 1
+                            val = p1 if window >> wbits else m1
+                            window &= _MASKS[wbits]
+                        else:  # EOBn whose extra bits overflowed the probe
+                            eobrun = 1 << r
+                            if r > wbits:
+                                chunk = seg[spos : spos + 6]
+                                if chunk:
+                                    nb8 = len(chunk) << 3
+                                    spos += len(chunk)
+                                    window = (window << nb8) | int.from_bytes(
+                                        chunk, "big"
+                                    )
+                                    wbits += nb8
+                                if r > wbits:
+                                    raise ValueError("JPEG entropy data truncated")
+                            wbits -= r
+                            eobrun += window >> wbits
+                            window &= _MASKS[wbits]
+                            break
+                    # ---- place the new coefficient (kinds 0 and 3-new) --
+                    if zi + r < zend:
+                        target = zpos_all[zi + r]
+                        zi += r + 1
+                        j = ni
+                        while j < nend and nzpos_all[j] < target:
+                            j += 1
+                    else:  # zeros exhausted: pass the rest, no landing
+                        target = None
+                        j = nend
+                    nb_ = j - ni
+                    if nb_:
+                        while wbits < nb_:
+                            chunk = seg[spos : spos + 6]
+                            if not chunk:
+                                raise ValueError("JPEG entropy data truncated")
+                            nb8 = len(chunk) << 3
+                            spos += len(chunk)
+                            window = (window << nb8) | int.from_bytes(chunk, "big")
+                            wbits += nb8
+                        wbits -= nb_
+                        bv = window >> wbits
+                        window &= _MASKS[wbits]
+                        t = ni + nb_ - 1
+                        while bv:
+                            if bv & 1:
+                                capp(nzpos_all[t])
+                                dapp(nzdelta_all[t])
+                            bv >>= 1
+                            t -= 1
+                        ni = j
+                    if target is None:
+                        zi = zend
+                    else:
+                        papp((target << 32) | (val + 0x80000000))
+            if eobrun > 0:
+                # EOB-run tail for THIS block (may start mid-block): one
+                # correction bit per remaining nonzero, window-read
+                nb_ = nend - ni
+                if nb_:
+                    while wbits < nb_:
+                        chunk = seg[spos : spos + 6]
+                        if not chunk:
+                            raise ValueError("JPEG entropy data truncated")
+                        nb8 = len(chunk) << 3
+                        spos += len(chunk)
+                        window = (window << nb8) | int.from_bytes(chunk, "big")
+                        wbits += nb8
+                    wbits -= nb_
+                    bv = window >> wbits
+                    window &= _MASKS[wbits]
+                    t = ni + nb_ - 1
+                    while bv:
+                        if bv & 1:
+                            capp(nzpos_all[t])
+                            dapp(nzdelta_all[t])
+                        bv >>= 1
+                        t -= 1
+                eobrun -= 1
+                b += 1
+                # ---- bulk EOB-run tail: whole full-tail blocks at once --
+                # Their correction bits are contiguous in the stream AND
+                # contiguous in the nz flat arrays, so extract them with
+                # one unpackbits slice + nonzero instead of per-block
+                # Python. Capped at restart boundaries.
+                while eobrun > 0 and b < nblocks:
+                    limit = nblocks if not ri else min(nblocks, (b // ri + 1) * ri)
+                    e_blocks = min(eobrun, limit - b)
+                    if e_blocks <= 0:
+                        break
+                    jj = noffs[b + e_blocks] - noffs[b]
+                    if jj:
+                        ub = ub_cache[seg_idx]
+                        if ub is None:
+                            ub = np.unpackbits(np.frombuffer(seg, np.uint8))
+                            ub_cache[seg_idx] = ub
+                        cur = (spos << 3) - wbits
+                        if cur + jj > len(ub):
+                            raise ValueError("JPEG entropy data truncated")
+                        setrel = np.nonzero(ub[cur : cur + jj])[0]
+                        if len(setrel):
+                            sel = noffs[b] + setrel
+                            cchunks.append(nzpos_np[sel])
+                            dchunks.append(nzdelta_np[sel])
+                        off = cur + jj
+                        byte = off >> 3
+                        rem = off & 7
+                        if rem and byte < len(seg):
+                            window = seg[byte] & _MASKS[8 - rem]
+                            wbits = 8 - rem
+                            spos = byte + 1
+                        else:
+                            window = 0
+                            wbits = 0
+                            spos = byte + (1 if rem else 0)
+                    eobrun -= e_blocks
+                    b += e_blocks
+                    # a run reaching a restart boundary stops here; the
+                    # outer loop's restart handling resets eobrun (exactly
+                    # the round-4 restart() semantics)
+                continue
+            b += 1
+        if cpos:
+            cchunks.append(np.array(cpos, np.int64))
+            dchunks.append(np.array(cdel, np.int64))
+        if cchunks:
+            cf[np.concatenate(cchunks)] += np.concatenate(dchunks).astype(np.int32)
+        if packedr:
+            pk = np.array(packedr, np.int64)
+            cf[pk >> 32] = (pk & 0xFFFFFFFF) - 0x80000000
+
+    zz_of = {cid: coef[cid].reshape(-1, 64) for cid, *_ in comps}
     return _assemble_image(comps, quant, zz_of, h, w, mcux, mcuy, hmax, vmax)
 
 
@@ -1367,47 +1874,170 @@ def is_gif(data: bytes) -> bool:
     return bytes(data[:6]) in (b"GIF87a", b"GIF89a")
 
 
-def _lzw_decode(min_code_size: int, data: bytes) -> bytearray:
-    """GIF variable-width LZW, LSB-first bit packing."""
+_LZW_ARANGE = np.arange(1 << 16, dtype=np.int64)
+
+
+def _lzw_emit_scalar(out: bytearray, codes: list[int], min_code_size: int) -> None:
+    """Scalar per-cycle LZW expansion (the round-4 loop, minus bit I/O):
+    used when a cycle's dictionary chains are long — i.e. highly
+    repetitive input — where few codes cover much output and the
+    transpose-chase's per-iteration numpy overhead would dominate."""
     clear = 1 << min_code_size
-    eoi = clear + 1
-    width = min_code_size + 1
     dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
-    out = bytearray()
+    dlen = len(dictionary)
+    app = dictionary.append
     prev: bytes | None = None
-    acc = 0
-    nbits = 0
-    pos = 0
-    n = len(data)
-    while True:
-        while nbits < width:
-            if pos >= n:
-                return out  # missing EOI: tolerate (common in the wild)
-            acc |= data[pos] << nbits
-            pos += 1
-            nbits += 8
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        nbits -= width
-        if code == clear:
-            dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
-            width = min_code_size + 1
-            prev = None
-            continue
-        if code == eoi:
-            return out
-        if code < len(dictionary):
+    for code in codes:
+        if code < dlen:
             entry = dictionary[code]
-        elif code == len(dictionary) and prev is not None:
+        elif code == dlen and prev is not None:
             entry = prev + prev[:1]
         else:
             raise ValueError("corrupt GIF LZW stream")
         out += entry
-        if prev is not None and len(dictionary) < 4096:
-            dictionary.append(prev + entry[:1])
-            if len(dictionary) == 1 << width and width < 12:
-                width += 1
+        if prev is not None and dlen < 4096:
+            app(prev + entry[:1])
+            dlen += 1
         prev = entry
+
+
+def _lzw_emit(out: bytearray, runs: list, min_code_size: int) -> None:
+    """Expand one clear-to-clear LZW cycle wholesale.
+
+    Between clear codes the dictionary structure is a pure function of
+    the code sequence: entry ``d0 + t - 1`` (created while emitting code
+    t) is ``expansion(E[t-1]) + first_byte(expansion(E[t]))``. That makes
+    the whole cycle vectorizable as int arrays: prefix links + last-byte
+    + first-byte/length resolved by pointer doubling (refs always point
+    to EARLIER entries), then the output materialized by a transpose
+    pointer-chase — one ``buf[wpos] = last[cur]`` numpy scatter per chain
+    depth, total work = output bytes. KwKwK (code == current dict size)
+    falls out naturally because entry n's fields derive from E[t-1], not
+    from entry n itself. Cycles whose max chain depth exceeds 48 fall
+    back to the scalar loop (highly repetitive input: few codes, long
+    chains — scalar is faster there and the depth bounds its cost)."""
+    if not runs:
+        return
+    E = np.concatenate(runs) if len(runs) > 1 else runs[0]
+    m = len(E)
+    clear = 1 << min_code_size
+    d0 = clear + 2
+    if m < 512:
+        # tiny cycle: the numpy dict build costs more than it saves
+        _lzw_emit_scalar(out, E.tolist(), min_code_size)
+        return
+    E = E.astype(np.int64)
+    # validity: code t may reference at most entry d0 + t - 2 (+1 for the
+    # KwKwK entry being defined); dict caps at 4096
+    lim = np.minimum(d0 - 1 + np.arange(m, dtype=np.int64), 4095)
+    if (E > lim).any() or E[0] >= d0:
+        raise ValueError("corrupt GIF LZW stream")
+    nn = min(m - 1, 4096 - d0)  # new entries this cycle
+    size = d0 + nn
+    pre = np.full(size, -1, np.int64)
+    last = np.zeros(size, np.int64)
+    last[:clear] = np.arange(clear)
+    fb = np.zeros(size, np.int64)
+    fb[:clear] = np.arange(clear)
+    ln = np.ones(size, np.int64)
+    ln[clear:d0] = 0  # the clear/eoi slots: never referenced
+    if nn > 0:
+        srcs = E[:nn]  # prefix code of entry d0 + j is E[j]
+        pre[d0:] = srcs
+        # pointer-double prefix refs down to literals: fb = root literal,
+        # ln = 1 + hops (refs go strictly to earlier entries, so this
+        # terminates in O(log max-depth) passes)
+        ptr = srcs.copy()
+        hops = np.ones(nn, np.int64)
+        while True:
+            mask = ptr >= d0
+            if not mask.any():
+                break
+            idx = ptr[mask] - d0
+            hops[mask] += hops[idx]
+            ptr[mask] = ptr[idx]
+        fb[d0:] = ptr
+        ln[d0:] = 1 + hops
+        last[d0:] = fb[E[1 : nn + 1]]  # suffix byte = first byte of E[t]
+    ln_E = ln[E]
+    max_chain = int(ln_E.max())
+    if max_chain > 48:
+        _lzw_emit_scalar(out, E.tolist(), min_code_size)
+        return
+    ends = np.cumsum(ln_E)
+    buf = np.empty(int(ends[-1]), np.uint8)
+    cur = E
+    wpos = ends - 1
+    while len(cur):
+        buf[wpos] = last[cur]
+        nxt = pre[cur]
+        keep = nxt >= 0
+        cur = nxt[keep]
+        wpos = wpos[keep] - 1
+    out += buf.tobytes()
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytearray:
+    """GIF variable-width LZW, LSB-first bit packing.
+
+    Round-5 vectorized end to end: between clear codes both the CODE
+    BOUNDARIES (the dictionary grows by exactly one entry per emitted
+    code, and the width bumps exactly when the dict size reaches
+    ``1 << width``) and the DICTIONARY STRUCTURE are pure functions of
+    the code sequence, so codes are extracted in numpy batches per
+    constant-width run and whole clear-to-clear cycles are expanded by
+    ``_lzw_emit`` (prefix-link arrays + transpose pointer-chase; scalar
+    fallback for long-chain repetitive cycles). Byte-identical to the
+    round-4 scalar reader, including the missing-EOI tolerance and the
+    corrupt-stream error (pinned in tests/test_codecs.py's microbench).
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    d0 = clear + 2
+    total = len(data) * 8
+    # 19-bit byte windows: the code starting at bit p (LSB-first packing)
+    # is (win[p >> 3] >> (p & 7)) & mask — one gather per code, no matmul
+    db = np.frombuffer(data + b"\x00\x00", np.uint8).astype(np.int32)
+    win = db[:-2] | (db[1:-1] << 8) | (db[2:] << 16)
+    out = bytearray()
+    p = 0  # absolute bit position
+    cyc: list[np.ndarray] = []  # code runs of the current cycle
+    c = 0  # codes so far in the current cycle
+    while True:
+        a = c - 1 if c else 0  # appends so far (first code doesn't append)
+        dlen = d0 + (a if a < 4096 - d0 else 4096 - d0)
+        width = min_code_size + 1
+        while (1 << width) <= dlen and width < 12:
+            width += 1
+        n_avail = (total - p) // width
+        if n_avail <= 0:
+            _lzw_emit(out, cyc, min_code_size)  # flush the partial cycle
+            return out  # missing EOI: tolerate (common in the wild)
+        # codes safely readable at this width: appends stay below the
+        # next width bump (or the 4096 cap, at which width is pinned)
+        if dlen >= 4096:
+            allow = n_avail
+        else:
+            allow = (1 << width) - dlen + (c == 0)
+        k = min(allow, n_avail, 1 << 16)  # huge runs iterate the loop
+        ps = p + _LZW_ARANGE[:k] * width
+        codes = (win[ps >> 3] >> (ps & 7)) & ((1 << width) - 1)
+        # clear and eoi are adjacent (2^mcs, 2^mcs + 1): one masked compare
+        ctrl = np.nonzero((codes & -2) == clear)[0]
+        stop = int(ctrl[0]) if len(ctrl) else k
+        if stop:
+            cyc.append(codes[:stop])
+            c += stop
+        if stop < k:  # control code: close the cycle
+            p += (stop + 1) * width
+            _lzw_emit(out, cyc, min_code_size)
+            cyc = []
+            c = 0
+            if codes[stop] == eoi:
+                return out
+        else:
+            p += k * width
+
 
 
 def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
