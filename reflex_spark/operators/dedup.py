@@ -376,3 +376,98 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round over a distinct (u, v) edge set.
+
+    No unions: symmetrization and the small-star self-row are emitted with
+    explode(array(...)) instead. Besides halving the scans, this sidesteps
+    a Spark 4.1 optimizer fault (UnionBase.rewriteConstraints: "key not
+    found" on a union whose children share lineage with each other through
+    a join). Pure JVM shuffles — plan-asserted in tests/test_plans.py.
+    """
+    # Large-star: for each node u over its full (symmetric) neighborhood,
+    # attach every strictly-larger neighbor to m = min(N(u) ∪ {u}).
+    both_dirs = F.explode(
+        F.array(
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+        )
+    )
+    sym = edges.select(both_dirs.alias("e")).select(
+        F.col("e.a").alias("u"), F.col("e.b").alias("v")
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    large = (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+    # Small-star: orient large→small; attach every (smaller) neighbor
+    # and u itself to m = min(N(u) ∪ {u}) = min neighbor (all < u).
+    oriented = large.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    omins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        oriented.join(omins, "u")
+        # each joined row emits (v, m) and the self row (u, m);
+        # distinct collapses the per-neighbor duplicates of (u, m)
+        .select(F.explode(F.array("v", "u")).alias("n"), "m")
+        .where(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """Connected components via large-star/small-star alternation (public
+    algorithm: Kiveris et al., "Connected Components in MapReduce and
+    Beyond", ACM SoCC'14). Same contract as :func:`connected_components` —
+    (node, cluster_id=min reachable id) for every node in ``pairs`` — but
+    converges in O(log^2 n) rounds worst case (O(log n) observed) instead
+    of O(component diameter). This is the 100 TB path for adversarially
+    deep components: a 100k-node chain needs ~100k propagation rounds but
+    only ~a dozen star rounds (measured in SCALE_NOTES.md).
+
+    Per round: large-star rewires every neighbor larger than u to
+    min(N(u) ∪ {u}); small-star (on edges oriented large→small) rewires
+    every neighbor ≤ u the same way. Both preserve components and the
+    node set; the unique fixed point is a star per component centered at
+    its minimum. Each step is one groupBy + one equi-join + distinct —
+    all JVM-side shuffles, no Python UDF, lineage truncated per round
+    with localCheckpoint. Convergence = the (distinct) edge set is
+    unchanged, checked with two anti-joins on control-plane-sized data
+    relative to the inputs (the edge set only shrinks toward stars).
+
+    Returns ``(labels, rounds_used)`` so scale probes can assert the
+    round count.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for rounds in range(1, max_rounds + 1):
+        small = _star_round(edges).localCheckpoint()
+        converged = (
+            small.exceptAll(edges).isEmpty() and edges.exceptAll(small).isEmpty()
+        )
+        edges = small
+        if converged:
+            # Fixed point = stars (leaf, center): labels read straight off.
+            labels = edges.select(
+                F.col("u").alias("node"), F.col("v").alias("label")
+            ).unionByName(
+                edges.select(F.col("v").alias("node"), F.col("v").alias("label"))
+            ).distinct()
+            return labels, rounds
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_rounds} rounds"
+    )

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from reflex_spark.operators import text as T
 from reflex_spark.operators.dedup import (
-    connected_components,
+    connected_components_star,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -253,15 +253,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components over the MinHash-LSH dup pairs, keep min(doc_id) per
     cluster, emit every OTHER member as (doc_id, keep_id) — the actionable
     delete list. Pairs alone under-delete: A~B and B~C must collapse to
-    one survivor even when A~C was never emitted; the closure is min-label
-    propagation (operators/dedup.connected_components), O(diameter)
-    rounds of one shuffle each. The oracle recomputes the same closure as
+    one survivor even when A~C was never emitted; the closure here is the
+    large-star/small-star alternation (operators/dedup.
+    connected_components_star, Kiveris et al. SoCC'14) — O(log^2 n)
+    rounds worst case, the 100 TB path for adversarially deep components.
+    Min-label propagation (connected_components) remains the shallow-
+    cluster alternative; equivalence of the two is pinned in
+    tests/test_scale_ops.py. The oracle recomputes the same closure as
     a recursive CTE."""
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
     ).select("id_a", "id_b")
-    cc = connected_components(pairs)
+    cc, _rounds = connected_components_star(pairs)
     return (
         cc.where(F.col("node") != F.col("label"))
         .select(F.col("node").alias("doc_id"), F.col("label").alias("keep_id"))

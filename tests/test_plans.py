@@ -70,6 +70,29 @@ def test_no_python_udf_in_jvm_path_queries(spark):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_connected_components_star_plan_stays_jvm(spark):
+    """One large-star/small-star round must be pure JVM shuffles: no
+    Python UDF (BatchEvalPython / mapInPandas), no BroadcastNestedLoop,
+    no driver-side edge materialization. The iterative closure's scale
+    claim (SCALE_NOTES §8) rests on each round being groupBy+join only."""
+    from pyspark.sql import functions as F
+
+    from reflex_spark.operators.dedup import _star_round
+
+    edges = spark.range(500).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    round_df = _star_round(edges)
+    jvm = spark._jvm
+    plan = round_df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # the per-node min is a real partial agg
+
+
 def test_agg_partial_before_shuffle(spark):
     """events_per_type_day: exchange sits between partial and final agg."""
     plan = plan_of(spark, "events_per_type_day")

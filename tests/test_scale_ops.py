@@ -222,3 +222,48 @@ def test_connected_components_clusters(spark):
         connected_components(chain, max_iter=2)
     full = connected_components(chain)
     assert {r["label"] for r in full.collect()} == {50}
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Large-star/small-star must produce byte-identical labels to min-label
+    propagation on structured and random graphs (the star algorithm is the
+    adversarial-depth scale path; propagation is the shallow-cluster one)."""
+    import random
+
+    from reflex_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    structured = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    rng = random.Random(7)
+    rand_pairs = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(260)
+    ]
+    rand_pairs = [(a, b) for a, b in rand_pairs if a != b]
+    randomized = spark.createDataFrame(rand_pairs, "id_a long, id_b long")
+    for pairs in (structured, randomized):
+        expect = sorted(tuple(r) for r in connected_components(pairs).collect())
+        got_df, rounds = connected_components_star(pairs)
+        got = sorted(tuple(r) for r in got_df.collect())
+        assert got == expect
+        assert rounds <= 10  # O(log n) rounds on 300-node graphs
+
+
+def test_connected_components_star_deep_chain_logarithmic_rounds(spark):
+    """The adversarial-diameter case the star algorithm exists for: a
+    200-node chain needs ~200 min-label-propagation rounds but must close
+    in O(log n) star rounds with the correct single min label."""
+    from reflex_spark.operators.dedup import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1200)], "id_a long, id_b long"
+    )
+    labels, rounds = connected_components_star(chain)
+    rows = labels.collect()
+    assert {r["label"] for r in rows} == {1000}
+    assert len(rows) == 201
+    assert rounds <= 12  # log-ish, NOT O(diameter)=200
