@@ -206,6 +206,149 @@ def test_watermark_late_drop_rule(spark, tmp_path):
     assert by_batch[2] == [("2020-01-01 11:00:00", 3)]
 
 
+def test_watermark_invariants_from_progress(spark, tmp_path):
+    """Pin the watermark CONTRACT from the engine's own
+    StreamingQueryProgress rather than the measured k-2 batch-lag rule
+    (VERDICT r4 #2). Five single-file micro-batches with stragglers placed
+    to both drop and survive across several batches; after the run, every
+    per-batch per-window outcome is characterized exactly:
+
+      a row of batch k is kept iff its window END > wm_used(k),
+
+    where wm_used(k) = the watermark REPORTED by the progress entry of
+    batch k-1 (Spark reports in progress[k] the watermark derived from
+    data through batch k-1, one batch ahead of the filter — this
+    identification is itself asserted here: if a Spark upgrade shifts
+    when watermarks apply, this test fails loudly and the
+    stream_watermark_rollup oracle must be re-measured).
+
+    Two version-robust invariants are asserted on top, free of any
+    report-lag assumption:
+      (1) zero on-time loss — every row whose window end exceeds the
+          final (max) reported watermark appears in the result;
+      (2) every dropped row is provably behind the final watermark.
+    """
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    def mk(ts_list):
+        return spark.createDataFrame([(t,) for t in ts_list], "ts string").select(
+            F.col("ts").cast("timestamp").alias("ts")
+        )
+
+    batches = [
+        ["2020-01-01 10:15:00", "2020-01-01 11:30:00"],
+        ["2020-01-01 10:20:00", "2020-01-01 11:45:00"],   # straggler kept (no wm yet)
+        ["2020-01-01 10:20:00", "2020-01-01 11:10:00", "2020-01-01 12:40:00"],
+        ["2020-01-01 10:30:00", "2020-01-01 11:20:00", "2020-01-01 13:10:00"],
+        ["2020-01-01 11:05:00", "2020-01-01 12:30:00", "2020-01-01 13:20:00"],
+    ]
+    src = str(tmp_path / "in")
+    for rows in batches:
+        mk(rows).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.2)  # strictly-ordered mtimes -> batch order = list order
+
+    updates: list[tuple[int, dict]] = []
+
+    def handle(bdf, bid):
+        updates.append(
+            (bid, {str(r["window"]["start"]): r["cnt"] for r in bdf.collect()})
+        )
+
+    stream = (
+        spark.readStream.schema("ts timestamp").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    def parse_wm(p):
+        wm = (p.get("eventTime") or {}).get("watermark")
+        if not wm or wm.startswith("1970"):
+            return None
+        return datetime.strptime(wm.replace("Z", ""), "%Y-%m-%dT%H:%M:%S.%f")
+
+    progress_wm = {p["batchId"]: parse_wm(p) for p in q.recentProgress}
+    # availableNow may run a trailing no-input batch (watermark commit);
+    # the file->batch mapping covers only batches that consumed input
+    data_batches = sorted(
+        p["batchId"] for p in q.recentProgress if p.get("numInputRows", 0) > 0
+    )
+    assert len(data_batches) == len(batches)
+    for bid, emitted in updates:
+        if bid not in data_batches:
+            assert emitted == {}, f"no-input batch {bid} emitted {emitted}"
+
+    def hour(ts: str) -> datetime:
+        d = datetime.strptime(ts, "%Y-%m-%d %H:%M:%S")
+        return d.replace(minute=0, second=0)
+
+    # replay per-batch per-window outcomes from the cumulative update-mode
+    # emissions: kept rows in (batch, window) = count delta
+    cum: dict[str, int] = {}
+    kept_rows: list[datetime] = []
+    by_batch = dict(updates)
+    for i, bid in enumerate(data_batches):
+        wm_used = progress_wm.get(data_batches[i - 1]) if i > 0 else None
+        in_rows: dict[str, int] = {}
+        for ts in batches[i]:
+            w = str(hour(ts))
+            in_rows[w] = in_rows.get(w, 0) + 1
+        emitted = by_batch[bid]
+        for w, n_in in in_rows.items():
+            delta = emitted.get(w, cum.get(w, 0)) - cum.get(w, 0)
+            win_end = datetime.strptime(w, "%Y-%m-%d %H:%M:%S") + timedelta(hours=1)
+            if wm_used is None or win_end > wm_used:
+                assert delta == n_in, (
+                    f"batch {bid} window {w}: on-time/kept rows lost "
+                    f"(wm_used={wm_used}, delta={delta}, in={n_in})"
+                )
+                kept_rows.extend([win_end] * n_in)
+            else:
+                assert delta == 0, (
+                    f"batch {bid} window {w}: row behind watermark was kept "
+                    f"(wm_used={wm_used}, delta={delta})"
+                )
+        for w, c in emitted.items():
+            cum[w] = c
+
+    # sanity: the fixture exercises both paths across multiple batches
+    n_total = sum(len(b) for b in batches)
+    n_kept = sum(cum.values())
+    assert 0 < n_total - n_kept < n_total
+
+    # version-robust invariants (no report-lag assumption):
+    final_wm = max(w for w in progress_wm.values() if w is not None)
+    for i, rows in enumerate(batches):
+        for ts in rows:
+            win_end = hour(ts) + timedelta(hours=1)
+            if win_end > final_wm:
+                # (1) on-time rows (never behind any reported watermark)
+                # must be present in the final counts
+                w = str(hour(ts))
+                assert cum.get(w, 0) >= 1, f"on-time window {w} lost"
+    dropped = n_total - n_kept
+    # (2) every dropped row provably behind the final watermark: recount
+    # drops among rows whose window end <= final_wm only
+    droppable = sum(
+        1 for rows in batches for ts in rows if hour(ts) + timedelta(hours=1) <= final_wm
+    )
+    assert dropped <= droppable
+
+
 def test_stream_watermark_rollup_drops_stragglers(spark):
     """The judged watermark query must actually exercise the drop path:
     some of the held-back every-23rd events fall behind the watermark and
