@@ -9,6 +9,18 @@ execution, no driver-side collect). Every query runs twice: the first run
 is untimed warmup (whole-stage codegen compilation + JIT dominate cold
 runs: q1 measures 7.5s cold vs 2.3s warm), the second is the reported
 steady-state number.
+
+HEADLINE selection rule (VERDICT r4 #6): the timed set is (a) the
+30-query set frozen at round 1 — kept stable so BENCH_r{N} totals are
+comparable round-over-round against BASELINE.md — plus (b) every
+later-round query whose execution PATH is not already exercised by (a)
+(approximate dedup/ANN variants, each end-to-end streaming shape, the
+transactional MERGE, the iterative closure). Pure oracle-variant or
+recall-invariant queries that re-run an already-timed path are excluded
+from the headline to keep the total comparable, but nothing is silently
+uncovered: `python bench.py --full` times EVERY registered query with
+the same warmup + per-query cache-clear protocol (one full run recorded
+in SCALE_NOTES.md §9).
 """
 
 from __future__ import annotations
@@ -68,10 +80,17 @@ HEADLINE = [
     "stream_sharded_rollup",
     "tx_merge_orders",
     "dedup_clusters",
+    # round 5 additions (rule (b): new execution paths): the hygiene
+    # suite's broadcast-semi decontamination join and the regex-engine
+    # redaction pass; text_repetition_removal shares the array-expression
+    # scan path already timed via text_quality_scores and runs in --full
+    "text_decontaminate",
+    "text_pii_redact",
 ]
 
 
 def main() -> None:
+    full = "--full" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -79,6 +98,7 @@ def main() -> None:
     spark = get_spark(app_name="reflex_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    names = sorted(queries) if full else HEADLINE
 
     # Warm up the JVM + parquet footers so query 1 isn't charged for startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -87,7 +107,7 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         execute(name)  # warmup: codegen/JIT compile
         t0 = time.perf_counter()
         execute(name)
@@ -102,7 +122,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_sec",
+                "metric": (
+                    "full_registry_total_sec" if full else "headline_queries_total_sec"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -139,3 +139,104 @@ def sql_digit_token_count(expr: str = "text") -> str:
         f"CAST(len(list_filter(string_split({expr}, ' '), "
         f"x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT)"
     )
+
+
+# --- training-data hygiene suite (round 5) -------------------------------
+# Decontamination, PII redaction, intra-document repetition removal: the
+# corpus-hygiene passes a pretraining pipeline runs between dedup and
+# tokenization. All JVM-side expressions; each has an exact DuckDB dual.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+# All three patterns are valid and equivalent in Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround, leftmost-greedy.
+
+
+def contamination_overlap(
+    corpus,
+    eval_docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+):
+    """Benchmark decontamination (GPT-3 appendix C / Pile style): flag
+    corpus documents sharing >= ``min_overlap`` distinct word ``n``-grams
+    with an evaluation set.
+
+    Scale shape (100 TB corpus, fixed-size eval set): the eval n-gram set
+    is tiny and BROADCAST — the corpus side never shuffles for the join.
+    Per-document shingles are deduped row-local with ``array_distinct``
+    (no global distinct shuffle); the only shuffle is the per-doc overlap
+    count re-aggregation. Corpus docs with zero overlapping n-grams are
+    retained via left join (coalesce 0) so the output is a total
+    verdict over the corpus, not just the hit list.
+    """
+    from reflex_spark.operators.dedup import word_shingles
+
+    corp = corpus.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
+    )
+    ev = (
+        eval_docs.select(
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("s")
+        )
+        .distinct()
+    )
+    hits = (
+        corp.select(F.col(id_col), F.explode(F.col("__sh")).alias("s"))
+        .join(F.broadcast(ev), "s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corp.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("__sh").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, SSNs, then IPv4s with typed placeholders. Order
+    matters only for determinism documentation — the three patterns are
+    mutually non-overlapping on any input (email needs '@', SSN needs
+    dashes, IP needs dotted quads)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_SSN_RE, "<SSN>")
+    return F.regexp_replace(c, PII_IP_RE, "<IP>")
+
+
+def sql_redact_pii(expr: str = "text") -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_SSN_RE}', '<SSN>', 'g'), "
+        f"'{PII_IP_RE}', '<IP>', 'g')"
+    )
+
+
+def segment_dedup(text: Column | str, seg_words: int = 5) -> Column:
+    """Order-preserving removal of repeated ``seg_words``-word segments —
+    the intra-document repetition-removal pass (boilerplate, navbars,
+    repeated paragraphs). Splits the document into consecutive
+    non-overlapping ``seg_words``-word windows (last one may be shorter)
+    and keeps the FIRST occurrence of each distinct segment in order
+    (Spark's ``array_distinct`` preserves first-occurrence order). All
+    inside whole-stage codegen — no UDF, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = F.split(c, " ")
+    n_segs = F.floor((F.size(w) + (seg_words - 1)) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * seg_words + 1, seg_words)),
+    )
+    return F.array_distinct(segs)

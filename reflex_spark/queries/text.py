@@ -17,6 +17,7 @@ from reflex_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
 )
+from reflex_spark.operators.text import contamination_overlap
 from reflex_spark.queries import query
 from reflex_spark.queries.helpers import sql_davg, davg
 from reflex_spark.tables import load_tables
@@ -398,4 +399,143 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         ok_digits.alias("ok_digits"),
         (ok_len & ok_word_len & ok_stop & ok_digits).alias("passes"),
+    )
+
+
+# --- training-data hygiene suite (round 5) -------------------------------
+
+_PII_INJECT = (
+    "concat(text,"
+    " repeat(concat(' user', CAST(doc_id AS STRING), '@example.com'),"
+    "        CAST(doc_id % 3 AS INT)),"
+    " ' from 10.0.', CAST(doc_id % 256 AS STRING), '.1',"
+    " CASE WHEN doc_id % 10 = 0 THEN"
+    "   concat(' ssn ', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',"
+    "          lpad(CAST(doc_id % 100 AS STRING), 2, '0'), '-',"
+    "          lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+    " ELSE '' END)"
+)
+# The same expression is valid DuckDB SQL verbatim (repeat/lpad/CASE are
+# identical); the fixture text itself is letters-only, so every PII hit
+# comes from this deterministic injection — counts vary per doc_id.
+_SQL_PII_INJECT = _PII_INJECT.replace("CAST(doc_id AS STRING)", "CAST(doc_id AS VARCHAR)").replace(
+    "CAST(doc_id % 256 AS STRING)", "CAST(doc_id % 256 AS VARCHAR)"
+).replace(
+    "CAST(doc_id % 1000 AS STRING)", "CAST(doc_id % 1000 AS VARCHAR)"
+).replace(
+    "CAST(doc_id % 100 AS STRING)", "CAST(doc_id % 100 AS VARCHAR)"
+).replace(
+    "CAST(doc_id % 10000 AS STRING)", "CAST(doc_id % 10000 AS VARCHAR)"
+)
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH inj AS (SELECT doc_id, {_SQL_PII_INJECT} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{T.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{T.PII_IP_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{T.PII_SSN_RE}')) AS BIGINT) AS n_ssns,
+           md5({T.sql_redact_pii('t')}) AS redacted_md5
+    FROM inj
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / SSNs / IPv4s → typed placeholders) with
+    per-type match counts and an md5 of the redacted text so the oracle
+    checks the REPLACEMENT bytes, not just the counts. The fixture text is
+    letters-only, so deterministic doc_id-derived PII is injected first
+    (0-2 emails, 1 IP, SSN on every 10th doc) — identical expression on
+    both engines. Patterns are Java-regex/RE2 compatible (no backrefs, no
+    lookaround). Pure JVM regexp_replace, one scan, no shuffle — at
+    100 TB this runs at parquet-scan speed."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = F.expr(_PII_INJECT)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(T.PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(T.PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(T.PII_SSN_RE)).cast("long").alias("n_ssns"),
+        F.md5(T.redact_pii(t)).alias("redacted_md5"),
+    )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM w),
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE doc_id % 97 = 0),
+    expl AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE doc_id % 97 <> 0),
+    ov AS (SELECT doc_id, COUNT(*) AS n_overlap
+           FROM expl JOIN ev USING (s) GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(len(s.sh) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(o.n_overlap, 0) >= 2 AS contaminated
+    FROM shl s LEFT JOIN ov o ON s.doc_id = o.doc_id
+    WHERE s.doc_id % 97 <> 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Pile style): flag
+    training documents sharing >= 2 distinct word 3-grams with the held-
+    out eval set (docs with doc_id % 97 == 0 stand in for the benchmark).
+    The eval n-gram set is broadcast — the 100 TB corpus side never
+    shuffles for the membership join; per-doc shingles dedup row-locally
+    (array_distinct, no global distinct). Docs with zero overlap are
+    retained (left join) so the output is a total verdict."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(
+        corpus, ev, "doc_id", "text", n=3, min_overlap=2
+    )
+
+
+@query(
+    "text_repetition_removal",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, (len(w) + 4) // 5 - 1),
+                            i -> array_to_string(w[i*5+1:i*5+5], ' ')) AS segs
+      FROM w),
+    expl AS (SELECT doc_id, unnest(segs) AS seg,
+                    unnest(generate_series(1, len(segs))) AS pos
+             FROM segs),
+    firsts AS (SELECT doc_id, seg, MIN(pos) AS p FROM expl GROUP BY doc_id, seg),
+    ded AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY p) AS d,
+                   COUNT(*) AS n_unique
+            FROM firsts GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(len(s.segs) AS BIGINT) AS n_segments,
+           CAST(d.n_unique AS BIGINT) AS n_unique,
+           md5(d.d) AS deduped_md5
+    FROM segs s JOIN ded d ON s.doc_id = d.doc_id
+    """,
+)
+def text_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: split each doc into consecutive
+    5-word segments, drop repeated segments keeping first occurrences in
+    order, and emit segment counts plus an md5 of the reassembled text so
+    the oracle checks the exact deduplicated BYTES (DuckDB replays the
+    first-occurrence order with min(pos) + ordered string_agg). Pure JVM
+    array expressions (array_distinct preserves first-occurrence order),
+    one scan, no shuffle — parquet-scan-bound at 100 TB."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ded = T.segment_dedup("text", 5)
+    w = F.split(F.col("text"), " ")
+    n_segs = F.floor((F.size(w) + 4) / F.lit(5)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_segs.alias("n_segments"),
+        F.size(ded).cast("long").alias("n_unique"),
+        F.md5(F.concat_ws(" ", ded)).alias("deduped_md5"),
     )

@@ -70,6 +70,16 @@ def test_no_python_udf_in_jvm_path_queries(spark):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The eval n-gram set must be broadcast: at 100 TB the corpus side
+    cannot shuffle for the membership join. Also all three hygiene
+    queries must stay in codegen (no Python UDF)."""
+    plan = plan_of(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    for name in ("text_decontaminate", "text_pii_redact", "text_repetition_removal"):
+        assert "BatchEvalPython" not in plan_of(spark, name), name
+
+
 def test_connected_components_star_plan_stays_jvm(spark):
     """One large-star/small-star round must be pure JVM shuffles: no
     Python UDF (BatchEvalPython / mapInPandas), no BroadcastNestedLoop,
