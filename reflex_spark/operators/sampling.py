@@ -50,3 +50,75 @@ def stratified_hash_sample(
     for value, rate in rates.items():
         threshold = F.when(F.col(stratum) == value, int(rate * _BUCKETS)).otherwise(threshold)
     return df.where(b < threshold)
+
+
+def greedy_token_budget(
+    df: DataFrame,
+    key: str,
+    token_col: Column,
+    budget: Column,
+    stratum: str,
+) -> DataFrame:
+    """Greedy per-stratum token-budget fill (corpus mixture weighting):
+    within each ``stratum``, take documents in content-hash order until
+    the cumulative token count reaches ``budget`` — the document that
+    crosses the line is kept (standard greedy fill, so a budget > 0
+    always yields at least one doc). Hash order makes the selection
+    reproducible across runs/engines/cluster sizes; the cumulative sum is
+    a per-stratum window (one shuffle on the stratum key), embarrassingly
+    parallel across strata at 100 TB.
+
+    Returns the input rows filtered to the kept set, with ``__cum_tokens``
+    (cumulative count including the row) attached.
+    """
+    from pyspark.sql import Window
+
+    k = F.col(key)
+    order = [F.md5(k.cast("string")), k]
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return (
+        df.withColumn("__cum_tokens", cum)
+        .where(F.col("__cum_tokens") - token_col < budget)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    token_col: Column,
+    seq_len: int,
+    shards: int,
+) -> DataFrame:
+    """Sequence packing (the pre-tokenization batching op): assign each
+    document to a fixed-``seq_len``-token pack by contiguous greedy
+    chunking — documents in content-hash order, a doc belongs to the pack
+    where its tokens START. Packing is per-SHARD (content-hash shard of
+    the doc id), NOT a global window: a global cumulative sum would
+    serialize into one task, while per-shard windows scale linearly with
+    shard count at 100 TB (shards ≈ cluster parallelism × a few).
+
+    Returns the input with ``shard``, ``pack_id`` (within shard), and
+    ``__cum_tokens`` attached.
+    """
+    from pyspark.sql import Window
+
+    k = F.col(key)
+    shard = F.pmod(_bucket(k), F.lit(shards))
+    order = [F.md5(k.cast("string")), k]
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "__cum_tokens", F.sum(token_col).over(w)
+    )
+    return out.withColumn(
+        "pack_id",
+        F.floor((F.col("__cum_tokens") - token_col) / F.lit(seq_len)).cast("long"),
+    )

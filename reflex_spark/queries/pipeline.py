@@ -134,3 +134,107 @@ def conditional_expressions_customers(spark: SparkSession, sf_dir: str) -> DataF
         F.round(F.greatest(bal, F.lit(0.0)), 2).alias("floored_bal"),
         F.round(F.least(bal, F.lit(5000.0)), 2).alias("capped_bal"),
     )
+
+
+@query(
+    "sample_token_budget",
+    # Greedy per-source token-budget fill in hash order; the doc crossing
+    # the budget line is kept. Budgets derive deterministically from the
+    # source number so the mixture varies (300/500/700 tokens).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             300 + 200 * (CAST(substr(source, 4) AS INT) % 3) AS budget
+      FROM documents),
+    cums AS (
+      SELECT source, n_tokens, budget,
+             SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(MAX(budget) AS BIGINT) AS budget
+    FROM cums
+    WHERE cum - n_tokens < budget
+    GROUP BY source
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture weighting: fill each source's token budget greedily
+    in content-hash order (reproducible across engines and cluster
+    sizes). The real pre-training op behind 'sample source X to N
+    tokens'; per-source windows shuffle once on source and parallelize
+    across sources at 100 TB."""
+    from reflex_spark.operators.sampling import greedy_token_budget
+    from reflex_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    budget = (
+        F.lit(300)
+        + F.lit(200) * (F.expr("CAST(substring(source, 4) AS INT)") % 3)
+    ).cast("long")
+    kept = greedy_token_budget(
+        docs.withColumn("n_tokens", token_count("text")).withColumn("budget", budget),
+        "doc_id",
+        F.col("n_tokens"),
+        F.col("budget"),
+        "source",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        F.max("budget").cast("long").alias("budget"),
+    )
+
+
+@query(
+    "text_sequence_packing",
+    # Contiguous greedy packing into 256-token packs within 8 content-hash
+    # shards; a doc belongs to the pack where its tokens start.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS BIGINT) % 8 AS shard
+      FROM documents),
+    cums AS (
+      SELECT shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks)
+    SELECT shard,
+           (cum - n_tokens) // 256 AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM cums
+    GROUP BY shard, (cum - n_tokens) // 256
+    """,
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-256-token packs by
+    contiguous greedy chunking in content-hash order, per content-hash
+    shard (8 here; cluster-parallelism-scaled in production — a GLOBAL
+    cumulative sum would serialize into one task, per-shard windows scale
+    linearly). Emits per-pack doc and token counts — the shape a
+    tokenizer/writer stage consumes."""
+    from reflex_spark.operators.sampling import pack_sequences
+    from reflex_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    packed = pack_sequences(
+        docs.withColumn("n_tokens", token_count("text")),
+        "doc_id",
+        F.col("n_tokens"),
+        seq_len=256,
+        shards=8,
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
