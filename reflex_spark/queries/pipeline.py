@@ -238,3 +238,42 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "skew_salted_rollup",
+    # The salted two-phase plan must produce EXACTLY the plain GROUP BY
+    # result: partial sums stay DECIMAL so the re-merge is order-exact.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation, judged: the salted two-phase rollup
+    (operators/skew.salted_agg — per-(key, salt) partials then per-key
+    merge, capping any reducer at ~1/16 of a hot key) must be bit-exact
+    with the plain GROUP BY oracle. Partial sums stay DECIMAL(18,6) so
+    the two-phase merge is order-independent; one final cast to double.
+    This is the hot-key escape hatch for 100 TB event_type skew that
+    AQE's skew-join split does not cover (it only handles joins)."""
+    from reflex_spark.operators.skew import salted_agg
+    from reflex_spark.queries.helpers import DEC
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return salted_agg(
+        ev,
+        ["event_type"],
+        aggs=lambda: [
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast(DEC)).alias("ps"),
+        ],
+        merges=lambda: [
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("ps").cast("double").alias("sum_value"),
+        ],
+        num_salts=16,
+    )
