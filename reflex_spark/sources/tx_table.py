@@ -23,6 +23,11 @@ the real thing, scoped to what the engine needs:
   add/remove sets. At 100 TB with date/shard-partitioned files this is
   the same touched-files-only cost profile as Delta's MERGE INTO.
 - **Vacuum**: delete data files unreferenced by any retained version.
+- **Log checkpoints** (round 5): every ``CHECKPOINT_INTERVAL`` commits the
+  full snapshot state is materialized as ``<v>.checkpoint.json`` (Delta's
+  ``_last_checkpoint`` idea); reads replay only the tail after the latest
+  checkpoint — O(interval), not O(total commits) — and ``truncate_log``
+  reclaims superseded entries.
 
 Reference parity: the reflex dead-letter table's stable-identity upsert
 (rsql/db.go:300-339) maps to ``merge_by_key`` with keys=(consumer,
@@ -48,6 +53,13 @@ class ConcurrentCommitError(Exception):
 
 
 class TxTable:
+    # Write a log checkpoint every N commits (Delta's _last_checkpoint
+    # idea): without one, every snapshot read replays the log from version
+    # 0 — O(total commits), unbounded on a long-lived 100 TB table. With
+    # checkpoints, reads replay at most N entries, and log files at or
+    # below a checkpoint can be truncated.
+    CHECKPOINT_INTERVAL = 10
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -60,7 +72,9 @@ class TxTable:
 
     def _versions(self) -> list[int]:
         return sorted(
-            int(f[:-5]) for f in os.listdir(self.log_dir) if f.endswith(".json")
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and not f.endswith(".checkpoint.json")
         )
 
     def latest_version(self) -> int:
@@ -83,11 +97,77 @@ class TxTable:
             ) from None
         with os.fdopen(fd, "w") as f:
             json.dump(entry, f)
+        if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(version)
+
+    # -- log checkpoints ---------------------------------------------------
+
+    def _checkpoints(self) -> list[int]:
+        return sorted(
+            int(f[:-16])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json")
+        )
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize the full snapshot state at ``version`` so replay can
+        start here. Best-effort and idempotent: the content for a given
+        version is deterministic, so racing writers produce identical
+        files; temp+rename keeps readers from seeing a torn checkpoint."""
+        files, schema = self._snapshot_files(version)
+        state = {
+            "files": files,
+            "schema": schema.json() if schema is not None else None,
+        }
+        target = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
+        tmp = target + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, target)
+
+    def truncate_log(self) -> list[int]:
+        """Drop commit-log entries at or below the latest checkpoint (the
+        checkpoint carries their state). Time travel to versions below the
+        checkpoint becomes unavailable, like Delta log cleanup. Returns
+        the removed version numbers."""
+        cps = self._checkpoints()
+        if not cps:
+            return []
+        cut = cps[-1]
+        removed = []
+        for v in self._versions():
+            if v >= cut:
+                continue
+            try:
+                os.remove(os.path.join(self.log_dir, f"{v:020d}.json"))
+            except FileNotFoundError:
+                continue
+            removed.append(v)
+        # older checkpoints are superseded too
+        for c in cps[:-1]:
+            try:
+                os.remove(os.path.join(self.log_dir, f"{c:020d}.checkpoint.json"))
+            except FileNotFoundError:
+                pass
+        return removed
 
     def _snapshot_files(self, version: int) -> tuple[list[str], StructType | None]:
         files: list[str] = []
         schema = None
+        start = 0
+        cps = [c for c in self._checkpoints() if c <= version]
+        if cps:
+            with open(
+                os.path.join(self.log_dir, f"{cps[-1]:020d}.checkpoint.json")
+            ) as f:
+                state = json.load(f)
+            files = list(state["files"])
+            if state.get("schema"):
+                schema = StructType.fromJson(json.loads(state["schema"]))
+            start = cps[-1] + 1
         for v in self._versions():
+            if v < start:
+                continue
             if v > version:
                 break
             e = self._entry(v)

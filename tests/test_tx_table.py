@@ -214,3 +214,53 @@ def test_dead_letter_identity_on_tx_table(spark, tmp_path):
     t.merge_by_key(retry, ["consumer", "event_id"], "attempt")
     rows = t.read().collect()
     assert len(rows) == 1 and rows[0]["msg"] == "boom again" and rows[0]["attempt"] == 2
+
+
+def test_log_checkpoint_bounds_replay_and_allows_truncation(spark, tmp_path):
+    """Delta-style log checkpoints: every CHECKPOINT_INTERVAL commits the
+    full snapshot state is materialized, reads replay at most the tail
+    after the latest checkpoint, and truncate_log() can drop the entries
+    a checkpoint supersedes — reads still see the exact same data with
+    the early log GONE (the O(commits) replay cap at 100 TB)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(25):
+        t.append(_mk(spark, [(i, f"v{i}", 1)]))
+    assert t.latest_version() == 24
+    assert t._checkpoints() == [10, 20]
+
+    full = _rows(t.read())
+    assert len(full) == 25
+
+    # snapshot built through a checkpoint == snapshot via pure replay
+    files_ck, _ = t._snapshot_files(24)
+    # time travel below the checkpoint still works pre-truncation
+    assert len(_rows(t.read(version=5))) == 6
+
+    removed = t.truncate_log()
+    assert removed == list(range(20))
+    assert t._checkpoints() == [20]
+    # reads after truncation: identical data, bounded replay
+    assert _rows(t.read()) == full
+    files_trunc, _ = t._snapshot_files(24)
+    assert sorted(files_trunc) == sorted(files_ck)
+    # new commits still work and the next checkpoint lands
+    for i in range(25, 31):
+        t.append(_mk(spark, [(i, f"v{i}", 1)]))
+    assert 30 in t._checkpoints()
+    assert len(_rows(t.read())) == 31
+    # time travel below the truncation point is now unavailable
+    with pytest.raises(Exception):
+        t.read(version=5).collect()
+
+
+def test_checkpoint_consistent_with_merge_removes(spark, tmp_path):
+    """Checkpoints must capture remove-sets too: a merge rewrites files,
+    and a post-checkpoint read must not resurrect replaced ones."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+    for ver in range(2, 13):  # versions 1..11, checkpoint at 10
+        t.merge_by_key(_mk(spark, [(1, f"a{ver}", ver)]), ["k"], "ver")
+    assert 10 in t._checkpoints()
+    t.truncate_log()
+    rows = dict((r[0], r[1]) for r in _rows(t.read()))
+    assert rows == {1: "a12", 2: "b"}
