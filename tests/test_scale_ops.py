@@ -323,3 +323,62 @@ def test_pack_sequences_straddler_assignment(spark):
     a = {(r["doc_id"], r["shard"]) for r in p2.collect()}
     b = {(r["doc_id"], r["shard"]) for r in p2.collect()}
     assert a == b and len({s for _, s in a}) > 1
+
+
+def test_hygiene_ops_match_python_reference_models(spark):
+    """Randomized cross-implementation check (one Spark pass over 200
+    generated docs): segment_dedup and redact_pii must agree with plain
+    Python reference models (re.sub / first-occurrence chunk dedup) on
+    inputs with forced repeats and embedded PII."""
+    import random
+    import re
+
+    from reflex_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_SSN_RE,
+        redact_pii,
+        segment_dedup,
+    )
+
+    rng = random.Random(31)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]  # tiny vocab -> repeated segments
+    pii_bits = [
+        "x@y.com", "a.b@c.org", "10.0.0.1", "255.1.2.3", "123-45-6789",
+        "not-a-ssn-1234-56-789", "user@@bad", "1.2.3", "a@b",
+    ]
+    docs = []
+    for i in range(200):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(1, 30))]
+        for _ in range(rng.randrange(0, 3)):
+            words.insert(rng.randrange(len(words) + 1), rng.choice(pii_bits))
+        docs.append((i, " ".join(words)))
+
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: (r["ded"], r["red"])
+        for r in df.select(
+            "id",
+            F.concat_ws(" ", segment_dedup("text", 5)).alias("ded"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+
+    def ref_dedup(text: str) -> str:
+        w = text.split(" ")
+        segs = [" ".join(w[i * 5 : i * 5 + 5]) for i in range((len(w) + 4) // 5)]
+        seen, out = set(), []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return " ".join(out)
+
+    def ref_redact(text: str) -> str:
+        text = re.sub(PII_EMAIL_RE, "<EMAIL>", text)
+        text = re.sub(PII_SSN_RE, "<SSN>", text)
+        return re.sub(PII_IP_RE, "<IP>", text)
+
+    for i, text in docs:
+        assert got[i][0] == ref_dedup(text), f"segment_dedup doc {i}: {text!r}"
+        assert got[i][1] == ref_redact(text), f"redact_pii doc {i}: {text!r}"
