@@ -106,3 +106,22 @@ def test_compact_symlink_flip_atomic(spark, tmp_path):
     # exactly one data generation remains
     gens = [d for d in os.listdir(str(tmp_path)) if d.startswith("slog.data.")]
     assert len(gens) == 1
+
+
+@pytest.mark.slow
+def test_hygiene_and_packing_invariant_to_partitioning(spark):
+    """The round-5 pipeline ops are deterministic functions of the DATA,
+    not the layout: content-hash ordering (packing, token budget) and
+    broadcast membership (decontamination) must produce identical results
+    when the input arrives repartitioned."""
+    from reflex_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("text_sequence_packing", "sample_token_budget", "text_decontaminate"):
+        base = {tuple(r) for r in qs[name](spark, "/root/testdata/sf0.001").collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        try:
+            alt = {tuple(r) for r in qs[name](spark, "/root/testdata/sf0.001").collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        assert base == alt and base, name
