@@ -165,42 +165,40 @@ def contamination_overlap(
     corpus documents sharing >= ``min_overlap`` distinct word ``n``-grams
     with an evaluation set.
 
-    Scale shape (100 TB corpus, fixed-size eval set): the eval n-gram set
-    is tiny and BROADCAST — the corpus side never shuffles for the join.
-    Per-document shingles are deduped row-local with ``array_distinct``
-    (no global distinct shuffle); the only shuffle is the per-doc overlap
-    count re-aggregation. Corpus docs with zero overlapping n-grams are
-    retained via left join (coalesce 0) so the output is a total
-    verdict over the corpus, not just the hit list.
+    Scale shape (100 TB corpus, fixed-size eval set): ONE corpus scan,
+    ONE shuffle. Per-document shingles dedup row-local (``array_distinct``,
+    no global distinct), ``explode_outer`` keeps zero-shingle docs, the
+    tiny eval n-gram set is BROADCAST into a left join that marks hits,
+    and a single per-doc aggregation counts shingles and overlaps
+    together — the shuffle carries only (id, shingle, hit-bit), never the
+    shingle arrays. (The first cut of this operator joined the full
+    arrays back through a second shuffle and re-derived them from the
+    scan — 6.3s at sf0.1 vs ~1s for this shape.)
     """
     from reflex_spark.operators.dedup import word_shingles
 
-    corp = corpus.select(
+    sh = corpus.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
+        F.explode_outer(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
+            "s"
+        ),
     )
     ev = (
         eval_docs.select(
             F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("s")
         )
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    hits = (
-        corp.select(F.col(id_col), F.explode(F.col("__sh")).alias("s"))
-        .join(F.broadcast(ev), "s", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
+    n_overlap = F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
     return (
-        corp.join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.size("__sh").cast("long").alias("n_shingles"),
-            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
-            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
-                "contaminated"
-            ),
+        sh.join(F.broadcast(ev), "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("s").cast("long").alias("n_shingles"),  # count(s): non-null only
+            n_overlap.alias("n_overlap"),
         )
+        .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
     )
 
 
