@@ -23,6 +23,12 @@ the real thing, scoped to what the engine needs:
   add/remove sets. At 100 TB with date/shard-partitioned files this is
   the same touched-files-only cost profile as Delta's MERGE INTO.
 - **Vacuum**: delete data files unreferenced by any retained version.
+- **Data skipping** (round 5): opt-in per-file min/max stats
+  (``stats_cols``) recorded in the log let ``merge_by_key`` prune files
+  whose key range cannot intersect the update keys without opening them —
+  Delta-style file skipping for the touched-file discovery scan.
+- **Schema evolution** (round 5): the log's latest schema is
+  authoritative; files written before a column existed read as null.
 - **Log checkpoints** (round 5): every ``CHECKPOINT_INTERVAL`` commits the
   full snapshot state is materialized as ``<v>.checkpoint.json`` (Delta's
   ``_last_checkpoint`` idea); reads replay only the tail after the latest
@@ -60,9 +66,21 @@ class TxTable:
     # below a checkpoint can be truncated.
     CHECKPOINT_INTERVAL = 10
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        stats_cols: list[str] | None = None,
+    ):
+        """``stats_cols``: record per-file min/max for these columns in the
+        commit log (Delta-style data skipping). ``merge_by_key`` then
+        prunes files whose recorded key range cannot intersect the update
+        keys WITHOUT opening them — at 100 TB with key-clustered files the
+        touched-file discovery scan drops from every-file to a handful.
+        Costs one extra aggregation job per write."""
         self.spark = spark
         self.path = path.rstrip("/")
+        self.stats_cols = list(stats_cols or [])
         self.log_dir = os.path.join(self.path, "_txlog")
         self.data_dir = os.path.join(self.path, "data")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -114,10 +132,11 @@ class TxTable:
         start here. Best-effort and idempotent: the content for a given
         version is deterministic, so racing writers produce identical
         files; temp+rename keeps readers from seeing a torn checkpoint."""
-        files, schema = self._snapshot_files(version)
+        files, schema, stats = self._snapshot_state(version)
         state = {
             "files": files,
             "schema": schema.json() if schema is not None else None,
+            "stats": stats,
         }
         target = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
         tmp = target + f".tmp{uuid.uuid4().hex}"
@@ -152,8 +171,17 @@ class TxTable:
         return removed
 
     def _snapshot_files(self, version: int) -> tuple[list[str], StructType | None]:
+        files, schema, _stats = self._snapshot_state(version)
+        return files, schema
+
+    def _snapshot_state(
+        self, version: int
+    ) -> tuple[list[str], StructType | None, dict[str, dict]]:
+        """(files, schema, per-file stats) at ``version``; stats flow
+        through checkpoints so data skipping survives log truncation."""
         files: list[str] = []
         schema = None
+        stats: dict[str, dict] = {}
         start = 0
         cps = [c for c in self._checkpoints() if c <= version]
         if cps:
@@ -162,6 +190,7 @@ class TxTable:
             ) as f:
                 state = json.load(f)
             files = list(state["files"])
+            stats = dict(state.get("stats", {}))
             if state.get("schema"):
                 schema = StructType.fromJson(json.loads(state["schema"]))
             start = cps[-1] + 1
@@ -175,8 +204,11 @@ class TxTable:
                 schema = StructType.fromJson(json.loads(e["schema"]))
             removes = set(e.get("removes", []))
             files = [f for f in files if f not in removes]
+            for r in removes:
+                stats.pop(r, None)
             files.extend(e.get("adds", []))
-        return files, schema
+            stats.update(e.get("stats", {}))
+        return files, schema, stats
 
     # -- reads -------------------------------------------------------------
 
@@ -190,31 +222,64 @@ class TxTable:
             if schema is None:
                 raise ValueError("TxTable is empty and has no schema yet")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*[os.path.join(self.data_dir, f) for f in files])
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        if schema is not None:
+            # Schema evolution: the log's LATEST schema is authoritative
+            # (Delta-style). Files written before a column existed read as
+            # null for it; columns dropped from the latest schema vanish.
+            return self.spark.read.schema(schema).parquet(*paths)
+        return self.spark.read.parquet(*paths)
 
     # -- writes ------------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> list[str]:
+    def _write_files(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
         """Materialize df as new immutable data files; invisible until a
-        log entry references them (torn writes cannot corrupt a reader)."""
+        log entry references them (torn writes cannot corrupt a reader).
+        Returns (file names, per-file min/max stats for ``stats_cols``)."""
         tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
+        part_stats: dict[str, dict] = {}
+        cols = [c for c in self.stats_cols if c in df.columns]
+        if cols:
+            sdf = self.spark.read.parquet(tmp).withColumn("__f", F.input_file_name())
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+            for r in sdf.groupBy("__f").agg(*aggs).collect():
+                part = os.path.basename(r["__f"].replace("file://", ""))
+                stats = {}
+                for c in cols:
+                    mn, mx = r[f"mn_{c}"], r[f"mx_{c}"]
+                    if all(
+                        v is None or isinstance(v, (int, float, str, bool))
+                        for v in (mn, mx)
+                    ):  # only JSON-native types are skippable
+                        stats[c] = [mn, mx]
+                part_stats[part] = stats
         names = []
+        file_stats: dict[str, dict] = {}
         for part in sorted(os.listdir(tmp)):
             if not part.endswith(".parquet"):
                 continue
             name = f"{uuid.uuid4().hex}.parquet"
             os.rename(os.path.join(tmp, part), os.path.join(self.data_dir, name))
             names.append(name)
+            if part in part_stats:
+                file_stats[name] = part_stats[part]
         shutil.rmtree(tmp, ignore_errors=True)
-        return names
+        return names, file_stats
 
     def append(self, df: DataFrame) -> int:
         """Blind append: no read-set, so it is commutative and auto-retries
         the version race (the already-written files are reused; only the
         log entry re-targets the new head). Returns the committed version."""
-        adds = self._write_files(df)
-        entry = {"op": "append", "adds": adds, "schema": df.schema.json()}
+        adds, stats = self._write_files(df)
+        entry = {
+            "op": "append",
+            "adds": adds,
+            "stats": stats,
+            "schema": df.schema.json(),
+        }
         while True:
             try:
                 version = self.latest_version() + 1
@@ -235,40 +300,84 @@ class TxTable:
         base_version = self.latest_version()
         if base_version < 0:
             # empty table: MERGE degenerates to insert
-            adds = self._write_files(latest_by_key(updates, keys, version_col))
-            self._commit(0, {"op": "merge", "adds": adds, "schema": updates.schema.json()})
-            return 0
-        files, _schema = self._snapshot_files(base_version)
-        paths = [os.path.join(self.data_dir, f) for f in files]
-        base = self.spark.read.parquet(*paths).withColumn(
-            "__file", F.input_file_name()
-        )
-        touched = {
-            os.path.basename(r["__file"].replace("file://", ""))
-            for r in base.join(
-                F.broadcast(updates.select(*keys).distinct()), keys, "left_semi"
+            adds, stats = self._write_files(latest_by_key(updates, keys, version_col))
+            self._commit(
+                0,
+                {
+                    "op": "merge",
+                    "adds": adds,
+                    "stats": stats,
+                    "schema": updates.schema.json(),
+                },
             )
-            .select("__file")
-            .distinct()
-            .collect()
-        }
+            return 0
+        files, _schema, fstats = self._snapshot_state(base_version)
+        # Data skipping: when per-file min/max stats exist for the first
+        # merge key, files whose range cannot contain any update key are
+        # excluded from the touched-file discovery scan without opening
+        # them. Files lacking stats are scanned conservatively.
+        scan_files = files
+        if self.stats_cols and keys[0] in self.stats_cols:
+            b = updates.agg(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).collect()[0]
+            lo, hi = b["lo"], b["hi"]
+            if lo is None:
+                scan_files = []  # no non-null update keys: nothing can match
+            else:
+                scan_files = [
+                    f
+                    for f in files
+                    if self._range_may_match(fstats.get(f, {}).get(keys[0]), lo, hi)
+                ]
+        if scan_files:
+            paths = [os.path.join(self.data_dir, f) for f in scan_files]
+            base = self.spark.read.parquet(*paths).withColumn(
+                "__file", F.input_file_name()
+            )
+            touched = {
+                os.path.basename(r["__file"].replace("file://", ""))
+                for r in base.join(
+                    F.broadcast(updates.select(*keys).distinct()), keys, "left_semi"
+                )
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+        else:
+            touched = set()
         if touched:
             touched_paths = [os.path.join(self.data_dir, f) for f in sorted(touched)]
             touched_rows = self.spark.read.parquet(*touched_paths)
             merged = latest_by_key(
-                touched_rows.unionByName(updates), keys, version_col
+                touched_rows.unionByName(updates, allowMissingColumns=True),
+                keys,
+                version_col,
             )
-            adds = self._write_files(merged)
+            adds, stats = self._write_files(merged)
         else:
-            adds = self._write_files(latest_by_key(updates, keys, version_col))
+            adds, stats = self._write_files(latest_by_key(updates, keys, version_col))
         entry = {
             "op": "merge",
             "adds": adds,
+            "stats": stats,
             "removes": sorted(touched),
             "schema": updates.schema.json(),
         }
         self._commit(base_version + 1, entry)
         return base_version + 1
+
+    @staticmethod
+    def _range_may_match(rng: list | None, lo, hi) -> bool:
+        """Can a file with recorded [min, max] contain a key in [lo, hi]?
+        Missing stats → must scan. Recorded all-null stats (the file has
+        no non-null keys) → cannot equi-match."""
+        if rng is None:
+            return True
+        mn, mx = rng
+        if mn is None and mx is None:
+            return False
+        return not (mx < lo or mn > hi)
 
     # -- maintenance -------------------------------------------------------
 

@@ -152,7 +152,7 @@ def test_vacuum_retention_protects_inflight_commit(spark, tmp_path):
     a, b = TxTable(spark, path), TxTable(spark, path)
     a.append(_mk(spark, [(1, "a", 1)]))
     # B is mid-commit: data files on disk, no log entry yet
-    b_adds = b._write_files(_mk(spark, [(2, "b", 1)]))
+    b_adds, _stats = b._write_files(_mk(spark, [(2, "b", 1)]))
     assert a.vacuum(keep_versions=1) == []  # young files: spared
     b._commit(b.latest_version() + 1, {"op": "append", "adds": b_adds})
     assert _rows(a.read()) == [(1, "a", 1), (2, "b", 1)]
@@ -264,3 +264,61 @@ def test_checkpoint_consistent_with_merge_removes(spark, tmp_path):
     t.truncate_log()
     rows = dict((r[0], r[1]) for r in _rows(t.read()))
     assert rows == {1: "a12", 2: "b"}
+
+
+def test_stats_skipping_prunes_merge_discovery_scan(spark, tmp_path):
+    """Data skipping (round 5): with stats_cols recorded, merge_by_key's
+    touched-file discovery excludes files whose key range cannot
+    intersect the update keys — verified both via the pure range
+    predicate and end-to-end (results identical, only the in-range file
+    rewritten), and the stats survive checkpoint + log truncation."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k"])
+    t.append(_mk(spark, [(1, "a", 1), (5, "b", 1)]).coalesce(1))
+    t.append(_mk(spark, [(100, "c", 1), (150, "d", 1)]).coalesce(1))
+    t.append(_mk(spark, [(1000, "e", 1)]).coalesce(1))
+    files, _, stats = t._snapshot_state(t.latest_version())
+    assert len(files) == 3 and all(f in stats for f in files)
+    # range predicate: update keys [100, 160] touch only the middle file
+    cands = [f for f in files if t._range_may_match(stats[f]["k"], 100, 160)]
+    assert len(cands) == 1
+    mid = cands[0]
+    t.merge_by_key(_mk(spark, [(100, "C", 2), (160, "new", 1)]), ["k"], "ver")
+    entry = t._entry(t.latest_version())
+    assert entry["removes"] == [mid]  # only the in-range file rewritten
+    assert dict((r[0], r[1]) for r in _rows(t.read())) == {
+        1: "a", 5: "b", 100: "C", 150: "d", 160: "new", 1000: "e",
+    }
+    # all-null-stats file can never equi-match; missing stats must scan
+    assert t._range_may_match([None, None], 0, 10**9) is False
+    assert t._range_may_match(None, 0, 1) is True
+    # stats survive checkpointing + truncation
+    for i in range(t.latest_version() + 1, 11):
+        t.append(_mk(spark, [(2000 + i, "x", 1)]).coalesce(1))
+    assert t._checkpoints()
+    t.truncate_log()
+    files2, _, stats2 = t._snapshot_state(t.latest_version())
+    live_old = [f for f in files if f != mid]
+    assert all(f in stats2 for f in live_old)
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """Appending a frame with a NEW column evolves the table: old rows
+    read as null for it (log's latest schema is authoritative), and a
+    merge with the evolved schema keeps working."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1)]))
+    evolved = spark.createDataFrame(
+        [(2, "b", 1, "extra")], "k long, v string, ver long, note string"
+    )
+    t.append(evolved)
+    rows = {r["k"]: r["note"] for r in t.read().collect()}
+    assert rows == {1: None, 2: "extra"}
+    t.merge_by_key(
+        spark.createDataFrame(
+            [(1, "A", 2, "upd")], "k long, v string, ver long, note string"
+        ),
+        ["k"],
+        "ver",
+    )
+    rows = {r["k"]: (r["v"], r["note"]) for r in t.read().collect()}
+    assert rows == {1: ("A", "upd"), 2: ("b", "extra")}
