@@ -379,6 +379,43 @@ class TxTable:
             return False
         return not (mx < lo or mn > hi)
 
+    # -- change data feed --------------------------------------------------
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed between two versions (Delta CDF idea): rows
+        with a ``_change_type`` column — ``insert`` for rows present at
+        ``to_version`` but not ``from_version``, ``delete`` for the
+        reverse. An UPDATE surfaces as its pre-image (delete) plus its
+        post-image (insert); pair them by key downstream if needed.
+
+        Cost is proportional to CHURN, not table size: only files added
+        or removed between the versions are read (rows copied verbatim
+        into rewritten files cancel out in the multiset difference).
+        This is the bridge back to the event-log world: feed
+        ``changes(...)`` into ``EventLog.append`` to turn table commits
+        into a consumable event stream (reflex's core loop, run.go).
+        """
+        v1 = self.latest_version() if to_version is None else to_version
+        files0, _s0, _ = self._snapshot_state(from_version)
+        files1, schema1, _ = self._snapshot_state(v1)
+        added = [f for f in files1 if f not in set(files0)]
+        removed = [f for f in files0 if f not in set(files1)]
+
+        def _read(names: list[str]) -> DataFrame:
+            if not names:
+                if schema1 is None:
+                    raise ValueError("TxTable has no schema")
+                return self.spark.createDataFrame([], schema1)
+            paths = [os.path.join(self.data_dir, n) for n in names]
+            if schema1 is not None:
+                return self.spark.read.schema(schema1).parquet(*paths)
+            return self.spark.read.parquet(*paths)
+
+        post, pre = _read(added), _read(removed)
+        inserts = post.exceptAll(pre).withColumn("_change_type", F.lit("insert"))
+        deletes = pre.exceptAll(post).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     # -- maintenance -------------------------------------------------------
 
     # Default retention mirrors Delta's VACUUM default (168 h): a data file

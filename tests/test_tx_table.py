@@ -322,3 +322,38 @@ def test_schema_evolution_on_append(spark, tmp_path):
     )
     rows = {r["k"]: (r["v"], r["note"]) for r in t.read().collect()}
     assert rows == {1: ("A", "upd"), 2: ("b", "extra")}
+
+
+def test_change_data_feed(spark, tmp_path):
+    """changes(v0, v1): appends surface as inserts; a merge UPDATE
+    surfaces as delete(pre-image) + insert(post-image); rows copied
+    verbatim into rewritten files cancel out; reading the feed at
+    [v0, latest] composes across commits."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))  # v0
+    v0 = t.latest_version()
+    t.append(_mk(spark, [(3, "c", 1)]).coalesce(1))               # v1
+    v1 = t.latest_version()
+    t.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")       # v2
+
+    def feed(a, b):
+        return sorted(
+            (r["k"], r["v"], r["_change_type"]) for r in t.changes(a, b).collect()
+        )
+
+    # append-only window: pure inserts
+    assert feed(v0, v1) == [(3, "c", "insert")]
+    # merge window: update = pre-image delete + post-image insert; the
+    # untouched row (2, "b") copied into the rewritten file cancels out
+    assert feed(v1, t.latest_version()) == [
+        (1, "A", "insert"),
+        (1, "a", "delete"),
+    ]
+    # composed window
+    assert feed(v0, t.latest_version()) == [
+        (1, "A", "insert"),
+        (1, "a", "delete"),
+        (3, "c", "insert"),
+    ]
+    # empty window
+    assert feed(t.latest_version(), t.latest_version()) == []
