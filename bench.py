@@ -86,6 +86,10 @@ HEADLINE = [
     # scan path already timed via text_quality_scores and runs in --full
     "text_decontaminate",
     "text_pii_redact",
+    # the composed end-to-end hygiene pipeline: a new COST SHAPE (stage
+    # chaining with two joins + broadcast between scans), not a re-run of
+    # an individual path
+    "pipeline_corpus_end2end",
 ]
 
 

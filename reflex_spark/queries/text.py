@@ -539,3 +539,93 @@ def text_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ded).cast("long").alias("n_unique"),
         F.md5(F.concat_ws(" ", ded)).alias("deduped_md5"),
     )
+
+
+@query(
+    "pipeline_corpus_end2end",
+    # The composed hygiene pipeline, stage-for-stage in DuckDB: exact
+    # dedup (keep min doc_id per text) -> Gopher gate -> benchmark
+    # decontamination (drop n_overlap >= 2 vs the doc_id%97 eval set,
+    # eval docs excluded from the corpus) -> PII inject+redact -> token
+    # stats of the REDACTED text per source, with an md5 over the sorted
+    # surviving doc_id list pinning the exact survivor set.
+    oracle=f"""
+    WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+    gated AS (
+      SELECT d.doc_id, d.source, d.text FROM documents d
+      JOIN keep ON d.doc_id = keep.doc_id
+      WHERE ({T.sql_token_count('d.text')} BETWEEN 30 AND 100000)
+        AND ({T.sql_avg_word_len('d.text')} BETWEEN 2.5 AND 8.0)
+        AND (CAST({T.sql_stopword_count('d.text')} AS DOUBLE)
+               / {T.sql_token_count('d.text')} >= 0.01)
+        AND (CAST({T.sql_digit_token_count('d.text')} AS DOUBLE)
+               / {T.sql_token_count('d.text')} <= 0.2)
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM w),
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT e.doc_id FROM (SELECT doc_id, unnest(sh) AS s FROM shl) e
+      JOIN ev USING (s) GROUP BY e.doc_id HAVING COUNT(*) >= 2),
+    survivors AS (
+      SELECT g.doc_id, g.source, {_SQL_PII_INJECT.replace('text,', 'g.text,')} AS t
+      FROM gated g
+      WHERE g.doc_id % 97 <> 0
+        AND g.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({T.sql_token_count(T.sql_redact_pii('t'))}) AS BIGINT)
+             AS sum_redacted_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS docs_md5
+    FROM survivors
+    GROUP BY source
+    """,
+)
+def pipeline_corpus_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus-hygiene pipeline as one judged query — the
+    stages the engine ships individually (exact dedup, Gopher gate,
+    decontamination, PII redaction, token accounting) chained the way a
+    real pre-training ingest runs them, hash-matched end-to-end against a
+    stage-for-stage DuckDB replica. One doc_id-keyed shuffle for dedup,
+    one broadcast for decontamination, one final per-source aggregation;
+    everything between is scan-fused JVM expressions."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    keep = exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+    n = T.token_count("text")
+    awl = T.avg_word_len("text")
+    gated = (
+        docs.join(keep, "doc_id", "left_semi")
+        .where(
+            (n >= 30) & (n <= 100000)
+            & (awl >= 2.5) & (awl <= 8.0)
+            & (T.stopword_count("text").cast("double") / n.cast("double") >= 0.01)
+            & (T.digit_token_count("text").cast("double") / n.cast("double") <= 0.2)
+        )
+    )
+    flags = contamination_overlap(docs.where(F.col("doc_id") % 97 != 0),
+                                  docs.where(F.col("doc_id") % 97 == 0),
+                                  "doc_id", "text", n=3, min_overlap=2)
+    survivors = (
+        gated.where(F.col("doc_id") % 97 != 0)
+        .join(
+            flags.where(F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", "source", F.expr(_PII_INJECT).alias("t"))
+    )
+    red = T.redact_pii(F.col("t"))
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.token_count(red)).cast("long").alias("sum_redacted_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string"))
+            )
+        ).alias("docs_md5"),
+    )
