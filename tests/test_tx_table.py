@@ -357,3 +357,41 @@ def test_change_data_feed(spark, tmp_path):
     ]
     # empty window
     assert feed(t.latest_version(), t.latest_version()) == []
+
+
+def test_cdc_bridge_publishes_changes_to_event_log(spark, tmp_path):
+    """TxTable -> EventLog bridge (the reference's tables-emit-events
+    loop): appends publish as insert events, an UPDATE publishes its
+    pre-image delete BEFORE its post-image insert (strictly smaller
+    event id), metadata carries the full row JSON, and the log is
+    consumable by the poll loop."""
+    import json as _json
+    from datetime import datetime
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.streaming.cdc import (
+        CDC_DELETE_TYPE,
+        CDC_INSERT_TYPE,
+        publish_changes,
+    )
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    log = EventLog(spark, str(tmp_path / "log"))
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    v0 = t.latest_version()
+    publish_changes(t, log, "k", -1, v0, at=datetime(2024, 1, 1))
+    rows = log.read().orderBy("event_id").collect()
+    assert [(r["event_type"], r["foreign_id"]) for r in rows] == [
+        (CDC_INSERT_TYPE, "1"),
+        (CDC_INSERT_TYPE, "2"),
+    ]
+    assert _json.loads(bytes(rows[0]["metadata"]))["v"] == "a"
+
+    t.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")
+    publish_changes(t, log, "k", v0, at=datetime(2024, 1, 2))
+    rows = log.read().orderBy("event_id").collect()[2:]
+    by_type = {r["event_type"]: r for r in rows}
+    assert set(by_type) == {CDC_DELETE_TYPE, CDC_INSERT_TYPE}
+    assert by_type[CDC_DELETE_TYPE]["event_id"] < by_type[CDC_INSERT_TYPE]["event_id"]
+    assert _json.loads(bytes(by_type[CDC_DELETE_TYPE]["metadata"]))["v"] == "a"
+    assert _json.loads(bytes(by_type[CDC_INSERT_TYPE]["metadata"]))["v"] == "A"
