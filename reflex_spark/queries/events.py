@@ -416,3 +416,71 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in types:
         out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
     return out
+
+
+@query(
+    "events_max_concurrent",
+    # Sweep-line concurrency: each event opens a 5-minute interval; +1/-1
+    # boundary points, running sum ordered by (t, d) — ends close before
+    # starts open at the same instant, and equal-(t, d) ties commute under
+    # a running sum, so the per-day max is deterministic. The oracle runs
+    # the plain single-node global sweep.
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(ts AS TIMESTAMP) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE, -1 FROM events),
+    run AS (
+      SELECT t, d,
+             SUM(d) OVER (ORDER BY t, d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM pts)
+    SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+           CAST(MAX(c) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY 1
+    """,
+)
+def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent 5-minute sessions per day, by interval sweep-line —
+    implemented as a DISTRIBUTED prefix sum: per-day running sums execute
+    partition-parallel, and cross-midnight carry-in comes from a cumulative
+    scan over the per-day totals (control-plane-sized: one row per day,
+    broadcast back). A naive global ORDER BY window would serialize the
+    whole sweep into one task at 100 TB; this shape never materializes a
+    global ordering."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.col("ts").cast("timestamp").alias("t0")
+    )
+    pts = (
+        ev.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("t0").alias("t"), F.lit(1).alias("d")),
+                    F.struct(
+                        (F.col("t0") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+                        F.lit(-1).alias("d"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.t").alias("t"), F.col("p.d").alias("d"))
+        .withColumn("day", F.to_date("t"))
+    )
+    day_totals = pts.groupBy("day").agg(F.sum("d").alias("tot"))
+    # carry-in per day = sum of all PRIOR days' totals; O(#days) rows, so
+    # the unpartitioned window is control-plane work, then broadcast back.
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = day_totals.withColumn(
+        "carry", F.coalesce(F.sum("tot").over(w_days), F.lit(0))
+    ).select("day", "carry")
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pts.join(F.broadcast(carry), "day")
+        .withColumn("c", F.col("carry") + F.sum("d").over(w_day))
+        .groupBy("day")
+        .agg(F.max("c").cast("long").alias("max_concurrent"))
+    )
