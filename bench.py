@@ -90,6 +90,9 @@ HEADLINE = [
     # chaining with two joins + broadcast between scans), not a re-run of
     # an individual path
     "pipeline_corpus_end2end",
+    # custom stateful streaming (applyInPandasWithState) — a new execution
+    # path (state store + Arrow state fn), oracle-checked
+    "stream_stateful_sessions",
 ]
 
 

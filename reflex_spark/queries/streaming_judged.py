@@ -530,3 +530,127 @@ def tx_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_stateful_sessions",
+    # Classic lag-gap sessionization: a user starts a new session when the
+    # gap since their previous event exceeds 30 minutes (strict >). The
+    # streaming side recomputes this with CUSTOM per-user state
+    # (applyInPandasWithState) over time-ordered micro-batches; equal
+    # timestamps give gap 0, so batch-boundary ties cannot change the
+    # session count and the result is deterministic.
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    s AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e)
+    SELECT user_id,
+           CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming with a FULL SQL oracle: per-user
+    sessionization (30-minute inactivity gap) computed by
+    applyInPandasWithState — state = (last event ns, session count, event
+    count) per user — over three time-ordered micro-batches, update-mode
+    emissions overwrite-merged per user. The reference's stateful-consumer
+    surface (SURVEY §2.2) judged end-to-end, not just pytest-smoke: the
+    hash check proves the state store, batch boundaries, and the pandas
+    state fn reproduce the exact lag-gap SQL semantics."""
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    w = Window.orderBy("ts", "event_id")
+    parts = ev.withColumn("__b", F.ntile(3).over(w))
+    base = tempfile.mkdtemp(prefix="stream_sess_")
+    src = f"{base}/in"
+    try:
+        for b in (1, 2, 3):  # strictly time-ordered batches
+            parts.where(F.col("__b") == b).select("user_id", "ts").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            _time.sleep(0.2)
+
+        GAP_NS = 30 * 60 * 1_000_000_000
+
+        def update(key, pdfs, state: GroupState):
+            last_ns, sessions, events = (
+                state.get if state.exists else (-1, 0, 0)
+            )
+            # normalize to ns regardless of the Arrow-side unit (pandas 2
+            # may deliver datetime64[us]; int64 of that would be microseconds)
+            ts_ns = (
+                pd.concat(list(pdfs))["ts"]
+                .sort_values()
+                .astype("datetime64[ns]")
+                .astype("int64")
+            )
+            for t in ts_ns:
+                if last_ns < 0 or t - last_ns > GAP_NS:
+                    sessions += 1
+                last_ns = int(t)
+                events += 1
+            state.update((last_ns, sessions, events))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_sessions": [sessions], "n_events": [events]}
+            )
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                "user_id long, n_sessions long, n_events long",
+                "last_ns long, sessions long, events long",
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+        final: dict = {}
+
+        def merge(bdf: DataFrame, _bid: int) -> None:
+            for r in bdf.collect():  # bounded: one row per active user
+                final[r["user_id"]] = (r["n_sessions"], r["n_events"])
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "stream_stateful_sessions: availableNow query did not finish "
+                "within 120s; results would be partial"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(u, s, n) for u, (s, n) in sorted(final.items())],
+        "user_id long, n_sessions long, n_events long",
+    )
