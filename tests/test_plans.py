@@ -65,6 +65,8 @@ def test_no_python_udf_in_jvm_path_queries(spark):
         "dedup_minhash_lsh",
         "text_quality_scores",
         "sim_topk_cosine",
+        "events_max_concurrent",
+        "pipeline_corpus_end2end",
     ):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
