@@ -71,6 +71,7 @@ def _load_all() -> None:
     from reflex_spark.queries import (  # noqa: F401
         behavioral,
         events,
+        graph,
         pipeline,
         relational,
         relational_ext,
