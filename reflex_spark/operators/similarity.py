@@ -557,3 +557,164 @@ def lsh_bucketed_topk(
         .select(id_col, cosine(F.col(vec_col), F.col("__q_vec")).alias("cos_sim"))
     )
     return top_k(scored, k, F.col("cos_sim").desc(), F.col(id_col))
+
+
+def kmeans_centroids_exact(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ORACLE-EXACT iterative k-means centroids (round 5): unlike
+    ``ivf_assign``'s numpy fit (whose pairwise-summation means no SQL
+    engine can replicate bit-for-bit), every step here is built from the
+    two parity primitives this repo has already proven cross-engine:
+
+    - assignment: argmin over ``sqdist`` (sequential per-element double
+      fold, bit-exact vs ``sql_sqdist``), ties to the lower centroid id;
+    - update: per-dimension mean = SUM over DECIMAL(38,18) casts (exact,
+      order-independent — partitioning cannot perturb it) cast to double,
+      then ONE IEEE division by the member count (the PageRank recipe);
+    - empty clusters keep their previous centroid (coalesce), mirrored in
+      the oracle's LEFT JOIN.
+
+    Init = the first ``n_lists`` vectors by id. Each iteration is one
+    broadcast-join assignment pass + one aggregation shuffle over
+    (cid, dim) — the rank-vector is never collected; at 100 TB the
+    centroid table (n_lists × dim doubles) is the only driver-sized
+    object. Returns (__cid, __cv: array<double>).
+    """
+    from pyspark.sql import Window
+
+    cent = embeddings.where(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("__cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
+    ).localCheckpoint()
+    for _ in range(iters):
+        w = Window.partitionBy(id_col).orderBy("__d", "__cid")
+        assigned = (
+            embeddings.select(id_col, vec_col)
+            .join(F.broadcast(cent))
+            .withColumn("__d", sqdist(F.col(vec_col), F.col("__cv")))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select(id_col, vec_col, "__cid")
+        )
+        comp = assigned.select(
+            "__cid", F.posexplode(F.col(vec_col)).alias("__dim", "__x")
+        )
+        means = (
+            comp.groupBy("__cid", "__dim")
+            .agg(
+                (
+                    F.sum(F.col("__x").cast("double").cast("decimal(38,18)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("__m")
+            )
+            .groupBy("__cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__mv")
+            )
+        )
+        cent = (
+            cent.join(means, "__cid", "left")
+            .select("__cid", F.coalesce("__mv", "__cv").alias("__cv"))
+            .localCheckpoint()
+        )
+    return cent
+
+
+def ivf_probe_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    cent: DataFrame,
+    k: int = 20,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe + in-list exact cosine top-k against an arbitrary
+    centroid table (__cid, __cv) — the scoring tail shared by the seeded
+    and k-means quantizers. Assignment and probe choice use the same
+    (sqdist, cid) ordering as ivf_topk_seeded."""
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy(id_col).orderBy("__d", "__cid")
+    assigned = (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(cent))
+        .withColumn("__d", sqdist(F.col(vec_col), F.col("__cv")))
+        .withColumn("__rnk", F.row_number().over(w_assign))
+        .where(F.col("__rnk") == 1)
+        .select(id_col, vec_col, F.col("__cid").alias("ivf_list"))
+    )
+    qp = (
+        query.select(F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__q_vec"))
+        .join(F.broadcast(cent))
+        .withColumn("__d", sqdist(F.col("__q_vec"), F.col("__cv")))
+        .withColumn(
+            "__rnk",
+            F.row_number().over(Window.partitionBy("__q_id").orderBy("__d", "__cid")),
+        )
+        .where(F.col("__rnk") <= n_probe)
+        .select("__q_id", "__q_vec", F.col("__cid").alias("ivf_list"))
+    )
+    scored = (
+        assigned.join(F.broadcast(qp), "ivf_list")
+        .where(F.col(id_col) != F.col("__q_id"))
+        .select(id_col, cosine(F.col(vec_col), F.col("__q_vec")).alias("cos_sim"))
+    )
+    return top_k(scored, k, F.col("cos_sim").desc(), F.col(id_col))
+
+
+def ivf_probe_topk_multi(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    cent: DataFrame,
+    k: int = 20,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-query variant of ivf_probe_topk against an arbitrary centroid
+    table: (__q_id, vec_id, cos_sim, rank) with per-query in-list top-k.
+    Same (sqdist, cid) assignment/probe ordering; one pass over the
+    table, per-query ranking by window."""
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy(id_col).orderBy("__d", "__cid")
+    assigned = (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(cent))
+        .withColumn("__d", sqdist(F.col(vec_col), F.col("__cv")))
+        .withColumn("__rnk", F.row_number().over(w_assign))
+        .where(F.col("__rnk") == 1)
+        .select(id_col, vec_col, F.col("__cid").alias("ivf_list"))
+    )
+    qp = (
+        queries.select(F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__q_vec"))
+        .join(F.broadcast(cent))
+        .withColumn("__d", sqdist(F.col("__q_vec"), F.col("__cv")))
+        .withColumn(
+            "__rnk",
+            F.row_number().over(Window.partitionBy("__q_id").orderBy("__d", "__cid")),
+        )
+        .where(F.col("__rnk") <= n_probe)
+        .select("__q_id", "__q_vec", F.col("__cid").alias("ivf_list"))
+    )
+    scored = (
+        assigned.join(F.broadcast(qp), "ivf_list")
+        .where(F.col(id_col) != F.col("__q_id"))
+        .select(
+            "__q_id", id_col, cosine(F.col(vec_col), F.col("__q_vec")).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("__q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
