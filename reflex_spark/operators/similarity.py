@@ -333,8 +333,9 @@ def ivf_topk_seeded(
     (VERDICT r4 #3). Probe cost profile matches ivf_topk: ``ivf_list`` is
     the partition key at scale, a probe reads n_probe list-partitions.
     The iterative k-means quantizer (better-balanced lists) remains in
-    ivf_assign/ivf_topk, its recall pinned by sim_ann_ivf_recall +
-    pytest — genuinely non-SQL and judged rows-only by design.
+    ivf_assign/ivf_topk as the numpy bulk path; its oracle-checkable twin
+    is kmeans_centroids_exact (round 5), judged end-to-end by
+    sim_ann_ivf_kmeans_topk and sim_ann_ivf_recall.
 
     The per-row assignment here is a broadcast join against n_lists seed
     vectors + min-by-(distance, cid); expressed as a window for oracle

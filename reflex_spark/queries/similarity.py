@@ -104,8 +104,9 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists, exact cosine within them). Fully oracle-checked end-to-end
     (VERDICT r4 #3): the quantizer is a closed form, so DuckDB replicates
     assignment, probe choice, and in-list scoring bit-for-bit. The
-    iterative k-means quantizer stays covered by sim_ann_ivf_recall
-    (rows-only by design) and its pytest recall pin."""
+    iterative k-means quantizer is judged by sim_ann_ivf_kmeans_topk and
+    sim_ann_ivf_recall (round 5: fully oracle-checked via
+    kmeans_centroids_exact)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     q = emb.where(F.col("vec_id") == 0)
     return ivf_topk_seeded(emb, q, k=20, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE)
