@@ -448,6 +448,12 @@ def connected_components_star(
     Returns ``(labels, rounds_used)`` so scale probes can assert the
     round count.
     """
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -467,7 +473,13 @@ def connected_components_star(
             ).unionByName(
                 edges.select(F.col("v").alias("node"), F.col("v").alias("label"))
             ).distinct()
-            return labels, rounds
+            # Nodes appearing ONLY in self-pairs carry no edge; label them
+            # with themselves so the contract truly matches
+            # connected_components (which emits a row for every node).
+            isolated = nodes.join(labels, "node", "left_anti").withColumn(
+                "label", F.col("node")
+            )
+            return labels.unionByName(isolated), rounds
     raise RuntimeError(
         f"connected_components_star did not converge in {max_rounds} rounds"
     )

@@ -209,7 +209,7 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM toks)
     SELECT shard,
-           (cum - n_tokens) // 256 AS pack_id,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM cums

@@ -626,11 +626,15 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 GroupStateTimeout.NoTimeout,
             )
         )
-        final: dict = {}
+        # Update-mode emissions land in a KEYED PARQUET SINK, not a driver
+        # dict: active users are data-plane-sized at 100 TB, so the driver
+        # must stay O(1). Each batch appends with its batch id; the final
+        # per-user row is resolved distributed (latest batch wins) — the
+        # MaterializedCounts upsert posture, driver never holds the keys.
+        sink = f"{base}/sink"
 
-        def merge(bdf: DataFrame, _bid: int) -> None:
-            for r in bdf.collect():  # bounded: one row per active user
-                final[r["user_id"]] = (r["n_sessions"], r["n_events"])
+        def merge(bdf: DataFrame, bid: int) -> None:
+            bdf.withColumn("__bid", F.lit(bid)).write.mode("append").parquet(sink)
 
         q = (
             agg.writeStream.outputMode("update")
@@ -648,9 +652,17 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         if q.exception() is not None:
             raise q.exception()
+        from reflex_spark.operators.upsert import latest_by_key
+
+        final = (
+            latest_by_key(spark.read.parquet(sink), ["user_id"], "__bid")
+            .select("user_id", "n_sessions", "n_events")
+        )
+        # Materialize into executor storage before the temp sink is removed
+        # (in production the parquet sink itself is the durable output and
+        # this persist step disappears); driver memory stays O(1).
+        final = final.persist()
+        final.count()
+        return final
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        [(u, s, n) for u, (s, n) in sorted(final.items())],
-        "user_id long, n_sessions long, n_events long",
-    )

@@ -58,6 +58,14 @@ class ConcurrentCommitError(Exception):
     """Another writer committed this version first — reread and retry."""
 
 
+class HistoryTruncatedError(Exception):
+    """The requested version predates the oldest retained checkpoint/log
+    entry (truncate_log removed it) — mirroring Delta's error on time
+    travel past log cleanup, instead of silently replaying from an empty
+    pre-state (which would, e.g., make changes() emit the whole table as
+    inserts)."""
+
+
 class TxTable:
     # Write a log checkpoint every N commits (Delta's _last_checkpoint
     # idea): without one, every snapshot read replays the log from version
@@ -184,6 +192,14 @@ class TxTable:
         stats: dict[str, dict] = {}
         start = 0
         cps = [c for c in self._checkpoints() if c <= version]
+        if version >= 0 and not cps and 0 not in self._versions():
+            # No checkpoint at/below `version` and the genesis log entry is
+            # gone: replaying would silently treat the pre-state as empty.
+            raise HistoryTruncatedError(
+                f"version {version} predates the retained log "
+                f"(oldest checkpoint {min(self._checkpoints(), default=None)}, "
+                f"oldest log entry {min(self._versions(), default=None)})"
+            )
         if cps:
             with open(
                 os.path.join(self.log_dir, f"{cps[-1]:020d}.checkpoint.json")
@@ -209,6 +225,29 @@ class TxTable:
             files.extend(e.get("adds", []))
             stats.update(e.get("stats", {}))
         return files, schema, stats
+
+    def _evolved_schema(self, base_version: int, incoming: StructType) -> str:
+        """Delta-style schema evolution for a commit entry: the committed
+        schema is the UNION of the current snapshot schema and the incoming
+        frame's — existing columns keep their position and type, new
+        incoming columns append. A write that merely omits a column (a
+        partial-column upsert) therefore never narrows the table schema;
+        a type change on an existing column is rejected."""
+        current = self._snapshot_state(base_version)[1] if base_version >= 0 else None
+        if current is None:
+            return incoming.json()
+        new = {f.name: f for f in incoming.fields}
+        fields = []
+        for f in current.fields:
+            nf = new.pop(f.name, None)
+            if nf is not None and nf.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column {f.name!r} from "
+                    f"{f.dataType.simpleString()} to {nf.dataType.simpleString()}"
+                )
+            fields.append(f)
+        fields.extend(f for f in incoming.fields if f.name in new)
+        return StructType(fields).json()
 
     # -- reads -------------------------------------------------------------
 
@@ -278,11 +317,13 @@ class TxTable:
             "op": "append",
             "adds": adds,
             "stats": stats,
-            "schema": df.schema.json(),
         }
         while True:
             try:
                 version = self.latest_version() + 1
+                # recomputed per retry: a racing commit may have evolved
+                # the schema between attempts
+                entry["schema"] = self._evolved_schema(version - 1, df.schema)
                 self._commit(version, entry)
                 return version
             except ConcurrentCommitError:
@@ -362,7 +403,7 @@ class TxTable:
             "adds": adds,
             "stats": stats,
             "removes": sorted(touched),
-            "schema": updates.schema.json(),
+            "schema": self._evolved_schema(base_version, updates.schema),
         }
         self._commit(base_version + 1, entry)
         return base_version + 1

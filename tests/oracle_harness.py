@@ -41,6 +41,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_family(s: pd.Series) -> str:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "integral"
+    if pd.api.types.is_float_dtype(s):
+        return "floating"
+    return "object"
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     errs: list[str] = []
@@ -52,6 +64,19 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
         return [f"{name}: row count spark={len(spdf)} oracle={len(opdf)}"]
     for c in spdf.columns:
         a, b = spdf[c], opdf[c]
+        fam = _dtype_family(a), _dtype_family(b)
+        if fam[0] != fam[1] and {"integral", "floating", "bool"} & set(fam):
+            # The driver's value-hash is dtype-sensitive (1 vs 1.0 hash
+            # differently): an Int64-vs-float64 column pair MUST fail here
+            # too, or a HUGEINT-emitting oracle sails through the local gate
+            # and dies at the driver (round-5 text_sequence_packing).
+            # Non-numeric cross-family pairs (Spark date → object vs DuckDB
+            # date → datetime64) are driver-hash-equal and stay allowed.
+            errs.append(
+                f"{name}.{c}: dtype family mismatch spark={fam[0]}({a.dtype}) "
+                f"oracle={fam[1]}({b.dtype})"
+            )
+            continue
         if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
             ok = [
                 (math.isnan(x) and math.isnan(y)) or x == y

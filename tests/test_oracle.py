@@ -39,6 +39,22 @@ def test_rows_only_queries_run(spark, name):
     assert df.count() >= 0
 
 
+def test_compare_rejects_int_vs_float_dtypes(spark):
+    """The local gate must be at least as strict as the driver's value-hash:
+    an integral Spark column vs a float oracle column (e.g. DuckDB HUGEINT →
+    pandas float64) is a failure even when the values are numerically equal.
+    Regression for the round-5 text_sequence_packing escape."""
+    import pandas as pd
+
+    sdf = spark.createDataFrame([(1, "a"), (2, "b")], ["pack_id", "k"])
+    opdf = pd.DataFrame({"pack_id": [1.0, 2.0], "k": ["a", "b"]})
+    errs = compare(sdf, opdf, "dtype_guard")
+    assert errs and "dtype family mismatch" in errs[0]
+    # and identical dtypes still pass
+    ok = pd.DataFrame({"pack_id": [1, 2], "k": ["a", "b"]})
+    assert not compare(sdf, ok, "dtype_guard_ok")
+
+
 def test_entry_smoke(spark):
     import importlib.util
 

@@ -236,14 +236,15 @@ def test_connected_components_star_matches_propagation(spark):
     )
 
     structured = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        # 99 appears ONLY as a self-pair: both algorithms must still emit
+        # its (99, 99) label row (round-5 ADVICE contract gap).
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (99, 99)],
         "id_a long, id_b long",
     )
     rng = random.Random(7)
     rand_pairs = [
         (rng.randrange(300), rng.randrange(300)) for _ in range(260)
     ]
-    rand_pairs = [(a, b) for a, b in rand_pairs if a != b]
     randomized = spark.createDataFrame(rand_pairs, "id_a long, id_b long")
     for pairs in (structured, randomized):
         expect = sorted(tuple(r) for r in connected_components(pairs).collect())

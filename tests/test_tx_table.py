@@ -324,6 +324,52 @@ def test_schema_evolution_on_append(spark, tmp_path):
     assert rows == {1: ("A", "upd"), 2: ("b", "extra")}
 
 
+def test_partial_column_write_never_narrows_schema(spark, tmp_path):
+    """A merge/append whose frame OMITS an existing column (a normal
+    partial-column upsert) must not narrow the table schema: the committed
+    schema is the union of current and incoming, so the omitted column
+    stays visible table-wide (Delta never implicitly drops columns)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1, "keepme")], "k long, v string, ver long, note string"
+        )
+    )
+    # upsert that omits `note`
+    t.merge_by_key(_mk(spark, [(1, "A", 2), (2, "b", 1)]), ["k"], "ver")
+    got = {r["k"]: (r["v"], r["note"]) for r in t.read().collect()}
+    assert got == {1: ("A", None), 2: ("b", None)}
+    assert [f.name for f in t.read().schema.fields] == ["k", "v", "ver", "note"]
+    # same for a narrower append
+    t.append(_mk(spark, [(3, "c", 1)]))
+    assert "note" in t.read().columns
+    # but a TYPE change on an existing column is rejected
+    with pytest.raises(ValueError, match="schema evolution"):
+        t.append(spark.createDataFrame([(4, 9, 1)], "k long, v long, ver long"))
+
+
+def test_changes_below_truncated_history_raises(spark, tmp_path):
+    """changes(from_version) below the truncate_log() cut must raise, not
+    silently emit the whole table as inserts (the pre-state is NOT empty,
+    it is unknowable)."""
+    from reflex_spark.sources.tx_table import HistoryTruncatedError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 3
+    for i in range(7):
+        t.append(_mk(spark, [(i, "x", 1)]))
+    removed = t.truncate_log()
+    assert removed, "test needs an actual truncation"
+    cut = max(removed)
+    with pytest.raises(HistoryTruncatedError):
+        t.changes(cut)
+    # at/above the oldest retained state, changes still works
+    cp = min(t._checkpoints())
+    t.append(_mk(spark, [(99, "new", 1)]))
+    feed = t.changes(cp)
+    assert {r["k"] for r in feed.collect()} == {99}
+
+
 def test_change_data_feed(spark, tmp_path):
     """changes(v0, v1): appends surface as inserts; a merge UPDATE
     surfaces as delete(pre-image) + insert(post-image); rows copied
