@@ -93,6 +93,9 @@ HEADLINE = [
     # custom stateful streaming (applyInPandasWithState) — a new execution
     # path (state store + Arrow state fn), oracle-checked
     "stream_stateful_sessions",
+    # round 6: the CDC bridge loop (TxTable commits → typed events → feed
+    # replay) — a new execution path per rule (b)
+    "cdc_rollup",
 ]
 
 

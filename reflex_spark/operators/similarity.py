@@ -390,28 +390,47 @@ def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_signs(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature string, one char per hyperplane ('1'/'0')."""
-    bits = [
-        F.when(
-            dot(vec, F.array(*[F.lit(v).cast("float") for v in plane])) >= 0, "1"
-        ).otherwise("0")
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    """Spark-SQL dot of column ``vec`` against a literal ±1 plane as a
+    signed element_at chain. Multiplying by ±1.0 is an exact IEEE sign
+    flip and the terms are added in the same ascending left-fold order as
+    :func:`dot` (starting from 0.0), so the value is bit-identical to
+    ``dot(vec, array(±1.0,...))`` — and to the DuckDB oracle's
+    ``list_sum`` form (queries/similarity._sql_plane_dot).
+
+    Why a STRING: building this expression out of pyspark Column objects
+    costs one Py4J round-trip per node (6 planes x 64 dims x ~4 calls ≈
+    seconds of driver latency per query build — measured 4.0s build /
+    0.12s exec at sf0.1). One ``F.expr`` parse is a single round-trip and
+    the JVM parses the 16 KB string in milliseconds."""
+    terms = " ".join(
+        f"{'+' if v > 0 else '-'} CAST(element_at({vec}, {i + 1}) AS DOUBLE)"
+        for i, v in enumerate(plane)
+    )
+    return f"(CAST(0.0 AS DOUBLE) {terms})"
+
+
+def lsh_signs(vec: str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string, one char per hyperplane ('1'/'0').
+    ``vec`` is the array column's NAME (the whole signature is compiled
+    as one SQL expression — see _plane_dot_sql)."""
+    bits = ", ".join(
+        f"CASE WHEN {_plane_dot_sql(vec, plane)} >= 0 THEN '1' ELSE '0' END"
         for plane in planes
-    ]
-    return F.concat(*bits)
+    )
+    return F.expr(f"concat({bits})")
 
 
-def lsh_bucket_int(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket_int(vec: str, planes: list[list[float]]) -> Column:
     """Sign-bit signature as an integer (bit p-1-i set when plane i's dot
-    is >= 0 — MSB-first, so int and string forms sort identically)."""
+    is >= 0 — MSB-first, so int and string forms sort identically).
+    ``vec`` is the array column's NAME."""
     p = len(planes)
-    b = F.lit(0)
-    for i, plane in enumerate(planes):
-        b = b + F.when(
-            dot(vec, F.array(*[F.lit(v).cast("float") for v in plane])) >= 0,
-            F.lit(1 << (p - 1 - i)),
-        ).otherwise(F.lit(0))
-    return b.cast("int")
+    terms = " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(vec, plane)} >= 0 THEN {1 << (p - 1 - i)} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return F.expr(f"CAST(({terms}) AS INT)")
 
 
 def lsh_multiprobe_topk(
@@ -439,11 +458,11 @@ def lsh_multiprobe_topk(
     from pyspark.sql import Window
 
     planes = _hyperplanes(num_planes, dim)
-    emb_b = embeddings.withColumn("__bucket", lsh_bucket_int(F.col(vec_col), planes))
+    emb_b = embeddings.withColumn("__bucket", lsh_bucket_int(vec_col, planes))
     q = queries.select(
         F.col(id_col).alias("__q_id"),
         F.col(vec_col).alias("__q_vec"),
-        lsh_bucket_int(F.col(vec_col), planes).alias("__q_bucket"),
+        lsh_bucket_int(vec_col, planes).alias("__q_bucket"),
     )
     probes = (
         q.select(
@@ -546,11 +565,11 @@ def lsh_bucketed_topk(
     over neighboring buckets).
     """
     planes = _hyperplanes(num_planes, dim)
-    emb_b = embeddings.withColumn("__bucket", lsh_signs(F.col(vec_col), planes))
+    emb_b = embeddings.withColumn("__bucket", lsh_signs(vec_col, planes))
     q = query.select(
         F.col(id_col).alias("__q_id"),
         F.col(vec_col).alias("__q_vec"),
-        lsh_signs(F.col(vec_col), planes).alias("__bucket"),
+        lsh_signs(vec_col, planes).alias("__bucket"),
     )
     scored = (
         emb_b.join(F.broadcast(q), "__bucket")

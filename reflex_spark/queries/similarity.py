@@ -258,11 +258,11 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.where(F.col("vec_id") < _RECALL_NQ)
     exact = exact_topk_multi(emb, qs, k=_RECALL_K).select("__q_id", "vec_id")
 
-    emb_b = emb.withColumn("__bucket", lsh_bucket_int(F.col("embedding"), _RECALL_PLANES))
+    emb_b = emb.withColumn("__bucket", lsh_bucket_int("embedding", _RECALL_PLANES))
     q = qs.select(
         F.col("vec_id").alias("__q_id"),
         F.col("embedding").alias("__q_vec"),
-        lsh_bucket_int(F.col("embedding"), _RECALL_PLANES).alias("__q_bucket"),
+        lsh_bucket_int("embedding", _RECALL_PLANES).alias("__q_bucket"),
     )
     probes = (
         q.select(

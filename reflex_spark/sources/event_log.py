@@ -164,18 +164,23 @@ class EventLog:
         row = self.read().agg(F.max("event_id").alias("m")).collect()[0]
         return row["m"] if row["m"] is not None else 0
 
-    def append(self, events: DataFrame) -> int:
+    def append(self, events: DataFrame, order_by: list[str] | None = None) -> int:
         """Append events (no event_id column), assigning dense monotonic ids.
 
         Ids are `head + row_number ordered by (timestamp, foreign_id)` —
         dense and gap-free like MySQL auto_increment under the reference's
         gap-filling (rsql/gapfill.go); visibility is atomic at the parquet
         commit. Returns the new head id.
+
+        ``order_by`` overrides the id-assignment sort for producers whose
+        events carry an explicit intra-commit ordering (the CDC bridge
+        orders update pre-images before post-images); extra ordering
+        columns are dropped from the stored rows.
         """
         base = self.head()
         n = events.count()
         self._guard_append_size(n)
-        w = F.row_number().over(Window.orderBy("timestamp", "foreign_id"))
+        w = F.row_number().over(Window.orderBy(*(order_by or ["timestamp", "foreign_id"])))
         out = (
             events.withColumn("event_id", (F.lit(base) + w).cast("long"))
             .select([f.name for f in EVENT_SCHEMA.fields])

@@ -27,6 +27,11 @@ from reflex_spark.sources.tx_table import TxTable
 
 CDC_INSERT_TYPE = 1
 CDC_DELETE_TYPE = 2
+# Delta-CDF-parity update events: a key present on BOTH sides of a version
+# window is an UPDATE, published as its pre-image then post-image (distinct
+# types, so consumers need not pair delete+insert heuristically).
+CDC_UPDATE_PRE_TYPE = 3
+CDC_UPDATE_POST_TYPE = 4
 
 
 def publish_changes(
@@ -41,34 +46,48 @@ def publish_changes(
     the event log. ``at`` stamps every emitted event (pass a deterministic
     value in tests; defaults to now). Returns the new log head.
 
-    Events: ``event_type`` CDC_INSERT_TYPE/CDC_DELETE_TYPE,
-    ``foreign_id`` = the row key as string, ``metadata`` = the full row
-    as JSON bytes (pre-image for deletes, post-image for inserts — an
-    UPDATE therefore emits both, delete-then-insert by event-id order
-    within the same key).
+    Events: ``foreign_id`` = the row key as string, ``metadata`` = the
+    full row as JSON bytes. A key present on only one side of the window
+    publishes as CDC_INSERT_TYPE or CDC_DELETE_TYPE; a key present on
+    BOTH sides is an UPDATE and publishes as CDC_UPDATE_PRE_TYPE (the
+    old row) followed by CDC_UPDATE_POST_TYPE (the new row) — Delta CDF's
+    update_preimage/update_postimage. All four sets land in ONE
+    EventLog.append commit with an explicit ordering column, so ids are
+    deterministic (pre-images before post-images per key) and there is no
+    torn window where only half the changes are visible (a failed call
+    publishes nothing; the retry republishes the whole window, keeping
+    the documented at-least-once contract).
     """
     ch = table.changes(from_version, to_version).localCheckpoint()
     data_cols = [c for c in ch.columns if c != "_change_type"]
     ts = F.lit(at if at is not None else datetime.now()).cast("timestamp")
 
-    def _events(subset, etype: int):
-        return subset.select(
-            F.lit(etype).cast("int").alias("event_type"),
+    # Keys on both sides of the window are updates (churn-sized frames;
+    # the join is on the change feed, never the full table).
+    dels = ch.where(F.col("_change_type") == "delete")
+    ins = ch.where(F.col("_change_type") == "insert")
+    upd_keys = (
+        dels.select(F.col(key_col)).intersect(ins.select(F.col(key_col)))
+        .withColumn("__upd", F.lit(True))
+    )
+
+    def _events(subset, plain_type: int, update_type: int, order: int):
+        marked = subset.join(F.broadcast(upd_keys), key_col, "left")
+        return marked.select(
+            F.when(F.col("__upd"), update_type)
+            .otherwise(plain_type)
+            .cast("int")
+            .alias("event_type"),
             F.col(key_col).cast("string").alias("foreign_id"),
             ts.alias("timestamp"),
             F.to_json(F.struct(*data_cols)).cast("binary").alias("metadata"),
             F.lit(None).cast("binary").alias("trace"),
+            F.lit(order).alias("__cdc_order"),
         )
 
-    # Two commits, deletes first: EventLog.append re-sorts by (timestamp,
-    # foreign_id) when assigning dense ids, so a same-key delete+insert
-    # pair (an UPDATE) would tie nondeterministically inside one commit.
-    # Splitting guarantees every pre-image id < every post-image id.
-    head = log.head()
-    deletes = _events(ch.where(F.col("_change_type") == "delete"), CDC_DELETE_TYPE)
-    if not deletes.isEmpty():
-        head = log.append(deletes)
-    inserts = _events(ch.where(F.col("_change_type") == "insert"), CDC_INSERT_TYPE)
-    if not inserts.isEmpty():
-        head = log.append(inserts)
-    return head
+    events = _events(dels, CDC_DELETE_TYPE, CDC_UPDATE_PRE_TYPE, 0).unionByName(
+        _events(ins, CDC_INSERT_TYPE, CDC_UPDATE_POST_TYPE, 1)
+    )
+    if events.isEmpty():
+        return log.head()
+    return log.append(events, order_by=["timestamp", "__cdc_order", "foreign_id"])

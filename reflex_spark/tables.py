@@ -48,6 +48,14 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (applicationId, sf_dir) → {table: DataFrame}. Building the 10 scans costs
+# ~0.8s of driver-side file listing + footer reads per call; across a
+# many-query run that dwarfs several queries' execution. DataFrames are
+# plans, not data — reusing them is safe within a session, and keying on
+# applicationId drops entries from stopped sessions.
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every fixture table as a DataFrame (lazy: just scan metadata).
 
@@ -55,13 +63,19 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     long; `events.ts` is nanos, so we enable the legacy read and rebuild
     the timestamp (truncation to micros matches DuckDB's own ns→us cast).
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Pin timestamp semantics to UTC even when the caller's session (e.g. the
     # external driver) was built without it — otherwise date_trunc/day
     # boundaries shift with the host timezone and diverge from the
     # timezone-naive oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return {name: _read(spark, sf_dir, name) for name in TABLES}
+    dfs = {name: _read(spark, sf_dir, name) for name in TABLES}
+    _TABLE_CACHE[key] = dfs
+    return dict(dfs)
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -408,16 +408,18 @@ def test_change_data_feed(spark, tmp_path):
 def test_cdc_bridge_publishes_changes_to_event_log(spark, tmp_path):
     """TxTable -> EventLog bridge (the reference's tables-emit-events
     loop): appends publish as insert events, an UPDATE publishes its
-    pre-image delete BEFORE its post-image insert (strictly smaller
-    event id), metadata carries the full row JSON, and the log is
-    consumable by the poll loop."""
+    pre-image BEFORE its post-image (strictly smaller event id) with the
+    dedicated update_preimage/update_postimage types in ONE commit,
+    metadata carries the full row JSON, and the log is consumable by the
+    poll loop."""
     import json as _json
     from datetime import datetime
 
     from reflex_spark.sources.event_log import EventLog
     from reflex_spark.streaming.cdc import (
-        CDC_DELETE_TYPE,
         CDC_INSERT_TYPE,
+        CDC_UPDATE_POST_TYPE,
+        CDC_UPDATE_PRE_TYPE,
         publish_changes,
     )
 
@@ -437,7 +439,14 @@ def test_cdc_bridge_publishes_changes_to_event_log(spark, tmp_path):
     publish_changes(t, log, "k", v0, at=datetime(2024, 1, 2))
     rows = log.read().orderBy("event_id").collect()[2:]
     by_type = {r["event_type"]: r for r in rows}
-    assert set(by_type) == {CDC_DELETE_TYPE, CDC_INSERT_TYPE}
-    assert by_type[CDC_DELETE_TYPE]["event_id"] < by_type[CDC_INSERT_TYPE]["event_id"]
-    assert _json.loads(bytes(by_type[CDC_DELETE_TYPE]["metadata"]))["v"] == "a"
-    assert _json.loads(bytes(by_type[CDC_INSERT_TYPE]["metadata"]))["v"] == "A"
+    assert set(by_type) == {CDC_UPDATE_PRE_TYPE, CDC_UPDATE_POST_TYPE}
+    assert (
+        by_type[CDC_UPDATE_PRE_TYPE]["event_id"]
+        < by_type[CDC_UPDATE_POST_TYPE]["event_id"]
+    )
+    assert _json.loads(bytes(by_type[CDC_UPDATE_PRE_TYPE]["metadata"]))["v"] == "a"
+    assert _json.loads(bytes(by_type[CDC_UPDATE_POST_TYPE]["metadata"]))["v"] == "A"
+    # ids are dense and the whole window landed in ONE commit (no torn
+    # half-window): both update events are consecutive
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == list(range(ids[0], ids[0] + len(ids)))
