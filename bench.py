@@ -96,6 +96,12 @@ HEADLINE = [
     # round 6: the CDC bridge loop (TxTable commits → typed events → feed
     # replay) — a new execution path per rule (b)
     "cdc_rollup",
+    # round 6: degree-ordered wedge-join triangle counting — graph
+    # analytics join shape not exercised elsewhere
+    "graph_triangle_count",
+    # round 6: corpus-level exact-substring boilerplate removal — span
+    # frequency shuffle + hash-join-back + exact-bytes reassembly
+    "text_boilerplate_spans",
 ]
 
 

@@ -448,23 +448,27 @@ def connected_components_star(
     Returns ``(labels, rounds_used)`` so scale probes can assert the
     round count.
     """
+    # Materialize the (possibly expensive) pair pipeline ONCE; nodes and
+    # edges are cheap projections of the checkpointed rows.
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).localCheckpoint()
     nodes = (
-        pairs.select(F.col(id_a).alias("node"))
-        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    prev_n = edges.count()
     for rounds in range(1, max_rounds + 1):
         small = _star_round(edges).localCheckpoint()
-        converged = (
-            small.exceptAll(edges).isEmpty() and edges.exceptAll(small).isEmpty()
-        )
+        # Both sides are DISTINCT edge sets, so equal counts + one empty
+        # set-difference ⟺ set equality. The count is near-free over the
+        # checkpointed partitions and skips the exceptAll job entirely on
+        # every non-final round (counts move while converging) — one
+        # convergence job per round instead of two, and no union of
+        # exceptAlls (the Spark 4.1 rewriteConstraints fault pattern).
+        n = small.count()
+        converged = n == prev_n and small.exceptAll(edges).isEmpty()
+        prev_n = n
         edges = small
         if converged:
             # Fixed point = stars (leaf, center): labels read straight off.

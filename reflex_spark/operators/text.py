@@ -238,3 +238,68 @@ def segment_dedup(text: Column | str, seg_words: int = 5) -> Column:
         lambda i: F.concat_ws(" ", F.slice(w, i * seg_words + 1, seg_words)),
     )
     return F.array_distinct(segs)
+
+
+def span_boilerplate(
+    df,
+    id_col: str,
+    text_col: str,
+    span_words: int = 3,
+    min_docs: int = 5,
+):
+    """Corpus-level boilerplate span removal (the exact-substring dedup
+    class of RefinedWeb/MassiveText: drop text chunks repeated verbatim
+    across many documents — nav bars, license headers, templates).
+
+    Each document's token stream is cut into fixed ``span_words`` spans;
+    a span whose text occurs in >= ``min_docs`` DISTINCT documents is
+    boilerplate, and every occurrence is dropped. Returns one row per doc:
+    (id, n_spans, n_boilerplate, retained_md5) where retained_md5 hashes
+    the surviving spans joined in original order — pinning the exact
+    reassembled bytes, not just counts.
+
+    Shape at 100 TB: one explode (narrow), one count-distinct aggregate
+    shuffled on the span text (the frequency table), one hash join back on
+    the span, one per-doc aggregate. No driver collection, no UDFs; span
+    generation is a single compiled SQL expression (sequence guarded
+    against Spark's descending sequence(1,0) gotcha).
+    """
+    from pyspark.sql import functions as F
+
+    k = int(span_words)
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(split({text_col}, ' ')) < 1 THEN array() "
+                f"ELSE transform(sequence(0, CAST(ceil(size(split({text_col}, ' ')) / {k}.0) AS INT) - 1), "
+                f"i -> array_join(slice(split({text_col}, ' '), i * {k} + 1, {k}), ' ')) END"
+            )
+        ).alias("span_idx", "span"),
+    )
+    freq = spans.groupBy("span").agg(
+        F.countDistinct(id_col).alias("__ndocs")
+    )
+    marked = spans.join(freq, "span").withColumn(
+        "__boiler", F.col("__ndocs") >= min_docs
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("__boiler"), 1).otherwise(0)).alias("n_boilerplate"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__boiler"),
+                                F.struct("span_idx", "span"),
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            )
+        ).alias("retained_md5"),
+    )

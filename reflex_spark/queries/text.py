@@ -629,3 +629,45 @@ def pipeline_corpus_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("docs_md5"),
     )
+
+
+@query(
+    "text_boilerplate_spans",
+    # COALESCE('') on the filtered string_agg: a doc whose every span is
+    # boilerplate must hash the empty string (Spark's empty array_join),
+    # not NULL.
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, CAST(ceil(len(t)/3.0) AS INT) - 1)) AS span_idx
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, span_idx,
+             array_to_string(t[span_idx*3+1 : span_idx*3+3], ' ') AS span
+      FROM idx
+    ),
+    freq AS (SELECT span, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY span),
+    m AS (SELECT s.doc_id, s.span_idx, s.span, f.nd >= 5 AS boiler
+          FROM spans s JOIN freq f USING (span))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+           md5(COALESCE(string_agg(span, ' ' ORDER BY span_idx)
+                          FILTER (WHERE NOT boiler), '')) AS retained_md5
+    FROM m GROUP BY doc_id
+    """,
+)
+def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (exact-substring dedup class,
+    RefinedWeb/MassiveText posture): 3-token spans repeated verbatim in
+    >= 5 distinct documents are dropped from every document; emits per-doc
+    span counts plus the md5 of the reassembled surviving text, so the
+    hash pins exact retained BYTES (order included), not just statistics.
+    One explode + one span-frequency shuffle + one hash join + one per-doc
+    aggregate — the plan a 100 TB template-removal pass wants."""
+    from reflex_spark.operators.text import span_boilerplate
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return span_boilerplate(docs, "doc_id", "text", span_words=3, min_docs=5)

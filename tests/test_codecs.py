@@ -1074,3 +1074,68 @@ def test_progressive_gif_microbench():
     )
     assert gif_x >= 2.5, f"GIF LZW only {gif_x:.1f}x"
     assert prog_x >= 1.15, f"progressive only {prog_x:.1f}x"
+
+
+# --------------------------------------------------------------------------
+# dual-path (PIL) seam — VERDICT r5 #4
+# --------------------------------------------------------------------------
+
+
+def _seam_pngs():
+    rng = _det_rng(77)
+    out = []
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, size=(9, 11, ch), dtype=np.uint8)
+        out.append((img, encode_png(img)))
+    return out
+
+
+def test_pil_seam_dispatch_wiring(monkeypatch):
+    """The dispatcher must route PNG through the native module when one is
+    present and honor REFLEX_SPARK_PURE_CODECS=1 — proven with a fake PIL
+    so the seam is tested even in this wheel-less container."""
+    from reflex_spark.functions import codecs
+
+    sentinel = np.full((2, 2, 3), 42, dtype=np.uint8)
+
+    class _FakeImg:
+        def __array__(self, dtype=None, copy=None):
+            return sentinel
+
+    class _FakeImageMod:
+        @staticmethod
+        def open(fp):
+            return _FakeImg()
+
+    img, png = _seam_pngs()[1]
+    monkeypatch.setattr(codecs, "_PILImage", _FakeImageMod)
+    monkeypatch.delenv("REFLEX_SPARK_PURE_CODECS", raising=False)
+    assert codecs.pil_active()
+    assert np.array_equal(codecs.decode_image_bytes(png), sentinel)
+    # the override forces the pure path
+    monkeypatch.setenv("REFLEX_SPARK_PURE_CODECS", "1")
+    assert not codecs.pil_active()
+    assert np.array_equal(codecs.decode_image_bytes(png), img)
+    # JPEG stays pure even with (fake) PIL present and no opt-in
+    monkeypatch.delenv("REFLEX_SPARK_PURE_CODECS", raising=False)
+    jp = encode_jpeg(img, quality=90)
+    pure = decode_jpeg(jp)
+    assert np.array_equal(codecs.decode_image_bytes(jp), pure)
+    # ... and uses PIL only with the explicit opt-in
+    monkeypatch.setenv("REFLEX_SPARK_PIL_JPEG", "1")
+    assert np.array_equal(codecs.decode_image_bytes(jp), sentinel)
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="PIL wheel not installed in this environment",
+)
+def test_pil_png_byte_identical():
+    """When a real PIL is present, the fast path must be BYTE-IDENTICAL to
+    the pure decoder on gray/RGB/RGBA PNGs (lossless formats admit no
+    decoder variance)."""
+    from reflex_spark.functions import codecs
+
+    for img, png in _seam_pngs():
+        assert np.array_equal(codecs._decode_png_pil(png), decode_png(png))
+        assert np.array_equal(codecs._decode_png_pil(png), img)

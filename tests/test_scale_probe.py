@@ -125,3 +125,49 @@ def test_hygiene_and_packing_invariant_to_partitioning(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
         assert base == alt and base, name
+
+
+def test_packing_operators_shard_and_layout_contract(spark):
+    """Operator-level pin for pack_sequences / greedy_token_budget
+    (VERDICT r5 #8): results are a function of the DATA and the
+    ``shards=``/``budget=`` parameters — identical under input
+    repartitioning, but pack assignment legitimately CHANGES with the
+    shard count (per-shard windows are the scale design; a result
+    invariant to ``shards`` would mean a hidden global cumsum)."""
+    from pyspark.sql import functions as F
+
+    from reflex_spark.operators.sampling import greedy_token_budget, pack_sequences
+    from reflex_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+    def packed(df, shards):
+        return {
+            (r["doc_id"], r["shard"], r["pack_id"])
+            for r in pack_sequences(df, "doc_id", F.col("n_tokens"), 256, shards).collect()
+        }
+
+    base = packed(docs, 8)
+    assert base
+    # (a) layout-invariant at fixed shards
+    assert packed(docs.repartition(3), 8) == base
+    assert packed(docs.repartition(17, "source"), 8) == base
+    # (b) NOT shard-count-invariant: different shards → different packing
+    assert packed(docs, 4) != base
+
+    def kept(df, budget):
+        return {
+            (r["doc_id"], r["__cum_tokens"])
+            for r in greedy_token_budget(
+                df, "doc_id", F.col("n_tokens"), F.lit(budget), "source"
+            ).collect()
+        }
+
+    kb = kept(docs, 5000)
+    assert kb
+    assert kept(docs.repartition(3), 5000) == kb
+    assert kept(docs.repartition(17, "source"), 5000) == kb
+    # budget is load-bearing: a different budget keeps a different prefix
+    assert kept(docs, 500) != kb
