@@ -102,6 +102,10 @@ HEADLINE = [
     # round 6: corpus-level exact-substring boilerplate removal — span
     # frequency shuffle + hash-join-back + exact-bytes reassembly
     "text_boilerplate_spans",
+    # round 6: product-quantization ADC — grouped multi-codebook fit +
+    # code-table scan with broadcast LUTs (sim_ann_pq_recall re-runs this
+    # path and stays in --full)
+    "sim_ann_pq_topk",
 ]
 
 

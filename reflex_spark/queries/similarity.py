@@ -468,3 +468,185 @@ def sim_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = kmeans_centroids_exact(emb, n_lists=_IVF_LISTS, iters=3)
     q = emb.where(F.col("vec_id") == 0)
     return ivf_probe_topk(emb, q, cent, k=20, n_probe=_IVF_PROBE)
+
+
+# --- PQ-ADC ANN (round 6) --------------------------------------------------
+
+_PQ_M, _PQ_SUB, _PQ_CODES, _PQ_ITERS, _PQ_K = 4, 16, 8, 2, 20
+
+
+def _sql_pq_subspace(m: int) -> str:
+    """CTE chain for subspace m: oracle-exact k-means on the slice, a
+    final encode pass against the FINAL codebook, and the query's
+    distance LUT. Mirrors pq_adc_topk / kmeans_centroids_exact step for
+    step (argmin ties to lower cid; decimal-sum means; empty clusters
+    keep previous centroids)."""
+    p = f"s{m}_"
+    off = m * _PQ_SUB
+    sl = f"e.embedding[{off + 1}:{off + _PQ_SUB}]"
+    d2 = sql_sqdist(f"({sl})", "c.cv")
+    parts = [
+        f"""{p}c0 AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding[{off + 1}:{off + _PQ_SUB}], x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id < {_PQ_CODES})"""
+    ]
+    for i in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"""{p}a{i} AS (
+      SELECT vec_id, sv, cid FROM (
+        SELECT e.vec_id, {sl} AS sv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2}, c.cid) AS rnk
+        FROM embeddings e, {p}c{i - 1} c)
+      WHERE rnk = 1),
+    {p}m{i} AS (
+      SELECT cid, di,
+             CAST(SUM(CAST(CAST(sv[di] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM {p}a{i}, generate_series(1, {_PQ_SUB}) AS g(di)
+      GROUP BY cid, di),
+    {p}c{i} AS (
+      SELECT pp.cid, COALESCE(mm.cv, pp.cv) AS cv
+      FROM {p}c{i - 1} pp LEFT JOIN
+           (SELECT cid, list(m ORDER BY di) AS cv FROM {p}m{i} GROUP BY cid) mm
+        ON pp.cid = mm.cid)"""
+        )
+    parts.append(
+        f"""{p}enc AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2}, c.cid) AS rnk
+        FROM embeddings e, {p}c{_PQ_ITERS} c)
+      WHERE rnk = 1),
+    {p}lut AS (
+      SELECT q.q_id, c.cid,
+             {sql_sqdist("c.cv", f"(q.qv[{off + 1}:{off + _PQ_SUB}])")} AS d
+      FROM {p}c{_PQ_ITERS} c, pq_q q),
+    {p}d AS (
+      SELECT l.q_id, e.vec_id, l.d
+      FROM {p}enc e JOIN {p}lut l ON e.cid = l.cid)"""
+    )
+    return ",\n    ".join(parts)
+
+
+_PQ_SUBSPACES = ",\n    ".join(_sql_pq_subspace(m) for m in range(_PQ_M))
+
+
+@query(
+    "sim_ann_pq_topk",
+    oracle=f"""
+    WITH pq_q AS (SELECT vec_id AS q_id, embedding AS qv
+                  FROM embeddings WHERE vec_id = 0),
+    {_PQ_SUBSPACES}
+    SELECT vec_id,
+           round(s0_d.d + s1_d.d + s2_d.d + s3_d.d, 6) AS approx_dist
+    FROM s0_d JOIN s1_d USING (q_id, vec_id)
+              JOIN s2_d USING (q_id, vec_id)
+              JOIN s3_d USING (q_id, vec_id)
+    WHERE vec_id <> q_id
+    ORDER BY approx_dist, vec_id
+    LIMIT {_PQ_K}
+    """,
+)
+def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. TPAMI'11), judged end-to-end:
+    4 subspaces × 16 dims, 8-codeword codebooks from ORACLE-EXACT
+    2-iteration k-means on each slice, per-vector codes from a final
+    encode pass, and asymmetric-distance top-20 for query vec_id 0 via
+    broadcast LUTs. The oracle unrolls all four subspace fits, encodes,
+    LUTs and the fixed-order distance sum — the entire approximate
+    pipeline is hash-checked, not just its shape. The codes relation is
+    the compressed scan target at 100 TB (M bytes/vector); codebooks and
+    LUTs stay broadcast-sized."""
+    from reflex_spark.operators.similarity import pq_adc_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") == 0)
+    return pq_adc_topk(
+        emb, q, m_subspaces=_PQ_M, sub_dim=_PQ_SUB,
+        n_codes=_PQ_CODES, iters=_PQ_ITERS, k=_PQ_K,
+    )
+
+
+@query(
+    "sim_ann_pq_recall",
+    # Recall@20 of PQ-ADC against the exact L2 top-20 over queries 0..4 —
+    # the whole approximate pipeline (4 subspace fits, encode, LUTs,
+    # fixed-order distance sum, per-query ranking) AND the exact baseline
+    # AND the recall arithmetic replicated in one oracle.
+    oracle=f"""
+    WITH pq_q AS (SELECT vec_id AS q_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < {_RECALL_NQ}),
+    {_PQ_SUBSPACES},
+    approx AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY round(s0_d.d + s1_d.d + s2_d.d + s3_d.d, 6),
+                          vec_id) AS rnk
+        FROM s0_d JOIN s1_d USING (q_id, vec_id)
+                  JOIN s2_d USING (q_id, vec_id)
+                  JOIN s3_d USING (q_id, vec_id)
+        WHERE vec_id <> q_id)
+      WHERE rnk <= {_PQ_K}),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {sql_sqdist("e.embedding", "q.qv")}, e.vec_id) AS rnk
+        FROM embeddings e, pq_q q WHERE e.vec_id <> q.q_id)
+      WHERE rnk <= {_PQ_K})
+    SELECT 'pq_m4_k8' AS method,
+           CAST({_PQ_K} AS INTEGER) AS k,
+           round(COUNT(*) / {_RECALL_NQ * _PQ_K}.0, 4) AS recall_at_k
+    FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    """,
+)
+def sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@20 of PQ-ADC (4×16 subspaces, 8 codes, exact 2-iteration
+    fits) vs the exact L2 top-20 over the fixed 5-query set — judged as a
+    single recall number, like sim_ann_recall/sim_ann_ivf_recall. PQ with
+    8 codes per subspace is a coarse quantizer, so this also pins an
+    honest floor for what 32-bit codes buy."""
+    from pyspark.sql import Window
+
+    from reflex_spark.operators.similarity import pq_adc_topk, sqdist
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qs = emb.where(F.col("vec_id") < _RECALL_NQ)
+    # per-query approx top-k: pq_adc_topk's scoring path but ranked per query
+    scored = pq_adc_topk(
+        emb, qs, m_subspaces=_PQ_M, sub_dim=_PQ_SUB,
+        n_codes=_PQ_CODES, iters=_PQ_ITERS, k=_PQ_K, per_query=True,
+    )
+    exact = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(qs.select(F.col("vec_id").alias("__q_id"),
+                                    F.col("embedding").alias("__qv"))))
+        .where(F.col("vec_id") != F.col("__q_id"))
+        .withColumn("__d", sqdist(F.col("embedding"), F.col("__qv")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__q_id").orderBy("__d", "vec_id")
+            ),
+        )
+        .where(F.col("__r") <= _PQ_K)
+        .select("__q_id", "vec_id")
+    )
+    return (
+        scored.join(exact, ["__q_id", "vec_id"])
+        .groupBy()
+        .agg(
+            F.round(
+                F.count(F.lit(1)) / float(_RECALL_NQ * _PQ_K), 4
+            ).alias("recall_at_k")
+        )
+        .select(
+            F.lit("pq_m4_k8").alias("method"),
+            F.lit(_PQ_K).alias("k"),
+            "recall_at_k",
+        )
+    )
