@@ -106,6 +106,12 @@ HEADLINE = [
     # code-table scan with broadcast LUTs (sim_ann_pq_recall re-runs this
     # path and stays in --full)
     "sim_ann_pq_topk",
+    # round 6: Catalyst's native MergingSessions operator (session_window
+    # in batch mode) — not a window function, a distinct physical plan
+    "events_session_window_native",
+    # round 6: time-series densify + ignore-null neighbor windows +
+    # interpolation — the hypertable gap-fill shape
+    "events_gapfill_interpolate",
 ]
 
 

@@ -484,3 +484,149 @@ def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.max("c").cast("long").alias("max_concurrent"))
     )
+
+
+@query(
+    "events_session_window_native",
+    # Spark's native session_window merges an event landing EXACTLY gap
+    # after the previous one (verified empirically round 6), matching the
+    # lag-gap rule "new session when gap > 30 min"; window end = last
+    # event + gap.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sid AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM s)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sid
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE session_window operator in
+    batch mode — a different execution path from both the lag-window batch
+    form (events_session_count) and the applyInPandasWithState streaming
+    form (stream_stateful_sessions): Catalyst's MergingSessions plan
+    (sort-merge per key, no window function). The oracle derives the same
+    sessions from the lag-gap rule and reconstructs each window's
+    [first_event, last_event + gap) bounds, so start/end/count all
+    hash-match."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_gapfill_interpolate",
+    # Hourly per-type value series with missing hours filled by linear
+    # interpolation: both engines compute pv + (nv - pv) * (d1/d2) as the
+    # same fixed IEEE op chain over exact decimal-summed endpoints, so the
+    # filled values hash-match bit-for-bit.
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1),
+    allh AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    j AS (
+      SELECT a.event_type, a.h, hv.v
+      FROM allh a LEFT JOIN hourly hv
+        ON a.event_type = hv.event_type AND a.h = hv.h),
+    pn AS (
+      SELECT event_type, h, v,
+        LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+        FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, h,
+           round(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv)
+                      * (CAST(date_diff('second', ph, h) AS DOUBLE)
+                         / CAST(date_diff('second', ph, nh) AS DOUBLE)) END,
+                 6) AS value,
+           (v IS NULL) AS interpolated
+    FROM pn
+    """,
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each event type's hourly value
+    series over its own [min, max] hour range (executor-side
+    explode(sequence), no driver loop) and LINEARLY INTERPOLATE missing
+    hours between the nearest observed neighbors (last/first ignore-null
+    windows). The series endpoints are always observed, so every gap is
+    interior. One aggregation + one join + two windows per type — the
+    standard hypertable densify/interpolate shape at any scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+            "value",
+        )
+        .groupBy("event_type", "h")
+        .agg(dsum("value", "v"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    allh = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h"),
+    )
+    j = allh.join(hourly, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    pv, ph = F.last("v", True).over(wp), F.last(obs_h, True).over(wp)
+    nv, nh = F.first("v", True).over(wn), F.first(obs_h, True).over(wn)
+    frac = (
+        (F.unix_timestamp(F.col("h")) - F.unix_timestamp(ph)).cast("double")
+        / (F.unix_timestamp(nh) - F.unix_timestamp(ph)).cast("double")
+    )
+    return j.select(
+        "event_type",
+        "h",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                pv + (nv - pv) * frac
+            ),
+            6,
+        ).alias("value"),
+        F.col("v").isNull().alias("interpolated"),
+    )
