@@ -112,6 +112,12 @@ HEADLINE = [
     # round 6: time-series densify + ignore-null neighbor windows +
     # interpolation — the hypertable gap-fill shape
     "events_gapfill_interpolate",
+    # round 6: the bucket as a registered Python DataSource format with
+    # planning-time cursor pruning — a custom-scan execution path
+    "blob_source_rollup",
+    # round 6: VARIANT semi-structured access (parse_json once +
+    # variant_get) — a distinct expression engine path from string JSON
+    "events_variant_props",
 ]
 
 

@@ -630,3 +630,38 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+@query(
+    "events_variant_props",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS BIGINT)
+             AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: the JSON
+    payload is parsed ONCE into the binary variant encoding
+    (``parse_json``) and fields are extracted with typed ``variant_get``
+    — the engine path a semi-structured 100 TB corpus wants (parse cost
+    paid once per row, shredded binary access after, vs re-parsing the
+    string per ``get_json_object`` call). The plain-JSON twin
+    (events_json_props) stays judged; this query pins that the variant
+    path produces identical values."""
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select(k.alias("__k"), "event_id")
+        .groupBy((F.col("__k") % 7).cast("long").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.sum("__k").alias("sum_k"),
+        )
+    )

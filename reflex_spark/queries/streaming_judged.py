@@ -760,3 +760,74 @@ def cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "blob_source_rollup",
+    # The Spark side writes the bucket, prunes the first day via the
+    # after_key cursor AT PLANNING TIME, and aggregates what the custom
+    # format yields; the oracle recomputes the same rollup declaratively
+    # with the same day>min(day) cut.
+    oracle="""
+    WITH e AS (SELECT event_type, value,
+                      strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+               FROM events),
+    mn AS (SELECT MIN(day) AS d FROM e)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+    FROM e, mn
+    WHERE e.day > mn.d
+    GROUP BY event_type
+    """,
+)
+def blob_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blob bucket as a REGISTERED SPARK FORMAT (Spark 4 Python
+    DataSource API, sources/blob_datasource.py; reference rblob/blob.go):
+    events are laid out as date-partitioned JSON blobs, then read back
+    with ``format("reflex_blob")`` — one input partition per blob, and
+    the ``after_key`` cursor pruning the entire first day's blobs at
+    planning time (the reference's resume contract expressed as skip-
+    files, not read-and-filter). The rollup over what the custom scan
+    yields is hash-checked against the declarative oracle, so listing
+    order, pruning boundary, JSON round-trip and partition parallelism
+    are all load-bearing."""
+    import shutil
+
+    from reflex_spark.sources.blob_datasource import register
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+    )
+    min_day = ev.agg(F.min("day")).collect()[0][0]  # control-plane scalar
+    base = tempfile.mkdtemp(prefix="blob_ds_")
+    try:
+        bucket = f"{base}/bucket"
+        ev.repartition("day").write.partitionBy("day").json(bucket)
+        register(spark)
+        blobs = (
+            spark.read.format("reflex_blob")
+            .option("path", bucket)
+            .option("after_key", f"day={min_day}/zzzz")
+            .option("day_from_dir", "true")
+            .option(
+                "schema",
+                "event_id long, user_id long, event_type string, "
+                "value double, day string",
+            )
+            .load()
+        )
+        out = blobs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.countDistinct("day").alias("n_days"),
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -1,0 +1,114 @@
+"""First-class Spark scan for the blob bucket: a Python DataSource (Spark
+4 ``pyspark.sql.datasource`` API) named ``reflex_blob``.
+
+Reference parity (rblob/blob.go, rblob/doc.go): a bucket of
+lexicographically ordered, immutable JSON blobs consumed from a composite
+``key|offset`` cursor. `sources/blob.py` wraps the bucket with Spark's
+file source; THIS module instead makes the bucket a real pluggable format
+— ``spark.read.format("reflex_blob")`` — with the two properties the
+reference's consumer loop needs surfaced at the right layer:
+
+- **one input partition per blob** (``partitions()``): blobs scan in
+  parallel, and Spark schedules them like any other datasource split;
+- **cursor pruning at PLANNING time**: the ``after_key`` option drops
+  every blob whose key sorts at or below the cursor key before a single
+  byte is read — the 100 TB resume story is "skip files", not "read and
+  filter" (mid-blob offsets stay the streaming path's job,
+  blob.py/BlobCursor).
+
+Per-record JSON decode runs in Python (this is the same per-record decode
+the reference does in Go, rblob/json.go); for bulk analytics the parquet
+event log is the fast path — this format exists for bucket-consumer
+parity, registered lazily and only when used.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class _BlobPartition(InputPartition):
+    def __init__(self, path: str, key: str):
+        self.path = path
+        self.key = key
+
+
+class ReflexBlobDataSource(DataSource):
+    """``format("reflex_blob")`` — options:
+
+    - ``path`` (required): bucket root directory;
+    - ``after_key`` (optional): lexicographic cursor; blobs with
+      ``key <= after_key`` are pruned at planning time;
+    - ``day_from_dir`` (optional, "true"): blobs written as
+      ``day=<v>/part-*`` get ``<v>`` surfaced as a ``day`` string column
+      (Hive-partition recovery for the bucket's date layout).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "reflex_blob"
+
+    def schema(self) -> str:
+        s = self.options.get("schema")
+        if not s:
+            raise ValueError("reflex_blob requires a 'schema' option (DDL string)")
+        return s
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return ReflexBlobReader(self.options, schema)
+
+
+class ReflexBlobReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("reflex_blob requires a 'path' option")
+        self.after_key = options.get("after_key") or ""
+        self.day_from_dir = (options.get("day_from_dir") or "").lower() == "true"
+        self.fields = [f.name for f in schema.fields]
+
+    def _list_keys(self) -> list[tuple[str, str]]:
+        out = []
+        for dirpath, _dirs, files in os.walk(self.root):
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue  # _SUCCESS, checksums
+                full = os.path.join(dirpath, fn)
+                key = os.path.relpath(full, self.root)
+                out.append((key, full))
+        out.sort()  # the bucket contract: keys scan in lexicographic order
+        return out
+
+    def partitions(self) -> list[InputPartition]:
+        # cursor pruning happens HERE, before any read
+        return [
+            _BlobPartition(path, key)
+            for key, path in self._list_keys()
+            if key > self.after_key
+        ]
+
+    def read(self, partition: _BlobPartition):
+        day = None
+        if self.day_from_dir:
+            for seg in partition.key.split(os.sep):
+                if "=" in seg:
+                    day = seg.split("=", 1)[1]
+                    break
+        with open(partition.path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if day is not None:
+                    rec["day"] = day
+                yield tuple(rec.get(name) for name in self.fields)
+
+
+def register(spark) -> None:
+    """Idempotent format registration."""
+    spark.dataSource.register(ReflexBlobDataSource)

@@ -706,3 +706,52 @@ def test_buffered_cursor_store_in_run_loop(spark, tmp_path):
         run(spec)
     assert inner.get_cursor("buffered") == 6  # durable after finally-flush
     assert store.writes_buffered == 3  # one per batch, zero mid-run file writes
+
+
+def test_transform_with_state_sessions_or_env_gate(spark, tmp_path):
+    """transformWithStateInPandas sessionization (Spark 4 successor API).
+    When the environment can run it (protobuf wheel present), the full
+    pipeline must reproduce the lag-gap session counts; in this container
+    the TWS Python worker protocol's protobuf dependency is missing, so
+    the test documents the gate by skipping (verified crash:
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE in StateMessage_pb2
+    import). The applyInPandasWithState twin stays judged either way."""
+    import pytest as _pytest
+
+    from reflex_spark.streaming.tws import session_counts_tws, tws_available
+
+    if not tws_available():
+        _pytest.skip("transformWithStateInPandas needs google.protobuf (not in container)")
+
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 10)),
+        (1, datetime(2024, 1, 1, 1, 0)),
+        (2, datetime(2024, 1, 1, 0, 0)),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.parquet(src)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = session_counts_tws(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql("SELECT * FROM tws_sessions").collect()
+    }
+    assert got == {1: (2, 3), 2: (1, 1)}
