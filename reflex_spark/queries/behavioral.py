@@ -3,7 +3,7 @@ co-occurrence — the query shapes event-log consumers exist to answer."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reflex_spark.queries import query
@@ -119,4 +119,73 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "events_first_touch_attribution",
+    # Ties: a click at the exact purchase instant counts (<=); among
+    # equal-ts clicks the highest event_id wins — both pinned in each
+    # engine's ORDER BY, so attribution is deterministic.
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click'),
+    attr AS (
+      SELECT p.event_id, p.ts AS pts, c.event_id AS click_id,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+               ORDER BY c.ts DESC, c.event_id DESC) AS rnk
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 7 DAY)
+    SELECT CAST(date_trunc('day', pts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN rnk = 1 AND click_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+    FROM attr
+    WHERE rnk = 1 OR click_id IS NULL
+    GROUP BY 1
+    """,
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-click attribution: each purchase is attributed to the same
+    user's most recent click within the preceding 7 days (the as-of-join
+    shape applied to marketing analytics). Per purchase day: purchases
+    and how many were attributed. Plan: the click/purchase streams
+    shuffle once on user_id and resolve with one ranked window — no
+    range-explode, no driver loop; at 100 TB the user_id co-partitioning
+    carries both sides."""
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("cts"),
+    )
+    joined = p.join(
+        c,
+        (p["user_id"] == c["user_id"])
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("interval 7 days")),
+        "left",
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.col("cts").desc(), F.col("c_id").desc()
+    )
+    ranked = joined.withColumn("__rnk", F.row_number().over(w)).where(
+        (F.col("__rnk") == 1) | F.col("c_id").isNull()
+    )
+    return ranked.groupBy(
+        F.date_trunc("day", F.col("pts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(
+            F.when((F.col("__rnk") == 1) & F.col("c_id").isNotNull(), 1).otherwise(0)
+        ).alias("n_attributed"),
     )

@@ -277,3 +277,77 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         num_salts=16,
     )
+
+
+@query(
+    "sample_temperature_mixture",
+    # z = Σ sqrt(n_s) goes through DECIMAL(38,18) (order-independent);
+    # every other step is a fixed single-IEEE-op chain; the keep/drop
+    # decision is the md5 bucket both engines share. floor(), not int
+    # cast (DuckDB CAST(double AS INT) rounds).
+    oracle=f"""
+    WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,18)))
+                        AS DOUBLE) AS z
+            FROM n),
+    thr AS (
+      SELECT source, n,
+             CAST(floor(
+               LEAST(CAST(1.0 AS DOUBLE),
+                     (CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE))
+                       * (sqrt(CAST(n AS DOUBLE)) / z) / CAST(n AS DOUBLE))
+               * 65536) AS BIGINT) AS bucket_threshold
+      FROM n, tot)
+    SELECT d.source,
+           CAST(MAX(t.bucket_threshold) AS BIGINT) AS bucket_threshold,
+           CAST(MAX(t.n) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN {sql_bucket('d.doc_id')} < t.bucket_threshold
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN thr t USING (source)
+    GROUP BY d.source
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling (the multilingual-corpus
+    balancing rule of mC4/PaLM: sample sources ∝ n^α, α=0.5, here sized
+    to half the corpus): per-source keep rates are computed from counts
+    (α-powered, normalized, capped at 1), converted to md5-bucket
+    thresholds, and applied as deterministic content-hash sampling — the
+    same doc always makes the same cut. The rate table is control-plane
+    sized and broadcast; one count pass + one filtered count pass."""
+    from reflex_spark.operators.sampling import _BUCKETS, _bucket
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = n.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.sqrt(F.col("n").cast("double")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("z"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(0.5) * F.col("total").cast("double"))
+        * (F.sqrt(F.col("n").cast("double")) / F.col("z"))
+        / F.col("n").cast("double"),
+    )
+    thr = n.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.floor(rate * _BUCKETS).cast("long").alias("bucket_threshold"),
+    )
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.max("bucket_threshold").alias("bucket_threshold"),
+            F.max("n").alias("n_total"),
+            F.sum(
+                F.when(
+                    _bucket(F.col("doc_id")) < F.col("bucket_threshold"), 1
+                ).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )

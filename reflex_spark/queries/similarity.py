@@ -650,3 +650,71 @@ def sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k",
         )
     )
+
+
+_CB_CTES, _CB_FINAL = _sql_kmeans_ctes(16, 2, 64)
+
+
+@query(
+    "sample_cluster_balanced",
+    # Diversity-balanced sampling: cluster the embedding space (exact
+    # 2-iteration k-means) and cap each cluster's contribution at 20
+    # vectors picked in content-hash order — the DCLM/FineWeb-style
+    # cluster-rebalancing op, fully oracle-unrolled.
+    oracle=f"""
+    WITH {_CB_CTES},
+    cent AS (SELECT cid, cv FROM {_CB_FINAL}),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {sql_sqdist("e.embedding", "c.cv")}, c.cid) AS rnk
+        FROM embeddings e, cent c)
+      WHERE rnk = 1),
+    ranked AS (
+      SELECT cid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick
+      FROM assigned)
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN pick <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN pick <= 20 THEN vec_id ELSE 0 END) AS BIGINT)
+             AS sum_kept_ids
+    FROM ranked
+    GROUP BY cid
+    """,
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling: k-means the embedding space
+    (16 clusters, oracle-exact fit), then keep at most 20 vectors per
+    cluster in content-hash order — the embedding-space rebalancing op
+    (over-represented modes contribute a bounded share; tail clusters
+    survive). One broadcast assignment pass + one per-cluster window;
+    the centroid table stays driver-sized at any SF."""
+    from pyspark.sql import Window
+
+    from reflex_spark.operators.similarity import kmeans_centroids_exact, sqdist
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cent = kmeans_centroids_exact(emb, n_lists=16, iters=2)
+    w = Window.partitionBy("vec_id").orderBy("__d", "__cid")
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cent))
+        .withColumn("__d", sqdist(F.col("embedding"), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("vec_id", F.col("__cid").alias("cid"))
+    )
+    pick_w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = assigned.withColumn("pick", F.row_number().over(pick_w))
+    return ranked.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(F.col("pick") <= 20, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("pick") <= 20, F.col("vec_id")).otherwise(0)).alias(
+            "sum_kept_ids"
+        ),
+    )

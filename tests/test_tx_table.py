@@ -450,3 +450,57 @@ def test_cdc_bridge_publishes_changes_to_event_log(spark, tmp_path):
     # half-window): both update events are consecutive
     ids = sorted(r["event_id"] for r in rows)
     assert ids == list(range(ids[0], ids[0] + len(ids)))
+
+
+def test_optimize_compacts_sorts_and_tightens_skipping(spark, tmp_path):
+    """OPTIMIZE: many small files -> few range-sorted files; the row
+    multiset is unchanged, old files are removed from the snapshot (and
+    vacuumable), per-file key ranges become disjoint so stats-based
+    pruning selects ~one file for a point probe; a racing commit makes
+    the optimizer retry, never lose data."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k"])
+    for i in range(6):  # 6 commits -> >= 6 small files
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, f"v{i}_{j}", 1) for j in range(10)],
+                "k long, v string, ver long",
+            ).coalesce(1)
+        )
+    before = {tuple(r) for r in t.read().collect()}
+    files_before, _, stats_before = t._snapshot_state(t.latest_version())
+    assert len(files_before) >= 6
+
+    v = t.optimize(sort_by=["k"], target_files=3)
+    files_after, _, stats_after = t._snapshot_state(v)
+    assert len(files_after) == 3
+    assert {tuple(r) for r in t.read().collect()} == before
+    # ranges are disjoint after the range-sort...
+    ranges = sorted(stats_after[f]["k"] for f in files_after)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # ...so a point-key probe prunes to exactly one candidate file,
+    # while the unsorted small files overlapped into several
+    probe = lambda stats, files: [
+        f for f in files if TxTable._range_may_match(stats[f].get("k"), 7, 7)
+    ]
+    assert len(probe(stats_after, files_after)) == 1
+    # old files left data_dir's snapshot; a merge still works on the result
+    t.merge_by_key(_mk(spark, [(7, "UPD", 9)]), ["k"], "ver")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[7] == "UPD" and len(got) == 60
+
+    # concurrency: a commit that lands between snapshot and commit forces
+    # ConcurrentCommitError (read-set transaction)
+    base = t.latest_version()
+    files, schema, _ = t._snapshot_state(base)
+    t.append(_mk(spark, [(999, "race", 1)]).coalesce(1))
+    import pytest as _pytest
+
+    adds, stats = t._write_files(t.read(base))
+    with _pytest.raises(ConcurrentCommitError):
+        t._commit(base + 1, {"op": "optimize", "adds": adds, "stats": stats,
+                             "removes": sorted(files),
+                             "schema": schema.json() if schema else None})
+    # retry against the new head succeeds and keeps every row
+    v2 = t.optimize(sort_by=["k"], target_files=2)
+    assert {r["k"] for r in t.read(v2).collect()} == set(got) | {999}
