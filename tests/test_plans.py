@@ -153,3 +153,56 @@ def test_q22_anti_join_shape(spark):
     assert orders_schema and all(
         "o_totalprice" not in s for s in orders_schema
     )
+
+
+def test_round6_queries_stay_jvm_and_broadcast(spark):
+    """Round-6 plan pins: the new JVM-path queries must not fall into
+    Python eval, the PQ LUT/attribution build sides broadcast, triangle
+    counting must not degrade to a nested-loop join, and boilerplate
+    span dedup keeps its two-shuffle shape."""
+    for name in (
+        "graph_triangle_count",
+        "text_boilerplate_spans",
+        "events_session_window_native",
+        "events_gapfill_interpolate",
+        "events_variant_props",
+        "events_first_touch_attribution",
+        "sample_temperature_mixture",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan or name in (
+            "sample_temperature_mixture",  # 1-row totals crossJoin is fine
+            "graph_triangle_count",  # 1-row scalar-agg crossJoins only
+        ), name
+
+    # triangle counting: the wedge and closing joins themselves must be
+    # hash/merge equi-joins (the only BNLJs are the two 1-row scalar
+    # crossJoins combining n_nodes/n_edges/n_triangles)
+    tri = plan_of(spark, "graph_triangle_count")
+    # formatted explain names each node twice (tree + details): 2 nodes
+    assert tri.count("BroadcastNestedLoopJoin") <= 4
+    assert (
+        "SortMergeJoin" in tri
+        or "ShuffledHashJoin" in tri
+        or "BroadcastHashJoin" in tri
+    )
+
+    # session_window must use the dedicated merging-sessions aggregate,
+    # not a generic window function
+    sw = plan_of(spark, "events_session_window_native")
+    assert "session_window" in sw or "MergingSessions" in sw
+
+    # attribution: an equi-join resolution (hash/merge family — at toy SF
+    # the click side broadcasts; at scale size stats flip it to a
+    # user_id co-shuffle), never a nested loop
+    attr = plan_of(spark, "events_first_touch_attribution")
+    assert any(
+        j in attr
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert "BroadcastNestedLoopJoin" not in attr
+
+    # temperature mixture: the rate table joins broadcast
+    mix = plan_of(spark, "sample_temperature_mixture")
+    assert "BroadcastHashJoin" in mix
