@@ -10,7 +10,13 @@ end-to-end, each hash-checked against a first-principles SQL oracle:
 - `stream_sharded_rollup`  — 3-shard ShardedEventLog, per-shard cursors
   and rollups merged exactly (round 4);
 - `tx_merge_orders`        — MERGE INTO on the transactional TxTable
-  (round 4).
+  (round 4);
+- `stream_stateful_sessions` — custom per-user state via
+  applyInPandasWithState, keyed-sink merged (rounds 5-6);
+- `cdc_rollup`             — TxTable commits → typed CDC events → live
+  rows rebuilt from the feed alone (round 6);
+- `blob_source_rollup`     — the bucket as a registered Python
+  DataSource format with planning-time cursor pruning (round 6).
 
 Decimal sums make every incremental/merged path bit-identical to the
 one-shot aggregate regardless of batch or shard boundaries — if a loop

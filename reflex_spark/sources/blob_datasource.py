@@ -27,7 +27,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 
@@ -60,6 +65,9 @@ class ReflexBlobDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return ReflexBlobReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> "ReflexBlobStreamReader":
+        return ReflexBlobStreamReader(self.options, schema)
 
 
 class ReflexBlobReader(DataSourceReader):
@@ -112,3 +120,39 @@ class ReflexBlobReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent format registration."""
     spark.dataSource.register(ReflexBlobDataSource)
+
+
+class ReflexBlobStreamReader(DataSourceStreamReader):
+    """Streaming form of the bucket scan: the OFFSET is the last fully
+    consumed blob key (the reference's `key|eof` cursor at file
+    granularity). Each micro-batch covers the blobs in
+    (start.key, end.key]; Spark's checkpoint persists the offset, so a
+    restarted query resumes after the last committed blob — the rblob
+    consume loop's contract expressed in the engine's own offset
+    protocol. One input partition per blob, as in the batch reader."""
+
+    def __init__(self, options, schema: StructType):
+        self._r = ReflexBlobReader(options, schema)
+
+    def initialOffset(self) -> dict:
+        return {"key": self._r.after_key}
+
+    def latestOffset(self) -> dict:
+        keys = [k for k, _ in self._r._list_keys()]
+        return {"key": keys[-1] if keys else self._r.after_key}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start.get("key", ""), end.get("key", "")
+        return [
+            _BlobPartition(path, key)
+            for key, path in self._r._list_keys()
+            if lo < key <= hi
+        ] or [_BlobPartition("", "")]  # Spark requires >=1 partition
+
+    def read(self, partition: _BlobPartition):
+        if not partition.path:
+            return
+        yield from self._r.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # blobs are immutable; nothing to release

@@ -755,3 +755,57 @@ def test_transform_with_state_sessions_or_env_gate(spark, tmp_path):
         for r in spark.sql("SELECT * FROM tws_sessions").collect()
     }
     assert got == {1: (2, 3), 2: (1, 1)}
+
+
+def test_blob_datasource_stream_resumes_from_checkpoint(spark, tmp_path):
+    """The reflex_blob STREAMING reader: offsets are blob keys, so a
+    restarted query with the same checkpoint consumes ONLY blobs that
+    arrived after the last committed batch (the rblob cursor contract at
+    file granularity), and nothing is double-counted."""
+    import json as _json
+
+    from reflex_spark.sources.blob_datasource import register
+
+    root = tmp_path / "bucket"
+
+    def write_blob(name: str, rows):
+        (root / name).parent.mkdir(parents=True, exist_ok=True)
+        with open(root / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_blob("day=2024-01-01/part-0.json", [{"k": 1, "v": 10.0}, {"k": 2, "v": 20.0}])
+    write_blob("day=2024-01-02/part-0.json", [{"k": 3, "v": 30.0}])
+    register(spark)
+
+    seen: list[tuple[int, int]] = []  # (batch row count, total)
+
+    def run_once():
+        stream = (
+            spark.readStream.format("reflex_blob")
+            .option("path", str(root))
+            .option("schema", "k long, v double")
+            .load()
+        )
+
+        def collect(bdf, bid):
+            rows = bdf.collect()
+            if rows:
+                seen.append(sorted(r["k"] for r in rows))
+
+        q = (
+            stream.writeStream.foreachBatch(collect)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        assert q.exception() is None
+
+    run_once()
+    assert sorted(k for batch in seen for k in batch) == [1, 2, 3]
+    # new blob arrives; the SAME checkpoint resumes after day=2024-01-02
+    write_blob("day=2024-01-03/part-0.json", [{"k": 4, "v": 40.0}])
+    seen.clear()
+    run_once()
+    assert sorted(k for batch in seen for k in batch) == [4]
