@@ -171,3 +171,29 @@ def test_packing_operators_shard_and_layout_contract(spark):
     assert kept(docs.repartition(17, "source"), 5000) == kb
     # budget is load-bearing: a different budget keeps a different prefix
     assert kept(docs, 500) != kb
+
+
+def test_round6_queries_invariant_to_partitioning(spark):
+    """Round-6 additions are functions of the data, not the layout:
+    identical results under a different shuffle-partition count."""
+    from reflex_spark.queries import all_queries
+
+    qs = all_queries()
+    names = (
+        "graph_triangle_count",
+        "text_boilerplate_spans",
+        "sample_temperature_mixture",
+        "events_first_touch_attribution",
+        "sim_ann_pq_topk",
+    )
+    base = {
+        n: {tuple(r) for r in qs[n](spark, "/root/testdata/sf0.001").collect()}
+        for n in names
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        for n in names:
+            alt = {tuple(r) for r in qs[n](spark, "/root/testdata/sf0.001").collect()}
+            assert alt == base[n] and base[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
