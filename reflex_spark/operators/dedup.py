@@ -487,3 +487,72 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_rounds} rounds"
     )
+
+
+def hll_estimate(
+    df: DataFrame, key: str, p: int = 10
+) -> DataFrame:
+    """Deterministic HyperLogLog (Flajolet et al. 2007) built so BOTH
+    engines can compute the IDENTICAL estimate — closing the "sketches
+    are engine-specific, rows-only" gap that approx_count_distinct has:
+
+    - hash = first 15 md5 hex chars of the key (60 bits, same in any
+      engine); register index = top ``p`` bits; rho = 1 + leading zeros
+      of the remaining ``w`` bits, computed on the BINARY STRING
+      (lpad(bin(w)) + first-'1' position) — no float log2, no ulp risk;
+    - the register sum Σ 2^-M is kept EXACT as the integer Σ 2^(50-M)
+      (M <= 51 <= 50-bit rho bound, m * 2^50 << 2^63 for p <= 12) —
+      summation order cannot matter;
+    - the final formula (alpha_m * m^2 / S, linear-counting correction
+      m * ln(m/V) when E <= 2.5m and V > 0) is a fixed chain of single
+      IEEE ops; the one libm call (ln) is rounded away at 3 decimals.
+
+    Returns 1 row: (n_registers, n_zero_registers, hll_estimate). The
+    scale shape is the whole point: ONE aggregation to m registers
+    (map-side partial max), then a constant-size reduce — the classic
+    mergeable-sketch plan for COUNT(DISTINCT) over 100 TB.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    idx = F.shiftright(h, 60 - p)
+    w = h.bitwiseAND(F.lit((1 << (60 - p)) - 1))
+    wbits = 60 - p
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.instr(F.lpad(F.bin(w), wbits, "0"), "1")
+    )
+    regs = (
+        df.select(idx.alias("__idx"), rho.alias("__rho"))
+        .groupBy("__idx")
+        .agg(F.max("__rho").alias("__m"))
+    )
+    # exact integer-scaled register sum: present registers contribute
+    # 2^(wbits - M); each of the (m - n_present) empty ones contributes
+    # 2^wbits
+    stats = regs.agg(
+        F.count(F.lit(1)).alias("__n_present"),
+        # pyspark's shiftleft() only takes a literal shift; the SQL form
+        # accepts an expression
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {wbits} - __m)")).alias(
+            "__s_present"
+        ),
+    )
+    scale = float(1 << wbits)
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(m) - F.col("__n_present")).cast("long")
+        * F.lit(1 << wbits).cast("long")
+    ).cast("double")
+    e_raw = F.lit(alpha * m * m) / (s_total / F.lit(scale))
+    zeros = (F.lit(m) - F.col("__n_present")).cast("long")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return stats.select(
+        F.lit(m).cast("long").alias("n_registers"),
+        zeros.alias("n_zero_registers"),
+        F.round(est, 3).alias("hll_estimate"),
+    )

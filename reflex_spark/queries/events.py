@@ -665,3 +665,59 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__k").alias("sum_k"),
         )
     )
+
+
+@query(
+    "events_hll_distinct_users",
+    # Deterministic from-scratch HyperLogLog, FULLY oracle-replicated
+    # (closing the "sketches are engine-specific" rows-only class):
+    # md5-derived 60-bit hashes, binary-string leading-zero counts (no
+    # float log2), an exact integer-scaled register sum, and the fixed
+    # estimate formula. p=10 -> 1024 registers.
+    oracle="""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events),
+    rw AS (
+      SELECT hv >> 50 AS idx, hv & ((1::BIGINT << 50) - 1) AS w FROM h),
+    regs AS (
+      SELECT idx,
+             MAX(CASE WHEN w = 0 THEN 51
+                      ELSE strpos(lpad(bin(w), 50, '0'), '1') END) AS m
+      FROM rw GROUP BY idx),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+             CAST(SUM(1::BIGINT << (50 - m)) AS BIGINT) AS s_present
+      FROM regs),
+    est AS (
+      SELECT n_present,
+             1024 - n_present AS zeros,
+             (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                + CAST(1.079 AS DOUBLE) / 1024)) * 1024 * 1024
+               / (CAST(s_present + (1024 - n_present) * (1::BIGINT << 50)
+                       AS DOUBLE)
+                  / CAST(1::BIGINT << 50 AS DOUBLE)) AS e_raw
+      FROM stats)
+    SELECT CAST(1024 AS BIGINT) AS n_registers,
+           CAST(zeros AS BIGINT) AS n_zero_registers,
+           round(CASE WHEN e_raw <= 2.5 * 1024 AND zeros > 0
+                      THEN CAST(1024 AS DOUBLE)
+                           * ln(CAST(1024 AS DOUBLE) / CAST(zeros AS DOUBLE))
+                      ELSE e_raw END, 3) AS hll_estimate
+    FROM est
+    """,
+)
+def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) via a from-scratch deterministic HyperLogLog
+    (operators/dedup.hll_estimate): one aggregation to 1024 registers
+    (map-side partial max — the classic mergeable-sketch plan for
+    distinct counting at 100 TB), then a constant-size reduce. Unlike
+    approx_count_distinct (engine-internal sketch, rows-only), every
+    step here — md5 hashing, register maxima, the exact integer register
+    sum, the alpha/linear-counting estimate — is replicated in the
+    DuckDB oracle, so the ESTIMATE itself is hash-checked."""
+    from reflex_spark.operators.dedup import hll_estimate
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return hll_estimate(ev, "user_id", p=10)
