@@ -118,6 +118,9 @@ HEADLINE = [
     # round 6: VARIANT semi-structured access (parse_json once +
     # variant_get) — a distinct expression engine path from string JSON
     "events_variant_props",
+    # round 6: the streaming Python DataSource with a checkpoint restart
+    # — custom-source offsets + streaming-state recovery in one entry
+    "blob_stream_rollup",
 ]
 
 

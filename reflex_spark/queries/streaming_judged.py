@@ -837,3 +837,86 @@ def blob_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "blob_stream_rollup",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def blob_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reflex_blob STREAMING reader judged end-to-end WITH a restart:
+    events land as date-partitioned JSON blobs in two phases; the same
+    checkpoint consumes both (offsets = blob keys, so phase 2 reads only
+    the new blobs while the checkpointed aggregation state carries the
+    phase-1 counts). The final rollup must equal the one-shot SQL
+    aggregate — blob listing order, key offsets, restart resume, JSON
+    round-trip and streaming-state recovery are all load-bearing.
+    Update-mode emissions merge into a keyed parquet sink (driver O(1))."""
+    import shutil
+
+    from reflex_spark.operators.upsert import latest_by_key
+    from reflex_spark.sources.blob_datasource import register
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        "value",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    cut = days[max(0, len(days) // 2 - 1)]
+    base = tempfile.mkdtemp(prefix="blob_stream_")
+    bucket, sink, ckpt = f"{base}/bucket", f"{base}/sink", f"{base}/ckpt"
+    register(spark)
+
+    def run_phase(phase_df) -> None:
+        phase_df.repartition("day").write.mode("append").partitionBy("day").json(
+            bucket
+        )
+        stream = (
+            spark.readStream.format("reflex_blob")
+            .option("path", bucket)
+            .option("schema", "event_type string, value double, day string")
+            .load()
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+        def merge(bdf: DataFrame, bid: int) -> None:
+            bdf.withColumn("__bid", F.lit(bid)).write.mode("append").parquet(sink)
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("blob_stream_rollup phase did not finish in 120s")
+        if q.exception() is not None:
+            raise q.exception()
+
+    try:
+        run_phase(ev.where(F.col("day") <= cut))
+        run_phase(ev.where(F.col("day") > cut))  # same checkpoint: resume
+        final = (
+            latest_by_key(spark.read.parquet(sink), ["event_type"], "__bid")
+            .select("event_type", "n_events", "sum_value")
+            .persist()
+        )
+        final.count()
+        return final
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

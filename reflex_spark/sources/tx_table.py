@@ -459,8 +459,39 @@ class TxTable:
 
     # -- maintenance -------------------------------------------------------
 
+    @staticmethod
+    def _zorder_key(cols: list[str], bits: int = 16):
+        """Morton curve key: each column's value is reduced to its
+        ``bits``-bit RANK (ntile over the column order — rank-based, so
+        skew and arbitrary types flatten to a uniform grid), then the
+        ranks' bits interleave. Files cut along the curve get bounded
+        min/max ranges on EVERY zorder column simultaneously — the
+        multi-column data-skipping property a single-column sort cannot
+        give. The interleave is one compiled SQL expression (codegen);
+        the rank pass is one window per column over the rewrite's own
+        sort (OPTIMIZE already pays a total rewrite — at larger scale the
+        ranks would come from sampled quantiles instead)."""
+        from pyspark.sql import Window
+
+        n = len(cols)
+        rank_cols = [
+            (F.ntile(1 << bits).over(Window.orderBy(c)) - 1).alias(f"__zr_{i}")
+            for i, c in enumerate(cols)
+        ]
+        terms = []
+        for b in range(bits):
+            for i in range(n):
+                terms.append(
+                    f"(shiftleft(CAST(shiftright(__zr_{i}, {b}) & 1 AS BIGINT), "
+                    f"{b * n + i}))"
+                )
+        return rank_cols, F.expr(" + ".join(terms)).alias("__zkey")
+
     def optimize(
-        self, sort_by: list[str] | None = None, target_files: int | None = None
+        self,
+        sort_by: list[str] | None = None,
+        target_files: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """OPTIMIZE (Delta's bin-packing compaction + Z-ORDER-lite): rewrite
         the current snapshot's data files into ``target_files`` files,
@@ -488,8 +519,19 @@ class TxTable:
             if schema is not None
             else self.spark.read.parquet(*paths)
         )
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by OR zorder_by, not both")
         n_out = target_files or max(1, min(len(files), 4))
-        if sort_by:
+        if zorder_by:
+            rank_cols, zkey = self._zorder_key(zorder_by)
+            df = (
+                df.select("*", *rank_cols)
+                .select("*", zkey)
+                .repartitionByRange(n_out, F.col("__zkey"))
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey", *[f"__zr_{i}" for i in range(len(zorder_by))])
+            )
+        elif sort_by:
             # repartitionByRange gives disjoint per-file key ranges —
             # the whole point for min/max skipping
             df = df.repartitionByRange(n_out, *[F.col(c) for c in sort_by])

@@ -504,3 +504,34 @@ def test_optimize_compacts_sorts_and_tightens_skipping(spark, tmp_path):
     # retry against the new head succeeds and keeps every row
     v2 = t.optimize(sort_by=["k"], target_files=2)
     assert {r["k"] for r in t.read(v2).collect()} == set(got) | {999}
+
+
+def test_optimize_zorder_skips_on_both_columns(spark, tmp_path):
+    """Z-ORDER: after clustering on (a, b), a point probe on EITHER
+    column prunes most files — a single-column sort can only ever skip
+    on its leading column. Grid data (a independent of b) is the
+    adversarial case for linear sorts."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["a", "b"])
+    rows = [(i, j, i * 100 + j) for i in range(32) for j in range(32)]
+    t.append(
+        spark.createDataFrame(rows, "a long, b long, payload long").repartition(8)
+    )
+    before = {tuple(r) for r in t.read().collect()}
+
+    def files_matching(version, col, val):
+        files, _, stats = t._snapshot_state(version)
+        return [
+            f for f in files if TxTable._range_may_match(stats[f].get(col), val, val)
+        ], len(files)
+
+    # linear sort on a: probes on b hit every file
+    v_lin = t.optimize(sort_by=["a"], target_files=8)
+    hit_b_lin, n = files_matching(v_lin, "b", 7)
+    assert len(hit_b_lin) == n  # no pruning on the trailing column
+
+    v_z = t.optimize(zorder_by=["a", "b"], target_files=8)
+    assert {tuple(r) for r in t.read().collect()} == before
+    hit_a, n = files_matching(v_z, "a", 7)
+    hit_b, _ = files_matching(v_z, "b", 7)
+    assert len(hit_a) < n and len(hit_b) < n  # BOTH columns prune
+    assert len(hit_b) < len(hit_b_lin)
