@@ -351,3 +351,40 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_kept"),
         )
     )
+
+
+@query(
+    "skew_salted_join_revenue",
+    # The salt must be RESULT-INVISIBLE: the oracle is the plain join.
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join operator judged end-to-end: lineitem (big, salted)
+    joins orders (replicated num_salts times) on the order key, then
+    aggregates per priority. The salt is pure execution strategy — the
+    hash check proves it never changes the join's row multiset (no lost
+    buckets, no double matches). This is the manual skew weapon for when
+    AQE's runtime skew split can't apply (e.g. pre-shuffle bucketing)."""
+    from reflex_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    orders = t["orders"].select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "okey", num_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
