@@ -383,3 +383,19 @@ def test_hygiene_ops_match_python_reference_models(spark):
     for i, text in docs:
         assert got[i][0] == ref_dedup(text), f"segment_dedup doc {i}: {text!r}"
         assert got[i][1] == ref_redact(text), f"redact_pii doc {i}: {text!r}"
+
+
+def test_hll_estimate_accuracy_bounds(spark):
+    """The from-scratch HLL must track true cardinality within ~3 standard
+    errors (1.04/sqrt(1024) ≈ 3.25% per sigma) across two orders of
+    magnitude — deterministic (md5 hashing), so exact expected values
+    could be pinned, but the ACCURACY bound is the portable contract."""
+    from pyspark.sql import functions as F
+
+    from reflex_spark.operators.dedup import hll_estimate
+
+    for n in (100, 1000, 20000):
+        df = spark.range(n).select(F.col("id").alias("k"))
+        r = hll_estimate(df, "k", p=10).collect()[0]
+        err = abs(r["hll_estimate"] - n) / n
+        assert err < 0.10, (n, r["hll_estimate"])
