@@ -671,3 +671,61 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return span_boilerplate(docs, "doc_id", "text", span_words=3, min_docs=5)
+
+
+@query(
+    "text_unigram_logprob",
+    # LM-based quality scoring (the CCNet posture, Wenzek et al. 2020,
+    # with a unigram stand-in LM): corpus-trained add-one-smoothed token
+    # probabilities, per-doc mean negative log-likelihood. Parity recipe:
+    # the per-token -ln values sum through DECIMAL(38,18) (order-free),
+    # the probability is one fixed IEEE chain, round(3) absorbs the
+    # last-ulp libm ln jitter.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+            FROM counts),
+    nll AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(-ln((CAST(c AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                              / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)))
+                           AS DECIMAL(38,18))) AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM toks JOIN counts USING (t), tot
+      GROUP BY doc_id)
+    SELECT doc_id, k AS n_tokens, round(s / k, 3) AS avg_nll
+    FROM nll
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-style quality scoring: train a unigram LM on the corpus itself
+    (add-one smoothing over the vocabulary) and score every document by
+    mean negative log-likelihood — the CCNet filtering signal with a
+    unigram stand-in for the KenLM 5-gram (docs far from the corpus
+    distribution score high). Plan: one token count shuffle (the LM), a
+    broadcast of the two scalars, one join back on token, one per-doc
+    aggregate — the LM table is data-sized but the per-doc pass touches
+    each token once; at 100 TB the LM would train on a content-hash
+    sample with identical plumbing."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    p = (F.col("c").cast("double") + F.lit(1.0)) / (
+        F.col("n").cast("double") + F.col("v").cast("double")
+    )
+    scored = (
+        toks.join(counts, "t")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (-F.log(p)).cast("decimal(38,18)").alias("__nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("__nll").cast("double") / F.count(F.lit(1)), 3
+        ).alias("avg_nll"),
+    )
