@@ -721,3 +721,75 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir)["events"]
     return hll_estimate(ev, "user_id", p=10)
+
+
+@query(
+    "events_hourly_anomaly",
+    # Trailing 24-hour z-score per (type, hour): window sums of the
+    # hourly counts and their squares stay INTEGER (exact in any order);
+    # mean/variance/z is then one fixed IEEE chain, round(3).
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, h, x,
+             COUNT(*)   OVER w AS wn,
+             SUM(x)     OVER w AS ws,
+             SUM(x * x) OVER w AS wsq
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, h, x AS n_events,
+           round((CAST(x AS DOUBLE) - CAST(ws AS DOUBLE) / wn)
+                 / sqrt(greatest(CAST(wsq AS DOUBLE) / wn
+                        - (CAST(ws AS DOUBLE) / wn) * (CAST(ws AS DOUBLE) / wn),
+                        CAST(0.0 AS DOUBLE))), 3) AS zscore
+    FROM win
+    WHERE wn = 24
+      AND CAST(wsq AS DOUBLE) / wn
+          - (CAST(ws AS DOUBLE) / wn) * (CAST(ws AS DOUBLE) / wn) > 0
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly scoring in batch: each (event_type, hour)
+    bucket's count is z-scored against its own trailing 24 fully-observed
+    hours (frame excludes the current row — no self-contamination). The
+    window sums are integer-exact, so the score is bit-deterministic; the
+    shape is one aggregation + one frame window per type — the hypertable
+    monitoring query at any scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    win = hourly.select(
+        "event_type",
+        "h",
+        "x",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.sum("x").over(w).alias("ws"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("wsq"),
+    )
+    mean = F.col("ws").cast("double") / F.col("wn")
+    var = F.col("wsq").cast("double") / F.col("wn") - mean * mean
+    z = (F.col("x").cast("double") - mean) / F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        win.where((F.col("wn") == 24) & (var > 0))
+        .select(
+            "event_type",
+            "h",
+            F.col("x").alias("n_events"),
+            F.round(z, 3).alias("zscore"),
+        )
+    )
