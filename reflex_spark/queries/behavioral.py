@@ -189,3 +189,69 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             F.when((F.col("__rnk") == 1) & F.col("c_id").isNotNull(), 1).otherwise(0)
         ).alias("n_attributed"),
     )
+
+
+@query(
+    "events_funnel_3step_ordered",
+    # Strictly ORDERED sequential funnel (view -> click -> purchase),
+    # earliest-occurrence semantics, conversion bounded to 2 hours end to
+    # end — the MATCH_RECOGNIZE-lite pattern class.
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    v AS (SELECT user_id, MIN(ts) AS vt FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS ct
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.vt
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS pt
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.ct
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after,
+           CAST((SELECT COUNT(*)
+                 FROM p JOIN v ON p.user_id = v.user_id
+                 WHERE p.pt - v.vt <= INTERVAL 2 HOUR) AS BIGINT)
+             AS n_converted_2h
+    """,
+)
+def events_funnel_3step_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ORDERED funnel: earliest view, then the earliest click
+    at/after it, then the earliest purchase at/after that; conversion =
+    the whole chain inside 2 hours. Ordering is what distinguishes this
+    from set-intersection funnels — a purchase before the first view
+    does not count. Three small per-user aggregates chained by
+    user_id-equi joins (each stage's output is one row per user, so the
+    chain stays narrow at any SF)."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") >= F.col("vt")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("ct")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    conv = p.join(v, "user_id").where(
+        F.col("pt") <= F.col("vt") + F.expr("interval 2 hours")
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+        .crossJoin(conv.agg(F.count(F.lit(1)).alias("n_converted_2h")))
+    )
