@@ -399,3 +399,19 @@ def test_hll_estimate_accuracy_bounds(spark):
         r = hll_estimate(df, "k", p=10).collect()[0]
         err = abs(r["hll_estimate"] - n) / n
         assert err < 0.10, (n, r["hll_estimate"])
+
+
+def test_pq_recall_floors(spark):
+    """Regression floors for the PQ pipeline at sf0.001: raw ADC with
+    8-codeword codebooks is a coarse quantizer (>= 0.2), and the
+    shortlist+exact-rerank deployment shape must recover most of exact
+    (>= 0.6). Values are deterministic (md5/k-means exact), so any drop
+    is a code change, not noise (measured 0.27 / 0.74)."""
+    from reflex_spark.queries import all_queries
+
+    qs = all_queries()
+    raw = qs["sim_ann_pq_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    rr = qs["sim_ann_pq_rerank_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert raw["recall_at_k"] >= 0.2
+    assert rr["recall_at_k"] >= 0.6
+    assert rr["recall_at_k"] > raw["recall_at_k"]
