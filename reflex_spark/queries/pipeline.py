@@ -388,3 +388,62 @@ def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@query(
+    "sample_train_val_test_split",
+    # 80/10/10 content-hash split; the md5 over the sorted id list pins
+    # EXACT membership per (split, lang) cell, so overlap or drift between
+    # splits — the bug class that silently leaks eval data — fails the
+    # hash, not just the counts.
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             -- thresholds as exact integer literals: CAST(0.8*65536 AS
+             -- BIGINT) ROUNDS to 52429 in DuckDB while Python truncates
+             CASE WHEN {sql_bucket('doc_id')} < 52428 THEN 'train'
+                  WHEN {sql_bucket('doc_id')} < 58982 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS member_md5
+    FROM tagged
+    GROUP BY split, lang
+    """,
+)
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by content hash: the
+    same document lands in the same split on every run, engine, and
+    cluster size (the property seed-based randomSplit lacks), and the
+    manifest row per (split, lang) carries an md5 over the sorted member
+    ids — exact membership is judged, which is what prevents silent
+    train/eval leakage. One scan, one aggregate."""
+    from reflex_spark.operators.sampling import _BUCKETS, _bucket
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < int(0.8 * _BUCKETS), "train")
+        .when(b < int(0.9 * _BUCKETS), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        # struct sort => NUMERIC id order (a bare string
+                        # sort would put "10" before "9")
+                        F.array_sort(F.collect_list(F.struct(F.col("doc_id")))),
+                        lambda r: r["doc_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("member_md5"),
+        )
+    )
