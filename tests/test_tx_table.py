@@ -535,3 +535,39 @@ def test_optimize_zorder_skips_on_both_columns(spark, tmp_path):
     hit_b, _ = files_matching(v_z, "b", 7)
     assert len(hit_a) < n and len(hit_b) < n  # BOTH columns prune
     assert len(hit_b) < len(hit_b_lin)
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_path):
+    """A changes() window that CROSSES a schema evolution reads both
+    sides in the latest schema: pre-evolution rows surface with null for
+    the new column (so the multiset diff stays well-formed), and the
+    CDC bridge publishes them without error."""
+    from datetime import datetime
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.streaming.cdc import publish_changes
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1)]))
+    v0 = t.latest_version()
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 1, "extra")], "k long, v string, ver long, note string"
+        )
+    )
+    t.merge_by_key(
+        spark.createDataFrame(
+            [(1, "A", 2, "upd")], "k long, v string, ver long, note string"
+        ),
+        ["k"],
+        "ver",
+    )
+    feed = t.changes(v0).collect()
+    by = {(r["k"], r["_change_type"]): r for r in feed}
+    # pre-image of k=1 predates the note column -> null in latest schema
+    assert by[(1, "delete")]["note"] is None
+    assert by[(1, "insert")]["note"] == "upd"
+    assert by[(2, "insert")]["note"] == "extra"
+    log = EventLog(spark, str(tmp_path / "log"))
+    publish_changes(t, log, "k", v0, at=datetime(2024, 1, 1))
+    assert log.read().count() == len(feed)
