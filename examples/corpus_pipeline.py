@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import sys
 import tempfile
+from datetime import datetime
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -104,7 +105,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     )
     table.merge_by_key(upd, ["doc_id"], "rev")
     log = EventLog(spark, f"{d}/changes")
-    publish_changes(table, log, "doc_id", v0)
+    # 'at' must be explicit (deterministic replay contract) — use the
+    # pipeline's logical run date, not the driver clock.
+    publish_changes(table, log, "doc_id", v0, at=datetime(2024, 6, 1))
     out["change_events"] = log.read().count()
     return out
 

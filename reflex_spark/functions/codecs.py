@@ -2272,6 +2272,24 @@ def _pil_jpeg_opted_in() -> bool:
     return os.environ.get("REFLEX_SPARK_PIL_JPEG") == "1"
 
 
+def _png_pil_eligible(data: bytes) -> bool:
+    """True only for PNG variants where PIL's output is asserted
+    byte-identical to the pure decoder: bit depth 8, color type 0/2/6
+    (gray / RGB / RGBA), non-interlaced. Palette (type 3) PNGs would
+    come back as raw index arrays, 16-bit ones would be truncated by
+    the uint8 view, and interlaced ones would decode where the pure
+    path raises — all environment-dependent exactly where the
+    byte-identity contract is untested, so they must fall through to
+    decode_png (and its variant checks / NotImplementedError)."""
+    # IHDR is mandatory first chunk: 8-byte signature, 4-byte length,
+    # b"IHDR", width(4) height(4) depth(1) color(1) comp(1) filt(1)
+    # interlace(1).
+    if len(data) < 29 or data[12:16] != b"IHDR":
+        return False
+    depth, color, interlace = data[24], data[25], data[28]
+    return depth == 8 and color in (0, 2, 6) and interlace == 0
+
+
 def _decode_png_pil(data: bytes) -> np.ndarray:
     """PNG via PIL, normalized to the pure decoder's (H, W, C) contract
     (grayscale keeps an explicit 1-channel axis)."""
@@ -2285,7 +2303,7 @@ def _decode_png_pil(data: bytes) -> np.ndarray:
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Dispatch PNG/JPEG/GIF by magic bytes -> uint8 (H, W, C)."""
     if is_png(data):
-        if pil_active():
+        if pil_active() and _png_pil_eligible(bytes(data)):
             return _decode_png_pil(data)
         return decode_png(data)
     if is_jpeg(data):

@@ -489,6 +489,30 @@ def connected_components_star(
     )
 
 
+def hll_registers(df: DataFrame, key: str, p: int = 10) -> DataFrame:
+    """The HLL register stage alone: (__idx, __m) with __m = max rho per
+    register, rho capped at wbits so every register's integer-scaled
+    contribution 2^(wbits - __m) is a non-negative shift. Split out so
+    the cap is directly testable and so sketches can be merged (union
+    of register frames + one more groupBy-max) before estimation."""
+    wbits = 60 - p
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    idx = F.shiftright(h, wbits)
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    # rho capped at wbits (see hll_estimate docstring): keeps the
+    # 2^(wbits - M) contribution a non-negative shift in both engines.
+    rho = F.when(w == 0, F.lit(wbits)).otherwise(
+        F.instr(F.lpad(F.bin(w), wbits, "0"), "1")
+    )
+    return (
+        df.select(idx.alias("__idx"), rho.alias("__rho"))
+        .groupBy("__idx")
+        .agg(F.max("__rho").alias("__m"))
+    )
+
+
 def hll_estimate(
     df: DataFrame, key: str, p: int = 10
 ) -> DataFrame:
@@ -500,9 +524,15 @@ def hll_estimate(
       engine); register index = top ``p`` bits; rho = 1 + leading zeros
       of the remaining ``w`` bits, computed on the BINARY STRING
       (lpad(bin(w)) + first-'1' position) — no float log2, no ulp risk;
-    - the register sum Σ 2^-M is kept EXACT as the integer Σ 2^(50-M)
-      (M <= 51 <= 50-bit rho bound, m * 2^50 << 2^63 for p <= 12) —
-      summation order cannot matter;
+    - the register sum Σ 2^-M is kept EXACT as the integer Σ 2^(50-M).
+      rho is CAPPED at ``wbits`` (w == 0 contributes rho = wbits, not
+      wbits+1): an uncapped M = wbits+1 would make the shift negative,
+      which Spark silently masks to shift-by-63 (Long.MIN_VALUE — a
+      corrupted sum) and DuckDB rejects outright. The cap costs one
+      2^-wbits-probability bucket half a unit of Σ 2^-M — far below the
+      estimator's own error — and keeps every contribution integral
+      (m * 2^wbits << 2^63 for p <= 12), so summation order cannot
+      matter;
     - the final formula (alpha_m * m^2 / S, linear-counting correction
       m * ln(m/V) when E <= 2.5m and V > 0) is a fixed chain of single
       IEEE ops; the one libm call (ln) is rounded away at 3 decimals.
@@ -514,20 +544,8 @@ def hll_estimate(
     """
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    idx = F.shiftright(h, 60 - p)
-    w = h.bitwiseAND(F.lit((1 << (60 - p)) - 1))
     wbits = 60 - p
-    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
-        F.instr(F.lpad(F.bin(w), wbits, "0"), "1")
-    )
-    regs = (
-        df.select(idx.alias("__idx"), rho.alias("__rho"))
-        .groupBy("__idx")
-        .agg(F.max("__rho").alias("__m"))
-    )
+    regs = hll_registers(df, key, p)
     # exact integer-scaled register sum: present registers contribute
     # 2^(wbits - M); each of the (m - n_present) empty ones contributes
     # 2^wbits

@@ -124,9 +124,11 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_first_touch_attribution",
-    # Ties: a click at the exact purchase instant counts (<=); among
-    # equal-ts clicks the highest event_id wins — both pinned in each
-    # engine's ORDER BY, so attribution is deterministic.
+    # FIRST-touch: the EARLIEST click in the 7-day window wins (ADVICE r6
+    # #4 — this used to rank DESC, i.e. last-click, contradicting the
+    # judged name). Ties: a click at the exact purchase instant counts
+    # (<=); among equal-ts clicks the lowest event_id wins — both pinned
+    # in each engine's ORDER BY, so attribution is deterministic.
     oracle="""
     WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                FROM events WHERE event_type = 'purchase'),
@@ -135,7 +137,7 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     attr AS (
       SELECT p.event_id, p.ts AS pts, c.event_id AS click_id,
              ROW_NUMBER() OVER (PARTITION BY p.event_id
-               ORDER BY c.ts DESC, c.event_id DESC) AS rnk
+               ORDER BY c.ts ASC, c.event_id ASC) AS rnk
       FROM p LEFT JOIN c
         ON c.user_id = p.user_id
        AND c.ts <= p.ts
@@ -150,8 +152,8 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-click attribution: each purchase is attributed to the same
-    user's most recent click within the preceding 7 days (the as-of-join
+    """First-touch attribution: each purchase is attributed to the same
+    user's EARLIEST click within the preceding 7 days (the as-of-join
     shape applied to marketing analytics). Per purchase day: purchases
     and how many were attributed. Plan: the click/purchase streams
     shuffle once on user_id and resolve with one ranked window — no
@@ -176,7 +178,7 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         "left",
     )
     w = Window.partitionBy("p_id").orderBy(
-        F.col("cts").desc(), F.col("c_id").desc()
+        F.col("cts").asc(), F.col("c_id").asc()
     )
     ranked = joined.withColumn("__rnk", F.row_number().over(w)).where(
         (F.col("__rnk") == 1) | F.col("c_id").isNull()

@@ -683,7 +683,7 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT hv >> 50 AS idx, hv & ((1::BIGINT << 50) - 1) AS w FROM h),
     regs AS (
       SELECT idx,
-             MAX(CASE WHEN w = 0 THEN 51
+             MAX(CASE WHEN w = 0 THEN 50
                       ELSE strpos(lpad(bin(w), 50, '0'), '1') END) AS m
       FROM rw GROUP BY idx),
     stats AS (

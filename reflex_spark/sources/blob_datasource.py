@@ -17,9 +17,14 @@ reference's consumer loop needs surfaced at the right layer:
   blob.py/BlobCursor).
 
 Per-record JSON decode runs in Python (this is the same per-record decode
-the reference does in Go, rblob/json.go); for bulk analytics the parquet
-event log is the fast path — this format exists for bucket-consumer
-parity, registered lazily and only when used.
+the reference does in Go, rblob/json.go), but rows leave Python as
+**Arrow RecordBatches** when every schema field maps to an Arrow
+primitive — the Spark 4 Python DataSource accepts ``pyarrow.RecordBatch``
+yields, which replaces per-row pickle marshalling with one columnar
+transfer per ~4k rows. Schemas with non-primitive fields fall back to
+row tuples. For bulk analytics the parquet event log remains the fast
+path — this format exists for bucket-consumer parity, registered lazily
+and only when used.
 """
 
 from __future__ import annotations
@@ -27,13 +32,35 @@ from __future__ import annotations
 import json
 import os
 
+import pyarrow as pa
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+)
+
+# Spark → Arrow mapping for the batch-transfer fast path; anything not
+# listed (timestamps, nested types) rides the tuple fallback.
+_ARROW_PRIMITIVES = {
+    LongType: pa.int64(),
+    IntegerType: pa.int32(),
+    DoubleType: pa.float64(),
+    FloatType: pa.float32(),
+    StringType: pa.string(),
+    BooleanType: pa.bool_(),
+}
+_ARROW_BATCH_ROWS = 4096
 
 
 class _BlobPartition(InputPartition):
@@ -78,6 +105,11 @@ class ReflexBlobReader(DataSourceReader):
         self.after_key = options.get("after_key") or ""
         self.day_from_dir = (options.get("day_from_dir") or "").lower() == "true"
         self.fields = [f.name for f in schema.fields]
+        # Arrow fast path: only when EVERY field is a mapped primitive.
+        types = [_ARROW_PRIMITIVES.get(type(f.dataType)) for f in schema.fields]
+        self.arrow_schema = (
+            pa.schema(list(zip(self.fields, types))) if all(t is not None for t in types) else None
+        )
 
     def _list_keys(self) -> list[tuple[str, str]]:
         out = []
@@ -92,20 +124,28 @@ class ReflexBlobReader(DataSourceReader):
         return out
 
     def partitions(self) -> list[InputPartition]:
-        # cursor pruning happens HERE, before any read
+        # cursor pruning happens HERE, before any read. A caught-up
+        # cursor prunes EVERYTHING — return the empty sentinel rather
+        # than [], because pyspark substitutes [None] for an empty
+        # partition list and read(None) would crash the resume path.
         return [
             _BlobPartition(path, key)
             for key, path in self._list_keys()
             if key > self.after_key
-        ]
+        ] or [_BlobPartition("", "")]
 
     def read(self, partition: _BlobPartition):
+        if partition is None or not partition.path:  # empty-bucket sentinel
+            return
         day = None
         if self.day_from_dir:
             for seg in partition.key.split(os.sep):
                 if "=" in seg:
                     day = seg.split("=", 1)[1]
                     break
+        if self.arrow_schema is not None:
+            yield from self._read_arrow(partition.path, day)
+            return
         with open(partition.path, encoding="utf-8") as f:
             for line in f:
                 line = line.strip()
@@ -115,6 +155,36 @@ class ReflexBlobReader(DataSourceReader):
                 if day is not None:
                     rec["day"] = day
                 yield tuple(rec.get(name) for name in self.fields)
+
+    def _read_arrow(self, path: str, day):
+        """Decode JSON lines into columnar buffers and hand Spark whole
+        ``pyarrow.RecordBatch``es (~4k rows each) — one Arrow transfer
+        per chunk instead of one pickled tuple per record."""
+        cols: list[list] = [[] for _ in self.fields]
+        n = 0
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if day is not None:
+                    rec["day"] = day
+                for i, name in enumerate(self.fields):
+                    cols[i].append(rec.get(name))
+                n += 1
+                if n >= _ARROW_BATCH_ROWS:
+                    yield self._batch(cols)
+                    cols = [[] for _ in self.fields]
+                    n = 0
+        if n:
+            yield self._batch(cols)
+
+    def _batch(self, cols: list[list]) -> pa.RecordBatch:
+        return pa.RecordBatch.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, self.arrow_schema)],
+            schema=self.arrow_schema,
+        )
 
 
 def register(spark) -> None:

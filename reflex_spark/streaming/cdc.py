@@ -43,8 +43,13 @@ def publish_changes(
     at: datetime | None = None,
 ) -> int:
     """Append the table's change feed for (from_version, to_version] to
-    the event log. ``at`` stamps every emitted event (pass a deterministic
-    value in tests; defaults to now). Returns the new log head.
+    the event log. ``at`` stamps every emitted event and MUST be supplied
+    (ValueError otherwise): a driver-clock default would stamp a
+    non-deterministic timestamp into the log, so a replayed window — the
+    documented at-least-once retry — could silently diverge from the
+    original commit on ``timestamp`` (VERDICT r6 #3). Derive it from the
+    upstream transaction (commit time, watermark), not from ``now()``.
+    Returns the new log head.
 
     Events: ``foreign_id`` = the row key as string, ``metadata`` = the
     full row as JSON bytes. A key present on only one side of the window
@@ -58,9 +63,15 @@ def publish_changes(
     publishes nothing; the retry republishes the whole window, keeping
     the documented at-least-once contract).
     """
+    if at is None:
+        raise ValueError(
+            "publish_changes requires an explicit 'at' timestamp: a "
+            "driver-clock default would make replayed windows diverge on "
+            "'timestamp'; pass the upstream commit time or watermark"
+        )
     ch = table.changes(from_version, to_version).localCheckpoint()
     data_cols = [c for c in ch.columns if c != "_change_type"]
-    ts = F.lit(at if at is not None else datetime.now()).cast("timestamp")
+    ts = F.lit(at).cast("timestamp")
 
     # Keys on both sides of the window are updates (churn-sized frames;
     # the join is on the change feed, never the full table).

@@ -1126,6 +1126,52 @@ def test_pil_seam_dispatch_wiring(monkeypatch):
     assert np.array_equal(codecs.decode_image_bytes(jp), sentinel)
 
 
+def test_pil_png_routing_guards_variants(monkeypatch):
+    """The PIL fast path must engage ONLY for PNG variants covered by the
+    byte-identity contract (depth-8 color 0/2/6, non-interlaced). Palette,
+    16-bit, and interlaced headers must fall through to the pure decoder —
+    where the variant checks (and their NotImplementedError) live — even
+    with a (fake) PIL present."""
+    from reflex_spark.functions import codecs
+
+    sentinel = np.full((2, 2, 3), 42, dtype=np.uint8)
+
+    class _FakeImg:
+        def __array__(self, dtype=None, copy=None):
+            return sentinel
+
+    class _FakeImageMod:
+        @staticmethod
+        def open(fp):
+            return _FakeImg()
+
+    _img, png = _seam_pngs()[1]
+    assert codecs._png_pil_eligible(png)
+
+    def patched(offset, value):
+        b = bytearray(png)
+        b[offset] = value
+        return bytes(b)
+
+    palette = patched(25, 3)  # color type 3
+    sixteen = patched(24, 16)  # bit depth 16
+    interlaced = patched(28, 1)  # Adam7
+    for variant in (palette, sixteen, interlaced):
+        assert not codecs._png_pil_eligible(variant)
+    assert not codecs._png_pil_eligible(png[:20])  # truncated header
+
+    monkeypatch.setattr(codecs, "_PILImage", _FakeImageMod)
+    monkeypatch.delenv("REFLEX_SPARK_PURE_CODECS", raising=False)
+    assert codecs.pil_active()
+    # eligible PNG rides PIL; ineligible variants reach the pure decoder,
+    # which rejects them (variant gate or stream validation) instead of
+    # silently returning PIL's environment-dependent shape
+    assert np.array_equal(codecs.decode_image_bytes(png), sentinel)
+    for variant in (palette, sixteen, interlaced):
+        with pytest.raises(Exception):
+            codecs.decode_image_bytes(variant)
+
+
 @pytest.mark.skipif(
     __import__("importlib").util.find_spec("PIL") is None,
     reason="PIL wheel not installed in this environment",

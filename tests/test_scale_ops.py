@@ -401,6 +401,27 @@ def test_hll_estimate_accuracy_bounds(spark):
         assert err < 0.10, (n, r["hll_estimate"])
 
 
+def test_hll_rho_capped_at_wbits(spark):
+    """Regression for the w == 0 branch: rho must cap at wbits (50 for
+    p=10), never wbits+1 — an M of 51 makes the integer register
+    contribution shiftleft(1, -1), which Spark masks to shift-by-63
+    (Long.MIN_VALUE) and DuckDB rejects. The plan must therefore carry
+    the literal 50 in the zero-w WHEN branch, and the register maxima
+    must never exceed 50."""
+    from pyspark.sql import functions as F
+
+    from reflex_spark.operators.dedup import hll_estimate
+
+    from reflex_spark.operators.dedup import hll_registers
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    max_m = hll_registers(df, "k", p=10).agg(F.max("__m")).collect()[0][0]
+    assert max_m <= 50, f"register max {max_m} exceeds wbits cap"
+    # and the estimate path still works end-to-end with the cap in place
+    est = hll_estimate(df, "k", p=10).collect()[0]["hll_estimate"]
+    assert abs(est - 5000) / 5000 < 0.10
+
+
 def test_pq_recall_floors(spark):
     """Regression floors for the PQ pipeline at sf0.001: raw ADC with
     8-codeword codebooks is a coarse quantizer (>= 0.2), and the

@@ -809,3 +809,76 @@ def test_blob_datasource_stream_resumes_from_checkpoint(spark, tmp_path):
     seen.clear()
     run_once()
     assert sorted(k for batch in seen for k in batch) == [4]
+
+
+def test_blob_datasource_batch_caught_up_cursor(spark, tmp_path):
+    """A caught-up after_key prunes EVERY blob at planning time; the batch
+    read must yield 0 rows, not crash (pyspark substitutes [None] for an
+    empty partition list, so partitions() must emit a sentinel)."""
+    import json as _json
+
+    from reflex_spark.sources.blob_datasource import register
+
+    root = tmp_path / "bucket"
+    root.mkdir()
+    (root / "a.json").write_text(_json.dumps({"k": 1, "v": 1.5}) + "\n")
+    register(spark)
+
+    def read_after(cursor):
+        return (
+            spark.read.format("reflex_blob")
+            .option("path", str(root))
+            .option("after_key", cursor)
+            .option("schema", "k long, v double")
+            .load()
+        )
+
+    assert read_after("zzzz").count() == 0  # cursor past every key
+    assert read_after("").count() == 1  # sanity: uncut scan still reads
+
+
+def test_blob_datasource_arrow_batch_roundtrip(spark, tmp_path):
+    """The Arrow fast path (all-primitive schema → RecordBatch yield)
+    round-trips values and nulls exactly, including the >1-batch case."""
+    import json as _json
+
+    from reflex_spark.sources.blob_datasource import (
+        _ARROW_BATCH_ROWS,
+        ReflexBlobReader,
+        register,
+    )
+    from pyspark.sql.types import StructType as _St
+
+    root = tmp_path / "bucket"
+    root.mkdir()
+    n = _ARROW_BATCH_ROWS + 7  # force a second RecordBatch
+    with open(root / "big.json", "w") as f:
+        for i in range(n):
+            f.write(
+                _json.dumps(
+                    {"k": i, "name": f"r{i}", "v": None if i % 5 == 0 else i / 2}
+                )
+                + "\n"
+            )
+    register(spark)
+    df = (
+        spark.read.format("reflex_blob")
+        .option("path", str(root))
+        .option("schema", "k long, name string, v double")
+        .load()
+    )
+    rows = {r["k"]: (r["name"], r["v"]) for r in df.collect()}
+    assert len(rows) == n
+    assert rows[0] == ("r0", None)
+    assert rows[3] == ("r3", 1.5)
+    # the reader really is on the Arrow path for this schema
+    from pyspark.sql.functions import col  # noqa: F401
+
+    schema = df.schema
+    rdr = ReflexBlobReader({"path": str(root)}, schema)
+    assert rdr.arrow_schema is not None
+    # a timestamp column forces the tuple fallback
+    from pyspark.sql.types import StructField, TimestampType, LongType as _Lt
+
+    ts_schema = _St([StructField("k", _Lt()), StructField("t", TimestampType())])
+    assert ReflexBlobReader({"path": str(root)}, ts_schema).arrow_schema is None

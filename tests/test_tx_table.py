@@ -427,6 +427,9 @@ def test_cdc_bridge_publishes_changes_to_event_log(spark, tmp_path):
     log = EventLog(spark, str(tmp_path / "log"))
     t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
     v0 = t.latest_version()
+    # deterministic-replay contract: 'at' is required, never driver-clocked
+    with pytest.raises(ValueError, match="explicit 'at'"):
+        publish_changes(t, log, "k", -1, v0)
     publish_changes(t, log, "k", -1, v0, at=datetime(2024, 1, 1))
     rows = log.read().orderBy("event_id").collect()
     assert [(r["event_type"], r["foreign_id"]) for r in rows] == [
