@@ -121,6 +121,10 @@ HEADLINE = [
     # round 6: the streaming Python DataSource with a checkpoint restart
     # — custom-source offsets + streaming-state recovery in one entry
     "blob_stream_rollup",
+    # round 7: image near-dup dedup — the codec stack inside a dedup
+    # pipeline (Arrow PNG encode/decode stage + Hamming blocking join),
+    # a cost shape not timed elsewhere
+    "dedup_images_phash",
 ]
 
 

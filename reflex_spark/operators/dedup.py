@@ -292,14 +292,17 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str, max_distance: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+def hamming_blocked_pairs(
+    sig: DataFrame, id_col: str, sh_col: str = "sh", max_distance: int = 8
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over 16-hex-char signatures.
 
     Scale path: block on 4 hex prefixes (any pair within distance<=bits/4
     shares at least one block by pigeonhole) instead of the all-pairs join;
-    here we form pairs on a prefix block then verify exact popcount.
-    """
-    sig = simhash_signatures(df, id_col, text_col).cache()
+    pairs form on a prefix block then verify exact popcount. Shared by the
+    SimHash text path and the dHash image path — any 64-bit-or-less
+    fingerprint rides the same equi-join blocking."""
+    sig = sig.select(F.col(id_col), F.col(sh_col).alias("sh")).cache()
     blocks = sig.select(
         F.col(id_col),
         "sh",
@@ -320,6 +323,14 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str, max_distanc
         cand.withColumn("hamming", F.bit_count(xor))
         .where(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str, max_distance: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance (see
+    ``hamming_blocked_pairs`` for the blocking contract)."""
+    return hamming_blocked_pairs(
+        simhash_signatures(df, id_col, text_col), id_col, "sh", max_distance
     )
 
 

@@ -239,6 +239,129 @@ def resize_image(
     return df.select(id_col, payload_col).mapInPandas(resize, out_schema)
 
 
+DHASH_ROWS = 6
+DHASH_COLS = 11  # 66 buckets; 6 rows x 10 horizontal comparisons = 60 bits
+
+
+def render_shingle_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rows: int = DHASH_ROWS,
+    cols: int = DHASH_COLS,
+) -> DataFrame:
+    """Render each document as a deterministic grayscale image: a
+    rows×cols grid whose pixel (r, c) is the count of the doc's DISTINCT
+    word-3-shingles hashing (md5, first 15 hex → long) into bucket
+    r*cols + c, mod 256 — a visual bag-of-shingles. Near-duplicate texts
+    differ in a few shingles, so their renders differ in a few pixels;
+    unrelated documents get unrelated histograms (unigram grids do NOT
+    work — a shared vocabulary makes every doc's histogram look alike,
+    measured 41k false pairs over 500 docs vs ~30 true ones).
+
+    Returns (id, pxmap: array<int> of rows*cols, payload: PNG binary).
+    The bucket counting is pure JVM (explode → md5 → one groupBy — the
+    same shuffle shape as the MinHash signature stage); only the PNG
+    encode crosses into Python, Arrow-batched. At 100 TB this is one
+    narrow shuffle on (id, bucket) + one Arrow stage over rows*cols-byte
+    grids — payload size is CONSTANT per doc regardless of text length.
+    """
+    import pandas as pd
+
+    from reflex_spark.operators.dedup import shingle_rows
+
+    total = rows * cols
+    sh = shingle_rows(df, id_col, text_col, 3)
+    bucket = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % total
+    ).alias("bucket")
+    px = (
+        sh.select(F.col(id_col), bucket)
+        .groupBy(id_col, "bucket")
+        .agg((F.count(F.lit(1)) % 256).cast("int").alias("p"))
+    )
+    grids = px.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "p"))).alias("__pxm")
+    )
+    # docs with <3 words have no shingles: all-zero image (left join + fill)
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(total - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__pxm"), i.cast("long")), F.lit(0)),
+    )
+    grid = (
+        df.select(id_col)
+        .distinct()
+        .join(grids, id_col, "left")
+        .select(F.col(id_col), dense.alias("pxmap"))
+    )
+
+    out_schema = f"{id_col} long, pxmap array<int>, payload binary"
+
+    def encode(batches):
+        import numpy as np
+
+        from reflex_spark.functions.codecs import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for arr in pdf["pxmap"]:
+                a = np.asarray(list(arr), dtype=np.uint8).reshape(rows, cols)
+                payloads.append(encode_png(a[:, :, None]))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pxmap": pdf["pxmap"], "payload": payloads}
+            )
+
+    return grid.mapInPandas(encode, out_schema)
+
+
+def image_dhash_signatures(
+    images: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    rows: int = DHASH_ROWS,
+    cols: int = DHASH_COLS,
+) -> DataFrame:
+    """dHash (difference hash) over DECODED image payloads → (id, sh):
+    bit r*(cols-1)+c is set when pixel (r, c) > pixel (r, c+1); the
+    60-bit fingerprint (6×10 comparisons stays inside a signed long,
+    like the SimHash layout) is emitted as a 16-hex string for
+    ``hamming_blocked_pairs``.
+
+    dHash is the member of the perceptual-hash family chosen because it
+    is pure integer comparison — bit-exactly replicable by an oracle
+    from the pixel values alone. pHash's DCT would put floats between
+    the pixels and the bits (IDCT-style ulp variance), exactly what the
+    from-scratch JPEG path documents as non-portable. The decode runs
+    the real PNG codec executor-side (Arrow-batched); the PNG
+    round-trip is load-bearing — a lossy or variant-dependent codec
+    would corrupt the hash.
+    """
+    import pandas as pd
+
+    out_schema = f"{id_col} long, sh string"
+
+    def hash_batches(batches):
+        import numpy as np
+
+        from reflex_spark.functions.codecs import decode_image_bytes
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_image_bytes(bytes(payload))
+                px = arr[:, :, 0].astype(np.int64)
+                assert px.shape == (rows, cols), px.shape
+                bits = px[:, :-1] > px[:, 1:]  # (rows, cols-1)
+                fp = 0
+                for b in np.flatnonzero(bits.ravel()):
+                    fp |= 1 << int(b)
+                ids.append(did)
+                sigs.append(format(fp, "016x"))
+            yield pd.DataFrame({id_col: ids, "sh": sigs})
+
+    return images.select(id_col, payload_col).mapInPandas(hash_batches, out_schema)
+
+
 def decode_audio(
     df: DataFrame,
     payload_col: str = "payload",

@@ -206,3 +206,18 @@ def test_round6_queries_stay_jvm_and_broadcast(spark):
     # temperature mixture: the rate table joins broadcast
     mix = plan_of(spark, "sample_temperature_mixture")
     assert "BroadcastHashJoin" in mix
+
+
+def test_image_phash_python_confined_to_arrow_stages(spark):
+    """dedup_images_phash: the ONLY Python in the plan is the Arrow codec
+    stage (MapInPandas encode/hash) — bucket counting, the dense-grid
+    fill, and the Hamming blocking join all stay JVM-side; no
+    row-at-a-time BatchEvalPython, no nested-loop pair join."""
+    plan = plan_of(spark, "dedup_images_phash")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the blocking candidate join is an equi-join
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )

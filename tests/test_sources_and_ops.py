@@ -737,3 +737,63 @@ def test_multimodal_real_wav_pipeline(spark):
     assert row["duration_s"] == 4410 / 44100
     expect_rms = round(float(np.sqrt(np.mean(sine.astype(np.float64) ** 2))), 6)
     assert abs(row["rms"] - expect_rms) < 1e-9
+
+
+def test_image_dhash_render_and_hash_roundtrip(spark):
+    """render_shingle_images + image_dhash_signatures: pixels survive the
+    real PNG round-trip, the dHash matches a reference computation from
+    the pre-encode pixel grid, identical texts get identical hashes, and
+    a one-word edit stays within a small Hamming ball."""
+    import numpy as np
+
+    from reflex_spark.operators.multimodal import (
+        DHASH_COLS,
+        DHASH_ROWS,
+        image_dhash_signatures,
+        render_shingle_images,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup -> hamming 0
+            (3, base.replace("lazy", "sleepy")),  # near dup -> small hamming
+            (4, "completely different words entirely unrelated content here now"),
+            (5, "no"),  # <3 words: all-zero image
+        ],
+        "doc_id long, text string",
+    )
+    images = render_shingle_images(docs, "doc_id", "text").cache()
+    rows = {r["doc_id"]: r for r in images.collect()}
+    assert len(rows) == 5
+    # pxmap really is the decoded image (PNG round-trip is lossless)
+    from reflex_spark.functions.codecs import decode_image_bytes
+
+    for did, r in rows.items():
+        arr = decode_image_bytes(bytes(r["payload"]))
+        assert arr.shape == (DHASH_ROWS, DHASH_COLS, 1)
+        assert np.array_equal(
+            arr[:, :, 0],
+            np.asarray(list(r["pxmap"]), dtype=np.uint8).reshape(DHASH_ROWS, DHASH_COLS),
+        )
+    assert all(v == 0 for v in rows[5]["pxmap"])  # shingle-less doc
+
+    sig = {r["doc_id"]: r["sh"] for r in image_dhash_signatures(images).collect()}
+
+    def ref_dhash(pxmap):
+        px = np.asarray(list(pxmap), dtype=np.int64).reshape(DHASH_ROWS, DHASH_COLS)
+        fp = 0
+        for r in range(DHASH_ROWS):
+            for c in range(DHASH_COLS - 1):
+                if px[r, c] > px[r, c + 1]:
+                    fp |= 1 << (r * (DHASH_COLS - 1) + c)
+        return format(fp, "016x")
+
+    for did in rows:
+        assert sig[did] == ref_dhash(rows[did]["pxmap"]), did
+    assert sig[1] == sig[2]
+    ham = bin(int(sig[1], 16) ^ int(sig[3], 16)).count("1")
+    assert 0 < ham <= 8, ham
+    ham_far = bin(int(sig[1], 16) ^ int(sig[4], 16)).count("1")
+    assert ham_far > 8, ham_far
