@@ -125,6 +125,10 @@ HEADLINE = [
     # pipeline (Arrow PNG encode/decode stage + Hamming blocking join),
     # a cost shape not timed elsewhere
     "dedup_images_phash",
+    # round 7: the composed IVF-PQ residual index — coarse fit + residual
+    # join + per-probed-list LUT scoring in one pipeline (the recall
+    # twin re-runs this path and stays in --full)
+    "sim_ann_ivfpq_topk",
 ]
 
 

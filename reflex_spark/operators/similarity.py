@@ -740,46 +740,12 @@ def ivf_probe_topk_multi(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def pq_adc_topk(
-    embeddings: DataFrame,
-    query: DataFrame,
-    m_subspaces: int = 4,
-    sub_dim: int = 16,
-    n_codes: int = 8,
-    iters: int = 2,
-    k: int = 20,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    per_query: bool = False,
+def _pq_slices(
+    df: DataFrame, m_subspaces: int, sub_dim: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance computation
-    (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
-    Search", TPAMI 2011): split each vector into ``m_subspaces`` slices,
-    learn a small per-subspace codebook (ORACLE-EXACT k-means —
-    kmeans_centroids_exact on the slice), encode every vector as its
-    nearest codeword per subspace, and score a query by summing the
-    per-subspace query→codeword distances from a broadcast lookup table.
-
-    Scale shape: the codes relation is the compressed table (M small ints
-    per vector — at 100 TB the point of PQ is that THIS is what you scan);
-    each subspace's codebook and the query's distance LUT are
-    n_codes-sized broadcasts, so the ADC scan is narrow joins + one
-    fixed-order arithmetic sum, no shuffle beyond the assignment passes.
-
-    Exactness: the per-vector approximate distance is d0+d1+d2+d3 in
-    FIXED subspace order (one IEEE add chain both engines share), so the
-    result is bit-replicable in SQL — no decimal needed.
-
-    Returns (id, approx_dist rounded to 6) top-k ascending, ties by id.
-    """
-    from pyspark.sql import Window
-
-    # All subspaces train JOINTLY: vectors explode to (id, m, slice) once
-    # and every k-means step runs grouped by (m, cid) — M independent fits
-    # for the job count of one (M sequential fits cost M× the driver
-    # round-trips of the iterative loop; measured 6.5s → 2.5s build at
-    # sf0.1). Per-subspace math is unchanged, so the SQL oracle that
-    # unrolls each subspace separately still matches bit-for-bit.
+    """Explode vectors to (id, __m, __sv) slice rows — one pass, all
+    subspaces, so downstream grouped training fits every codebook in a
+    single job chain."""
     slices = F.explode(
         F.array(
             *[
@@ -791,9 +757,30 @@ def pq_adc_topk(
             ]
         )
     )
-    sub = embeddings.select(id_col, slices.alias("__s")).select(
+    return df.select(id_col, slices.alias("__s")).select(
         id_col, F.col("__s.__m").alias("__m"), F.col("__s.__sv").alias("__sv")
     )
+
+
+def _pq_fit_encode(
+    sub: DataFrame, id_col: str, n_codes: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Jointly train per-subspace codebooks and encode every vector.
+
+    ``sub`` is the (id, __m, __sv) slice relation from ``_pq_slices``
+    (raw vectors for plain PQ, coarse-centroid residuals for IVF-PQ).
+    All subspaces train JOINTLY: every k-means step runs grouped by
+    (__m, __cid) — M independent fits for the job count of one (M
+    sequential fits cost M× the driver round-trips of the iterative
+    loop; measured 6.5s → 2.5s build at sf0.1). Per-subspace math is
+    unchanged, so a SQL oracle that unrolls each subspace separately
+    still matches bit-for-bit. Init = slices of the first ``n_codes``
+    ids; assignment ties go to the lower cid; means are decimal-sum
+    exact; empty clusters keep their previous centroid.
+
+    Returns (codes: (id, __m, __cid), cent: (__m, __cid, __cv))."""
+    from pyspark.sql import Window
+
     cent = (
         sub.where(F.col(id_col) < n_codes)
         .select(
@@ -842,6 +829,45 @@ def pq_adc_topk(
             .localCheckpoint()
         )
     codes = assign(cent).select(id_col, "__m", "__cid")
+    return codes, cent
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    m_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+    iters: int = 2,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    per_query: bool = False,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): split each vector into ``m_subspaces`` slices,
+    learn a small per-subspace codebook (ORACLE-EXACT k-means —
+    kmeans_centroids_exact on the slice), encode every vector as its
+    nearest codeword per subspace, and score a query by summing the
+    per-subspace query→codeword distances from a broadcast lookup table.
+
+    Scale shape: the codes relation is the compressed table (M small ints
+    per vector — at 100 TB the point of PQ is that THIS is what you scan);
+    each subspace's codebook and the query's distance LUT are
+    n_codes-sized broadcasts, so the ADC scan is narrow joins + one
+    fixed-order arithmetic sum, no shuffle beyond the assignment passes.
+
+    Exactness: the per-vector approximate distance is d0+d1+d2+d3 in
+    FIXED subspace order (one IEEE add chain both engines share), so the
+    result is bit-replicable in SQL — no decimal needed.
+
+    Returns (id, approx_dist rounded to 6) top-k ascending, ties by id.
+    """
+    from pyspark.sql import Window
+
+    sub = _pq_slices(embeddings, m_subspaces, sub_dim, id_col, vec_col)
+    codes, cent = _pq_fit_encode(sub, id_col, n_codes, iters)
     qsub = query.select(
         F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__qvec")
     ).select(
@@ -874,6 +900,143 @@ def pq_adc_topk(
     )
     if per_query:
         # multi-query mode: top-k PER query (for recall-style evaluation)
+        w2 = Window.partitionBy("__q_id").orderBy(
+            F.col("approx_dist").asc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("__r2", F.row_number().over(w2))
+            .where(F.col("__r2") <= k)
+            .select("__q_id", id_col, "approx_dist")
+        )
+    return top_k(
+        scored.select(id_col, "approx_dist"),
+        k,
+        F.col("approx_dist").asc(),
+        F.col(id_col),
+    )
+
+
+def ivfpq_adc_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    n_lists: int = 8,
+    coarse_iters: int = 2,
+    m_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+    pq_iters: int = 2,
+    k: int = 20,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    per_query: bool = False,
+) -> DataFrame:
+    """IVF-PQ with residual encoding (Jégou, Douze, Schmid, TPAMI 2011
+    §V: IVFADC) — the composition of this repo's two oracle-exact ANN
+    halves into the industry-standard 100 TB index structure:
+
+    1. coarse quantizer: ``kmeans_centroids_exact`` on the full vectors;
+       every vector joins its nearest coarse list (ties to lower cid);
+    2. residuals r(x) = x − c(x) (one IEEE subtraction per element, so
+       still SQL-replicable), PQ-encoded with ONE shared set of
+       per-subspace codebooks trained on all residuals jointly
+       (``_pq_fit_encode`` — grouped, a single job chain);
+    3. query: probe the ``n_probe`` nearest coarse lists; per probed
+       list the query residual q − c_list yields an n_codes-sized ADC
+       LUT per subspace; candidates are ONLY the vectors in probed
+       lists (the inner equi-join on ivf_list IS the index), scored by
+       the fixed-order per-subspace LUT sum.
+
+    Scale shape: the scan target is (codes ⋈ list-assignment) — M small
+    ints + one list id per vector; coarse centroids, PQ codebooks and
+    the per-query LUTs ((n_probe × m × n_codes) rows) are all broadcast-
+    sized. Distance math is the same fixed add chain as ``pq_adc_topk``,
+    so the whole index — coarse fit, residuals, PQ fit, probe choice,
+    ADC — is bit-replicable in SQL.
+
+    Returns (id, approx_dist rounded to 6) ascending top-k; with
+    ``per_query`` (__q_id, id, approx_dist) ranked per query.
+    """
+    from pyspark.sql import Window
+
+    cent = kmeans_centroids_exact(
+        embeddings, n_lists=n_lists, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+    )
+    w_assign = Window.partitionBy(id_col).orderBy("__d", "__cid")
+    lists = (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(cent))
+        .withColumn("__d", sqdist(F.col(vec_col), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(w_assign))
+        .where(F.col("__r") == 1)
+        .select(
+            id_col,
+            F.col("__cid").alias("ivf_list"),
+            F.zip_with(
+                F.col(vec_col), F.col("__cv"), lambda x, c: x.cast("double") - c
+            ).alias("__rv"),
+        )
+        .localCheckpoint()  # residuals feed both the PQ fit and the scan
+    )
+    sub = _pq_slices(lists, m_subspaces, sub_dim, id_col, "__rv")
+    codes, pqcent = _pq_fit_encode(sub, id_col, n_codes, pq_iters)
+
+    qprobe = (
+        query.select(F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__qvec"))
+        .join(F.broadcast(cent))
+        .withColumn("__d", sqdist(F.col("__qvec"), F.col("__cv")))
+        .withColumn(
+            "__r",
+            F.row_number().over(Window.partitionBy("__q_id").orderBy("__d", "__cid")),
+        )
+        .where(F.col("__r") <= n_probe)
+        .select(
+            "__q_id",
+            F.col("__cid").alias("ivf_list"),
+            F.zip_with(
+                F.col("__qvec"), F.col("__cv"), lambda x, c: x.cast("double") - c
+            ).alias("__qrv"),
+        )
+    )
+    qsub = qprobe.select(
+        "__q_id",
+        "ivf_list",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("__m"),
+                        F.slice(F.col("__qrv"), m * sub_dim + 1, sub_dim).alias("__qv"),
+                    )
+                    for m in range(m_subspaces)
+                ]
+            )
+        ).alias("__q"),
+    ).select(
+        "__q_id", "ivf_list", F.col("__q.__m").alias("__m"), F.col("__q.__qv").alias("__qv")
+    )
+    lut = pqcent.join(F.broadcast(qsub), "__m").select(
+        "__q_id",
+        "ivf_list",
+        "__m",
+        "__cid",
+        sqdist(F.col("__cv"), F.col("__qv")).alias("__dm"),
+    )
+    # candidates: codes of vectors in probed lists only — the equi-join on
+    # (ivf_list, __m, __cid) against the broadcast LUT is the whole scan
+    per_sub = codes.join(
+        lists.select(id_col, "ivf_list"), id_col
+    ).join(F.broadcast(lut), ["ivf_list", "__m", "__cid"])
+    ordered = per_sub.groupBy(id_col, "__q_id").agg(
+        F.array_sort(F.collect_list(F.struct("__m", "__dm"))).alias("__ds")
+    )
+    approx = F.col("__ds")[0]["__dm"]
+    for m in range(1, m_subspaces):
+        approx = approx + F.col("__ds")[m]["__dm"]
+    scored = ordered.where(F.col(id_col) != F.col("__q_id")).select(
+        "__q_id", id_col, F.round(approx, 6).alias("approx_dist")
+    )
+    if per_query:
         w2 = Window.partitionBy("__q_id").orderBy(
             F.col("approx_dist").asc(), F.col(id_col)
         )

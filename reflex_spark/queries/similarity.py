@@ -475,21 +475,25 @@ def sim_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_SUB, _PQ_CODES, _PQ_ITERS, _PQ_K = 4, 16, 8, 2, 20
 
 
-def _sql_pq_subspace(m: int) -> str:
-    """CTE chain for subspace m: oracle-exact k-means on the slice, a
-    final encode pass against the FINAL codebook, and the query's
-    distance LUT. Mirrors pq_adc_topk / kmeans_centroids_exact step for
-    step (argmin ties to lower cid; decimal-sum means; empty clusters
-    keep previous centroids)."""
+def _sql_pq_subspace(
+    m: int, rel: str = "embeddings", vcol: str = "embedding", with_lut: bool = True
+) -> str:
+    """CTE chain for subspace m: oracle-exact k-means on the slice and a
+    final encode pass against the FINAL codebook; with ``with_lut``,
+    also the plain-PQ query LUT keyed on pq_q. Mirrors pq_adc_topk /
+    kmeans_centroids_exact step for step (argmin ties to lower cid;
+    decimal-sum means; empty clusters keep previous centroids).
+    ``rel``/``vcol`` select the training relation — raw embeddings for
+    plain PQ, the residual CTE for IVF-PQ."""
     p = f"s{m}_"
     off = m * _PQ_SUB
-    sl = f"e.embedding[{off + 1}:{off + _PQ_SUB}]"
+    sl = f"e.{vcol}[{off + 1}:{off + _PQ_SUB}]"
     d2 = sql_sqdist(f"({sl})", "c.cv")
     parts = [
         f"""{p}c0 AS (
       SELECT vec_id AS cid,
-             list_transform(embedding[{off + 1}:{off + _PQ_SUB}], x -> CAST(x AS DOUBLE)) AS cv
-      FROM embeddings WHERE vec_id < {_PQ_CODES})"""
+             list_transform({vcol}[{off + 1}:{off + _PQ_SUB}], x -> CAST(x AS DOUBLE)) AS cv
+      FROM {rel} WHERE vec_id < {_PQ_CODES})"""
     ]
     for i in range(1, _PQ_ITERS + 1):
         parts.append(
@@ -498,7 +502,7 @@ def _sql_pq_subspace(m: int) -> str:
         SELECT e.vec_id, {sl} AS sv, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {d2}, c.cid) AS rnk
-        FROM embeddings e, {p}c{i - 1} c)
+        FROM {rel} e, {p}c{i - 1} c)
       WHERE rnk = 1),
     {p}m{i} AS (
       SELECT cid, di,
@@ -518,16 +522,19 @@ def _sql_pq_subspace(m: int) -> str:
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {d2}, c.cid) AS rnk
-        FROM embeddings e, {p}c{_PQ_ITERS} c)
-      WHERE rnk = 1),
-    {p}lut AS (
+        FROM {rel} e, {p}c{_PQ_ITERS} c)
+      WHERE rnk = 1)"""
+    )
+    if with_lut:
+        parts.append(
+            f"""{p}lut AS (
       SELECT q.q_id, c.cid,
              {sql_sqdist("c.cv", f"(q.qv[{off + 1}:{off + _PQ_SUB}])")} AS d
       FROM {p}c{_PQ_ITERS} c, pq_q q),
     {p}d AS (
       SELECT l.q_id, e.vec_id, l.d
       FROM {p}enc e JOIN {p}lut l ON e.cid = l.cid)"""
-    )
+        )
     return ",\n    ".join(parts)
 
 
@@ -646,6 +653,193 @@ def sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.lit("pq_m4_k8").alias("method"),
+            F.lit(_PQ_K).alias("k"),
+            "recall_at_k",
+        )
+    )
+
+
+# --- IVF-PQ residual index (round 7) ---------------------------------------
+
+_IVFPQ_LISTS, _IVFPQ_COARSE_ITERS, _IVFPQ_PROBE = 8, 2, 4
+_IVFPQ_KM_CTES, _IVFPQ_KM_FINAL = _sql_kmeans_ctes(_IVFPQ_LISTS, _IVFPQ_COARSE_ITERS, 64)
+
+
+def _sql_ivfpq_body() -> str:
+    """Shared oracle CTE body for the IVF-PQ queries: coarse fit (reused
+    k-means CTE chain), list assignment + residuals, 4 PQ subspace fits
+    over the residual relation, query probe + per-list residual LUTs,
+    and the per-(q, vec) fixed-order ADC distance join. Expects a pq_q
+    CTE (q_id, qv) to be defined by the caller."""
+    fits = ",\n    ".join(
+        _sql_pq_subspace(m, rel="resid", vcol="rv", with_lut=False)
+        for m in range(_PQ_M)
+    )
+    luts = []
+    for m in range(_PQ_M):
+        p = f"s{m}_"
+        off = m * _PQ_SUB
+        luts.append(
+            f"""{p}lut AS (
+      SELECT q.q_id, q.ivf_list, c.cid,
+             {sql_sqdist("c.cv", f"(q.qrv[{off + 1}:{off + _PQ_SUB}])")} AS d
+      FROM {p}c{_PQ_ITERS} c, qresid q),
+    {p}d AS (
+      SELECT l.q_id, e.vec_id, l.d
+      FROM {p}enc e
+      JOIN rlists rl ON rl.vec_id = e.vec_id
+      JOIN {p}lut l ON e.cid = l.cid AND l.ivf_list = rl.ivf_list)"""
+        )
+    luts_sql = ",\n    ".join(luts)
+    return f"""{_IVFPQ_KM_CTES},
+    coarse AS (SELECT cid, cv FROM {_IVFPQ_KM_FINAL}),
+    rlists AS (
+      SELECT vec_id, embedding, cid AS ivf_list, cv FROM (
+        SELECT e.vec_id, e.embedding, c.cid, c.cv,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {sql_sqdist("e.embedding", "c.cv")}, c.cid) AS rnk
+        FROM embeddings e, coarse c)
+      WHERE rnk = 1),
+    resid AS (
+      SELECT vec_id, ivf_list,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE) - cv[i]) AS rv
+      FROM rlists),
+    {fits},
+    qprobe AS (
+      SELECT q_id, qv, cid AS ivf_list, cv FROM (
+        SELECT q.q_id, q.qv, c.cid, c.cv,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {sql_sqdist("q.qv", "c.cv")}, c.cid) AS rnk
+        FROM pq_q q, coarse c)
+      WHERE rnk <= {_IVFPQ_PROBE}),
+    qresid AS (
+      SELECT q_id, ivf_list,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(qv[i] AS DOUBLE) - cv[i]) AS qrv
+      FROM qprobe),
+    {luts_sql}"""
+
+
+_IVFPQ_BODY = _sql_ivfpq_body()
+
+
+@query(
+    "sim_ann_ivfpq_topk",
+    oracle=f"""
+    WITH pq_q AS (SELECT vec_id AS q_id, embedding AS qv
+                  FROM embeddings WHERE vec_id = 0),
+    {_IVFPQ_BODY}
+    SELECT vec_id,
+           round(s0_d.d + s1_d.d + s2_d.d + s3_d.d, 6) AS approx_dist
+    FROM s0_d JOIN s1_d USING (q_id, vec_id)
+              JOIN s2_d USING (q_id, vec_id)
+              JOIN s3_d USING (q_id, vec_id)
+    WHERE vec_id <> q_id
+    ORDER BY approx_dist, vec_id
+    LIMIT {_PQ_K}
+    """,
+)
+def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual index (Jégou et al. TPAMI'11 §V, IVFADC), judged
+    end-to-end: the oracle-exact coarse k-means (8 lists, 2 iters), the
+    per-vector residual x − c(x), ONE shared 4×16 PQ trained on all
+    residuals jointly (8 codes, 2 iters), probe-4 query routing, and
+    per-probed-list residual ADC LUTs. Candidates are only the vectors
+    in probed lists — the inner equi-join on ivf_list IS the index. The
+    oracle replicates every stage (coarse fit CTEs, residual arithmetic,
+    4 subspace fits, probe choice, LUTs, fixed-order distance sum) so
+    the composed 100 TB index structure is hash-checked, not just its
+    shape. Scan target at scale: (ivf_list, codes) — one small int + M
+    bytes per vector; everything else is broadcast-sized."""
+    from reflex_spark.operators.similarity import ivfpq_adc_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") == 0)
+    return ivfpq_adc_topk(
+        emb, q,
+        n_lists=_IVFPQ_LISTS, coarse_iters=_IVFPQ_COARSE_ITERS,
+        m_subspaces=_PQ_M, sub_dim=_PQ_SUB, n_codes=_PQ_CODES,
+        pq_iters=_PQ_ITERS, k=_PQ_K, n_probe=_IVFPQ_PROBE,
+    )
+
+
+@query(
+    "sim_ann_ivfpq_recall",
+    # Recall@20 of the composed IVF-PQ index against the exact L2 top-20
+    # over queries 0..4 — probing bounds recall (true neighbors outside
+    # the 4 probed lists are unreachable), so this also pins the honest
+    # coarse-quantization cost on top of the PQ distortion.
+    oracle=f"""
+    WITH pq_q AS (SELECT vec_id AS q_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < {_RECALL_NQ}),
+    {_IVFPQ_BODY},
+    approx AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY round(s0_d.d + s1_d.d + s2_d.d + s3_d.d, 6),
+                          vec_id) AS rnk
+        FROM s0_d JOIN s1_d USING (q_id, vec_id)
+                  JOIN s2_d USING (q_id, vec_id)
+                  JOIN s3_d USING (q_id, vec_id)
+        WHERE vec_id <> q_id)
+      WHERE rnk <= {_PQ_K}),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {sql_sqdist("e.embedding", "q.qv")}, e.vec_id) AS rnk
+        FROM embeddings e, pq_q q WHERE e.vec_id <> q.q_id)
+      WHERE rnk <= {_PQ_K})
+    SELECT 'ivfpq_l8_p4_m4' AS method,
+           CAST({_PQ_K} AS INTEGER) AS k,
+           round(COUNT(*) / {_RECALL_NQ * _PQ_K}.0, 4) AS recall_at_k
+    FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    """,
+)
+def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@20 of the composed IVF-PQ residual index (8 lists, probe 4,
+    4×16 PQ on residuals) vs the exact L2 top-20 over the fixed 5-query
+    set — the whole index AND the exact baseline AND the recall
+    arithmetic in one hash-checked number, like sim_ann_pq_recall."""
+    from pyspark.sql import Window
+
+    from reflex_spark.operators.similarity import ivfpq_adc_topk, sqdist
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qs = emb.where(F.col("vec_id") < _RECALL_NQ)
+    scored = ivfpq_adc_topk(
+        emb, qs,
+        n_lists=_IVFPQ_LISTS, coarse_iters=_IVFPQ_COARSE_ITERS,
+        m_subspaces=_PQ_M, sub_dim=_PQ_SUB, n_codes=_PQ_CODES,
+        pq_iters=_PQ_ITERS, k=_PQ_K, n_probe=_IVFPQ_PROBE, per_query=True,
+    )
+    exact = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(qs.select(F.col("vec_id").alias("__q_id"),
+                                    F.col("embedding").alias("__qv"))))
+        .where(F.col("vec_id") != F.col("__q_id"))
+        .withColumn("__d", sqdist(F.col("embedding"), F.col("__qv")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__q_id").orderBy("__d", "vec_id")
+            ),
+        )
+        .where(F.col("__r") <= _PQ_K)
+        .select("__q_id", "vec_id")
+    )
+    return (
+        scored.join(exact, ["__q_id", "vec_id"])
+        .groupBy()
+        .agg(
+            F.round(
+                F.count(F.lit(1)) / float(_RECALL_NQ * _PQ_K), 4
+            ).alias("recall_at_k")
+        )
+        .select(
+            F.lit("ivfpq_l8_p4_m4").alias("method"),
             F.lit(_PQ_K).alias("k"),
             "recall_at_k",
         )

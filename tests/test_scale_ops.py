@@ -436,3 +436,21 @@ def test_pq_recall_floors(spark):
     assert raw["recall_at_k"] >= 0.2
     assert rr["recall_at_k"] >= 0.6
     assert rr["recall_at_k"] > raw["recall_at_k"]
+
+
+def test_ivfpq_recall_floor_and_residual_gain(spark):
+    """IVF-PQ residual index at sf0.001: recall must clear 0.3 (measured
+    0.36 — deterministic, so a drop is a code change) and beat raw PQ on
+    the same codebook budget: encoding residuals removes the coarse-cell
+    offset from what the 8-codeword subspace codebooks must explain,
+    which is the entire point of the TPAMI'11 IVFADC composition."""
+    from reflex_spark.queries import all_queries
+
+    qs = all_queries()
+    ivfpq = qs["sim_ann_ivfpq_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    raw = qs["sim_ann_pq_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert ivfpq["recall_at_k"] >= 0.3, ivfpq["recall_at_k"]
+    assert ivfpq["recall_at_k"] > raw["recall_at_k"], (
+        ivfpq["recall_at_k"],
+        raw["recall_at_k"],
+    )
