@@ -129,6 +129,9 @@ HEADLINE = [
     # join + per-probed-list LUT scoring in one pipeline (the recall
     # twin re-runs this path and stays in --full)
     "sim_ann_ivfpq_topk",
+    # round 7: the WAV codec + integer DSP inside an Arrow stage — the
+    # audio-modality cost shape (encode/decode round-trip per row)
+    "multimodal_audio_stats",
 ]
 
 

@@ -362,6 +362,74 @@ def image_dhash_signatures(
     return images.select(id_col, payload_col).mapInPandas(hash_batches, out_schema)
 
 
+def audio_features(
+    audio: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame: int = 64,
+    silence_abs: int = 100,
+) -> DataFrame:
+    """Deterministic audio DSP over DECODED WAV payloads → one row per
+    clip: (id, sample_rate, n_samples, n_clipped, silence_ppm, rms,
+    max_frame_rms).
+
+    Every feature is exact integer arithmetic plus at most one IEEE
+    division and one IEEE sqrt (both correctly rounded per IEEE 754, so
+    bit-replicable by any engine from the same samples):
+
+    - n_clipped: samples pinned at int16 full scale (±32767/−32768);
+    - silence_ppm: samples with \\|s\\| < ``silence_abs``, scaled to parts
+      per million by INTEGER floor division (no float rounding mode in
+      the contract);
+    - rms: sqrt(Σs² / n) — Σs² is an exact int64 (n·32768² ≪ 2⁵³);
+    - max_frame_rms: max over ``frame``-sample windows of sqrt(Σs²/frame)
+      (frame energy; n must divide evenly — callers pad or pick sizes).
+
+    Runs in the Arrow stage alongside the real WAV decode
+    (functions/codecs.decode_wav): the 16-bit PCM round-trip is
+    lossless, so features computed from decoded bytes equal features
+    from the source samples — the property an oracle checks end-to-end.
+    Stereo payloads use channel 0 (deterministic, unlike a float
+    downmix).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, sample_rate int, n_samples long, n_clipped long, "
+        "silence_ppm long, rms double, max_frame_rms double"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from reflex_spark.functions.codecs import decode_wav
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                id_col, "sample_rate", "n_samples", "n_clipped",
+                "silence_ppm", "rms", "max_frame_rms",
+            )}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, dec = decode_wav(bytes(payload))
+                s = dec[:, 0].astype(np.int64)
+                n = len(s)
+                ss = s * s
+                total_ss = int(ss.sum())
+                fss = ss.reshape(-1, frame).sum(axis=1)
+                rows[id_col].append(did)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["n_clipped"].append(int(np.sum((s == 32767) | (s == -32768))))
+                rows["silence_ppm"].append(
+                    int(np.sum(np.abs(s) < silence_abs)) * 1_000_000 // n
+                )
+                rows["rms"].append(float(np.sqrt(total_ss / n)))
+                rows["max_frame_rms"].append(float(np.max(np.sqrt(fss / float(frame)))))
+            yield pd.DataFrame(rows)
+
+    return audio.select(id_col, payload_col).mapInPandas(feats, out_schema)
+
+
 def decode_audio(
     df: DataFrame,
     payload_col: str = "payload",

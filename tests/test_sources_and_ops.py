@@ -797,3 +797,34 @@ def test_image_dhash_render_and_hash_roundtrip(spark):
     assert 0 < ham <= 8, ham
     ham_far = bin(int(sig[1], 16) ^ int(sig[4], 16)).count("1")
     assert ham_far > 8, ham_far
+
+
+def test_audio_features_exact_dsp(spark):
+    """audio_features: hand-computable clip — clipping count, silence ppm
+    (integer floor division), RMS and max frame energy all exact; stereo
+    uses channel 0 deterministically."""
+    import numpy as np
+
+    from reflex_spark.functions.codecs import encode_wav
+    from reflex_spark.operators.multimodal import audio_features
+
+    # 128 samples = 2 frames of 64: frame 0 silent, frame 1 loud + clipped
+    s = np.zeros(128, dtype=np.int16)
+    s[64:126] = 1000
+    s[126] = 32767
+    s[127] = -32768
+    mono = encode_wav(s, 8000)
+    stereo = encode_wav(np.stack([s, np.full(128, 9999, dtype=np.int16)], axis=1), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(mono)), (2, bytearray(stereo))], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in audio_features(df).collect()}
+    for did in (1, 2):  # stereo channel 0 == mono
+        r = got[did]
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == 128
+        assert r["n_clipped"] == 2
+        assert r["silence_ppm"] == 64 * 1_000_000 // 128  # frame 0 only
+        total_ss = 62 * 1000**2 + 32767**2 + 32768**2
+        assert r["rms"] == float(np.sqrt(total_ss / 128))
+        assert r["max_frame_rms"] == float(np.sqrt(total_ss / 64.0))
