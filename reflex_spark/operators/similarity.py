@@ -763,7 +763,11 @@ def _pq_slices(
 
 
 def _pq_fit_encode(
-    sub: DataFrame, id_col: str, n_codes: int, iters: int
+    sub: DataFrame,
+    id_col: str,
+    n_codes: int,
+    iters: int,
+    train_ids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Jointly train per-subspace codebooks and encode every vector.
 
@@ -778,12 +782,26 @@ def _pq_fit_encode(
     ids; assignment ties go to the lower cid; means are decimal-sum
     exact; empty clusters keep their previous centroid.
 
+    ``train_ids`` (an (id) frame, bounded) restricts the FIT — init
+    becomes the ``n_codes`` smallest sampled ids and every k-means
+    iteration sees only sampled slices — while the final encode pass
+    still covers the full relation. This is the 100 TB training rule:
+    codebook quality needs a bounded representative sample, not the
+    corpus (Jégou TPAMI'11 trains on learning sets ≪ the index), and a
+    deterministic content-hash sample keeps the fit oracle-replicable.
+
     Returns (codes: (id, __m, __cid), cent: (__m, __cid, __cv))."""
     from pyspark.sql import Window
 
+    if train_ids is None:
+        init = sub.where(F.col(id_col) < n_codes)
+        tsub = sub
+    else:
+        ids = train_ids.select(id_col)
+        init = sub.join(F.broadcast(ids.orderBy(id_col).limit(n_codes)), id_col)
+        tsub = sub.join(F.broadcast(ids), id_col)
     cent = (
-        sub.where(F.col(id_col) < n_codes)
-        .select(
+        init.select(
             "__m",
             F.col(id_col).alias("__cid"),
             F.transform(F.col("__sv"), lambda x: x.cast("double")).alias("__cv"),
@@ -792,16 +810,16 @@ def _pq_fit_encode(
     )
     w = Window.partitionBy(id_col, "__m").orderBy("__d", "__cid")
 
-    def assign(to_cent):
+    def assign(to_cent, rel):
         return (
-            sub.join(F.broadcast(to_cent), "__m")
+            rel.join(F.broadcast(to_cent), "__m")
             .withColumn("__d", sqdist(F.col("__sv"), F.col("__cv")))
             .withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") == 1)
         )
 
     for _ in range(iters):
-        assigned = assign(cent).select(id_col, "__m", "__sv", "__cid")
+        assigned = assign(cent, tsub).select(id_col, "__m", "__sv", "__cid")
         comp = assigned.select(
             "__m", "__cid", F.posexplode(F.col("__sv")).alias("__dim", "__x")
         )
@@ -828,8 +846,21 @@ def _pq_fit_encode(
             .select("__m", "__cid", F.coalesce("__mv", "__cv").alias("__cv"))
             .localCheckpoint()
         )
-    codes = assign(cent).select(id_col, "__m", "__cid")
+    codes = assign(cent, sub).select(id_col, "__m", "__cid")
     return codes, cent
+
+
+def pq_train_sample_ids(
+    df: DataFrame, train_sample: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic bounded training sample: the ``train_sample``
+    smallest md5(id) hashes (ties by id). Content-hash ordering is a
+    uniform-but-reproducible draw that any SQL engine replicates
+    (``ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n``); Spark executes
+    the sort+limit as TakeOrdered (per-partition heaps — no global
+    sort), so the sample is one scan at any scale."""
+    h = F.md5(F.col(id_col).cast("string"))
+    return df.select(F.col(id_col)).orderBy(h, F.col(id_col)).limit(train_sample)
 
 
 def pq_adc_topk(
@@ -843,6 +874,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     per_query: bool = False,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
@@ -862,12 +894,25 @@ def pq_adc_topk(
     FIXED subspace order (one IEEE add chain both engines share), so the
     result is bit-replicable in SQL — no decimal needed.
 
+    ``train_sample``: the 100 TB training rule — fit the codebooks on a
+    bounded deterministic content-hash sample (``pq_train_sample_ids``)
+    instead of the full relation; the ADC scan/encode is unchanged.
+    Codebook training is linear per iteration, so at fixture scale the
+    full fit is fine, but at corpus scale the fit must ride a sample
+    (Jégou TPAMI'11 trains on learning sets ≪ the index). None (the
+    default) keeps the full-fit behavior.
+
     Returns (id, approx_dist rounded to 6) top-k ascending, ties by id.
     """
     from pyspark.sql import Window
 
     sub = _pq_slices(embeddings, m_subspaces, sub_dim, id_col, vec_col)
-    codes, cent = _pq_fit_encode(sub, id_col, n_codes, iters)
+    train_ids = (
+        pq_train_sample_ids(embeddings, train_sample, id_col)
+        if train_sample is not None
+        else None
+    )
+    codes, cent = _pq_fit_encode(sub, id_col, n_codes, iters, train_ids=train_ids)
     qsub = query.select(
         F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__qvec")
     ).select(
@@ -930,6 +975,7 @@ def ivfpq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     per_query: bool = False,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with residual encoding (Jégou, Douze, Schmid, TPAMI 2011
     §V: IVFADC) — the composition of this repo's two oracle-exact ANN
@@ -979,7 +1025,15 @@ def ivfpq_adc_topk(
         .localCheckpoint()  # residuals feed both the PQ fit and the scan
     )
     sub = _pq_slices(lists, m_subspaces, sub_dim, id_col, "__rv")
-    codes, pqcent = _pq_fit_encode(sub, id_col, n_codes, pq_iters)
+    # train_sample (100 TB rule, see pq_adc_topk): the PQ fit rides a
+    # bounded content-hash sample of the residuals; coarse k-means keeps
+    # its own bounded-init posture (kmeans_centroids_exact docstring).
+    train_ids = (
+        pq_train_sample_ids(embeddings, train_sample, id_col)
+        if train_sample is not None
+        else None
+    )
+    codes, pqcent = _pq_fit_encode(sub, id_col, n_codes, pq_iters, train_ids=train_ids)
 
     qprobe = (
         query.select(F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__qvec"))
