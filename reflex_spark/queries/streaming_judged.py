@@ -284,6 +284,9 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emissions are cumulative); the final dict is bounded by the number of
     hourly windows — control-plane size, like MaterializedCounts.
     """
+    from reflex_spark.streaming.statestore import apply_state_store_conf
+
+    apply_state_store_conf(spark)  # session/env-pinned provider (statestore.py)
     import shutil
     import time as _time
 
@@ -578,6 +581,10 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from reflex_spark.streaming.statestore import apply_state_store_conf
+
+    apply_state_store_conf(spark)  # session/env-pinned provider (statestore.py)
+
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
     )
@@ -862,6 +869,9 @@ def blob_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from reflex_spark.operators.upsert import latest_by_key
     from reflex_spark.sources.blob_datasource import register
+    from reflex_spark.streaming.statestore import apply_state_store_conf
+
+    apply_state_store_conf(spark)  # session/env-pinned provider (statestore.py)
 
     ev = load_tables(spark, sf_dir)["events"].select(
         "event_type",

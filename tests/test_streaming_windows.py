@@ -368,3 +368,74 @@ def test_stream_watermark_rollup_drops_stragglers(spark):
     )
     dropped = total - kept
     assert 0 < dropped < late_pool, f"dropped {dropped} of {late_pool} stragglers"
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_state_store_provider_parameterized(spark, tmp_path, provider):
+    """The state-store seam (streaming/statestore.py): the same stateful
+    aggregation must produce identical results under the default
+    HDFS-backed provider and the RocksDB provider (the 100 TB posture —
+    disk-backed state, changelog checkpointing). Spark bundles the
+    RocksDB JNI, so both providers run in a stock session; the conf is
+    read at query start, so a runtime pin is honored."""
+    from reflex_spark.streaming.statestore import apply_state_store_conf, state_store_conf
+
+    conf = state_store_conf(provider)
+    assert "providerClass" in next(iter(conf))
+    if provider == "rocksdb":
+        assert (
+            conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"]
+            == "true"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        apply_state_store_conf(spark, provider)
+        log = seed_log(
+            spark,
+            str(tmp_path / f"log_{provider}"),
+            [(1, "a"), (1, "b"), (1, "a"), (2, "a"), (1, "c"), (2, "b")],
+        )
+        out = run_to_memory(
+            running_count_per_key(log.read_stream(), key_col="foreign_id"),
+            f"state_prov_{provider}",
+            "update",
+            spark,
+        )
+        counts = {r["foreign_id"]: r["n_events"] for r in out.collect()}
+        assert counts == {"a": 3, "b": 2, "c": 1}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+
+
+def test_state_store_env_pin_reaches_judged_query(spark, monkeypatch):
+    """REFLEX_SPARK_STATE_STORE=rocksdb must reach the judged stateful
+    queries: stream_stateful_sessions runs (and matches its known
+    per-user session semantics) under the RocksDB provider, because
+    apply_state_store_conf is called inside the query body."""
+    from reflex_spark.queries import all_queries
+
+    monkeypatch.setenv("REFLEX_SPARK_STATE_STORE", "rocksdb")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        df = all_queries()["stream_stateful_sessions"](
+            spark, "/root/testdata/sf0.001"
+        )
+        assert df.count() > 0
+        # the query body applied the pin to the session
+        assert "RocksDB" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
