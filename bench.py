@@ -137,6 +137,7 @@ HEADLINE = [
 
 def main() -> None:
     full = "--full" in sys.argv
+    split = "--split" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -149,15 +150,32 @@ def main() -> None:
     # Warm up the JVM + parquet footers so query 1 isn't charged for startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    def execute(name: str) -> None:
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    def execute(name: str) -> tuple[float, float]:
+        """Returns (build_sec, exec_sec): plan BUILD is driver-side query
+        construction (Py4J round-trips, load_tables, expression trees) up
+        to the DataFrame handle; EXEC is the noop-sink write. The r5
+        bench regression hid entirely in BUILD (SCALE_NOTES §10) — this
+        split is the permanent root-cause tool (VERDICT r6 next #7).
+        NOTE: queries that run actions while building (streaming runs,
+        multi-commit machinery, control-plane collects) charge those
+        actions to BUILD — for them, build ≈ end-to-end and exec is just
+        the final projection."""
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        t1 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t2 = time.perf_counter()
+        return t1 - t0, t2 - t1
 
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
+    execs: dict[str, float] = {}
     for name in names:
         execute(name)  # warmup: codegen/JIT compile
-        t0 = time.perf_counter()
-        execute(name)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        b, e = execute(name)
+        timings[name] = round(b + e, 3)
+        builds[name] = round(b, 3)
+        execs[name] = round(e, 3)
         # Queries are independent: drop their cached intermediates so one
         # query's cache cannot distort the next (see SCALE_NOTES.md §7 —
         # accumulated caches inflated the 34-query total by ~40s at sf0.1).
@@ -165,19 +183,21 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "full_registry_total_sec" if full else "headline_queries_total_sec"
-                ),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": (
+            "full_registry_total_sec" if full else "headline_queries_total_sec"
+        ),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if split:
+        out["build_sec"] = builds
+        out["exec_sec"] = execs
+        out["build_total_sec"] = round(sum(builds.values()), 3)
+        out["exec_total_sec"] = round(sum(execs.values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
