@@ -500,6 +500,89 @@ def connected_components_star(
     )
 
 
+def cms_sketch(df: DataFrame, key: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) of
+    a key column: (__j, __bucket, __c) counters, ``depth`` md5-derived
+    hash rows × ``width`` buckets. Like the HLL twin (``hll_registers``),
+    every step is deterministic integer arithmetic both engines share:
+    hash_j(x) = first 15 md5 hex chars of "j|x" as a long, mod width.
+
+    Scale shape: ONE aggregation to depth×width counters with map-side
+    partial sums — the canonical mergeable frequency sketch; two
+    sketches merge by adding counters. The explode is ``depth`` narrow
+    rows per input row, all JVM."""
+    js = F.array(*[F.lit(j) for j in range(depth)])
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("__j").cast("string"), F.col(key).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        df.select(F.col(key), F.explode(js).alias("__j"))
+        .select("__j", bucket.alias("__bucket"))
+        .groupBy("__j", "__bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, key: str, depth: int = 4, width: int = 256, k: int = 10
+) -> DataFrame:
+    """Top-k heavy hitters by Count-Min point estimate, with the true
+    count alongside: (key, est_count, true_count) ordered by estimate
+    descending (ties to the lower key). The estimate is min over the
+    ``depth`` counters a key hashes to — always >= the true count (the
+    CMS one-sided error bound), with overestimates bounded by collision
+    mass ~ N/width per row.
+
+    The candidate set is the distinct keys (bounded by key cardinality;
+    at 100 TB with an unbounded domain, feed an external candidate list
+    instead — the sketch itself stays depth×width). The sketch-side join
+    is a broadcast of depth×width counters; the top-k is a TakeOrdered.
+    Fully oracle-checkable: hashes, counters, minima and the ranking are
+    integer-exact in any engine."""
+    from reflex_spark.operators.relational import top_k
+
+    sketch = cms_sketch(df, key, depth, width)
+    keys = df.select(F.col(key)).distinct()
+    js = F.array(*[F.lit(j) for j in range(depth)])
+    kb = keys.select(F.col(key), F.explode(js).alias("__j")).select(
+        F.col(key),
+        "__j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("__j").cast("string"), F.col(key).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("__bucket"),
+    )
+    est = (
+        kb.join(F.broadcast(sketch), ["__j", "__bucket"])
+        .groupBy(key)
+        .agg(F.min("__c").alias("est_count"))
+    )
+    truth = df.groupBy(key).agg(F.count(F.lit(1)).alias("true_count"))
+    joined = est.join(truth, key)
+    return top_k(joined, k, F.col("est_count").desc(), F.col(key))
+
+
 def hll_registers(df: DataFrame, key: str, p: int = 10) -> DataFrame:
     """The HLL register stage alone: (__idx, __m) with __m = max rho per
     register, rho capped at wbits so every register's integer-scaled

@@ -724,6 +724,55 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cms_heavy_hitters",
+    # Count-Min sketch, FULLY oracle-replicated like the HLL twin:
+    # md5-derived row hashes, depth×width integer counters, min-over-rows
+    # point estimates, top-10 by estimate. depth=4, width=256.
+    oracle="""
+    WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    cnt AS (
+      SELECT j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                                       || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 256 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events, js GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    kb AS (
+      SELECT user_id, j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                                       || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 256 AS bucket
+      FROM keys, js),
+    est AS (
+      SELECT kb.user_id, MIN(c.c) AS est_count
+      FROM kb JOIN cnt c ON c.j = kb.j AND c.bucket = kb.bucket
+      GROUP BY kb.user_id),
+    truth AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+              FROM events GROUP BY user_id)
+    SELECT e.user_id, e.est_count, t.true_count
+    FROM est e JOIN truth t USING (user_id)
+    ORDER BY e.est_count DESC, e.user_id
+    LIMIT 10
+    """,
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a from-scratch Count-Min sketch
+    (operators/dedup.cms_sketch — the second fully-deterministic
+    mergeable sketch after the HLL): 4×256 integer counters from one
+    map-side-combinable aggregation, point estimate = min over the 4
+    counters a key hashes to, top-10 users by estimate with the true
+    count alongside (est >= true always — the CMS one-sided bound is
+    itself hash-checked). At 100 TB the sketch is the constant-size
+    mergeable object; the candidate join broadcasts depth×width
+    counters and the top-k is a TakeOrdered."""
+    from reflex_spark.operators.dedup import cms_heavy_hitters
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return cms_heavy_hitters(ev, "user_id", depth=4, width=256, k=10)
+
+
+@query(
     "events_hourly_anomaly",
     # Trailing 24-hour z-score per (type, hour): window sums of the
     # hourly counts and their squares stay INTEGER (exact in any order);

@@ -454,3 +454,33 @@ def test_ivfpq_recall_floor_and_residual_gain(spark):
         ivfpq["recall_at_k"],
         raw["recall_at_k"],
     )
+
+
+def test_cms_one_sided_bound_and_merge(spark):
+    """Count-Min sketch invariants: every point estimate >= the true
+    count (one-sided error), exact when width >> keys, and two sketches
+    merge by adding counters (the mergeable-sketch contract that makes
+    it a map-side-combinable 100 TB aggregate)."""
+    from pyspark.sql import functions as F
+
+    from reflex_spark.operators.dedup import cms_heavy_hitters, cms_sketch
+
+    df = spark.range(2000).select((F.col("id") % 37).alias("k"))
+    hh = cms_heavy_hitters(df, "k", depth=4, width=256, k=37).collect()
+    assert len(hh) == 37
+    for r in hh:
+        assert r["est_count"] >= r["true_count"], r
+    # width 4096 >> 37 keys: estimates should be exact
+    exact = cms_heavy_hitters(df, "k", depth=4, width=4096, k=37).collect()
+    assert all(r["est_count"] == r["true_count"] for r in exact)
+
+    # mergeability: sketch(A ∪ B) == sketch(A) + sketch(B) counter-wise
+    a = df.where(F.col("k") < 20)
+    b = df.where(F.col("k") >= 20)
+    whole = {(r["__j"], r["__bucket"]): r["__c"] for r in cms_sketch(df, "k").collect()}
+    merged: dict = {}
+    for part in (a, b):
+        for r in cms_sketch(part, "k").collect():
+            key = (r["__j"], r["__bucket"])
+            merged[key] = merged.get(key, 0) + r["__c"]
+    assert merged == whole
