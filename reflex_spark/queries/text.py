@@ -516,6 +516,99 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_anim_stats",
+    # Animated-GIF pipeline judged end-to-end through THREE codec passes
+    # (GIF encode -> GIF frame decode+compose -> per-frame PNG encode ->
+    # PNG decode): frames are a deterministic 4-gray-level formula, so
+    # the oracle recomputes pixel sums directly — every codec pass is
+    # lossless, which is exactly the contract being hash-checked.
+    oracle="""
+    WITH k AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+    fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS f FROM k),
+    cell AS (SELECT doc_id, f, unnest(generate_series(0, 63)) AS c FROM fr),
+    px AS (SELECT doc_id, f,
+                  ((doc_id * 31 + f * 17 + (c // 8) * 5 + (c % 8)) % 4) * 60 AS v
+           FROM cell),
+    fsum AS (SELECT doc_id, f, CAST(SUM(v) * 3 AS BIGINT) AS fs
+             FROM px GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(fs) AS BIGINT) AS total_px_sum,
+           CAST(MAX(fs) AS BIGINT) AS max_frame_sum
+    FROM fsum GROUP BY doc_id
+    """,
+)
+def multimodal_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The animation (video-shape) modality judged through REAL codecs:
+    each document gets a deterministic animated GIF (2-4 frames of 8×8
+    4-gray-level pixels from an integer formula), which then runs the
+    full frame pipeline — encode_gif → animation_frames (from-scratch
+    GIF decode + canvas composition, re-emitting each frame as PNG) →
+    decode_png → per-frame RGB pixel sums — before a JVM aggregate per
+    doc (n_frames, total_px_sum, max_frame_sum).
+
+    Three lossless codec passes sit between the formula and the stats,
+    so the DuckDB oracle recomputing the sums from the formula alone
+    hash-checks GIF palette construction, LZW round-trip, frame
+    composition AND the PNG round-trip in one number. Payloads are
+    constant-size; the frame fan-out is executor-side (mapInPandas),
+    the aggregate is one narrow shuffle."""
+    import pandas as pd
+
+    from reflex_spark.operators.multimodal import animation_frames
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def make_gifs(batches):
+        import numpy as np
+
+        from reflex_spark.functions.codecs import encode_gif
+
+        r = np.arange(8)[:, None]
+        c = np.arange(8)[None, :]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                nf = 2 + int(did) % 3
+                frames = []
+                for f in range(nf):
+                    v = ((int(did) * 31 + f * 17 + r * 5 + c) % 4) * 60
+                    frames.append(
+                        np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)
+                    )
+                payloads.append(encode_gif(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    gifs = docs.mapInPandas(make_gifs, "doc_id long, payload binary")
+    frames = animation_frames(gifs, every_nth=1)  # real GIF decode -> PNGs
+
+    def frame_sums(batches):
+        import numpy as np
+
+        from reflex_spark.functions.codecs import decode_png
+
+        for pdf in batches:
+            sums = [
+                int(decode_png(bytes(png)).astype(np.int64).sum())
+                for png in pdf["frame_png"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "fs": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    per_frame = frames.mapInPandas(frame_sums, "doc_id long, frame_idx int, fs long")
+    return per_frame.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("fs").alias("total_px_sum"),
+        F.max("fs").alias("max_frame_sum"),
+    )
+
+
+@query(
     "text_gopher_filter",
     oracle=f"""
     SELECT doc_id,
