@@ -326,17 +326,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(docs, "doc_id", "text", max_distance=8)
 
 
-@query(
-    "dedup_images_phash",
-    # Perceptual-hash image near-dup: each doc renders to a deterministic
-    # 6x11 grayscale bag-of-shingles image (PNG round-trip through the
-    # from-scratch codec on the Spark side), then dHash (60-bit pixel-
-    # difference hash) + the SimHash pigeonhole prefix blocking. The
-    # oracle replicates the PIXELS (pure integer arithmetic) and the hash
-    # directly — the lossless PNG encode/decode is load-bearing Spark-side
-    # (a lossy codec would diverge from this SQL).
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# Shared CTE body: shingle-histogram render -> dHash -> pigeonhole
+# blocking -> verified Hamming pairs (<= 8). Used by dedup_images_phash
+# and the cluster composition below.
+_SQL_PHASH_PAIRS = """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
@@ -369,9 +362,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
       FROM blocks a
       JOIN blocks b ON a.block_idx = b.block_idx AND a.block_key = b.block_key
-                   AND a.doc_id < b.doc_id)
-    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
-    FROM cand WHERE bit_count(xor(fa, fb)) <= 8
+                   AND a.doc_id < b.doc_id),
+    ppairs AS (
+      SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+      FROM cand WHERE bit_count(xor(fa, fb)) <= 8)"""
+
+
+@query(
+    "dedup_images_phash",
+    # Perceptual-hash image near-dup: each doc renders to a deterministic
+    # 6x11 grayscale bag-of-shingles image (PNG round-trip through the
+    # from-scratch codec on the Spark side), then dHash (60-bit pixel-
+    # difference hash) + the SimHash pigeonhole prefix blocking. The
+    # oracle replicates the PIXELS (pure integer arithmetic) and the hash
+    # directly — the lossless PNG encode/decode is load-bearing Spark-side
+    # (a lossy codec would diverge from this SQL).
+    oracle=f"""
+    WITH {_SQL_PHASH_PAIRS}
+    SELECT id_a, id_b, hamming FROM ppairs
     """,
 )
 def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,6 +406,54 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = render_shingle_images(docs, "doc_id", "text")
     sig = image_dhash_signatures(images, "doc_id", "payload")
     return hamming_blocked_pairs(sig, "doc_id", "sh", max_distance=8)
+
+
+@query(
+    "dedup_images_clusters",
+    # phash pairs -> transitive closure (recursive CTE) -> delete list,
+    # the same composition dedup_clusters applies to MinHash-LSH pairs.
+    oracle=f"""
+    WITH RECURSIVE {_SQL_PHASH_PAIRS},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM ppairs
+      UNION SELECT id_b, id_a FROM ppairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS keep_id
+    FROM reach GROUP BY a
+    HAVING a <> LEAST(a, MIN(b))
+    """,
+)
+def dedup_images_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level IMAGE dedup: connected components over the dHash
+    near-dup pairs (large-star/small-star alternation, the same 100 TB
+    closure the text path uses in dedup_clusters), keep min(doc_id) per
+    component, emit every other member as (doc_id, keep_id) — the
+    actionable delete list for an image corpus. Pairs alone under-delete
+    (A~B and B~C must collapse to one survivor even when A~C's Hamming
+    distance exceeded the ball); the oracle recomputes the closure as a
+    recursive CTE over the same pair chain."""
+    from reflex_spark.operators.dedup import (
+        connected_components_star,
+        hamming_blocked_pairs,
+    )
+    from reflex_spark.operators.multimodal import (
+        image_dhash_signatures,
+        render_shingle_images,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    images = render_shingle_images(docs, "doc_id", "text")
+    sig = image_dhash_signatures(images, "doc_id", "payload")
+    pairs = hamming_blocked_pairs(sig, "doc_id", "sh", max_distance=8).select(
+        "id_a", "id_b"
+    )
+    cc, _rounds = connected_components_star(pairs)
+    return cc.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("keep_id")
+    )
 
 
 @query(
