@@ -430,6 +430,54 @@ def audio_features(
     return audio.select(id_col, payload_col).mapInPandas(feats, out_schema)
 
 
+def audio_silence_segments(
+    audio: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    silence_abs: int = 100,
+    min_run: int = 3,
+) -> DataFrame:
+    """Silence segmentation over DECODED WAV payloads — the
+    gaps-and-islands analysis of an audio clip: classify each sample as
+    silent (\\|s\\| < ``silence_abs``) or voiced, group maximal runs, and
+    emit per clip (id, n_silence_runs [runs >= ``min_run``],
+    max_silence_run, n_voice_segments). Pure integer run-length
+    arithmetic from the decoded samples, so a SQL engine replicates it
+    with the ROW_NUMBER-difference islands trick. Stereo uses channel 0
+    (same rule as ``audio_features``)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_silence_runs long, max_silence_run long, "
+        "n_voice_segments long"
+    )
+
+    def segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from reflex_spark.functions.codecs import decode_wav
+
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "n_silence_runs", "max_silence_run", "n_voice_segments")}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                _rate, dec = decode_wav(bytes(payload))
+                sil = np.abs(dec[:, 0].astype(np.int64)) < silence_abs
+                # maximal-run boundaries: positions where the class changes
+                change = np.flatnonzero(np.diff(sil.astype(np.int8))) + 1
+                starts = np.concatenate(([0], change))
+                ends = np.concatenate((change, [len(sil)]))
+                lens = ends - starts
+                is_sil = sil[starts]
+                sil_lens = lens[is_sil]
+                out[id_col].append(did)
+                out["n_silence_runs"].append(int(np.sum(sil_lens >= min_run)))
+                out["max_silence_run"].append(int(sil_lens.max()) if len(sil_lens) else 0)
+                out["n_voice_segments"].append(int(np.sum(~is_sil)))
+            yield pd.DataFrame(out)
+
+    return audio.select(id_col, payload_col).mapInPandas(segs, out_schema)
+
+
 def decode_audio(
     df: DataFrame,
     payload_col: str = "payload",

@@ -484,6 +484,46 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): the deterministic synthetic WAV corpus shared by
+    the judged audio queries — per-doc PCM of length 256..640 from a
+    mod-arithmetic waveform with forced silence gaps (i%16 < 3) and
+    genuine int16 clipping, built JVM-side as an array expression and
+    WAV-encoded in one Arrow stage. The integer formula is replicated
+    verbatim in each query's oracle."""
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    n = (F.lit(256) + (F.col("doc_id") % 7) * 64).cast("int")
+    i64 = lambda i: i.cast("long")  # noqa: E731
+    raw = lambda i: (  # noqa: E731
+        F.col("doc_id") * 7919 + i64(i) * F.lit(2654435761)
+    ) % 70001 - 35000
+    sample = lambda i: (  # noqa: E731
+        F.when(i % 16 < 3, F.lit(0))
+        .otherwise(F.greatest(F.lit(-32768), F.least(F.lit(32767), raw(i))))
+        .cast("int")
+    )
+    pcm = docs.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), n - 1), sample).alias("pcm"),
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        from reflex_spark.functions.codecs import encode_wav
+
+        for pdf in batches:
+            payloads = [
+                encode_wav(np.asarray(list(p), dtype=np.int16), 16_000)
+                for p in pdf["pcm"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return pcm.mapInPandas(encode, "doc_id long, payload binary")
+
+
 @query(
     "multimodal_audio_stats",
     # Deterministic PCM synthesis (pure integer arithmetic both engines
@@ -518,14 +558,14 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg a JOIN fmax f USING (doc_id)
     """,
 )
+
+
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction through the REAL WAV codec (VERDICT r6
     next #3 — the second multimodal modality judged end-to-end): every
-    document gets a deterministic synthetic PCM clip (length 256..640
-    varying by doc, a mod-arithmetic waveform with forced silence gaps
-    and genuine clipping at int16 full scale), built JVM-side as an
-    array expression, encoded to WAV and decoded back executor-side,
-    then operators/multimodal.audio_features computes clipping count,
+    document gets a deterministic synthetic PCM clip (_synth_wav_corpus),
+    encoded to WAV and decoded back executor-side, then
+    operators/multimodal.audio_features computes clipping count,
     silence ppm (integer floor division — no float rounding mode),
     total RMS and max 64-sample frame energy from the DECODED samples.
 
@@ -535,40 +575,59 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec — the lossless PCM round-trip is the Spark-side contract
     being judged. Scale: clip payloads are constant-bounded (≤1.3 KB);
     one Arrow stage, no shuffle beyond the scan."""
-    import pandas as pd
-
     from reflex_spark.operators.multimodal import audio_features
 
-    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
-    n = (F.lit(256) + (F.col("doc_id") % 7) * 64).cast("int")
-    i64 = lambda i: i.cast("long")  # noqa: E731
-    raw = lambda i: (  # noqa: E731
-        F.col("doc_id") * 7919 + i64(i) * F.lit(2654435761)
-    ) % 70001 - 35000
-    sample = lambda i: (  # noqa: E731
-        F.when(i % 16 < 3, F.lit(0))
-        .otherwise(F.greatest(F.lit(-32768), F.least(F.lit(32767), raw(i))))
-        .cast("int")
-    )
-    pcm = docs.select(
-        "doc_id",
-        F.transform(F.sequence(F.lit(0), n - 1), sample).alias("pcm"),
-    )
-
-    def encode(batches):
-        import numpy as np
-
-        from reflex_spark.functions.codecs import encode_wav
-
-        for pdf in batches:
-            payloads = [
-                encode_wav(np.asarray(list(p), dtype=np.int16), 16_000)
-                for p in pdf["pcm"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    audio = pcm.mapInPandas(encode, "doc_id long, payload binary")
+    audio = _synth_wav_corpus(spark, sf_dir)
     return audio_features(audio, "doc_id", "payload", frame=64, silence_abs=100)
+
+
+@query(
+    "multimodal_audio_segments",
+    # Gaps-and-islands over the decoded samples: maximal silence/voice
+    # runs via the ROW_NUMBER-difference trick; pure integer run-length
+    # arithmetic, replicated from the same PCM formula.
+    oracle="""
+    WITH nn AS (SELECT doc_id, 256 + (doc_id % 7) * 64 AS n FROM documents),
+    seq AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM nn),
+    smp AS (
+      SELECT doc_id, i,
+             CASE WHEN i % 16 < 3 THEN 0
+                  ELSE greatest(-32768, least(32767,
+                       (doc_id * 7919 + i * 2654435761) % 70001 - 35000)) END AS s
+      FROM seq),
+    cls AS (SELECT doc_id, i,
+                   CASE WHEN abs(s) < 100 THEN 1 ELSE 0 END AS sil
+            FROM smp),
+    grp AS (SELECT doc_id, i, sil,
+                   i - ROW_NUMBER() OVER (PARTITION BY doc_id, sil ORDER BY i) AS g
+            FROM cls),
+    runs AS (SELECT doc_id, sil, g, COUNT(*) AS len
+             FROM grp GROUP BY 1, 2, 3)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN sil = 1 AND len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_silence_runs,
+           CAST(MAX(CASE WHEN sil = 1 THEN len ELSE 0 END) AS BIGINT)
+             AS max_silence_run,
+           CAST(SUM(CASE WHEN sil = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_voice_segments
+    FROM runs GROUP BY doc_id
+    """,
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation through the REAL WAV codec — the
+    gaps-and-islands analysis every speech pipeline starts with: the
+    same synthetic corpus as multimodal_audio_stats decodes
+    executor-side, maximal silence/voice runs come from integer
+    run-length arithmetic over the decoded samples
+    (operators/multimodal.audio_silence_segments), and per clip we judge
+    the count of silence runs >= 3 samples, the longest silence run, and
+    the voiced-segment count. The oracle replicates the runs with the
+    ROW_NUMBER-difference islands trick — all integers, so the WAV
+    round-trip is again the load-bearing contract."""
+    from reflex_spark.operators.multimodal import audio_silence_segments
+
+    audio = _synth_wav_corpus(spark, sf_dir)
+    return audio_silence_segments(audio, "doc_id", "payload", silence_abs=100, min_run=3)
 
 
 @query(
