@@ -734,6 +734,7 @@ def sim_ann_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-PQ residual index (round 7) ---------------------------------------
 
 _IVFPQ_LISTS, _IVFPQ_COARSE_ITERS, _IVFPQ_PROBE = 8, 2, 4
+_PQ_SHORTLIST_IVFPQ = 100
 _IVFPQ_KM_CTES, _IVFPQ_KM_FINAL = _sql_kmeans_ctes(_IVFPQ_LISTS, _IVFPQ_COARSE_ITERS, 64)
 
 
@@ -912,6 +913,116 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.lit("ivfpq_l8_p4_m4").alias("method"),
+            F.lit(_PQ_K).alias("k"),
+            "recall_at_k",
+        )
+    )
+
+
+@query(
+    "sim_ann_ivfpq_rerank_recall",
+    # The full deployment shape of the composed index: IVF-PQ shortlist
+    # (100 per query, only probed lists scanned) -> exact L2 rerank of
+    # the shortlist -> recall@20. Coarse-probing still bounds what the
+    # rerank can recover (true neighbors outside probed lists stay
+    # unreachable), so this pins the honest end-to-end number.
+    oracle=f"""
+    WITH pq_q AS (SELECT vec_id AS q_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < {_RECALL_NQ}),
+    {_IVFPQ_BODY},
+    shortlist AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY round(s0_d.d + s1_d.d + s2_d.d + s3_d.d, 6),
+                          vec_id) AS rnk
+        FROM s0_d JOIN s1_d USING (q_id, vec_id)
+                  JOIN s2_d USING (q_id, vec_id)
+                  JOIN s3_d USING (q_id, vec_id)
+        WHERE vec_id <> q_id)
+      WHERE rnk <= {_PQ_SHORTLIST_IVFPQ}),
+    rerank AS (
+      SELECT q_id, vec_id FROM (
+        SELECT s.q_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.q_id
+                 ORDER BY {sql_sqdist("e.embedding", "q.qv")}, s.vec_id) AS rnk
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN pq_q q ON q.q_id = s.q_id)
+      WHERE rnk <= {_PQ_K}),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {sql_sqdist("e.embedding", "q.qv")}, e.vec_id) AS rnk
+        FROM embeddings e, pq_q q WHERE e.vec_id <> q.q_id)
+      WHERE rnk <= {_PQ_K})
+    SELECT 'ivfpq_rerank' AS method,
+           CAST({_PQ_K} AS INTEGER) AS k,
+           round(COUNT(*) / {_RECALL_NQ * _PQ_K}.0, 4) AS recall_at_k
+    FROM rerank a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    """,
+)
+def sim_ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval on the COMPOSED index, the way IVF-PQ is
+    actually deployed (Jégou TPAMI'11 §VII): the residual codes produce
+    a 100-candidate shortlist per query from the probed lists alone,
+    exact L2 reranks only the shortlist. At 100 TB the exact stage
+    touches (shortlist/N) of the data AND the shortlist scan touches
+    (probed lists/N) — the two bounds compose. Recall@20 recovers from
+    the raw-ADC floor toward the probing ceiling; the judged number
+    pins the honest end-to-end figure."""
+    from pyspark.sql import Window
+
+    from reflex_spark.operators.similarity import ivfpq_adc_topk, sqdist
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qs = emb.where(F.col("vec_id") < _RECALL_NQ)
+    shortlist = ivfpq_adc_topk(
+        emb, qs,
+        n_lists=_IVFPQ_LISTS, coarse_iters=_IVFPQ_COARSE_ITERS,
+        m_subspaces=_PQ_M, sub_dim=_PQ_SUB, n_codes=_PQ_CODES,
+        pq_iters=_PQ_ITERS, k=_PQ_SHORTLIST_IVFPQ, n_probe=_IVFPQ_PROBE,
+        per_query=True,
+    ).select("__q_id", "vec_id")
+    qv = qs.select(F.col("vec_id").alias("__q_id"), F.col("embedding").alias("__qv"))
+    rerank = (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "__q_id")
+        .withColumn("__d", sqdist(F.col("embedding"), F.col("__qv")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__q_id").orderBy("__d", "vec_id")
+            ),
+        )
+        .where(F.col("__r") <= _PQ_K)
+        .select("__q_id", "vec_id")
+    )
+    exact = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("__q_id"))
+        .withColumn("__d", sqdist(F.col("embedding"), F.col("__qv")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__q_id").orderBy("__d", "vec_id")
+            ),
+        )
+        .where(F.col("__r") <= _PQ_K)
+        .select("__q_id", "vec_id")
+    )
+    return (
+        rerank.join(exact, ["__q_id", "vec_id"])
+        .groupBy()
+        .agg(
+            F.round(
+                F.count(F.lit(1)) / float(_RECALL_NQ * _PQ_K), 4
+            ).alias("recall_at_k")
+        )
+        .select(
+            F.lit("ivfpq_rerank").alias("method"),
             F.lit(_PQ_K).alias("k"),
             "recall_at_k",
         )
