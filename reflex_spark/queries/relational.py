@@ -293,6 +293,44 @@ def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_flag_measures",
+    # Wide-to-long reshape: three aggregate measure columns melt into
+    # (key, measure, value) rows — Spark's unpivot/melt operator vs the
+    # relational UNION ALL equivalent.
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             {sql_dsum('l_extendedprice', 'sum_price')},
+             {sql_dsum('l_discount', 'sum_disc')},
+             {sql_dsum('l_tax', 'sum_tax')}
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_tax', sum_tax FROM agg
+    """,
+)
+def unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): per-returnflag decimal-sum aggregates reshape from
+    three measure columns to (key, measure, value) rows — the inverse of
+    the pivot path, as Spark's native unpivot operator (one Expand node,
+    no join/union re-scan; the oracle is the UNION ALL it replaces)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"),
+        dsum("l_tax", "sum_tax"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_price", "sum_disc", "sum_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@query(
     "grouping_sets_brand_type",
     oracle=f"""
     SELECT p_brand, p_type,
