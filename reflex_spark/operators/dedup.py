@@ -148,6 +148,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.9,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """DIRECTED near-dup pairs by shingle containment — the asymmetric
+    complement of Jaccard for training-data hygiene: containment(a→b) =
+    \\|A∩B\\| / \\|A\\| ≈ 1 when document a is (mostly) INCLUDED in b even if
+    b is far larger, a case Jaccard misses entirely (a quote, a copied
+    section, a subsumed page). Emits (id_a, id_b, containment) for
+    ordered pairs with containment >= ``threshold`` and \\|A\\| >=
+    ``min_shingles`` (tiny shingle sets make containment trivially 1).
+
+    Plan shape matches ``ngram_jaccard_pairs``: quadratic within shared-
+    shingle posting lists — the documented verify-path posture; at corpus
+    scale feed LSH candidates first and verify containment on the
+    candidate neighborhood only."""
+    sh = shingle_rows(df, id_col, text_col, n, spread=True).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .where(F.col("n_a") >= min_shingles)
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

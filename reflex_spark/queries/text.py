@@ -180,6 +180,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
+@query(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      FROM w),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / s.n_sh, 6) AS containment
+    FROM inter i JOIN sizes s ON s.doc_id = i.id_a
+    WHERE s.n_sh >= 5
+      AND round(CAST(n_inter AS DOUBLE) / s.n_sh, 6) >= 0.9
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment dedup — the asymmetric complement of Jaccard
+    (Broder's containment, the training-data-hygiene case Jaccard
+    misses): containment(a→b) = |A∩B|/|A| flags document a as included
+    in b even when b is far larger (quotes, copied sections, subsumed
+    pages). Ordered pairs with containment >= 0.9 over word-3-shingles,
+    |A| >= 5 to exclude trivially-contained tiny docs. Verify-path plan
+    like dedup_ngram_jaccard; the LSH banding remains the scale path for
+    candidate generation."""
+    from reflex_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9, min_shingles=5)
+
+
 _SQL_MINHASH_SIG = ",\n".join(
     f"min(substr(md5('{j}|' || shingle), 1, 16)) AS mh{j}" for j in range(16)
 )
