@@ -626,12 +626,17 @@ def cms_heavy_hitters(
     return top_k(joined, k, F.col("est_count").desc(), F.col(key))
 
 
-def hll_registers(df: DataFrame, key: str, p: int = 10) -> DataFrame:
+def hll_registers(
+    df: DataFrame, key: str, p: int = 10, shard_col: str | None = None
+) -> DataFrame:
     """The HLL register stage alone: (__idx, __m) with __m = max rho per
     register, rho capped at wbits so every register's integer-scaled
     contribution 2^(wbits - __m) is a non-negative shift. Split out so
     the cap is directly testable and so sketches can be merged (union
-    of register frames + one more groupBy-max) before estimation."""
+    of register frames + one more groupBy-max) before estimation.
+    ``shard_col`` emits one register frame PER shard value (shard_col,
+    __idx, __m) — the per-partition sketches a 100 TB rollup stores and
+    later max-merges."""
     wbits = 60 - p
     h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
         "long"
@@ -643,6 +648,12 @@ def hll_registers(df: DataFrame, key: str, p: int = 10) -> DataFrame:
     rho = F.when(w == 0, F.lit(wbits)).otherwise(
         F.instr(F.lpad(F.bin(w), wbits, "0"), "1")
     )
+    if shard_col is not None:
+        return (
+            df.select(F.col(shard_col), idx.alias("__idx"), rho.alias("__rho"))
+            .groupBy(shard_col, "__idx")
+            .agg(F.max("__rho").alias("__m"))
+        )
     return (
         df.select(idx.alias("__idx"), rho.alias("__rho"))
         .groupBy("__idx")
@@ -679,10 +690,18 @@ def hll_estimate(
     (map-side partial max), then a constant-size reduce — the classic
     mergeable-sketch plan for COUNT(DISTINCT) over 100 TB.
     """
+    return hll_estimate_from_registers(hll_registers(df, key, p), p)
+
+
+def hll_estimate_from_registers(regs: DataFrame, p: int = 10) -> DataFrame:
+    """The HLL estimation tail over a (__idx, __m) register frame — split
+    from ``hll_estimate`` so MERGED sketches estimate through the same
+    code: register max is associative, so per-shard frames union +
+    groupBy-max into one frame whose estimate equals the direct
+    whole-input estimate exactly (the mergeable-sketch contract)."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     wbits = 60 - p
-    regs = hll_registers(df, key, p)
     # exact integer-scaled register sum: present registers contribute
     # 2^(wbits - M); each of the (m - n_present) empty ones contributes
     # 2^wbits

@@ -667,14 +667,10 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_hll_distinct_users",
-    # Deterministic from-scratch HyperLogLog, FULLY oracle-replicated
-    # (closing the "sketches are engine-specific" rows-only class):
-    # md5-derived 60-bit hashes, binary-string leading-zero counts (no
-    # float log2), an exact integer-scaled register sum, and the fixed
-    # estimate formula. p=10 -> 1024 registers.
-    oracle="""
+# Whole-corpus deterministic-HLL oracle — shared by the direct estimate
+# query AND the sharded-merge query (register max is associative, so the
+# per-day merged estimate must equal this direct computation exactly).
+_SQL_HLL_ORACLE = """
     WITH h AS (
       SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                   AS BIGINT) AS hv
@@ -706,7 +702,17 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * ln(CAST(1024 AS DOUBLE) / CAST(zeros AS DOUBLE))
                       ELSE e_raw END, 3) AS hll_estimate
     FROM est
-    """,
+    """
+
+
+@query(
+    "events_hll_distinct_users",
+    # Deterministic from-scratch HyperLogLog, FULLY oracle-replicated
+    # (closing the "sketches are engine-specific" rows-only class):
+    # md5-derived 60-bit hashes, binary-string leading-zero counts (no
+    # float log2), an exact integer-scaled register sum, and the fixed
+    # estimate formula. p=10 -> 1024 registers.
+    oracle=_SQL_HLL_ORACLE,
 )
 def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) via a from-scratch deterministic HyperLogLog
@@ -721,6 +727,38 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir)["events"]
     return hll_estimate(ev, "user_id", p=10)
+
+
+@query(
+    "events_hll_merged_daily",
+    # THE MERGE PROPERTY JUDGED: Spark computes per-DAY register shards
+    # and max-merges them; the oracle computes the direct whole-corpus
+    # estimate. Register max is associative, so the hash match proves
+    # shard-then-merge is lossless — the property that lets a 100 TB
+    # rollup store per-partition sketches and combine them later.
+    oracle=_SQL_HLL_ORACLE,
+)
+def events_hll_merged_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded HLL with a judged merge: registers are computed PER DAY
+    (hll_registers(shard_col=...) — the per-partition sketches a rollup
+    table would store), then max-merged into one frame and estimated
+    through the same tail (hll_estimate_from_registers). The oracle is
+    the DIRECT whole-corpus computation, so the hash match certifies
+    merge-invariance — union + groupBy-max loses nothing — which is the
+    entire reason a mergeable sketch scales: per-day sketches persist
+    once and answer any date-range distinct-count later."""
+    from reflex_spark.operators.dedup import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("__day"),
+        "user_id",
+    )
+    shards = hll_registers(ev, "user_id", p=10, shard_col="__day")
+    merged = shards.groupBy("__idx").agg(F.max("__m").alias("__m"))
+    return hll_estimate_from_registers(merged, p=10)
 
 
 @query(
