@@ -762,6 +762,88 @@ def events_hll_merged_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_histogram_quantiles",
+    # The third mergeable summary (distinct=HLL, frequency=CMS,
+    # quantiles=fixed-bin histogram): 64 width-10 bins with integer
+    # counts (counts ADD under merge), quantile targets in pure integer
+    # ceil-division, linear interpolation inside the hit bin as a fixed
+    # two-op IEEE chain. All replicated in SQL.
+    oracle="""
+    WITH b AS (SELECT least(63, CAST(floor(value / 10) AS BIGINT)) AS bin
+               FROM events),
+    h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bin),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    cum AS (SELECT bin, c, CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum
+            FROM h),
+    p50 AS (SELECT bin, c, cum FROM cum
+            WHERE cum >= (SELECT (n * 1 + 1) // 2 FROM t)
+            ORDER BY bin LIMIT 1),
+    p90 AS (SELECT bin, c, cum FROM cum
+            WHERE cum >= (SELECT (n * 9 + 9) // 10 FROM t)
+            ORDER BY bin LIMIT 1),
+    p99 AS (SELECT bin, c, cum FROM cum
+            WHERE cum >= (SELECT (n * 99 + 99) // 100 FROM t)
+            ORDER BY bin LIMIT 1)
+    SELECT t.n AS n_events,
+           round(p50.bin * 10 + (CAST(10 AS DOUBLE)
+             * ((SELECT (n * 1 + 1) // 2 FROM t) - (p50.cum - p50.c)))
+             / p50.c, 6) AS p50_est,
+           round(p90.bin * 10 + (CAST(10 AS DOUBLE)
+             * ((SELECT (n * 9 + 9) // 10 FROM t) - (p90.cum - p90.c)))
+             / p90.c, 6) AS p90_est,
+           round(p99.bin * 10 + (CAST(10 AS DOUBLE)
+             * ((SELECT (n * 99 + 99) // 100 FROM t) - (p99.cum - p99.c)))
+             / p99.c, 6) AS p99_est
+    FROM t, p50, p90, p99
+    """,
+)
+def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a MERGEABLE fixed-bin histogram sketch —
+    the summary a 100 TB rollup can maintain incrementally (bin counts
+    simply add, unlike exact percentile_cont which needs a global sort):
+    64 width-10 bins over `value`, integer cumulative counts, quantile
+    target ranks by integer ceil-division, and linear interpolation
+    inside the hit bin (one exact multiply + one IEEE division — both
+    engines identical). Completes the mergeable-summary trio:
+    HLL (distinct), CMS (frequency), histogram (quantiles). The exact
+    twin percentiles_order_value stays the verification baseline."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    b = ev.select(
+        F.least(F.lit(63), F.floor(F.col("value") / 10).cast("long")).alias("bin")
+    )
+    h = b.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    totals = h.agg(F.sum("c").cast("long").alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        h.withColumn("cum", F.sum("c").over(w).cast("long"))
+        .crossJoin(F.broadcast(totals))
+    )
+
+    def pick(qnum: int, qden: int, name: str):
+        t = F.expr(f"(n * {qnum} + {qden - 1}) div {qden}")
+        est = F.round(
+            F.col("bin") * 10
+            + (F.lit(10.0) * (t - (F.col("cum") - F.col("c")))) / F.col("c"),
+            6,
+        )
+        return (
+            cum.where(F.col("cum") >= t)
+            .orderBy("bin")
+            .limit(1)
+            .select(est.alias(name))
+        )
+
+    return (
+        totals.select(F.col("n").alias("n_events"))
+        .crossJoin(pick(1, 2, "p50_est"))
+        .crossJoin(pick(9, 10, "p90_est"))
+        .crossJoin(pick(99, 100, "p99_est"))
+    )
+
+
+@query(
     "events_cms_heavy_hitters",
     # Count-Min sketch, FULLY oracle-replicated like the HLL twin:
     # md5-derived row hashes, depth×width integer counters, min-over-rows
