@@ -626,6 +626,69 @@ def cms_heavy_hitters(
     return top_k(joined, k, F.col("est_count").desc(), F.col(key))
 
 
+def bloom_bits(df: DataFrame, key: str, m_bits: int = 4096, k_hashes: int = 4) -> DataFrame:
+    """Bloom filter of a key column as its set-bit relation: distinct
+    (__bit) rows with bit_j(x) = md5("j|x") % m_bits — the same
+    md5-derived hashing as the CMS/HLL twins, so any engine replicates
+    it. Two filters OR-merge by unioning their bit relations (distinct).
+    The relation form (<= m_bits rows) broadcasts anywhere a bitmap
+    would; at m = 4096 that is at most 32 KB of longs."""
+    js = F.array(*[F.lit(j) for j in range(k_hashes)])
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("__j").cast("string"), F.col(key).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    return (
+        df.select(F.col(key), F.explode(js).alias("__j"))
+        .select(bit.alias("__bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    fbits: DataFrame,
+    key: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe a Bloom bit relation: keeps the probe rows whose ``k_hashes``
+    bits are ALL present in ``fbits`` (the possibly-member set — no false
+    negatives, bounded false positives). The filter side broadcasts; the
+    probe is one equi-join + count — the runtime-filter shape that prunes
+    a big scan before an expensive join."""
+    js = F.array(*[F.lit(j) for j in range(k_hashes)])
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("__j").cast("string"), F.col(key).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    pb = probes.select(F.col(key), F.explode(js).alias("__j")).select(
+        F.col(key), bit.alias("__bit")
+    )
+    hits = (
+        pb.join(F.broadcast(fbits), "__bit")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__nbits"))
+    )
+    return hits.where(F.col("__nbits") == k_hashes).select(key)
+
+
 def hll_registers(
     df: DataFrame, key: str, p: int = 10, shard_col: str | None = None
 ) -> DataFrame:

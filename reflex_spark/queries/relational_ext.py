@@ -386,3 +386,71 @@ def nation_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "volume"),
         )
     )
+
+
+@query(
+    "bloom_filter_customer_prune",
+    # The runtime-filter sketch judged end-to-end: a 4096-bit / 4-hash
+    # Bloom filter of urgent-order custkeys (md5-derived bits, the same
+    # engine-portable hashing as the CMS/HLL twins) probes the customer
+    # table; counts pin membership (no false negatives) AND the exact
+    # false-positive set the m/k choice admits.
+    oracle="""
+    WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders
+                     WHERE o_orderpriority = '1-URGENT'),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    fbits AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                                               || CAST(k AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 4096 AS bit
+      FROM members, js),
+    probes AS (SELECT c_custkey AS k FROM customer),
+    pb AS (
+      SELECT k, j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                                      || CAST(k AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 4096 AS bit
+      FROM probes, js),
+    hits AS (SELECT k, COUNT(*) AS nbits FROM pb JOIN fbits USING (bit)
+             GROUP BY k),
+    pos AS (SELECT k FROM hits WHERE nbits = 4)
+    SELECT CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_members,
+           CAST((SELECT COUNT(*) FROM probes) AS BIGINT) AS n_probed,
+           CAST((SELECT COUNT(*) FROM fbits) AS BIGINT) AS n_set_bits,
+           CAST((SELECT COUNT(*) FROM pos) AS BIGINT) AS n_positive,
+           CAST((SELECT COUNT(*) FROM pos p LEFT JOIN members m ON m.k = p.k
+                 WHERE m.k IS NULL) AS BIGINT) AS n_false_positive
+    """,
+)
+def bloom_filter_customer_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning — the membership sketch that completes
+    the judged family (HLL distinct, CMS frequency, histogram quantiles,
+    Bloom membership): build a 4096-bit / 4-hash filter over the
+    custkeys of urgent orders (operators/dedup.bloom_bits — a <=32 KB
+    broadcast relation, OR-mergeable by union), probe every customer
+    (bloom_probe: one broadcast equi-join + count), and judge the exact
+    counts: members, probes, set bits, positives, and false positives.
+    No false negatives by construction; the FP count pins the m/k
+    trade-off (the sf0.01 fixture admits 45 FPs — a deliberately
+    non-saturated regime). At 100 TB this is the runtime-filter shape:
+    the fact scan drops non-candidate rows before the expensive join."""
+    from reflex_spark.operators.dedup import bloom_bits, bloom_probe
+
+    t = load_tables(spark, sf_dir)
+    members = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    fbits = bloom_bits(members, "k", m_bits=4096, k_hashes=4)
+    probes = t["customer"].select(F.col("c_custkey").alias("k"))
+    pos = bloom_probe(probes, fbits, "k", m_bits=4096, k_hashes=4)
+    fp = pos.join(members, "k", "left_anti")
+    return (
+        members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .crossJoin(probes.agg(F.count(F.lit(1)).cast("long").alias("n_probed")))
+        .crossJoin(fbits.agg(F.count(F.lit(1)).cast("long").alias("n_set_bits")))
+        .crossJoin(pos.agg(F.count(F.lit(1)).cast("long").alias("n_positive")))
+        .crossJoin(fp.agg(F.count(F.lit(1)).cast("long").alias("n_false_positive")))
+    )
