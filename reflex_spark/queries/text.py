@@ -216,6 +216,92 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9, min_shingles=5)
 
 
+@query(
+    "text_term_drift_chi2",
+    # Corpus drift monitoring: chi-square per-term independence statistic
+    # between two corpus halves (doc_id parity), over the 50 most
+    # frequent tokens. Integer counts + a FIXED IEEE chain per term
+    # (expected = n_side * term_total / grand_total, then the two
+    # (obs-exp)^2/exp addends in side order) — identical in both engines.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id % 2 AS side, unnest(string_split(text, ' ')) AS t
+      FROM documents),
+    side_tot AS (
+      SELECT CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM toks),
+    tc AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM toks GROUP BY t),
+    top50 AS (
+      SELECT t, a, b FROM tc ORDER BY a + b DESC, t LIMIT 50),
+    chi AS (
+      SELECT t, a, b,
+             round(
+               (CAST(a AS DOUBLE) - (CAST(n0 AS DOUBLE) * CAST(a + b AS DOUBLE))
+                  / CAST(n0 + n1 AS DOUBLE))
+               * (CAST(a AS DOUBLE) - (CAST(n0 AS DOUBLE) * CAST(a + b AS DOUBLE))
+                  / CAST(n0 + n1 AS DOUBLE))
+               / ((CAST(n0 AS DOUBLE) * CAST(a + b AS DOUBLE))
+                  / CAST(n0 + n1 AS DOUBLE))
+               +
+               (CAST(b AS DOUBLE) - (CAST(n1 AS DOUBLE) * CAST(a + b AS DOUBLE))
+                  / CAST(n0 + n1 AS DOUBLE))
+               * (CAST(b AS DOUBLE) - (CAST(n1 AS DOUBLE) * CAST(a + b AS DOUBLE))
+                  / CAST(n0 + n1 AS DOUBLE))
+               / ((CAST(n1 AS DOUBLE) * CAST(a + b AS DOUBLE))
+                  / CAST(n0 + n1 AS DOUBLE)), 6) AS chi2
+      FROM top50, side_tot)
+    SELECT t AS term, a AS count_a, b AS count_b, chi2
+    FROM chi ORDER BY chi2 DESC, t LIMIT 10
+    """,
+)
+def text_term_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitoring for a training corpus: per-term
+    chi-square independence statistic between two corpus halves (doc_id
+    parity stands in for the old/new crawl split), over the 50 most
+    frequent tokens, top-10 drifted terms reported. The statistic is
+    integer counts plus a fixed per-term IEEE chain, so the oracle
+    replicates it bit-exactly — no ln/likelihood (those carry libm
+    variance). One token-explode shuffle, a TakeOrdered for the top-50,
+    a broadcast 1-row totals join: drift checks cost one corpus scan at
+    any scale."""
+    from reflex_spark.operators.relational import top_k
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    side_tot = toks.agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    tc = toks.groupBy("t").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("b"),
+    )
+    top50 = top_k(tc, 50, (F.col("a") + F.col("b")).desc(), F.col("t"))
+    j = top50.crossJoin(F.broadcast(side_tot))
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    tot = (F.col("a") + F.col("b")).cast("double")
+    nn = (F.col("n0") + F.col("n1")).cast("double")
+    e0 = (n0d * tot) / nn
+    e1 = (n1d * tot) / nn
+    chi2 = F.round((ad - e0) * (ad - e0) / e0 + (bd - e1) * (bd - e1) / e1, 6)
+    scored = j.select(
+        F.col("t").alias("term"),
+        F.col("a").alias("count_a"),
+        F.col("b").alias("count_b"),
+        chi2.alias("chi2"),
+    )
+    return top_k(scored, 10, F.col("chi2").desc(), F.col("term"))
+
+
 _SQL_MINHASH_SIG = ",\n".join(
     f"min(substr(md5('{j}|' || shingle), 1, 16)) AS mh{j}" for j in range(16)
 )
