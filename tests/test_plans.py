@@ -224,6 +224,19 @@ def test_round7_queries_plan_shapes(spark):
         assert "MapInPandas" in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
 
+    # Bloom pruning: the filter side broadcasts (the whole point — a
+    # <=32 KB bit relation), and the top-level combine of 1-row counts
+    # is the only nested-loop shape
+    bloom = plan_of(spark, "bloom_filter_customer_prune")
+    assert "BatchEvalPython" not in bloom
+    assert "BroadcastHashJoin" in bloom
+
+    # term drift: token totals broadcast; both top-k stages are
+    # per-partition heaps, never a global sort
+    drift = plan_of(spark, "text_term_drift_chi2")
+    assert "BatchEvalPython" not in drift
+    assert "TakeOrderedAndProject" in drift
+
     # IVF-PQ: the only BNLJs are the deliberate keyless joins against the
     # n_lists-row broadcast centroid table (assignment + query probe —
     # each input row meets 8 broadcast rows then window-argmins; the same
