@@ -175,7 +175,9 @@ def main() -> None:
         b, e = execute(name)
         timings[name] = round(b + e, 3)
         builds[name] = round(b, 3)
-        execs[name] = round(e, 3)
+        # exec is the exact complement of build within the rounded total,
+        # so build_sec + exec_sec == queries[name] always adds up
+        execs[name] = round(timings[name] - builds[name], 3)
         # Queries are independent: drop their cached intermediates so one
         # query's cache cannot distort the next (see SCALE_NOTES.md §7 —
         # accumulated caches inflated the 34-query total by ~40s at sf0.1).
@@ -196,7 +198,8 @@ def main() -> None:
         out["build_sec"] = builds
         out["exec_sec"] = execs
         out["build_total_sec"] = round(sum(builds.values()), 3)
-        out["exec_total_sec"] = round(sum(execs.values()), 3)
+        # complement again: the two split totals sum exactly to value
+        out["exec_total_sec"] = round(total - out["build_total_sec"], 3)
     print(json.dumps(out))
 
 

@@ -336,21 +336,34 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def hamming_blocked_pairs(
-    sig: DataFrame, id_col: str, sh_col: str = "sh", max_distance: int = 8
+    sig: DataFrame,
+    id_col: str,
+    sh_col: str = "sh",
+    max_distance: int = 8,
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over 16-hex-char signatures.
 
-    Scale path: block on 4 hex prefixes (any pair within distance<=bits/4
-    shares at least one block by pigeonhole) instead of the all-pairs join;
-    pairs form on a prefix block then verify exact popcount. Shared by the
-    SimHash text path and the dHash image path — any 64-bit-or-less
-    fingerprint rides the same equi-join blocking."""
+    Scale path: split the signature into ``n_blocks`` equal hex blocks
+    and form candidates on block equality, then verify exact popcount.
+    Pigeonhole guarantee: a pair at distance d differs in at most d
+    blocks, so it SHARES a block — and is guaranteed found — only when
+    d < n_blocks. With the default 4 blocks, recall is complete for
+    d <= 3 and approximate above (a d=4..8 pair whose differing bits
+    land in all 4 blocks is missed); pass n_blocks=8 (2-hex blocks) for
+    a complete d <= 7 contract at ~2× candidate volume. Any oracle must
+    replicate the same blocking, so judged results stay engine-equal
+    either way — the knob trades recall for candidate-join size. Shared
+    by the SimHash text path and the dHash image path."""
+    if 16 % n_blocks:
+        raise ValueError(f"n_blocks must divide 16, got {n_blocks}")
+    w = 16 // n_blocks
     sig = sig.select(F.col(id_col), F.col(sh_col).alias("sh")).cache()
     blocks = sig.select(
         F.col(id_col),
         "sh",
         F.posexplode(
-            F.array(*[F.substring("sh", 1 + 4 * i, 4) for i in range(4)])
+            F.array(*[F.substring("sh", 1 + w * i, w) for i in range(n_blocks)])
         ).alias("block_idx", "block_key"),
     )
     a = blocks.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "block_idx", "block_key")
@@ -543,33 +556,44 @@ def connected_components_star(
     )
 
 
-def cms_sketch(df: DataFrame, key: str, depth: int = 4, width: int = 256) -> DataFrame:
-    """Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) of
-    a key column: (__j, __bucket, __c) counters, ``depth`` md5-derived
-    hash rows × ``width`` buckets. Like the HLL twin (``hll_registers``),
-    every step is deterministic integer arithmetic both engines share:
-    hash_j(x) = first 15 md5 hex chars of "j|x" as a long, mod width.
-
-    Scale shape: ONE aggregation to depth×width counters with map-side
-    partial sums — the canonical mergeable frequency sketch; two
-    sketches merge by adding counters. The explode is ``depth`` narrow
-    rows per input row, all JVM."""
-    js = F.array(*[F.lit(j) for j in range(depth)])
-    bucket = (
+def _md5_mod(key_col: Column, j_col: Column, mod: int) -> Column:
+    """Shared row-hash for the CMS/Bloom family: first 15 md5 hex chars
+    of "j|key" as a long, modulo ``mod``. One definition so the
+    sketch-build and probe sides can never drift apart. NOTE cross-engine
+    NULL contract: callers must filter NULL keys first — Spark's
+    concat_ws SKIPS nulls (hashing just "j") while SQL's ``||``
+    propagates NULL, so an unfiltered NULL key would diverge."""
+    return (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws("|", F.col("__j").cast("string"), F.col(key).cast("string"))),
+                F.md5(F.concat_ws("|", j_col.cast("string"), key_col.cast("string"))),
                 1,
                 15,
             ),
             16,
             10,
         ).cast("long")
-        % width
+        % mod
     )
+
+
+def cms_sketch(df: DataFrame, key: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) of
+    a key column: (__j, __bucket, __c) counters, ``depth`` md5-derived
+    hash rows × ``width`` buckets. Like the HLL twin (``hll_registers``),
+    every step is deterministic integer arithmetic both engines share
+    (``_md5_mod``). NULL keys are excluded (pinned — see _md5_mod's
+    cross-engine NULL contract; oracles filter the same way).
+
+    Scale shape: ONE aggregation to depth×width counters with map-side
+    partial sums — the canonical mergeable frequency sketch; two
+    sketches merge by adding counters. The explode is ``depth`` narrow
+    rows per input row, all JVM."""
+    js = F.array(*[F.lit(j) for j in range(depth)])
     return (
-        df.select(F.col(key), F.explode(js).alias("__j"))
-        .select("__j", bucket.alias("__bucket"))
+        df.where(F.col(key).isNotNull())
+        .select(F.col(key), F.explode(js).alias("__j"))
+        .select("__j", _md5_mod(F.col(key), F.col("__j"), width).alias("__bucket"))
         .groupBy("__j", "__bucket")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -594,34 +618,20 @@ def cms_heavy_hitters(
     from reflex_spark.operators.relational import top_k
 
     sketch = cms_sketch(df, key, depth, width)
-    keys = df.select(F.col(key)).distinct()
+    nn = df.where(F.col(key).isNotNull())
+    keys = nn.select(F.col(key)).distinct()
     js = F.array(*[F.lit(j) for j in range(depth)])
     kb = keys.select(F.col(key), F.explode(js).alias("__j")).select(
         F.col(key),
         "__j",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.col("__j").cast("string"), F.col(key).cast("string")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % width
-        ).alias("__bucket"),
+        _md5_mod(F.col(key), F.col("__j"), width).alias("__bucket"),
     )
     est = (
         kb.join(F.broadcast(sketch), ["__j", "__bucket"])
         .groupBy(key)
         .agg(F.min("__c").alias("est_count"))
     )
-    truth = df.groupBy(key).agg(F.count(F.lit(1)).alias("true_count"))
+    truth = nn.groupBy(key).agg(F.count(F.lit(1)).alias("true_count"))
     joined = est.join(truth, key)
     return top_k(joined, k, F.col("est_count").desc(), F.col(key))
 
@@ -632,23 +642,13 @@ def bloom_bits(df: DataFrame, key: str, m_bits: int = 4096, k_hashes: int = 4) -
     md5-derived hashing as the CMS/HLL twins, so any engine replicates
     it. Two filters OR-merge by unioning their bit relations (distinct).
     The relation form (<= m_bits rows) broadcasts anywhere a bitmap
-    would; at m = 4096 that is at most 32 KB of longs."""
+    would; at m = 4096 that is at most 32 KB of longs. NULL keys are
+    excluded (the _md5_mod cross-engine NULL contract)."""
     js = F.array(*[F.lit(j) for j in range(k_hashes)])
-    bit = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col("__j").cast("string"), F.col(key).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
-    )
     return (
-        df.select(F.col(key), F.explode(js).alias("__j"))
-        .select(bit.alias("__bit"))
+        df.where(F.col(key).isNotNull())
+        .select(F.col(key), F.explode(js).alias("__j"))
+        .select(_md5_mod(F.col(key), F.col("__j"), m_bits).alias("__bit"))
         .distinct()
     )
 
@@ -664,22 +664,13 @@ def bloom_probe(
     bits are ALL present in ``fbits`` (the possibly-member set — no false
     negatives, bounded false positives). The filter side broadcasts; the
     probe is one equi-join + count — the runtime-filter shape that prunes
-    a big scan before an expensive join."""
+    a big scan before an expensive join. NULL probe keys are excluded
+    (the _md5_mod cross-engine NULL contract)."""
     js = F.array(*[F.lit(j) for j in range(k_hashes)])
-    bit = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col("__j").cast("string"), F.col(key).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
-    )
-    pb = probes.select(F.col(key), F.explode(js).alias("__j")).select(
-        F.col(key), bit.alias("__bit")
+    pb = (
+        probes.where(F.col(key).isNotNull())
+        .select(F.col(key), F.explode(js).alias("__j"))
+        .select(F.col(key), _md5_mod(F.col(key), F.col("__j"), m_bits).alias("__bit"))
     )
     hits = (
         pb.join(F.broadcast(fbits), "__bit")

@@ -933,7 +933,23 @@ def pq_adc_topk(
         "__m", "__cid", "__q_id", sqdist(F.col("__cv"), F.col("__qv")).alias("__dm")
     )
     per_sub = codes.join(F.broadcast(lut), ["__m", "__cid"])
-    # fixed left-to-right add chain over subspace order: SQL-replicable
+    return _pq_adc_score(per_sub, id_col, m_subspaces, k, per_query)
+
+
+def _pq_adc_score(
+    per_sub: DataFrame, id_col: str, m_subspaces: int, k: int, per_query: bool
+) -> DataFrame:
+    """Shared ADC scoring tail for PQ and IVF-PQ: ``per_sub`` is
+    (id, __q_id, __m, __dm) candidate rows (one per candidate×subspace —
+    the plain-PQ code join or the IVF-PQ probed-list join). Collect in
+    subspace order and sum as a FIXED left-to-right add chain
+    (SQL-replicable — the bit-exactness contract both oracles mirror),
+    drop self-matches, round to 6, then rank: global TakeOrdered top-k,
+    or per-query row_number for recall evaluation. One definition so the
+    tie-break and rounding can never drift between the two index
+    shapes."""
+    from pyspark.sql import Window
+
     ordered = per_sub.groupBy(id_col, "__q_id").agg(
         F.array_sort(F.collect_list(F.struct("__m", "__dm"))).alias("__ds")
     )
@@ -1081,27 +1097,4 @@ def ivfpq_adc_topk(
     per_sub = codes.join(
         lists.select(id_col, "ivf_list"), id_col
     ).join(F.broadcast(lut), ["ivf_list", "__m", "__cid"])
-    ordered = per_sub.groupBy(id_col, "__q_id").agg(
-        F.array_sort(F.collect_list(F.struct("__m", "__dm"))).alias("__ds")
-    )
-    approx = F.col("__ds")[0]["__dm"]
-    for m in range(1, m_subspaces):
-        approx = approx + F.col("__ds")[m]["__dm"]
-    scored = ordered.where(F.col(id_col) != F.col("__q_id")).select(
-        "__q_id", id_col, F.round(approx, 6).alias("approx_dist")
-    )
-    if per_query:
-        w2 = Window.partitionBy("__q_id").orderBy(
-            F.col("approx_dist").asc(), F.col(id_col)
-        )
-        return (
-            scored.withColumn("__r2", F.row_number().over(w2))
-            .where(F.col("__r2") <= k)
-            .select("__q_id", id_col, "approx_dist")
-        )
-    return top_k(
-        scored.select(id_col, "approx_dist"),
-        k,
-        F.col("approx_dist").asc(),
-        F.col(id_col),
-    )
+    return _pq_adc_score(per_sub, id_col, m_subspaces, k, per_query)

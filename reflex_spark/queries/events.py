@@ -850,14 +850,15 @@ def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
     # point estimates, top-10 by estimate. depth=4, width=256.
     oracle="""
     WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
     cnt AS (
       SELECT j,
              CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
                                        || CAST(user_id AS VARCHAR)), 1, 15))
                   AS BIGINT) % 256 AS bucket,
              CAST(COUNT(*) AS BIGINT) AS c
-      FROM events, js GROUP BY 1, 2),
-    keys AS (SELECT DISTINCT user_id FROM events),
+      FROM ev, js GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT user_id FROM ev),
     kb AS (
       SELECT user_id, j,
              CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
@@ -869,7 +870,7 @@ def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
       FROM kb JOIN cnt c ON c.j = kb.j AND c.bucket = kb.bucket
       GROUP BY kb.user_id),
     truth AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
-              FROM events GROUP BY user_id)
+              FROM ev GROUP BY user_id)
     SELECT e.user_id, e.est_count, t.true_count
     FROM est e JOIN truth t USING (user_id)
     ORDER BY e.est_count DESC, e.user_id

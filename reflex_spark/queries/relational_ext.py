@@ -397,14 +397,16 @@ def nation_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # false-positive set the m/k choice admits.
     oracle="""
     WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders
-                     WHERE o_orderpriority = '1-URGENT'),
+                     WHERE o_orderpriority = '1-URGENT'
+                       AND o_custkey IS NOT NULL),
     js AS (SELECT unnest(generate_series(0, 3)) AS j),
     fbits AS (
       SELECT DISTINCT CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
                                                || CAST(k AS VARCHAR)), 1, 15))
                            AS BIGINT) % 4096 AS bit
       FROM members, js),
-    probes AS (SELECT c_custkey AS k FROM customer),
+    probes AS (SELECT c_custkey AS k FROM customer
+               WHERE c_custkey IS NOT NULL),
     pb AS (
       SELECT k, j,
              CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
@@ -439,12 +441,14 @@ def bloom_filter_customer_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     members = (
         t["orders"]
-        .where(F.col("o_orderpriority") == "1-URGENT")
+        .where((F.col("o_orderpriority") == "1-URGENT") & F.col("o_custkey").isNotNull())
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     )
     fbits = bloom_bits(members, "k", m_bits=4096, k_hashes=4)
-    probes = t["customer"].select(F.col("c_custkey").alias("k"))
+    probes = t["customer"].where(F.col("c_custkey").isNotNull()).select(
+        F.col("c_custkey").alias("k")
+    )
     pos = bloom_probe(probes, fbits, "k", m_bits=4096, k_hashes=4)
     fp = pos.join(members, "k", "left_anti")
     return (

@@ -449,7 +449,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared CTE body: shingle-histogram render -> dHash -> pigeonhole
-# blocking -> verified Hamming pairs (<= 8). Used by dedup_images_phash
+# blocking (8 two-hex blocks; complete for d <= 7 by pigeonhole) ->
+# verified Hamming pairs (<= 7). Used by dedup_images_phash
 # and the cluster composition below.
 _SQL_PHASH_PAIRS = """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh0 AS (
@@ -478,8 +479,8 @@ _SQL_PHASH_PAIRS = """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM doc
            FROM bits GROUP BY doc_id),
     sig AS (SELECT doc_id, f, lpad(to_hex(f), 16, '0') AS sh FROM fp),
     blocks AS (
-      SELECT doc_id, f, i AS block_idx, substr(sh, 1 + 4 * i, 4) AS block_key
-      FROM sig, generate_series(0, 3) AS g(i)),
+      SELECT doc_id, f, i AS block_idx, substr(sh, 1 + 2 * i, 2) AS block_key
+      FROM sig, generate_series(0, 7) AS g(i)),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
       FROM blocks a
@@ -487,7 +488,7 @@ _SQL_PHASH_PAIRS = """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM doc
                    AND a.doc_id < b.doc_id),
     ppairs AS (
       SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
-      FROM cand WHERE bit_count(xor(fa, fb)) <= 8)"""
+      FROM cand WHERE bit_count(xor(fa, fb)) <= 7)"""
 
 
 @query(
@@ -511,8 +512,10 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup stack finally meet), the REAL from-scratch PNG codec round-trips
     the pixels executor-side, dHash fingerprints come from the DECODED
     pixels (image_dhash_signatures), and pairs form via the shared
-    Hamming pigeonhole blocking (hamming_blocked_pairs) with exact
-    popcount verify at distance <= 8.
+    Hamming pigeonhole blocking (hamming_blocked_pairs, 8 two-hex
+    blocks) with exact popcount verify at distance <= 7 — a
+    GUARANTEED-complete contract (pigeonhole: d < n_blocks), not an
+    approximate one.
 
     Scale: one narrow shuffle for bucket counts, one Arrow stage over
     constant-size (66-byte) images, the blocking equi-join — no all-pairs
@@ -527,7 +530,7 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     images = render_shingle_images(docs, "doc_id", "text")
     sig = image_dhash_signatures(images, "doc_id", "payload")
-    return hamming_blocked_pairs(sig, "doc_id", "sh", max_distance=8)
+    return hamming_blocked_pairs(sig, "doc_id", "sh", max_distance=7, n_blocks=8)
 
 
 @query(
@@ -569,9 +572,9 @@ def dedup_images_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     images = render_shingle_images(docs, "doc_id", "text")
     sig = image_dhash_signatures(images, "doc_id", "payload")
-    pairs = hamming_blocked_pairs(sig, "doc_id", "sh", max_distance=8).select(
-        "id_a", "id_b"
-    )
+    pairs = hamming_blocked_pairs(
+        sig, "doc_id", "sh", max_distance=7, n_blocks=8
+    ).select("id_a", "id_b")
     cc, _rounds = connected_components_star(pairs)
     return cc.where(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id"), F.col("label").alias("keep_id")
