@@ -489,3 +489,46 @@ def test_cms_one_sided_bound_and_merge(spark):
             key = (r["__j"], r["__bucket"])
             merged[key] = merged.get(key, 0) + r["__c"]
     assert merged == whole
+
+
+def test_hamming_blocked_pairs_complete_below_block_bound(spark):
+    """The pigeonhole completeness contract, tested against brute force:
+    with n_blocks=8 (two-hex blocks), hamming_blocked_pairs must find
+    EVERY pair at distance <= 7 — including adversarial signatures whose
+    differing bits are spread one-per-block (exactly the pairs the old
+    4-block configuration missed). With n_blocks=4 the same adversarial
+    pair at d=4 must be documented-missing (approximate mode)."""
+    from reflex_spark.operators.dedup import hamming_blocked_pairs
+
+    # base signature + perturbations: flip bits spread across different
+    # 8-bit block positions so low-block-locality distances are covered
+    base = 0x0123456789ABCDEF & ((1 << 60) - 1)
+    flips = [
+        0,  # identical -> d=0
+        1 << 3,  # d=1
+        (1 << 3) | (1 << 19),  # d=2, two blocks
+        (1 << 3) | (1 << 19) | (1 << 35) | (1 << 51),  # d=4, FOUR blocks
+        (1 << 1) | (1 << 9) | (1 << 17) | (1 << 25) | (1 << 33) | (1 << 41) | (1 << 49),  # d=7, seven blocks
+        (1 << 0) | (1 << 8) | (1 << 16) | (1 << 24) | (1 << 32) | (1 << 40) | (1 << 48) | (1 << 56),  # d=8 (above bound)
+    ]
+    rows = [(i, format(base ^ f, "016x")) for i, f in enumerate(flips)]
+    sig = spark.createDataFrame(rows, "doc_id long, sh string")
+
+    def pairs(n_blocks, max_d):
+        got = hamming_blocked_pairs(sig, "doc_id", "sh", max_distance=max_d, n_blocks=n_blocks)
+        return {(r["id_a"], r["id_b"]): r["hamming"] for r in got.collect()}
+
+    # brute-force truth at d <= 7
+    truth = {}
+    for i in range(len(flips)):
+        for j in range(i + 1, len(flips)):
+            d = bin((base ^ flips[i]) ^ (base ^ flips[j])).count("1")
+            if d <= 7:
+                truth[(i, j)] = d
+    assert pairs(8, 7) == truth  # complete below the block bound
+    # the adversarial d=4 pair (rows 0 and 3: bits in all four 4-hex
+    # blocks) is invisible to 4-block blocking — the documented
+    # approximate mode
+    four = pairs(4, 7)
+    assert (0, 3) not in four
+    assert (0, 3) in truth
