@@ -747,6 +747,43 @@ def hll_estimate(
     return hll_estimate_from_registers(hll_registers(df, key, p), p)
 
 
+def hll_estimate_by_shard(
+    regs: DataFrame, p: int = 10, shard_col: str = "__day"
+) -> DataFrame:
+    """Per-shard HLL estimates over a (shard, __idx, __m) register frame
+    (``hll_registers(shard_col=...)``) — the hypertable-rollup read path:
+    one row per shard with (shard, n_zero_registers, hll_estimate), the
+    same exact integer register sum + fixed estimate formula as the
+    global tail, computed per group. Persist the register frame once and
+    this answers per-shard distincts; the max-merge answers any range."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    wbits = 60 - p
+    stats = regs.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("__n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {wbits} - __m)")).alias(
+            "__s_present"
+        ),
+    )
+    scale = float(1 << wbits)
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(m) - F.col("__n_present")).cast("long")
+        * F.lit(1 << wbits).cast("long")
+    ).cast("double")
+    e_raw = F.lit(alpha * m * m) / (s_total / F.lit(scale))
+    zeros = (F.lit(m) - F.col("__n_present")).cast("long")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return stats.select(
+        F.col(shard_col),
+        zeros.alias("n_zero_registers"),
+        F.round(est, 3).alias("hll_estimate"),
+    )
+
+
 def hll_estimate_from_registers(regs: DataFrame, p: int = 10) -> DataFrame:
     """The HLL estimation tail over a (__idx, __m) register frame — split
     from ``hll_estimate`` so MERGED sketches estimate through the same

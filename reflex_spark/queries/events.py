@@ -844,6 +844,67 @@ def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "events_hll_daily_series",
+    # The rollup READ path of the sharded sketch: per-day register
+    # frames -> per-day estimates (same exact integer register sum +
+    # estimate formula, grouped by day). With events_hll_merged_daily
+    # covering the max-merge, the stored per-day registers answer both
+    # per-day and any-range distinct counts.
+    oracle="""
+    WITH h AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events),
+    rw AS (
+      SELECT day, hv >> 50 AS idx, hv & ((1::BIGINT << 50) - 1) AS w FROM h),
+    regs AS (
+      SELECT day, idx,
+             MAX(CASE WHEN w = 0 THEN 50
+                      ELSE strpos(lpad(bin(w), 50, '0'), '1') END) AS m
+      FROM rw GROUP BY day, idx),
+    stats AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS n_present,
+             CAST(SUM(1::BIGINT << (50 - m)) AS BIGINT) AS s_present
+      FROM regs GROUP BY day),
+    est AS (
+      SELECT day, n_present,
+             1024 - n_present AS zeros,
+             (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                + CAST(1.079 AS DOUBLE) / 1024)) * 1024 * 1024
+               / (CAST(s_present + (1024 - n_present) * (1::BIGINT << 50)
+                       AS DOUBLE)
+                  / CAST(1::BIGINT << 50 AS DOUBLE)) AS e_raw
+      FROM stats)
+    SELECT day,
+           CAST(zeros AS BIGINT) AS n_zero_registers,
+           round(CASE WHEN e_raw <= 2.5 * 1024 AND zeros > 0
+                      THEN CAST(1024 AS DOUBLE)
+                           * ln(CAST(1024 AS DOUBLE) / CAST(zeros AS DOUBLE))
+                      ELSE e_raw END, 3) AS hll_estimate
+    FROM est
+    """,
+)
+def events_hll_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user estimates from the SAME stored register
+    shards that events_hll_merged_daily max-merges — the hypertable
+    rollup read path: one register frame persists per day (1024 rows),
+    per-day estimates come from a grouped run of the exact estimate
+    tail (hll_estimate_by_shard), and any date range is one max-merge
+    away. Every per-day ESTIMATE is hash-checked (the full day ×
+    register × formula chain replicated in DuckDB)."""
+    from reflex_spark.operators.dedup import hll_estimate_by_shard, hll_registers
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    shards = hll_registers(ev, "user_id", p=10, shard_col="day")
+    return hll_estimate_by_shard(shards, p=10, shard_col="day")
+
+
+@query(
     "events_cms_heavy_hitters",
     # Count-Min sketch, FULLY oracle-replicated like the HLL twin:
     # md5-derived row hashes, depth×width integer counters, min-over-rows
