@@ -177,3 +177,120 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    # Local clustering coefficient over the 5-minute co-occurrence graph
+    # (integer epoch-millis // 300000 bucketing — DuckDB's epoch() is a
+    # DOUBLE whose ::BIGINT cast ROUNDS while Spark truncates, so the
+    # integer-milliseconds form is the engine-identical one — and a
+    # cell width that keeps the graph non-empty at sf0.001 without the
+    # hour-cell SF^2 blowup). Oracle counts per-node triangles from the
+    # canonical u<v<w form; cc = 2T / (d(d-1)) is one IEEE division.
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT event_type,
+             epoch_ms(CAST(ts AS TIMESTAMP)) // 300000 AS h,
+             user_id
+      FROM events),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM m a JOIN m b ON a.event_type = b.event_type AND a.h = b.h
+      WHERE a.user_id < b.user_id),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    tn AS (SELECT u AS node FROM tri
+           UNION ALL SELECT v FROM tri
+           UNION ALL SELECT w FROM tri),
+    tcount AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+               FROM tn GROUP BY node),
+    degs AS (SELECT node, COUNT(*) AS deg FROM
+             (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+             GROUP BY node)
+    SELECT d.node, CAST(d.deg AS BIGINT) AS degree,
+           COALESCE(t.n_tri, 0) AS n_tri,
+           round(CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS cc
+    FROM degs d LEFT JOIN tcount t USING (node)
+    WHERE d.deg >= 2
+    ORDER BY cc DESC, d.node LIMIT 10
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient — how tightly each user's co-occurrence
+    neighborhood closes: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), top-10
+    nodes (ties by id) among deg >= 2. Triangles come from the SAME
+    degree-ordered wedge join as graph_triangle_count (Schank & Wagner
+    2005 orientation — O(sqrt m) wedge lists kill hub skew), with each
+    found triangle attributed to its three nodes by one explode; the
+    oracle recounts per-node triangles from the canonical u<v<w form.
+    The 5-minute cell (epoch-millis div 300000 — integer in both
+    engines; DuckDB's epoch() double would ROUND where Spark truncates)
+    keeps the
+    graph non-empty at sf0.001 where the minute cell of the triangle
+    query is all-isolated. One extra shuffle over the triangle plan
+    (the per-node attribution groupBy); cc itself is one IEEE division."""
+    from reflex_spark.operators.relational import top_k
+
+    ev = load_tables(spark, sf_dir)["events"]
+    m = ev.select(
+        "event_type",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 300000").alias("h"),
+        "user_id",
+    ).distinct()
+    b = m.select("event_type", "h", F.col("user_id").alias("v_id"))
+    edges = (
+        m.join(b, ["event_type", "h"])
+        .where(F.col("user_id") < F.col("v_id"))
+        .select(F.col("user_id").alias("u"), F.col("v_id").alias("v"))
+        .distinct()
+        .localCheckpoint()  # reused by degrees, orientation and closing join
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").where(F.col("x") != F.col("z"))
+    closing = oriented.select(
+        F.col("a").alias("cx"), F.col("b").alias("cz")
+    ).unionByName(oriented.select(F.col("b").alias("cx"), F.col("a").alias("cz")))
+    tris = wedges.join(
+        closing, (F.col("x") == F.col("cx")) & (F.col("z") == F.col("cz"))
+    ).select("x", "y", "z")
+    tcount = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    cc = (
+        deg.where(F.col("deg") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.round(
+                (F.lit(2) * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                6,
+            ).alias("cc"),
+        )
+    )
+    return top_k(cc, 10, F.col("cc").desc(), F.col("node"))
