@@ -358,7 +358,15 @@ def hamming_blocked_pairs(
     if 16 % n_blocks:
         raise ValueError(f"n_blocks must divide 16, got {n_blocks}")
     w = 16 // n_blocks
-    sig = sig.select(F.col(id_col), F.col(sh_col).alias("sh")).cache()
+    # No .cache() here: an unmanaged cache of the O(corpus) signature
+    # relation would pin executor storage for the session lifetime on
+    # every call. At scale the self-join's a/b sides are canonically
+    # identical shuffle subtrees that ReuseExchange dedupes; only when
+    # AQE broadcasts one side (fixture scale) is the signature computed
+    # twice — cheap exactly then. Callers who precompute expensive
+    # signatures should materialize them (write/localCheckpoint) before
+    # calling.
+    sig = sig.select(F.col(id_col), F.col(sh_col).alias("sh"))
     blocks = sig.select(
         F.col(id_col),
         "sh",
@@ -670,12 +678,21 @@ def bloom_probe(
     pb = (
         probes.where(F.col(key).isNotNull())
         .select(F.col(key), F.explode(js).alias("__j"))
-        .select(F.col(key), _md5_mod(F.col(key), F.col("__j"), m_bits).alias("__bit"))
+        .select(
+            F.col(key),
+            F.col("__j"),
+            _md5_mod(F.col(key), F.col("__j"), m_bits).alias("__bit"),
+        )
     )
+    # Count DISTINCT hash indices that hit, not joined rows: a probe key
+    # appearing N>1 times (or two indices colliding onto one bit) must
+    # still count as exactly k_hashes hits — row counts would yield
+    # N*k_hashes and drop the key, a false negative breaking the Bloom
+    # contract.
     hits = (
         pb.join(F.broadcast(fbits), "__bit")
         .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("__nbits"))
+        .agg(F.countDistinct("__j").alias("__nbits"))
     )
     return hits.where(F.col("__nbits") == k_hashes).select(key)
 

@@ -683,8 +683,6 @@ def _synth_wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg a JOIN fmax f USING (doc_id)
     """,
 )
-
-
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction through the REAL WAV codec (VERDICT r6
     next #3 — the second multimodal modality judged end-to-end): every

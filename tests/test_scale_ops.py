@@ -491,6 +491,25 @@ def test_cms_one_sided_bound_and_merge(spark):
     assert merged == whole
 
 
+def test_bloom_probe_no_false_negatives_with_duplicate_probes(spark):
+    """Bloom 'no false negatives' contract must survive duplicate probe
+    keys: probing [1, 1, 2, 99] against a filter built from {1, 2} must
+    return {1, 2} — the row-count formulation (N occurrences * k_hashes
+    joined rows != k_hashes) silently dropped duplicated members."""
+    from pyspark.sql import functions as F
+
+    from reflex_spark.operators.dedup import bloom_bits, bloom_probe
+
+    members = spark.createDataFrame([(1,), (2,)], ["k"])
+    probes = spark.createDataFrame([(1,), (1,), (2,), (99,)], ["k"])
+    fbits = bloom_bits(members, "k", m_bits=4096, k_hashes=4)
+    got = {r["k"] for r in bloom_probe(probes, fbits, "k", m_bits=4096, k_hashes=4).collect()}
+    # no false negatives: every true member that was probed must survive
+    assert {1, 2} <= got
+    # tiny filter, 4096 bits: 99 should not collide into membership
+    assert got == {1, 2}
+
+
 def test_hamming_blocked_pairs_complete_below_block_bound(spark):
     """The pigeonhole completeness contract, tested against brute force:
     with n_blocks=8 (two-hex blocks), hamming_blocked_pairs must find
