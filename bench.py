@@ -132,6 +132,9 @@ HEADLINE = [
     # round 7: the WAV codec + integer DSP inside an Arrow stage — the
     # audio-modality cost shape (encode/decode round-trip per row)
     "multimodal_audio_stats",
+    # round 8: SemDeDup cluster-scoped embedding dedup — the k-means fit
+    # + list-id equi-join candidate stage replacing the O(n²) GEMM path
+    "dedup_semantic_clusters",
 ]
 
 

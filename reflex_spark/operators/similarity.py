@@ -1098,3 +1098,80 @@ def ivfpq_adc_topk(
         lists.select(id_col, "ivf_list"), id_col
     ).join(F.broadcast(lut), ["ivf_list", "__m", "__cid"])
     return _pq_adc_score(per_sub, id_col, m_subspaces, k, per_query)
+
+
+def ivf_assign_exact(
+    embeddings: DataFrame,
+    cent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid from
+    ``kmeans_centroids_exact`` — argmin over ``sqdist`` with ties to the
+    lower centroid id, the exact assignment rule the fit itself uses (so
+    any SQL engine replays it). One keyless join against the broadcast
+    n_lists-row centroid table (the bounded BroadcastNestedLoopJoin shape
+    every IVF-family query here pins) + a per-vector window argmin.
+    Returns (id_col, vec_col, __cid)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__d", "__cid")
+    return (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(cent))
+        .withColumn("__d", sqdist(F.col(vec_col), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(id_col, vec_col, "__cid")
+    )
+
+
+def cluster_scoped_cosine_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style candidate generation (Abbas et al. 2023): dup pairs
+    are considered ONLY within a k-means list — the composition that
+    replaces the O(n²)-FLOPs blocked-GEMM pair scan with one equi-join
+    keyed by the list id. ``assigned`` is ``ivf_assign_exact`` output.
+
+    Scale shape: the candidate join shuffles on ``__cid`` (both sides
+    identical subtrees → one ReuseExchange'd shuffle), so total FLOPs are
+    Σ_lists |list|² instead of n² — with balanced lists an n_lists-fold
+    reduction, and the per-task working set is one list, not the corpus.
+    Per-row norms are precomputed (n sqrt-dots, not n²); the per-pair
+    cosine is then ONE dot + one divide, bit-identical to the inline
+    ``sql_cosine`` form the oracle uses (same fold, same rounding).
+
+    Recall contract, stated honestly: this IS SemDeDup's semantics — a
+    pair split across two lists is out of contract BY DESIGN (the point
+    of the method), not an approximation bug; recall vs the full O(n²)
+    scan depends entirely on how well the quantizer localizes near-dups.
+    Returns (__cid, id_a, id_b, cos_sim >= threshold)."""
+    a = assigned.select(
+        "__cid",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = assigned.select(
+        "__cid",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        a.join(b, "__cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "__cid",
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

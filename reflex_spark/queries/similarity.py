@@ -1201,3 +1201,79 @@ def sim_ann_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k",
         )
     )
+
+
+@query(
+    "dedup_semantic_clusters",
+    # SemDeDup at corpus scale: cluster the embedding space with the
+    # oracle-exact k-means fit (the SAME 16-list/2-iter fit
+    # sample_cluster_balanced judges), consider dup pairs ONLY within a
+    # list, exact-cosine verify, keep-min-id. The whole composition —
+    # fit, assignment, list-scoped pairs, survivors — unrolls in SQL.
+    oracle=f"""
+    WITH {_CB_CTES},
+    cent AS (SELECT cid, cv FROM {_CB_FINAL}),
+    assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {sql_sqdist("e.embedding", "c.cv")}, c.cid) AS rnk
+        FROM embeddings e, cent c)
+      WHERE rnk = 1),
+    dup AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.4)
+    SELECT a.cid, a.vec_id, e.label
+    FROM assigned a
+    JOIN embeddings e ON a.vec_id = e.vec_id
+    LEFT JOIN dup ON a.vec_id = dup.dup_id
+    WHERE dup.dup_id IS NULL
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup the way it survives 100 TB —
+    SemDeDup-style cluster-scoped near-dup removal (Abbas et al. 2023),
+    replacing the O(n²)-FLOPs blocked-GEMM pair scan that
+    ``dedup_embedding_cosine`` uses as its judged verify-path:
+
+    1. fit 16 coarse centroids with ``kmeans_centroids_exact`` (every
+       step decimal-sum/argmin parity-proven, so DuckDB unrolls the fit);
+    2. assign each vector to its nearest list (broadcast centroids +
+       window argmin — the bounded BNLJ shape);
+    3. generate candidate pairs ONLY within a list: ONE equi-join
+       shuffling on the list id (at the fixture SF this cuts candidate
+       pairs 124,750 → ~7,800, a 16× reduction; at scale FLOPs drop from
+       n² to Σ|list|² and no task ever holds more than one list);
+    4. exact-cosine verify at >= 0.4 (same threshold as the quadratic
+       twin), keep-min-id within each list.
+
+    Survivors (cid, vec_id, label). A pair split across two lists is out
+    of contract BY DESIGN — that is SemDeDup's semantics, and the oracle
+    replays the identical blocking, fit and tie-breaks, so the judged
+    hash pins the whole composition. Reference parity: the reflex engine
+    has no embedding ops; this is LLM-pipeline surface built on the
+    repo's proven ANN primitives (reference: rsql/query.go operators are
+    relational-only)."""
+    from reflex_spark.operators.similarity import (
+        cluster_scoped_cosine_pairs,
+        ivf_assign_exact,
+        kmeans_centroids_exact,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cent = kmeans_centroids_exact(emb, n_lists=16, iters=2)
+    assigned = ivf_assign_exact(emb, cent)
+    dup_ids = (
+        cluster_scoped_cosine_pairs(assigned, threshold=0.4)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_ids, assigned["vec_id"] == dup_ids["dup_id"], "left_anti"
+        )
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select(F.col("__cid").alias("cid"), "vec_id", "label")
+    )

@@ -263,3 +263,21 @@ def test_image_phash_python_confined_to_arrow_stages(spark):
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_semantic_dedup_no_gemm_and_equi_join_blocking(spark):
+    """dedup_semantic_clusters must be the SemDeDup composition, not the
+    quadratic GEMM path: zero Python nodes (the blocked-GEMM kernel would
+    appear as MapInPandas), the candidate stage an equi-join keyed by the
+    list id, and the only nested-loop shapes the bounded keyless joins
+    against the 16-row broadcast centroid table (2 fit iterations + the
+    final assignment; formatted explain names each node twice)."""
+    plan = plan_of(spark, "dedup_semantic_clusters")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert plan.count("BroadcastNestedLoopJoin") <= 6
