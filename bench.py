@@ -135,6 +135,9 @@ HEADLINE = [
     # round 8: SemDeDup cluster-scoped embedding dedup — the k-means fit
     # + list-id equi-join candidate stage replacing the O(n²) GEMM path
     "dedup_semantic_clusters",
+    # round 8: MJPEG/AVI through three codec layers (JPEG encode, RIFF
+    # mux/demux, JPEG decode) — the container-video cost shape
+    "multimodal_video_stats",
 ]
 
 

@@ -7,9 +7,12 @@ from-scratch implementations of the three formats decodable without binary
 wheels: PNG bit-depth 8 in grayscale/RGB/RGBA (non-interlaced), JPEG in
 grayscale/YCbCr with arbitrary sampling factors — both baseline (SOF0,
 with restart markers) and progressive (SOF2: spectral selection +
-successive approximation, round 4) — and 16-bit PCM WAV. Anything else
-(arithmetic/hierarchical JPEG, MP3, video) raises NotImplementedError
-with the format named — the multimodal operators surface that per-payload.
+successive approximation, round 4) — 16-bit PCM WAV, and (round 8)
+MJPEG-in-AVI video: a full RIFF container walk over the existing JPEG
+codec (encode_avi_mjpeg/decode_avi_mjpeg). Anything else
+(arithmetic/hierarchical JPEG, MP3, non-MJPEG video codecs) raises
+NotImplementedError with the format named — the multimodal operators
+surface that per-payload.
 
 Perf posture (rounds 4-5, vectorized): PNG unfilter batches runs of
 None/Sub/Up rows through 2D uint8-wraparound cumsums (Sub is a per-channel
@@ -2348,3 +2351,169 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         wf.setframerate(sample_rate)
         wf.writeframes(s.tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG (RIFF container, Motion-JPEG video stream)
+#
+# From-scratch RIFF walk over the public AVI layout (the OpenDML/MSDN
+# 'RIFF AVI ' structure): LIST hdrl (avih + one LIST strl with
+# strh/strf), LIST movi with '00dc' compressed-frame chunks, and an idx1
+# index. Frames are baseline JPEGs handled by the encode_jpeg/decode_jpeg
+# pair above — this retires the "video" NotImplementedError gate for the
+# MJPEG/AVI case (container-format video over the existing JPEG decoder;
+# reference has no media stack — multimodal columns are LLM-pipeline
+# surface). Other video codecs still raise NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def _u32(v: int) -> bytes:
+    return int(v).to_bytes(4, "little")
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """JPEG frame bytes -> MJPEG-in-AVI container (deterministic).
+
+    Every frame must already be a baseline JPEG of the stated size; the
+    container stores them verbatim as '00dc' chunks (even-padded per
+    RIFF) with an idx1 keyframe index, so the decode side returns the
+    exact input bytes — the lossless-container contract the judged
+    multimodal queries rely on."""
+    for f in frames:
+        if not is_jpeg(f):
+            raise NotImplementedError("encode_avi_mjpeg takes JPEG frames only")
+    avih = b"avih" + _u32(56) + b"".join(
+        _u32(x)
+        for x in (
+            1_000_000 // fps,  # dwMicroSecPerFrame
+            0,  # dwMaxBytesPerSec
+            0,  # dwPaddingGranularity
+            0x10,  # AVIF_HASINDEX
+            len(frames),
+            0,  # dwInitialFrames
+            1,  # dwStreams
+            0,  # dwSuggestedBufferSize
+            width,
+            height,
+            0, 0, 0, 0,  # dwReserved
+        )
+    )
+    strh = (
+        b"strh" + _u32(56) + b"vids" + b"MJPG"
+        + b"".join(
+            _u32(x)
+            for x in (
+                0,  # dwFlags
+                0,  # wPriority + wLanguage
+                0,  # dwInitialFrames
+                1,  # dwScale
+                fps,  # dwRate
+                0,  # dwStart
+                len(frames),  # dwLength
+                0,  # dwSuggestedBufferSize
+                0xFFFFFFFF,  # dwQuality (-1 = default)
+                0,  # dwSampleSize (0 = varying)
+            )
+        )
+        + (0).to_bytes(2, "little") * 2  # rcFrame left, top
+        + int(width).to_bytes(2, "little")
+        + int(height).to_bytes(2, "little")
+    )
+    strf = b"strf" + _u32(40) + b"".join(
+        (
+            _u32(40),  # biSize
+            _u32(width),
+            _u32(height),
+            (1).to_bytes(2, "little"),  # biPlanes
+            (24).to_bytes(2, "little"),  # biBitCount
+            b"MJPG",  # biCompression
+            _u32(width * height * 3),  # biSizeImage
+            _u32(0), _u32(0), _u32(0), _u32(0),
+        )
+    )
+    strl = b"LIST" + _u32(4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + _u32(4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+
+    movi_body = bytearray(b"movi")
+    idx = bytearray(b"idx1")
+    offsets: list[tuple[int, int]] = []
+    for f in frames:
+        offsets.append((len(movi_body), len(f)))
+        movi_body += b"00dc" + _u32(len(f)) + f
+        if len(f) % 2:
+            movi_body += b"\x00"
+    movi = b"LIST" + _u32(len(movi_body)) + bytes(movi_body)
+    entries = bytearray()
+    for off, size in offsets:
+        # idx1 offsets are relative to the start of the 'movi' fourcc
+        entries += b"00dc" + _u32(0x10) + _u32(off) + _u32(size)
+    idx1 = b"idx1" + _u32(len(entries)) + bytes(entries)
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + _u32(len(body)) + body
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Walk sibling RIFF chunks in data[pos:end] -> (fourcc, payload_start,
+    payload_size). Chunks are even-aligned; truncation raises ValueError."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > end:
+            raise ValueError("truncated RIFF chunk")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size % 2)
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
+    """AVI bytes -> (width, height, [JPEG frame bytes]).
+
+    Full container walk (not a byte scan): verifies the RIFF/'AVI '
+    signature, reads avih for dimensions + declared frame count, checks
+    the stream is MJPG via strh, and collects '00dc' chunks from LIST
+    movi (including inside 'rec ' groups). Mismatched frame counts or a
+    non-MJPG stream raise; non-AVI input raises NotImplementedError."""
+    if not is_avi(data):
+        raise NotImplementedError("unsupported video format (MJPEG/AVI only)")
+    width = height = declared = None
+    handler_ok = False
+    frames: list[bytes] = []
+    for fourcc, p, size in _riff_chunks(data, 12, 8 + int.from_bytes(data[4:8], "little")):
+        if fourcc != b"LIST":
+            continue
+        list_type = data[p : p + 4]
+        if list_type == b"hdrl":
+            for cc2, p2, s2 in _riff_chunks(data, p + 4, p + size):
+                if cc2 == b"avih":
+                    declared = int.from_bytes(data[p2 + 16 : p2 + 20], "little")
+                    width = int.from_bytes(data[p2 + 32 : p2 + 36], "little")
+                    height = int.from_bytes(data[p2 + 36 : p2 + 40], "little")
+                elif cc2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    for cc3, p3, s3 in _riff_chunks(data, p2 + 4, p2 + s2):
+                        if cc3 == b"strh":
+                            if data[p3 : p3 + 4] == b"vids":
+                                if data[p3 + 4 : p3 + 8] != b"MJPG":
+                                    raise NotImplementedError(
+                                        "unsupported video codec (MJPG only)"
+                                    )
+                                handler_ok = True
+        elif list_type == b"movi":
+            stack = [(p + 4, p + size)]
+            while stack:
+                lo, hi = stack.pop()
+                for cc2, p2, s2 in _riff_chunks(data, lo, hi):
+                    if cc2 == b"LIST" and data[p2 : p2 + 4] == b"rec ":
+                        stack.append((p2 + 4, p2 + s2))
+                    elif cc2[2:4] in (b"dc", b"db"):
+                        frames.append(data[p2 : p2 + s2])
+    if width is None or not handler_ok:
+        raise ValueError("missing avih/strh headers")
+    if declared is not None and declared != len(frames):
+        raise ValueError(f"frame count mismatch: avih={declared} movi={len(frames)}")
+    return width, height, frames

@@ -9,7 +9,9 @@ the codecs for the three formats decodable without binary wheels: PNG
 (from-scratch zlib+numpy decoder/encoder), JPEG — baseline AND
 progressive since round 4 (from-scratch huffman + IDCT, spectral
 selection / successive approximation) — and 16-bit PCM WAV (stdlib wave);
-see functions/codecs.py. Unsupported formats (arithmetic JPEG, MP3, video)
+see functions/codecs.py — plus, since round 8, MJPEG-in-AVI video via a
+from-scratch RIFF container walk over the JPEG codec. Unsupported formats
+(arithmetic JPEG, MP3, non-MJPEG video codecs)
 raise NotImplementedError naming the format; `fake=True` substitutes the
 round-1 deterministic pseudo-codec so pipeline shape can be exercised
 with arbitrary bytes.
@@ -534,3 +536,70 @@ def decode_audio(
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, out_schema)
+
+
+def video_frame_stats(
+    videos: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-video integer frame statistics from DECODED MJPEG/AVI payloads
+    — the video-modality analysis pass: walk the RIFF container
+    (functions/codecs.decode_avi_mjpeg), JPEG-decode every frame with the
+    from-scratch baseline decoder, and emit exact integer features any
+    engine can replicate from the generating formula when the pixel
+    round-trip is lossless:
+
+    - n_frames, width, height (container metadata, cross-checked against
+      the decoded frames);
+    - pixel_total: Σ over all frames and pixels (int64 — 255·H·W·T ≪ 2⁶³);
+    - max_frame_sum: max per-frame pixel sum;
+    - delta_total: Σ_{t>0} Σ_px |p_t − p_{t−1}| — the inter-frame motion
+      mass, the scene-cut / static-content signal a video pipeline
+      samples frames by.
+
+    Arrow-batched mapInPandas like every codec stage here; one video per
+    row, frames decoded executor-side, nothing leaves the task but the
+    fixed-width feature row."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_frames int, width int, height int, "
+        "pixel_total long, max_frame_sum long, delta_total long"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from reflex_spark.functions.codecs import decode_avi_mjpeg, decode_jpeg
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                id_col, "n_frames", "width", "height",
+                "pixel_total", "max_frame_sum", "delta_total",
+            )}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, jpegs = decode_avi_mjpeg(bytes(payload))
+                arrs = []
+                for fb in jpegs:
+                    a = decode_jpeg(fb)
+                    if a.ndim == 3:
+                        a = a[:, :, 0]
+                    if a.shape != (h, w):
+                        raise ValueError(f"frame size {a.shape} != header {(h, w)}")
+                    arrs.append(a.astype(np.int64))
+                fsums = [int(a.sum()) for a in arrs]
+                delta = sum(
+                    int(np.abs(arrs[t] - arrs[t - 1]).sum())
+                    for t in range(1, len(arrs))
+                )
+                rows[id_col].append(did)
+                rows["n_frames"].append(len(arrs))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_total"].append(sum(fsums))
+                rows["max_frame_sum"].append(max(fsums) if fsums else 0)
+                rows["delta_total"].append(delta)
+            yield pd.DataFrame(rows)
+
+    return videos.select(id_col, payload_col).mapInPandas(stats, out_schema)

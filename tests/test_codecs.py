@@ -1185,3 +1185,75 @@ def test_pil_png_byte_identical():
     for img, png in _seam_pngs():
         assert np.array_equal(codecs._decode_png_pil(png), decode_png(png))
         assert np.array_equal(codecs._decode_png_pil(png), img)
+
+
+def test_avi_mjpeg_container_roundtrip_byte_identical():
+    """The RIFF/AVI mux-demux must return the EXACT input JPEG bytes
+    (the container is lossless by construction — '00dc' chunks store
+    frames verbatim, even-padded), and the header metadata must carry
+    dimensions + frame count."""
+    from reflex_spark.functions.codecs import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    # odd-length JPEG payloads exercise the RIFF even-padding rule
+    frames = [
+        encode_jpeg(np.full((16, 24), 17 * (i + 1), dtype=np.uint8), quality=75)
+        for i in range(5)
+    ]
+    avi = encode_avi_mjpeg(frames, 24, 16, fps=12)
+    w, h, out = decode_avi_mjpeg(avi)
+    assert (w, h) == (24, 16)
+    assert len(out) == 5
+    assert all(a == b for a, b in zip(frames, out))
+
+
+def test_avi_mjpeg_gates():
+    """Honest error gates: non-AVI input and non-MJPG streams raise
+    NotImplementedError; a corrupted frame count raises ValueError."""
+    import pytest
+
+    from reflex_spark.functions.codecs import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(NotImplementedError):
+        encode_avi_mjpeg([b"\x00not-a-jpeg"], 8, 8)
+    frames = [encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quality=75)]
+    avi = bytearray(encode_avi_mjpeg(frames, 8, 8))
+    idx = avi.find(b"MJPG")
+    avi[idx : idx + 4] = b"H264"
+    with pytest.raises(NotImplementedError):
+        decode_avi_mjpeg(bytes(avi))
+    avi2 = bytearray(encode_avi_mjpeg(frames, 8, 8))
+    j = avi2.find(b"avih") + 8 + 16  # dwTotalFrames
+    avi2[j] = 9
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(bytes(avi2))
+
+
+def test_jpeg_flat_block_roundtrip_exact_at_q75():
+    """The property multimodal_video_stats' judged contract rests on: a
+    frame of flat 8×8-aligned blocks round-trips BIT-EXACTLY through the
+    lossy baseline JPEG at quality 75 — AC coefficients of a flat block
+    are identically 0 and the DC (= 8·(v−128)) is divided exactly by the
+    Annex-K luma DC quantizer, which is 16·50/100 = 8 at that quality.
+    Checked across the full value range the judged formula emits."""
+    from reflex_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    for base in (13, 77, 141, 205, 241):
+        grid = np.array(
+            [[base, (base + 5) % 242], [(base + 10) % 242, (base + 15) % 242]],
+            dtype=np.uint8,
+        )
+        img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+        dec = decode_jpeg(encode_jpeg(img, quality=75))
+        if dec.ndim == 3:
+            dec = dec[:, :, 0]
+        assert np.array_equal(dec, img), base

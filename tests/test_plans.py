@@ -281,3 +281,13 @@ def test_semantic_dedup_no_gemm_and_equi_join_blocking(spark):
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert plan.count("BroadcastNestedLoopJoin") <= 6
+
+
+def test_video_stats_python_confined_to_arrow_stages(spark):
+    """multimodal_video_stats: frame synthesis is a JVM array expression;
+    the ONLY Python is the two Arrow codec stages (JPEG/AVI encode,
+    container walk + decode + integer features) — no row-at-a-time
+    BatchEvalPython, no joins at all on the Spark side."""
+    plan = plan_of(spark, "multimodal_video_stats")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") >= 2
