@@ -138,6 +138,10 @@ HEADLINE = [
     # round 8: MJPEG/AVI through three codec layers (JPEG encode, RIFF
     # mux/demux, JPEG decode) — the container-video cost shape
     "multimodal_video_stats",
+    # round 8: iterative distributed BPE training — 8 dependent
+    # shuffle+argmax rounds over the word table, a loop cost shape
+    # (per-iteration plan build + TakeOrdered) not timed elsewhere
+    "text_bpe_train_merges",
 ]
 
 

@@ -303,3 +303,83 @@ def span_boilerplate(
             )
         ).alias("retained_md5"),
     )
+
+
+def bpe_train_merges(df, text_col: str = "text", n_merges: int = 8):
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016
+    learn_bpe): iteratively pick the most frequent adjacent symbol pair
+    (weighted by word frequency, ties to the lexicographically smaller
+    pair) and merge it everywhere, ``n_merges`` times. Returns the merge
+    table (step, left_sym, right_sym, merged, pair_count) — the
+    deterministic training artifact a tokenizer ships.
+
+    100 TB shape: the corpus is touched ONCE to build the (word, freq)
+    table — one map-side-combinable shuffle; every iteration then runs
+    on the distinct-word table only (vocabulary ≪ corpus), as one
+    pair-explode + partial-aggregated groupBy, an argmax via
+    TakeOrdered(1), and a broadcast 1-row join applying the merge. No
+    driver collect anywhere; ``localCheckpoint`` keeps the iterative
+    lineage flat (the k-means recipe).
+
+    Cross-engine parity trick: a word's symbol sequence is kept as the
+    wrapped string ``(s1)(s2)...`` — the merge step is then a plain
+    ``replace(w, '(a)(b)', '(ab)')``, and leftmost non-overlapping
+    string replacement (identical semantics in Spark and any SQL
+    engine) IS BPE's left-to-right non-overlapping merge rule, so e.g.
+    [a,a,a] + pair (a,a) -> [aa, a] in both. Symbols are drawn from
+    ``[a-z]+`` words, so '(' ')' never appear inside a symbol. Pair
+    stats are over symbol STRINGS — exactly learn_bpe's formulation."""
+    words = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    r = words.select(
+        F.regexp_replace("word", "(.)", r"($1)").alias("w"), "freq"
+    ).localCheckpoint(eager=False)
+    merge_rows = []
+    for i in range(1, n_merges + 1):
+        syms = F.split(F.expr("substring(w, 2, length(w) - 2)"), r"\)\(")
+        s = r.select("freq", syms.alias("syms")).where(F.size("syms") >= 2)
+        pairs = s.select(
+            "freq",
+            "syms",
+            F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("j"),
+        ).select(
+            F.element_at("syms", F.col("j")).alias("a"),
+            F.element_at("syms", F.col("j") + 1).alias("b"),
+            "freq",
+        )
+        counts = pairs.groupBy("a", "b").agg(F.sum("freq").alias("cnt"))
+        m = (
+            counts.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .select(F.lit(i).alias("step"), "a", "b", "cnt")
+            .localCheckpoint()
+        )
+        merge_rows.append(m)
+        r = (
+            r.crossJoin(F.broadcast(m.select("a", "b")))
+            .select(
+                F.expr(
+                    "replace(w, concat('(', a, ')(', b, ')'),"
+                    " concat('(', a, b, ')'))"
+                ).alias("w"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        F.col("step").cast("int").alias("step"),
+        F.col("a").alias("left_sym"),
+        F.col("b").alias("right_sym"),
+        F.concat("a", "b").alias("merged"),
+        F.col("cnt").cast("long").alias("pair_count"),
+    )

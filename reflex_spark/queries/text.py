@@ -1320,3 +1320,64 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reflex_spark.operators.multimodal import video_frame_stats
 
     return video_frame_stats(videos)
+
+
+def _sql_bpe_ctes(n_merges: int) -> str:
+    """DuckDB CTE chain replicating bpe_train_merges step for step: the
+    same (word, freq) table, the same wrapped-string representation, the
+    same leftmost-non-overlapping replace() merge, the same
+    (cnt DESC, a, b) argmax — so the whole iterative fit unrolls exactly
+    (the kmeans/PageRank unrolled-fixpoint oracle pattern)."""
+    parts = [
+        r"""w0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents) GROUP BY word),
+    r0 AS (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS w, freq FROM w0)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""s{i} AS (
+      SELECT w, freq,
+             string_split(substr(w, 2, length(w) - 2), ')(') AS syms
+      FROM r{i-1}),
+    p{i} AS (
+      SELECT syms[j] AS a, syms[j + 1] AS b, SUM(freq) AS cnt
+      FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS j
+            FROM s{i} WHERE len(syms) >= 2)
+      GROUP BY a, b),
+    m{i} AS (SELECT {i} AS step, a, b, cnt FROM p{i}
+             ORDER BY cnt DESC, a, b LIMIT 1),
+    r{i} AS (
+      SELECT replace(w, '(' || m.a || ')(' || m.b || ')',
+                     '(' || m.a || m.b || ')') AS w, freq
+      FROM r{i-1}, m{i} m)""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(step AS INTEGER) AS step, a AS left_sym, b AS right_sym,
+           a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
+    FROM ({union})"""
+    )
+
+
+@query("text_bpe_train_merges", oracle=_sql_bpe_ctes(8))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE tokenizer TRAINING as a judged distributed loop
+    (VERDICT r7 next #3): 8 iterations of most-frequent-pair selection +
+    merge over the documents word table, returning the merge table a
+    tokenizer ships (step, left_sym, right_sym, merged, pair_count) —
+    the fit itself, complementing text_bpe_token_stats' fixed
+    pre-tokenizer APPLICATION. Deterministic integer counting with a
+    lexicographic tie-break; the wrapped-string representation makes the
+    merge a plain replace() both engines execute identically, so DuckDB
+    unrolls the entire fit (see operators/text.py::bpe_train_merges for
+    the 100 TB shape: corpus read once into (word, freq); iterations
+    touch only the vocabulary)."""
+    from reflex_spark.operators.text import bpe_train_merges
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bpe_train_merges(docs, "text", n_merges=8)

@@ -551,3 +551,47 @@ def test_hamming_blocked_pairs_complete_below_block_bound(spark):
     four = pairs(4, 7)
     assert (0, 3) not in four
     assert (0, 3) in truth
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """bpe_train_merges must replicate learn_bpe-style training exactly,
+    including the left-to-right NON-OVERLAPPING merge rule ('aaa' with
+    pair (a,a) -> [aa, a], one merge not two) and the (count DESC, pair
+    ASC) tie-break — checked against a pure-Python reference on a corpus
+    chosen to exercise both."""
+    from reflex_spark.operators.text import bpe_train_merges
+
+    texts = ["aaa aaa banana", "banana band", "aaa band banana"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+
+    # pure-Python reference (Sennrich learn_bpe over string symbols)
+    import re
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in re.findall(r"[a-z]+", t.lower()))
+    vocab = {w: list(w) for w in words}
+    expected = []
+    for step in range(1, 5):
+        stats: Counter = Counter()
+        for w, freq in words.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += freq
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, a, b, a + b, cnt))
+        for w in vocab:
+            s, out, i = vocab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(df, "text", n_merges=4).orderBy("step").collect()
+    ]
+    assert got == expected, (got, expected)
