@@ -197,3 +197,90 @@ def test_round6_queries_invariant_to_partitioning(spark):
             assert alt == base[n] and base[n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+@pytest.mark.slow
+def test_rocksdb_state_store_bounded_heap_under_load(tmp_path):
+    """The RocksDB posture proven UNDER LOAD, not just parity (VERDICT r7
+    next #4): a 4M-key streaming aggregation in a fresh capped JVM
+    (--driver-memory 600m, local mode so executors share it).
+
+    - RocksDB provider: must COMPLETE, with numRowsTotal == 4M — state
+      lives off-heap/on-disk, so the heap cap holds regardless of key
+      count (the 100 TB contract).
+    - HDFS-backed provider: same job under the same cap must either die
+      of java.lang.OutOfMemoryError (what happens on this box — state is
+      O(keys) JVM objects; 1M keys already report ~167 MB on-heap) or,
+      if it survives, report state memory near the cap. Either outcome
+      pins WHY the default provider is wrong at scale.
+
+    Fresh subprocesses because driver memory is a JVM-launch option; the
+    probe script mirrors streaming/statestore.py's conf seam. Measured
+    numbers recorded in SCALE_NOTES §13."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import json, sys
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+        sys.path.insert(0, %r)
+        from reflex_spark.streaming.statestore import state_store_conf
+        provider, n_keys, src, ckpt = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+        b = (SparkSession.builder.master("local[4]")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "8"))
+        for k, v in state_store_conf(provider).items():
+            b = b.config(k, v)
+        spark = b.getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(n_keys).select(F.col("id").alias("k")).write.mode("overwrite").parquet(src)
+        sdf = spark.readStream.schema("k long").parquet(src)
+        agg = sdf.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        q = (agg.writeStream.outputMode("update").format("noop")
+             .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+        q.awaitTermination(280)
+        so = (q.lastProgress or {}).get("stateOperators", [{}])[0]
+        print("PROBE_JSON:" + json.dumps({
+            "numRowsTotal": so.get("numRowsTotal"),
+            "memoryUsedBytes": so.get("memoryUsedBytes"),
+        }))
+        spark.stop()
+        """
+        % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sp = str(tmp_path / "probe.py")
+    with open(sp, "w") as f:
+        f.write(script)
+
+    def run(provider: str):
+        env = dict(os.environ)
+        env["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 600m pyspark-shell"
+        env.pop("REFLEX_SPARK_STATE_STORE", None)
+        p = subprocess.run(
+            [sys.executable, sp, provider, "4000000",
+             str(tmp_path / f"src_{provider}"), str(tmp_path / f"ckpt_{provider}")],
+            env=env, capture_output=True, text=True, timeout=540,
+        )
+        out = p.stdout + p.stderr
+        m = [line for line in out.splitlines() if line.startswith("PROBE_JSON:")]
+        metrics = json.loads(m[0][len("PROBE_JSON:"):]) if m else None
+        return p.returncode, metrics, "java.lang.OutOfMemoryError" in out
+
+    rc, metrics, oom = run("rocksdb")
+    assert rc == 0 and not oom, "RocksDB run must survive the 600m cap"
+    assert metrics and metrics["numRowsTotal"] == 4_000_000, metrics
+
+    rc_h, metrics_h, oom_h = run("hdfs")
+    # the default provider's state is O(keys) on-heap: under the same cap
+    # it OOMs on this box; a box that squeaks through must show state
+    # memory in the hundreds of MB (near the cap), never RocksDB's
+    # bounded-heap profile
+    if rc_h == 0 and not oom_h:
+        assert metrics_h and metrics_h["memoryUsedBytes"] > 400_000_000, metrics_h
+    else:
+        assert oom_h or rc_h != 0
