@@ -142,6 +142,12 @@ HEADLINE = [
     # shuffle+argmax rounds over the word table, a loop cost shape
     # (per-iteration plan build + TakeOrdered) not timed elsewhere
     "text_bpe_train_merges",
+    # round 8: SQ8 scalar quantization — the training-free quantization
+    # family (stats broadcast + floor encode + reconstruct + topk)
+    "sim_scalar_quant_topk",
+    # round 8: OHLC candles — first/last-in-group via min/max-over-struct
+    # (argmin-as-aggregation), a single-shuffle no-sort agg shape
+    "events_ohlc_hourly",
 ]
 
 

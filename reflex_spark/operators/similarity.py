@@ -1236,3 +1236,82 @@ def cluster_scoped_cosine_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def scalar_quantize_codes(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """SQ8 scalar quantization — the third quantization family next to
+    PQ and IVF-PQ (FAISS's ScalarQuantizer shape): per-DIMENSION min/max
+    over the corpus define a uniform grid; each component compresses to
+    one small int code.
+
+    Cross-engine determinism: code = floor((x − mn) · (levels−1) /
+    (mx − mn)) clamped to [0, levels−1] — floor is exact on identical
+    IEEE inputs in any engine (no round-half mode in the contract), and
+    the fixed multiply-then-divide order is replayed verbatim by the
+    oracle. Constant dimensions (mx == mn) code to 0.
+
+    Scale shape: the stats pass is ONE map-side-combinable aggregation
+    to dim rows (broadcast everywhere after); encoding is a
+    broadcast-join + JVM arithmetic over the exploded components — no
+    iteration, no training set, which is exactly why SQ is the cheap
+    first rung of the quantization ladder. Returns
+    (codes: (id, __dim, __code int), stats: (__dim, __mn, __mx))."""
+    comp = embeddings.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("__dim", "__x")
+    ).select(id_col, "__dim", F.col("__x").cast("double").alias("__x"))
+    stats = comp.groupBy("__dim").agg(
+        F.min("__x").alias("__mn"), F.max("__x").alias("__mx")
+    )
+    q = F.when(
+        F.col("__mx") == F.col("__mn"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(levels - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("__x") - F.col("__mn"))
+                    * (levels - 1)
+                    / (F.col("__mx") - F.col("__mn"))
+                ).cast("int"),
+            ),
+        )
+    )
+    codes = comp.join(F.broadcast(stats), "__dim").select(
+        id_col, "__dim", q.cast("int").alias("__code")
+    )
+    return codes, stats
+
+
+def scalar_quant_reconstruct(
+    codes: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    levels: int = 256,
+) -> DataFrame:
+    """Decode SQ codes back to vectors: xr = mn + (code + 0.5) · step
+    with step = (mx − mn) / (levels − 1 + 1e0·0 …) — concretely
+    mn + (code + 0.5) · (mx − mn) / levels, the cell-midpoint decode,
+    a fixed IEEE chain both engines share. Returns (id, __rv:
+    array<double>) with components in dimension order (the same
+    array-rebuild as the k-means mean update)."""
+    xr = F.when(F.col("__mx") == F.col("__mn"), F.col("__mn")).otherwise(
+        F.col("__mn")
+        + (F.col("__code") + F.lit(0.5))
+        * (F.col("__mx") - F.col("__mn"))
+        / F.lit(float(levels))
+    )
+    per = codes.join(F.broadcast(stats), "__dim").select(
+        id_col, "__dim", xr.alias("__xr")
+    )
+    return per.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__xr"))),
+            lambda s: s["__xr"],
+        ).alias("__rv")
+    )

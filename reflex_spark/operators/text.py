@@ -305,7 +305,7 @@ def span_boilerplate(
     )
 
 
-def bpe_train_merges(df, text_col: str = "text", n_merges: int = 8):
+def bpe_fit(df, text_col: str = "text", n_merges: int = 8):
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016
     learn_bpe): iteratively pick the most frequent adjacent symbol pair
     (weighted by word frequency, ties to the lexicographically smaller
@@ -328,7 +328,13 @@ def bpe_train_merges(df, text_col: str = "text", n_merges: int = 8):
     engine) IS BPE's left-to-right non-overlapping merge rule, so e.g.
     [a,a,a] + pair (a,a) -> [aa, a] in both. Symbols are drawn from
     ``[a-z]+`` words, so '(' ')' never appear inside a symbol. Pair
-    stats are over symbol STRINGS — exactly learn_bpe's formulation."""
+    stats are over symbol STRINGS — exactly learn_bpe's formulation.
+
+    Returns (merges, vocab): the merge table (step, left_sym, right_sym,
+    merged, pair_count) AND the fitted segmentation vocab (word,
+    n_tokens) — each distinct word with its token count under the
+    learned merges, the lookup table tokenization-by-trained-BPE joins
+    against (``text_bpe_apply_tokenize``)."""
     words = (
         df.select(
             F.explode(
@@ -339,7 +345,7 @@ def bpe_train_merges(df, text_col: str = "text", n_merges: int = 8):
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     r = words.select(
-        F.regexp_replace("word", "(.)", r"($1)").alias("w"), "freq"
+        "word", F.regexp_replace("word", "(.)", r"($1)").alias("w"), "freq"
     ).localCheckpoint(eager=False)
     merge_rows = []
     for i in range(1, n_merges + 1):
@@ -365,6 +371,7 @@ def bpe_train_merges(df, text_col: str = "text", n_merges: int = 8):
         r = (
             r.crossJoin(F.broadcast(m.select("a", "b")))
             .select(
+                "word",
                 F.expr(
                     "replace(w, concat('(', a, ')(', b, ')'),"
                     " concat('(', a, b, ')'))"
@@ -376,10 +383,58 @@ def bpe_train_merges(df, text_col: str = "text", n_merges: int = 8):
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
-    return out.select(
+    merges = out.select(
         F.col("step").cast("int").alias("step"),
         F.col("a").alias("left_sym"),
         F.col("b").alias("right_sym"),
         F.concat("a", "b").alias("merged"),
         F.col("cnt").cast("long").alias("pair_count"),
+    )
+    syms = F.split(F.expr("substring(w, 2, length(w) - 2)"), r"\)\(")
+    vocab = r.select("word", F.size(syms).cast("long").alias("n_tokens"))
+    return merges, vocab
+
+
+def bpe_train_merges(df, text_col: str = "text", n_merges: int = 8):
+    """The merge table alone — see ``bpe_fit``."""
+    return bpe_fit(df, text_col, n_merges)[0]
+
+
+def bpe_tokenize_counts(
+    df, vocab, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Tokenize the corpus WITH the trained BPE (the apply half of
+    ``bpe_fit``): per document, the word count and the token count under
+    the learned merges, plus chars-per-token ppm (integer floor
+    division — the compression signal a tokenizer is judged by).
+
+    Scale shape: the corpus scan explodes to (doc_id, word) once and
+    equi-joins the (word, n_tokens) vocab — broadcast when the vocab is
+    broadcast-sized (fixture scale; a real multi-million-entry vocab
+    falls back to a shuffle join on the word, still one shuffle). Words
+    outside the fitted vocab cannot occur here because fit and apply
+    share one corpus; an inference-time path would left-join with a
+    byte-fallback count."""
+    docw = df.select(
+        id_col,
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    return (
+        docw.join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.length("word").cast("long")).alias("n_chars"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_tokens",
+            F.expr("(n_chars * 1000000) div n_tokens").alias(
+                "chars_per_token_ppm"
+            ),
+        )
     )

@@ -1024,3 +1024,132 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 3).alias("zscore"),
         )
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS window_start,
+             ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, window_start
+                                ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type, window_start
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM e)
+    SELECT event_type, window_start,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close_v,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r
+    GROUP BY event_type, window_start
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candles — the time-series downsampling primitive (open/high/
+    low/close per (event_type, hour)): the hypertable rollup shape every
+    metrics store materializes continuously.
+
+    Open/close are NOT window functions here: min/max over
+    struct(ts, event_id, value) gives the first/last value with a
+    deterministic (ts, event_id) tie-break in ONE partial-aggregable
+    aggregation — the same argmin-as-aggregation trick as
+    ``_argmin_assign`` (round 8), so the whole candle computes with
+    map-side combine and a single shuffle, no per-group sort. The oracle
+    replays the selection with ROW_NUMBER windows; value is carried, not
+    computed, so doubles pass through exactly."""
+    ev = load_tables(spark, sf_dir)["events"]
+    st = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(
+            F.min(st).alias("__o"),
+            F.max(st).alias("__c"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            F.col("__o.v").alias("open_v"),
+            "high_v",
+            "low_v",
+            F.col("__c.v").alias("close_v"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_scd2_type_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events),
+    r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY rn)
+                      AS run_id
+          FROM o),
+    g AS (SELECT user_id, run_id, MIN(event_type) AS event_type,
+                 MIN(ts) AS valid_from,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM r GROUP BY user_id, run_id)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, run_id) AS valid_to,
+           n_events
+    FROM g
+    """,
+)
+def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build — the warehouse dimension-versioning op:
+    collapse each user's event stream into maximal runs of one
+    event_type and emit validity intervals (valid_from, valid_to =
+    next run's start, NULL while current) with the run's event count.
+    Gaps-and-islands via the lag-change running-sum (deterministic
+    (ts, event_id) ordering; SUM OVER a unique ordering key is
+    frame-identical in any engine). One shuffle on user_id serves every
+    window; at 100 TB this is the standard CDC-compaction shape — the
+    run table is change-cardinality, not event-cardinality."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("chg"),
+    )
+    r = o.withColumn(
+        "run_id",
+        F.sum("chg").over(Window.partitionBy("user_id").orderBy("rn")),
+    )
+    g = r.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return g.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from")
+        .over(Window.partitionBy("user_id").orderBy("valid_from", "run_id"))
+        .alias("valid_to"),
+        "n_events",
+    )

@@ -1277,3 +1277,170 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb.select("vec_id", "label"), "vec_id")
         .select(F.col("__cid").alias("cid"), "vec_id", "label")
     )
+
+
+_SQ_CHAIN = f"""
+    sqc AS (
+      SELECT e.vec_id, g.di, CAST(e.embedding[g.di] AS DOUBLE) AS x
+      FROM embeddings e, generate_series(1, 64) AS g(di)),
+    sqst AS (SELECT di, MIN(x) AS mn, MAX(x) AS mx FROM sqc GROUP BY di),
+    sqcd AS (
+      SELECT vec_id, di,
+             CASE WHEN mx = mn THEN 0
+                  ELSE least(255, greatest(0,
+                       CAST(floor((x - mn) * 255 / (mx - mn)) AS INTEGER)))
+             END AS code
+      FROM sqc JOIN sqst USING (di)),
+    sqrec AS (
+      SELECT vec_id,
+             list(CASE WHEN mx = mn THEN mn
+                       ELSE mn + (code + CAST(0.5 AS DOUBLE)) * (mx - mn)
+                            / CAST(256 AS DOUBLE) END ORDER BY di) AS rv
+      FROM sqcd JOIN sqst USING (di)
+      GROUP BY vec_id)"""
+
+
+@query(
+    "sim_scalar_quant_topk",
+    # SQ8 scalar quantization (FAISS ScalarQuantizer shape) — the third
+    # quantization family judged end-to-end next to PQ and IVF-PQ:
+    # per-dimension min/max grid, floor-coded int8 components
+    # (floor is mode-free cross-engine, unlike round), cell-midpoint
+    # decode with CAST(... AS DOUBLE) literals (DuckDB numeric literals
+    # are DECIMAL — the round-5 trap), exact L2 top-k on the
+    # reconstruction.
+    oracle=f"""
+    WITH {_SQ_CHAIN}
+    SELECT r.vec_id, round({sql_sqdist('r.rv', 'q.rv')}, 6) AS approx_dist
+    FROM sqrec r, (SELECT rv FROM sqrec WHERE vec_id = 0) q
+    WHERE r.vec_id <> 0
+    ORDER BY approx_dist, r.vec_id
+    LIMIT 20
+    """,
+)
+def sim_scalar_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nearest to vec 0 under SQ8 scalar quantization: the whole
+    compress→decode→search pipeline judged. Stats are ONE map-side
+    aggregation to 64 broadcast rows; codes are a broadcast join + JVM
+    floor arithmetic (no training, no iteration — why SQ is the cheap
+    first rung of the quantization ladder, 4× compression here before
+    any index structure); distances run on the midpoint reconstruction
+    with the same sqdist fold as every ANN twin, top-k as TakeOrdered."""
+    from reflex_spark.operators.relational import top_k
+    from reflex_spark.operators.similarity import (
+        scalar_quant_reconstruct,
+        scalar_quantize_codes,
+        sqdist,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    codes, stats = scalar_quantize_codes(emb)
+    rec = scalar_quant_reconstruct(codes, stats)
+    q = rec.where(F.col("vec_id") == 0).select(F.col("__rv").alias("__qv"))
+    scored = (
+        rec.join(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(sqdist(F.col("__rv"), F.col("__qv")), 6).alias("approx_dist"),
+        )
+    )
+    return top_k(scored, 20, F.col("approx_dist"), F.col("vec_id"))
+
+
+@query(
+    "sim_scalar_quant_recall",
+    # recall@20 of the SQ8 reconstruction against exact L2 over the
+    # 5-query set — pins how much the 4x-compressed grid loses, the
+    # counterpart of the PQ/IVF-PQ recall invariants.
+    oracle=f"""
+    WITH {_SQ_CHAIN},
+    qs AS (SELECT vec_id AS q_id, rv FROM sqrec WHERE vec_id < {_RECALL_NQ}),
+    qx AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {_RECALL_NQ}),
+    approx AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, r.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY round({sql_sqdist('r.rv', 'q.rv')}, 6), r.vec_id)
+                 AS rnk
+        FROM sqrec r, qs q WHERE r.vec_id <> q.q_id)
+      WHERE rnk <= 20),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {sql_sqdist('e.embedding', 'q.qv')}, e.vec_id)
+                 AS rnk
+        FROM embeddings e, qx q WHERE e.vec_id <> q.q_id)
+      WHERE rnk <= 20)
+    SELECT 'scalar_quant8' AS method, CAST(20 AS INTEGER) AS k,
+           round(COUNT(*) / {_RECALL_NQ * 20}.0, 4) AS recall_at_k
+    FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    """,
+)
+def sim_scalar_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@20 of SQ8 search vs exact — the judged quality number for
+    the scalar-quantized index (compare: PQ ~0.3 raw, IVF-PQ 0.36 raw /
+    0.86 reranked; a per-dimension 256-level grid on 64 dims loses far
+    less than 8-byte PQ codes, and the judged value pins that)."""
+    from pyspark.sql import Window
+
+    from reflex_spark.operators.similarity import (
+        scalar_quant_reconstruct,
+        scalar_quantize_codes,
+        sqdist,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    codes, stats = scalar_quantize_codes(emb)
+    rec = scalar_quant_reconstruct(codes, stats)
+    qs = rec.where(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("__q_id"), F.col("__rv").alias("__qv")
+    )
+    approx = (
+        rec.join(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("__q_id"))
+        .withColumn(
+            "__d", F.round(sqdist(F.col("__rv"), F.col("__qv")), 6)
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__q_id").orderBy("__d", "vec_id")
+            ),
+        )
+        .where(F.col("__r") <= 20)
+        .select("__q_id", "vec_id")
+    )
+    qx = emb.where(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("__q_id"), F.col("embedding").alias("__qx")
+    )
+    exact = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(qx))
+        .where(F.col("vec_id") != F.col("__q_id"))
+        .withColumn("__d", sqdist(F.col("embedding"), F.col("__qx")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__q_id").orderBy("__d", "vec_id")
+            ),
+        )
+        .where(F.col("__r") <= 20)
+        .select("__q_id", "vec_id")
+    )
+    return (
+        approx.join(exact, ["__q_id", "vec_id"])
+        .groupBy()
+        .agg(
+            F.round(F.count(F.lit(1)) / float(_RECALL_NQ * 20), 4).alias(
+                "recall_at_k"
+            )
+        )
+        .select(
+            F.lit("scalar_quant8").alias("method"),
+            F.lit(20).alias("k"),
+            "recall_at_k",
+        )
+    )

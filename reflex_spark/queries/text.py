@@ -1281,6 +1281,18 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio/GIF queries extended to a container format. Reference: reflex
     has no media stack (rsql/query.go is relational-only); this is
     LLM-pipeline surface."""
+    from reflex_spark.operators.multimodal import video_frame_stats
+
+    return video_frame_stats(_synth_avi_corpus(spark, sf_dir))
+
+
+def _synth_avi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): the deterministic synthetic MJPEG/AVI corpus
+    shared by the judged video queries — per-doc 2–5 frames of 16×16
+    grayscale built from four flat 8×8 blocks with value
+    (doc_id·37 + t·11 + b·5) mod 229 + 13 (JVM array expression), each
+    frame JPEG-encoded at quality 75 (exact for flat blocks — see
+    multimodal_video_stats) and muxed into an AVI in one Arrow stage."""
     import pandas as pd
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
@@ -1316,24 +1328,22 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_avi_mjpeg(frames, 16, 16))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    videos = grids.mapInPandas(encode, "doc_id long, payload binary")
-    from reflex_spark.operators.multimodal import video_frame_stats
-
-    return video_frame_stats(videos)
+    return grids.mapInPandas(encode, "doc_id long, payload binary")
 
 
-def _sql_bpe_ctes(n_merges: int) -> str:
-    """DuckDB CTE chain replicating bpe_train_merges step for step: the
-    same (word, freq) table, the same wrapped-string representation, the
-    same leftmost-non-overlapping replace() merge, the same
-    (cnt DESC, a, b) argmax — so the whole iterative fit unrolls exactly
-    (the kmeans/PageRank unrolled-fixpoint oracle pattern)."""
+def _sql_bpe_chain(n_merges: int) -> str:
+    """DuckDB CTE chain replicating bpe_fit step for step: the same
+    (word, freq) table, the same wrapped-string representation, the same
+    leftmost-non-overlapping replace() merge, the same (cnt DESC, a, b)
+    argmax — so the whole iterative fit unrolls exactly (the
+    kmeans/PageRank unrolled-fixpoint oracle pattern). The word column
+    rides along so r{n} doubles as the fitted segmentation vocab."""
     parts = [
         r"""w0 AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
         FROM documents) GROUP BY word),
-    r0 AS (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS w, freq FROM w0)"""
+    r0 AS (SELECT word, regexp_replace(word, '(.)', '(\1)', 'g') AS w, freq FROM w0)"""
     ]
     for i in range(1, n_merges + 1):
         parts.append(f"""s{i} AS (
@@ -1348,15 +1358,21 @@ def _sql_bpe_ctes(n_merges: int) -> str:
     m{i} AS (SELECT {i} AS step, a, b, cnt FROM p{i}
              ORDER BY cnt DESC, a, b LIMIT 1),
     r{i} AS (
-      SELECT replace(w, '(' || m.a || ')(' || m.b || ')',
+      SELECT word, replace(w, '(' || m.a || ')(' || m.b || ')',
                      '(' || m.a || m.b || ')') AS w, freq
       FROM r{i-1}, m{i} m)""")
+    return ",\n    ".join(parts)
+
+
+def _sql_bpe_ctes(n_merges: int) -> str:
+    """Full oracle for the training query: the fit chain + the merge-table
+    union."""
     union = "\n      UNION ALL ".join(
         f"SELECT * FROM m{i}" for i in range(1, n_merges + 1)
     )
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + _sql_bpe_chain(n_merges)
         + f"""
     SELECT CAST(step AS INTEGER) AS step, a AS left_sym, b AS right_sym,
            a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
@@ -1381,3 +1397,89 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return bpe_train_merges(docs, "text", n_merges=8)
+
+
+@query(
+    "text_bpe_apply_tokenize",
+    # Fit-then-apply end-to-end: the SAME unrolled 8-merge fit, then r8
+    # doubles as the fitted (word → token count) vocab and the corpus is
+    # tokenized by one word-level join. chars_per_token uses integer
+    # floor division (ppm) — the cross-engine rule for ratios.
+    oracle=f"""
+    WITH {_sql_bpe_chain(8)},
+    vocab AS (
+      SELECT word,
+             CAST(len(string_split(substr(w, 2, length(w) - 2), ')(')) AS BIGINT)
+               AS n_tokens
+      FROM r8),
+    docw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(d.word)) * 1000000 // SUM(v.n_tokens) AS BIGINT)
+             AS chars_per_token_ppm
+    FROM docw d JOIN vocab v ON d.word = v.word
+    GROUP BY d.doc_id
+    """,
+)
+def text_bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization WITH the trained BPE — the apply half composed with
+    the judged fit (the full tokenizer lifecycle: learn merges on the
+    corpus, then tokenize the corpus with them): per document, word
+    count, token count under the 8 learned merges, and the
+    chars-per-token compression ratio (ppm, integer floor division).
+
+    Scale shape (operators/text.py::bpe_tokenize_counts): the fit's
+    final word table IS the segmentation vocab (word, n_tokens), so
+    application is one corpus explode + one equi-join on the word
+    (broadcast at vocab ≪ memory; a shuffle join otherwise) + one
+    per-doc aggregation — the corpus is never re-segmented char by
+    char."""
+    from reflex_spark.operators.text import bpe_fit, bpe_tokenize_counts
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    _merges, vocab = bpe_fit(docs, "text", n_merges=8)
+    return bpe_tokenize_counts(docs, vocab, "doc_id", "text")
+
+
+@query(
+    "multimodal_video_framesample",
+    # Sample-then-decode judged: container demux yields ALL frame bytes
+    # (cheap integer parsing, so the total count is exact), but only
+    # frames t ≡ 0 (mod 2) pay the JPEG entropy decode. The oracle
+    # recomputes the sampled pixel mass from the generating formula —
+    # valid because the flat-block round-trip is bit-exact.
+    oracle="""
+    WITH nf AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents),
+    fr AS (SELECT doc_id, n_frames,
+                  unnest(generate_series(0, n_frames - 1)) AS t
+           FROM nf),
+    blk AS (SELECT doc_id, n_frames, t, unnest(generate_series(0, 3)) AS b
+            FROM fr WHERE t % 2 = 0),
+    v AS (SELECT doc_id, n_frames, t, b,
+                 (doc_id * 37 + t * 11 + b * 5) % 229 + 13 AS val
+          FROM blk)
+    SELECT doc_id,
+           CAST(MAX(n_frames) AS INTEGER) AS n_frames_total,
+           CAST((MAX(n_frames) + 1) // 2 AS INTEGER) AS n_sampled,
+           CAST(64 * SUM(val) AS BIGINT) AS sampled_pixel_total
+    FROM v
+    GROUP BY doc_id
+    """,
+)
+def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the MJPEG/AVI corpus — the sample-then-decode
+    policy (SCALE_NOTES §11) as a judged operator: the RIFF demux is
+    cheap integer parsing over every frame, but only every 2nd frame
+    goes through the JPEG entropy decoder, cutting the dominant video
+    cost by the sampling factor while total-frame metadata stays exact.
+    Shares the deterministic synthetic AVI corpus (and its exact
+    flat-block round-trip) with multimodal_video_stats."""
+    from reflex_spark.operators.multimodal import video_frame_sample_stats
+
+    return video_frame_sample_stats(
+        _synth_avi_corpus(spark, sf_dir), every_k=2
+    ).select("doc_id", "n_frames_total", "n_sampled", "sampled_pixel_total")
