@@ -148,6 +148,9 @@ HEADLINE = [
     # round 8: OHLC candles — first/last-in-group via min/max-over-struct
     # (argmin-as-aggregation), a single-shuffle no-sort agg shape
     "events_ohlc_hourly",
+    # round 8: streaming exact dedup across micro-batches — the
+    # dropDuplicates stateful-operator cost shape (state = distinct keys)
+    "stream_dedup_rollup",
 ]
 
 
