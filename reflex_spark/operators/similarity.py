@@ -601,11 +601,14 @@ def _argmin_assign(
     first and the centroid id is unique within a group, so the selection
     rule is bit-identical to the previous ROW_NUMBER-window argmin (ties
     to the lower cid; every judged oracle keeps its ROW_NUMBER form and
-    still hash-matches), while the physical plan becomes a
-    map-side-combinable HashAggregate instead of a full shuffle + sort
-    window — at 100 TB the argmin over n·n_lists candidate rows now
-    combines within each scan task instead of sorting n·n_lists rows by
-    (id, d). Returns group_cols + carry + cid_col."""
+    still hash-matches), while the physical plan becomes a PARTIAL +
+    FINAL aggregation instead of a shuffle-everything-then-sort window.
+    (Concretely a SortAggregate pair — struct values aren't
+    hash-aggregable — but the scale property is the partial step: each
+    scan task combines its n·n_lists candidate rows down to ≤ one row
+    per group BEFORE the exchange, so shuffle volume drops n_lists-fold
+    vs the window plan, which must shuffle every candidate row.)
+    Returns group_cols + carry + cid_col."""
     best = F.min(
         F.struct(
             d.alias("__d"),
@@ -1177,8 +1180,9 @@ def ivf_assign_exact(
     any SQL engine replays it). One keyless join against the broadcast
     n_lists-row centroid table (the bounded BroadcastNestedLoopJoin shape
     every IVF-family query here pins) + a per-vector argmin executed as
-    ONE partial-aggregable min-struct aggregation (``_argmin_assign`` —
-    map-side combine, no sort). Returns (id_col, vec_col, __cid)."""
+    ONE partial+final min-struct aggregation (``_argmin_assign`` — the
+    partial step shrinks the shuffle to per-vector rows). Returns
+    (id_col, vec_col, __cid)."""
     return _argmin_assign(
         embeddings.select(id_col, vec_col).join(F.broadcast(cent)),
         [id_col],

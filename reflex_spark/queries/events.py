@@ -1059,8 +1059,11 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct(ts, event_id, value) gives the first/last value with a
     deterministic (ts, event_id) tie-break in ONE partial-aggregable
     aggregation — the same argmin-as-aggregation trick as
-    ``_argmin_assign`` (round 8), so the whole candle computes with
-    map-side combine and a single shuffle, no per-group sort. The oracle
+    ``_argmin_assign`` (round 8). Physically a SortAggregate pair
+    (struct values aren't hash-aggregable), but the scale property is
+    the PARTIAL step: each task reduces to one candle per group before
+    the exchange, so only per-group candles shuffle — the window
+    alternative shuffles and sorts every event row. The oracle
     replays the selection with ROW_NUMBER windows; value is carried, not
     computed, so doubles pass through exactly."""
     ev = load_tables(spark, sf_dir)["events"]

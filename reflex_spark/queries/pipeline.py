@@ -447,3 +447,65 @@ def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("member_md5"),
         )
     )
+
+
+@query(
+    "sample_global_shuffle_manifest",
+    # Seeded epoch reshuffle + sharding — the data-loading op a training
+    # run performs every epoch: order = md5(seed || id) (a new seed is a
+    # new permutation, membership unchanged), shard = order-hash mod 8.
+    # The manifest pins each shard's exact contents AND order via an
+    # md5-of-ordered-ids chain, so any divergence in permutation or
+    # sharding fails the hash.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             md5('epoch7|' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_chars, hh,
+             CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8
+                  AS INTEGER) AS shard
+      FROM h)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hh, doc_id))
+             AS order_md5
+    FROM s
+    GROUP BY shard
+    """,
+)
+def sample_global_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global seeded shuffle + sharding manifest — the per-epoch data
+    loader op for training: every document gets a deterministic
+    pseudo-random position (md5 of seed||id — changing the seed permutes
+    order without touching membership) and a shard (top hash bytes mod
+    8); the manifest emits per shard the doc count, char mass, and an
+    md5 chain over the ids IN SHUFFLE ORDER, pinning the exact
+    permutation each worker would read.
+
+    Scale shape: one scan + one map-side-combinable aggregation keyed by
+    shard; the within-shard order hash is computed per row (no global
+    sort — a 100 TB loader would range-partition by the same hash and
+    write shard files whose internal order is the hash order)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    hh = F.md5(F.concat(F.lit("epoch7|"), F.col("doc_id").cast("string")))
+    s = docs.select("doc_id", "n_chars", hh.alias("hh")).withColumn(
+        "shard", (F.conv(F.substring("hh", 1, 8), 16, 10).cast("long") % 8).cast("int")
+    )
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("hh", F.col("doc_id")))
+                    ),
+                    lambda r: r["doc_id"].cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("order_md5"),
+    )
