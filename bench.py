@@ -146,11 +146,14 @@ HEADLINE = [
     # family (stats broadcast + floor encode + reconstruct + topk)
     "sim_scalar_quant_topk",
     # round 8: OHLC candles — first/last-in-group via min/max-over-struct
-    # (argmin-as-aggregation), a single-shuffle no-sort agg shape
+    # (partial+final SortAggregate pair: only per-group candles shuffle)
     "events_ohlc_hourly",
     # round 8: streaming exact dedup across micro-batches — the
     # dropDuplicates stateful-operator cost shape (state = distinct keys)
     "stream_dedup_rollup",
+    # round 8: stream-stream interval join — the symmetric stateful-join
+    # operator (two per-key join-state stores), a distinct state shape
+    "stream_stream_join_attribution",
 ]
 
 

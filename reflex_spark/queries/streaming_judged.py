@@ -1040,3 +1040,116 @@ def stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "event_type string, n_events long, sum_value double",
     )
+
+
+@query(
+    "stream_stream_join_attribution",
+    oracle="""
+    SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    GROUP BY c.user_id
+    """,
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged STREAM-STREAM interval join — the symmetric stateful-join
+    operator (Spark's StreamingSymmetricHashJoin), distinct from every
+    aggregation-state entry: clicks and purchases are replayed into TWO
+    real EventLogs, each in two micro-batches (maxFilesPerTrigger=1), and
+    the streaming query inner-joins them on user with the event-time
+    band `click.ts ∈ [purchase.ts − 1h, purchase.ts]` — click→purchase
+    attribution pairs. Matches whose two sides arrive in DIFFERENT
+    micro-batches only exist if the join state buffers correctly; the
+    oracle is the one-shot batch interval join, so a lost or duplicated
+    buffered match fails the hash.
+
+    Both sides carry watermarks (event-time + 14 days — the fixture
+    replay delivers old timestamps, so the bound must cover the replay
+    skew; in production the delay matches real arrival skew and bounds
+    state). Append-mode inner join emits each match exactly once. Runs
+    under the pinned state-store provider — two per-key join-state
+    stores is exactly the RocksDB posture's case (SCALE_NOTES §20)."""
+    from reflex_spark.streaming.statestore import apply_state_store_conf
+
+    apply_state_store_conf(spark)
+    import shutil
+    import time as _time
+
+    from reflex_spark.sources.event_log import EventLog
+
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def canonical(kind: str) -> DataFrame:
+        return ev.where(F.col("event_type") == kind).select(
+            F.lit(1).alias("event_type"),
+            F.col("user_id").cast("string").alias("foreign_id"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+            F.lit(None).cast("binary").alias("metadata"),
+            F.lit(None).cast("binary").alias("trace"),
+            F.col("event_id").alias("__orig_id"),
+        )
+
+    base = tempfile.mkdtemp(prefix="stream_ssj_")
+    clog = EventLog(spark, f"{base}/clicks")
+    plog = EventLog(spark, f"{base}/purchases")
+    final: dict = {}
+
+    def merge(batch_df: DataFrame, _bid: int) -> None:
+        for r in batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect():  # bounded: one row per user
+            final[r["user_id"]] = final.get(r["user_id"], 0) + r["n"]
+
+    try:
+        for kind, log in (("click", clog), ("purchase", plog)):
+            c = canonical(kind)
+            mid = c.agg(F.expr("percentile_approx(__orig_id, 0.5)")).collect()[0][0]
+            log.append(c.where(F.col("__orig_id") <= mid).drop("__orig_id"))
+            _time.sleep(0.1)
+            log.append(c.where(F.col("__orig_id") > mid).drop("__orig_id"))
+            _time.sleep(0.1)
+        cs = (
+            clog.read_stream(max_files_per_trigger=1)
+            .withWatermark("timestamp", "14 days")
+            .select(
+                F.col("foreign_id").alias("c_user"),
+                F.col("timestamp").alias("c_ts"),
+            )
+        )
+        ps = (
+            plog.read_stream(max_files_per_trigger=1)
+            .withWatermark("timestamp", "14 days")
+            .select(
+                F.col("foreign_id").alias("p_user"),
+                F.col("timestamp").alias("p_ts"),
+            )
+        )
+        joined = cs.join(
+            ps,
+            F.expr(
+                "c_user = p_user AND "
+                "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+            ),
+        ).select(F.col("c_user").cast("long").alias("user_id"))
+        q = (
+            joined.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "stream_stream_join_attribution: availableNow query did "
+                "not finish within 180s; results would be partial"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(final.items()), "user_id long, n_pairs long"
+    )
