@@ -265,21 +265,20 @@ def test_image_phash_python_confined_to_arrow_stages(spark):
     )
 
 
-def test_semantic_dedup_no_gemm_and_equi_join_blocking(spark):
-    """dedup_semantic_clusters must be the SemDeDup composition, not the
-    quadratic GEMM path: zero Python nodes (the blocked-GEMM kernel would
-    appear as MapInPandas), the candidate stage an equi-join keyed by the
-    list id, and the only nested-loop shapes the bounded keyless joins
-    against the 16-row broadcast centroid table (2 fit iterations + the
-    final assignment; formatted explain names each node twice)."""
+def test_semantic_dedup_list_scoped_gemm(spark):
+    """dedup_semantic_clusters must be the SemDeDup composition running
+    the LIST-SCOPED vectorized verify — not the quadratic full-corpus
+    GEMM and not the slow per-pair expression fold: the only Python node
+    is the tiled-GEMM applyInPandas whose grouping INCLUDES the list id
+    (candidate pairs exist only within a list), there is no
+    row-at-a-time BatchEvalPython, and the only nested-loop shapes are
+    the bounded keyless joins against the 16-row broadcast centroid
+    table (2 fit iterations + the final assignment; formatted explain
+    names each node twice)."""
     plan = plan_of(spark, "dedup_semantic_clusters")
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" not in plan
-    assert "FlatMapGroupsInPandas" not in plan
-    assert any(
-        j in plan
-        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-    )
+    assert "FlatMapGroupsInPandas" in plan  # the per-list GEMM kernel
+    assert "__grp" in plan  # ...grouped by the list id, not global
     assert plan.count("BroadcastNestedLoopJoin") <= 6
 
 
