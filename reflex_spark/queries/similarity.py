@@ -1444,3 +1444,64 @@ def sim_scalar_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k",
         )
     )
+
+
+@query(
+    "sample_negatives_contrastive",
+    # Deterministic negative sampling for contrastive training: per
+    # anchor, the 4 candidates with a DIFFERENT label ranked by
+    # md5(anchor || '|' || candidate) — a seedable pseudo-random draw
+    # both engines replicate exactly; membership and order both judged.
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             md5(CAST(a.vec_id AS VARCHAR) || '|' ||
+                 CAST(b.vec_id AS VARCHAR)) AS h
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id <> b.vec_id AND a.label <> b.label)
+    SELECT anchor_id, neg_id, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT anchor_id, neg_id, h,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                    ORDER BY h, neg_id) AS rnk
+          FROM pairs)
+    WHERE rnk <= 4
+    """,
+)
+def sample_negatives_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for contrastive-embedding training: each anchor
+    draws 4 deterministic pseudo-random negatives from a DIFFERENT label
+    class, ranked by md5(anchor||candidate) — reproducible across runs
+    and engines (the same content-hash-draw rule as the corpus sampling
+    family), with (anchor_id, neg_id, rnk) fully judged.
+
+    Fixture scale ranks all cross-label candidates per anchor (a window
+    over the filtered cross join). At 100 TB the identical rule runs on
+    a candidate SAMPLE first (hash-prefilter md5 < t, the standard
+    trick: P(4 needed negatives survive) is controlled by t), so the
+    window never sees more than a bounded candidate set per anchor —
+    same hash, same ordering, just pre-thresholded."""
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    a = emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("la"))
+    b = emb.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("lb"))
+    pairs = (
+        a.join(b, (F.col("anchor_id") != F.col("neg_id")) & (F.col("la") != F.col("lb")))
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit("|"),
+                    F.col("neg_id").cast("string"),
+                )
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 4)
+        .select("anchor_id", "neg_id", F.col("rnk").cast("int").alias("rnk"))
+    )

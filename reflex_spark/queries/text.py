@@ -17,7 +17,7 @@ from reflex_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
 )
-from reflex_spark.operators.text import contamination_overlap
+from reflex_spark.operators.text import contamination_overlap, sql_quality_score
 from reflex_spark.queries import query
 from reflex_spark.queries.helpers import sql_davg, davg
 from reflex_spark.tables import load_tables
@@ -1483,3 +1483,99 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_sample_stats(
         _synth_avi_corpus(spark, sf_dir), every_k=2
     ).select("doc_id", "n_frames_total", "n_sampled", "sampled_pixel_total")
+
+
+@query(
+    "dedup_clusters_best_quality",
+    # Quality-aware canonical selection: same LSH pairs + transitive
+    # closure as dedup_clusters, but each cluster keeps its
+    # HIGHEST-QUALITY member (ties to the lower id) instead of min-id —
+    # what a production corpus dedup actually ships (keep the best copy,
+    # not the lexically-first one).
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    sig AS (SELECT doc_id, {_SQL_MINHASH_SIG} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id,
+             unnest([0, 1, 2, 3]) AS band_idx,
+             unnest([{_SQL_BAND_KEYS}]) AS band_key
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    dup AS (
+      SELECT j.id_a, j.id_b
+      FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.8),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dup
+      UNION SELECT id_b, id_a FROM dup),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    , members AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a),
+    scored AS (
+      SELECT m.doc_id, m.cluster_id,
+             {{Q}} AS quality
+      FROM members m JOIN documents d ON m.doc_id = d.doc_id),
+    keeper AS (
+      SELECT cluster_id, doc_id AS keep_id, quality AS keep_quality FROM (
+        SELECT cluster_id, doc_id, quality,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM scored)
+      WHERE rn = 1)
+    SELECT s.doc_id, k.keep_id, k.keep_quality
+    FROM scored s JOIN keeper k ON s.cluster_id = k.cluster_id
+    WHERE s.doc_id <> k.keep_id
+    """.replace("{Q}", sql_quality_score("d.text")),
+)
+def dedup_clusters_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster dedup with QUALITY-AWARE canonical selection: the same
+    MinHash-LSH pairs → connected components as dedup_clusters, but each
+    near-dup cluster keeps its highest-quality member (quality_score;
+    ties to the lower doc_id) — the production rule (keep the best copy)
+    rather than the bookkeeping-simplest min-id. The keeper argmax is
+    ONE partial+final max-over-struct aggregation per cluster (the
+    round-8 argmin-as-aggregation shape); output is the delete list
+    (doc_id, keep_id, keep_quality)."""
+    from reflex_spark.operators.dedup import connected_components_star, minhash_lsh_pairs
+    from reflex_spark.operators.text import quality_score
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    ).select("id_a", "id_b")
+    cc, _rounds = connected_components_star(pairs)
+    scored = (
+        cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "cluster_id", quality_score("text").alias("quality"))
+    )
+    keeper = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            ).alias("__k")
+        )
+        .select(
+            "cluster_id",
+            F.col("__k.doc_id").alias("keep_id"),
+            F.col("__k.q").alias("keep_quality"),
+        )
+    )
+    return (
+        scored.join(keeper, "cluster_id")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", "keep_id", "keep_quality")
+    )
