@@ -593,9 +593,20 @@ def lsh_bucketed_topk(
 # re-fit the same quantizer / re-build the same IVF-PQ index over the
 # memoized load_tables frames; repeat calls return the checkpointed
 # frames. Values hold a strong reference to the input DataFrame so the
-# id()-based key cannot be reused by a new object.
+# id()-based key cannot be reused by a new object. FIFO-bounded so a
+# long session fitting many DIFFERENT inputs (test suites, ad-hoc
+# frames) cannot accumulate checkpointed RDDs without limit — eviction
+# only loses memoization; the evicted blocks are GC-reclaimed once
+# unreferenced (the lesson of SCALE_NOTES §21 applied to our own cache).
+_BUILD_CACHE_CAP = 8
 _KMEANS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _IVFPQ_INDEX_CACHE: dict[tuple, tuple[DataFrame, tuple]] = {}
+
+
+def _cache_put(cache: dict, key, value) -> None:
+    if len(cache) >= _BUILD_CACHE_CAP:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
 
 
 def _argmin_assign(
@@ -712,7 +723,7 @@ def kmeans_centroids_exact(
             .select("__cid", F.coalesce("__mv", "__cv").alias("__cv"))
             .localCheckpoint()
         )
-    _KMEANS_CACHE[key] = (embeddings, cent)
+    _cache_put(_KMEANS_CACHE, key, (embeddings, cent))
     return cent
 
 
@@ -1127,7 +1138,7 @@ def ivfpq_adc_topk(
             else None
         )
         codes, pqcent = _pq_fit_encode(sub, id_col, n_codes, pq_iters, train_ids=train_ids)
-        _IVFPQ_INDEX_CACHE[ikey] = (embeddings, (cent, lists, codes, pqcent))
+        _cache_put(_IVFPQ_INDEX_CACHE, ikey, (embeddings, (cent, lists, codes, pqcent)))
 
     qprobe = (
         query.select(F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__qvec"))
