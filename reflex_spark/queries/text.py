@@ -1579,3 +1579,76 @@ def dedup_clusters_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id", "keep_id", "keep_quality")
     )
+
+
+@query(
+    "text_source_overlap_matrix",
+    # Cross-source contamination diagnostic: pairwise word-3-shingle
+    # Jaccard between SOURCES (not documents) — which corpus slices
+    # share content, the provenance signal that drives source-level
+    # dedup decisions before any document-level pass.
+    oracle="""
+    WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      FROM w),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT i.source_a, i.source_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.source_a = sa.source
+    JOIN sizes sb ON i.source_b = sb.source
+    """,
+)
+def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level overlap matrix: pairwise Jaccard over each source's
+    DISTINCT word-3-shingle set — the corpus-provenance diagnostic
+    (which slices share content) that decides source-level dedup and
+    mixture weights before any per-document pass runs.
+
+    Scale shape: one shingle explode + distinct keyed by (source,
+    shingle) — source cardinality ≪ doc cardinality, so the per-source
+    shingle sets aggregate map-side; the intersection is ONE equi-join
+    on the shingle (hash-partitioned, never a cross join) and the
+    source-pair matrix is |sources|² rows — control-plane sized."""
+    from reflex_spark.operators.dedup import word_shingles
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.select(
+        "source",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("__nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
