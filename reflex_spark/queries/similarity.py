@@ -1505,3 +1505,138 @@ def sample_negatives_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 4)
         .select("anchor_id", "neg_id", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def _sql_multi_signal_dedup() -> str:
+    """Oracle for the composed dedup stack: exact (min-id per identical
+    text), near (MinHash-LSH pairs → recursive-CTE closure, the
+    dedup_clusters rule) and semantic (SemDeDup list-scoped cosine, the
+    dedup_semantic_clusters rule) delete lists unioned with per-signal
+    flags. Built from the SAME oracle fragments the individual judged
+    queries use, so the composition can only diverge if the engine-side
+    composition does."""
+    from reflex_spark.queries.text import (
+        _SQL_BAND_KEYS,
+        _SQL_MINHASH_SIG,
+        _SQL_SHINGLES,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    sig AS (SELECT doc_id, {_SQL_MINHASH_SIG} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id,
+             unnest([0, 1, 2, 3]) AS band_idx,
+             unnest([{_SQL_BAND_KEYS}]) AS band_key
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    dupn AS (
+      SELECT j.id_a, j.id_b
+      FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.8),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dupn
+      UNION SELECT id_b, id_a FROM dupn),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    near_del AS (
+      SELECT a AS doc_id FROM reach GROUP BY a
+      HAVING a <> LEAST(a, MIN(b))),
+    exact_del AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS m
+        FROM documents)
+      WHERE doc_id <> m),
+    {_CB_CTES},
+    scent AS (SELECT cid, cv FROM {_CB_FINAL}),
+    sassigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {sql_sqdist("e.embedding", "c.cv")}, c.cid) AS rnk
+        FROM embeddings e, scent c)
+      WHERE rnk = 1),
+    sem_del AS (
+      SELECT DISTINCT b.vec_id AS doc_id
+      FROM sassigned a JOIN sassigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.4),
+    all_del AS (
+      SELECT doc_id, 1 AS e, 0 AS n, 0 AS s FROM exact_del
+      UNION ALL SELECT doc_id, 0, 1, 0 FROM near_del
+      UNION ALL SELECT doc_id, 0, 0, 1 FROM sem_del)
+    SELECT doc_id,
+           CAST(MAX(e) AS INTEGER) AS by_exact,
+           CAST(MAX(n) AS INTEGER) AS by_near,
+           CAST(MAX(s) AS INTEGER) AS by_semantic
+    FROM all_del GROUP BY doc_id"""
+
+
+@query("dedup_multi_signal", oracle=_sql_multi_signal_dedup())
+def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus dedup stack as ONE judged pipeline — the delete
+    manifest a production run actually writes: the union of three
+    independent signals over the same corpus, each already individually
+    judged, with per-signal provenance flags (doc_id, by_exact, by_near,
+    by_semantic):
+
+    - exact: min-id survivor per identical text (one hash shuffle);
+    - near:  MinHash-LSH pairs → connected-components closure (the
+      dedup_clusters rule — transitive near-dup clusters);
+    - semantic: SemDeDup list-scoped cosine ≥ 0.4 over the embeddings
+      (vec_id ≡ doc_id in the fixtures — the cross-modal join key).
+
+    The three delete lists compute independently (no barrier between
+    them — Spark schedules the subtrees concurrently under one action)
+    and meet in one flags-union aggregate. At 100 TB each signal keeps
+    its own documented scale shape; the union is a per-doc groupBy over
+    delete-cardinality rows."""
+    from reflex_spark.operators.dedup import (
+        connected_components_star,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from reflex_spark.operators.similarity import (
+        cluster_scoped_cosine_pairs,
+        ivf_assign_exact,
+        kmeans_centroids_exact,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    emb = load_tables(spark, sf_dir)["embeddings"]
+
+    keepers = exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+    exact_del = docs.select("doc_id").join(keepers, "doc_id", "left_anti")
+
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    ).select("id_a", "id_b")
+    cc, _rounds = connected_components_star(pairs)
+    near_del = cc.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+
+    cent = kmeans_centroids_exact(emb, n_lists=16, iters=2)
+    assigned = ivf_assign_exact(emb, cent)
+    sem_del = (
+        cluster_scoped_cosine_pairs(assigned, threshold=0.4)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+
+    flagged = (
+        exact_del.select("doc_id", F.lit(1).alias("e"), F.lit(0).alias("n"), F.lit(0).alias("s"))
+        .unionByName(near_del.select("doc_id", F.lit(0).alias("e"), F.lit(1).alias("n"), F.lit(0).alias("s")))
+        .unionByName(sem_del.select("doc_id", F.lit(0).alias("e"), F.lit(0).alias("n"), F.lit(1).alias("s")))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.max("e").cast("int").alias("by_exact"),
+        F.max("n").cast("int").alias("by_near"),
+        F.max("s").cast("int").alias("by_semantic"),
+    )
