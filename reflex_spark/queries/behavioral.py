@@ -257,3 +257,71 @@ def events_funnel_3step_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
         .crossJoin(conv.agg(F.count(F.lit(1)).alias("n_converted_2h")))
     )
+
+
+@query(
+    "events_cohort_retention_matrix",
+    # The full cohort matrix (signup-day × day-offset), not just the
+    # single-axis retention curve: per cohort, distinct active users at
+    # each offset plus retention in ppm by INTEGER floor division
+    # against the cohort size. Day keys are integer epoch-millis
+    # buckets (the engine-identical bucketing — DuckDB's epoch() double
+    # ROUNDS where Spark truncates). Daily cohorts because the fixture
+    # spans ~2 weeks — weekly cohorts degenerate to one row.
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             epoch_ms(MIN(ts)) // 86400000 AS cohort_day
+      FROM events GROUP BY user_id),
+    cohort_sizes AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_day),
+    activity AS (
+      SELECT DISTINCT f.cohort_day,
+             epoch_ms(e.ts) // 86400000 - f.cohort_day AS day_offset,
+             e.user_id
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT a.cohort_day, a.day_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(COUNT(*) * 1000000 // s.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM activity a JOIN cohort_sizes s ON a.cohort_day = s.cohort_day
+    GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+    """,
+)
+def events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention MATRIX — the two-dimensional form every product
+    analytics tool renders (signup day × days-since-signup → distinct
+    active users and retention ppm), extending retention_weekly's
+    single-axis weekly curve. One per-user first-seen aggregate (broadcastable
+    dim at any scale), one distinct per (cohort, offset, user), one
+    counting aggregate; retention uses integer floor division (ppm) and
+    integer epoch-millis day keys so every cell is engine-exact."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wk = F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 86400000")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_day"))
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            (wk - F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "active_users",
+            F.expr("(active_users * 1000000) div cohort_size").alias(
+                "retention_ppm"
+            ),
+        )
+    )
