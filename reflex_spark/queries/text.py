@@ -1652,3 +1652,75 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "text_bigram_lm_logprob",
+    # Conditional bigram LM quality scoring — the next rung above the
+    # unigram NLL: p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1})
+    # + V), add-one smoothed, per-doc mean NLL. Decimal-summed NLL +
+    # round(3) absorbs libm ln jitter (the unigram recipe).
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tk AS (SELECT doc_id, unnest(w) AS t FROM w),
+    bgi AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w),
+    bg AS (SELECT doc_id, w[i] AS t, w[i + 1] AS t2 FROM bgi),
+    c2 AS (SELECT t, t2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY t, t2),
+    c1 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c1 FROM tk GROUP BY t),
+    vv AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM tk),
+    nll AS (
+      SELECT b.doc_id,
+             CAST(SUM(CAST(-ln((CAST(c2.c2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                              / (CAST(c1.c1 AS DOUBLE) + CAST(v AS DOUBLE)))
+                           AS DECIMAL(38,18))) AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM bg b JOIN c2 ON b.t = c2.t AND b.t2 = c2.t2
+                JOIN c1 ON b.t = c1.t, vv
+      GROUP BY b.doc_id)
+    SELECT doc_id, k AS n_bigrams, round(s / k, 3) AS avg_nll
+    FROM nll
+    """,
+)
+def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring: train an add-one-smoothed conditional
+    bigram model on the corpus itself and score every document by mean
+    bigram negative log-likelihood — one rung above text_unigram_logprob
+    toward the KenLM n-gram filter (context-sensitive: a doc whose word
+    PAIRS are unusual scores high even when its unigrams are common).
+
+    Plan: one bigram-count shuffle + one unigram-count shuffle (the LM),
+    a broadcast 1-row vocabulary size, two joins back on the token
+    columns, one per-doc decimal-sum aggregate. Same 100 TB posture as
+    the unigram twin: LM tables are data-sized but each token/bigram is
+    touched once; a production run trains the LM on a content-hash
+    sample with identical plumbing."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.withColumn("t2", F.lead("t").over(w)).where(
+        F.col("t2").isNotNull()
+    )
+    c2 = big.groupBy("t", "t2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    vv = toks.agg(F.countDistinct("t").alias("v"))
+    p = (F.col("c2").cast("double") + F.lit(1.0)) / (
+        F.col("c1").cast("double") + F.col("v").cast("double")
+    )
+    scored = (
+        big.select("doc_id", "t", "t2")
+        .join(c2, ["t", "t2"])
+        .join(c1, "t")
+        .crossJoin(F.broadcast(vv))
+        .select("doc_id", (-F.log(p)).cast("decimal(38,18)").alias("__nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("__nll").cast("double") / F.count(F.lit(1)), 3).alias(
+            "avg_nll"
+        ),
+    )
