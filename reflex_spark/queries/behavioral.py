@@ -325,3 +325,56 @@ def events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@query(
+    "events_transition_matrix",
+    # First-order Markov behavior model: per-user consecutive event-type
+    # transitions counted corpus-wide, with the conditional transition
+    # probability in ppm by INTEGER floor division — the path-analysis
+    # primitive behind "what do users do next".
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    t AS (SELECT event_type AS from_type, next_type AS to_type
+          FROM o WHERE next_type IS NOT NULL),
+    cnt AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t GROUP BY from_type, to_type),
+    tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+            FROM cnt GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           CAST(c.n * 1000000 // t.row_total AS BIGINT) AS prob_ppm
+    FROM cnt c JOIN tot t ON c.from_type = t.from_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix — the first-order Markov model of
+    user behavior (path analysis): per user, consecutive event pairs by
+    (ts, event_id) order, counted into a |types|² matrix with the
+    conditional next-step probability in integer ppm. One shuffle on
+    user_id for the lead window, then type-cardinality aggregates —
+    the matrix itself is control-plane sized at any SF."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    cnt = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        cnt.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(n * 1000000) div row_total").alias("prob_ppm"),
+        )
+    )
