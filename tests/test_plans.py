@@ -290,3 +290,29 @@ def test_video_stats_python_confined_to_arrow_stages(spark):
     plan = plan_of(spark, "multimodal_video_stats")
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") >= 2
+
+
+def test_round8_queries_plan_shapes(spark):
+    """Round-8 plan pins: OHLC's first/last selection is the partial+
+    final SortAggregate pair (never a window over every event), the
+    cohort/transition matrices broadcast their control-plane size
+    tables, edit-distance blocking is an equi-join with the Levenshtein
+    DP JVM-side (no Python anywhere), and the bigram LM stays in
+    codegen."""
+    ohlc = plan_of(spark, "events_ohlc_hourly")
+    assert "SortAggregate" in ohlc  # min/max over struct: partial+final
+    assert "Window" not in ohlc
+    assert "BatchEvalPython" not in ohlc
+
+    for name in ("events_transition_matrix", "events_cohort_retention_matrix"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+    ed = plan_of(spark, "dedup_edit_distance_blocked")
+    assert "BatchEvalPython" not in ed
+    assert "levenshtein" in ed  # JVM expression, not a UDF
+    assert "BroadcastNestedLoopJoin" not in ed
+
+    bi = plan_of(spark, "text_bigram_lm_logprob")
+    assert "BatchEvalPython" not in bi

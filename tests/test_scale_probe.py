@@ -284,3 +284,37 @@ def test_rocksdb_state_store_bounded_heap_under_load(tmp_path):
         assert metrics_h and metrics_h["memoryUsedBytes"] > 400_000_000, metrics_h
     else:
         assert oom_h or rc_h != 0
+
+
+def test_round8_queries_invariant_to_partitioning(spark):
+    """Round-8 additions are functions of the data, not the layout:
+    identical results under a different shuffle-partition count —
+    covering the new families (SemDeDup, BPE fit+apply, SQ8, OHLC
+    min-struct selection, k-core peel, SCD2 islands, edit-distance
+    blocking, the multi-signal union)."""
+    from reflex_spark.queries import all_queries
+
+    qs = all_queries()
+    names = (
+        "dedup_semantic_clusters",
+        "text_bpe_train_merges",
+        "text_bpe_apply_tokenize",
+        "sim_scalar_quant_topk",
+        "events_ohlc_hourly",
+        "graph_kcore_2core",
+        "events_scd2_type_history",
+        "dedup_edit_distance_blocked",
+        "dedup_multi_signal",
+        "events_transition_matrix",
+    )
+    base = {
+        n: {tuple(r) for r in qs[n](spark, "/root/testdata/sf0.001").collect()}
+        for n in names
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        for n in names:
+            alt = {tuple(r) for r in qs[n](spark, "/root/testdata/sf0.001").collect()}
+            assert alt == base[n] and base[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
