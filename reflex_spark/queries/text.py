@@ -1782,3 +1782,49 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_distance") <= 20)
     )
+
+
+@query(
+    "text_shingle_udtf_stats",
+    # The Python UDTF lane judged end-to-end (previously only
+    # LATERAL-tested): per-doc shingle stats computed through the
+    # table-function row expansion; the oracle replays the same 3-gram
+    # rule in SQL. Positions are summed so the UDTF's emitted ORDER
+    # metadata is judged too, not just the row multiset.
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(generate_series(0, len(w) - 3)) AS pos
+      FROM w WHERE len(w) >= 3)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(pos) AS BIGINT) AS pos_sum
+    FROM sh GROUP BY doc_id
+    """,
+)
+def text_shingle_udtf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle statistics THROUGH the Python UDTF
+    (functions/udtf_demo.ShingleUDTF) — the one UDF-surface lane
+    (SURVEY §2.2 UDF/UDAF/UDTF) that had tests but no judged query: the
+    LATERAL table-function expansion runs executor-side, one row per
+    word 3-gram with its position, then a plain aggregate. The JVM
+    expression form (word_shingles) remains the production path; this
+    pins that the imperative-expansion lane produces byte-identical
+    rows when logic genuinely needs it. Python rows cross via the UDTF
+    protocol — the plan's BatchEvalPythonUDTF node — bounded by the
+    shingle fan-out, never the driver."""
+    from reflex_spark.functions.udtf_demo import ShingleUDTF
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    spark.udtf.register("reflex_shingles_udtf", ShingleUDTF)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               COUNT(*) AS n_shingles,
+               SUM(s.pos) AS pos_sum
+        FROM __udtf_docs,
+             LATERAL reflex_shingles_udtf(text, 3) AS s
+        GROUP BY doc_id
+        """
+    )
