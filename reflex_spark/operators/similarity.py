@@ -1289,11 +1289,14 @@ def scalar_quantize_codes(
     over the corpus define a uniform grid; each component compresses to
     one small int code.
 
-    Cross-engine determinism: code = floor((x − mn) · (levels−1) /
-    (mx − mn)) clamped to [0, levels−1] — floor is exact on identical
-    IEEE inputs in any engine (no round-half mode in the contract), and
-    the fixed multiply-then-divide order is replayed verbatim by the
-    oracle. Constant dimensions (mx == mn) code to 0.
+    Cross-engine determinism: code = floor((x − mn) · levels /
+    (mx − mn)) clamped to [0, levels−1] — a uniform ``levels``-cell grid
+    (mx itself lands on the clamp; every other cell is exactly
+    (mx−mn)/levels wide, so the decode's cell midpoints are true
+    midpoints). floor is exact on identical IEEE inputs in any engine
+    (no round-half mode in the contract), and the fixed
+    multiply-then-divide order is replayed verbatim by the oracle.
+    Constant dimensions (mx == mn) code to 0.
 
     Scale shape: the stats pass is ONE map-side-combinable aggregation
     to dim rows (broadcast everywhere after); encoding is a
@@ -1316,7 +1319,7 @@ def scalar_quantize_codes(
                 F.lit(0),
                 F.floor(
                     (F.col("__x") - F.col("__mn"))
-                    * (levels - 1)
+                    * levels
                     / (F.col("__mx") - F.col("__mn"))
                 ).cast("int"),
             ),
@@ -1334,10 +1337,12 @@ def scalar_quant_reconstruct(
     id_col: str = "vec_id",
     levels: int = 256,
 ) -> DataFrame:
-    """Decode SQ codes back to vectors: xr = mn + (code + 0.5) · step
-    with step = (mx − mn) / (levels − 1 + 1e0·0 …) — concretely
-    mn + (code + 0.5) · (mx − mn) / levels, the cell-midpoint decode,
-    a fixed IEEE chain both engines share. Returns (id, __rv:
+    """Decode SQ codes back to vectors: xr = mn + (code + 0.5) ·
+    (mx − mn) / levels — the TRUE midpoint of the uniform
+    ``levels``-cell encode grid (round-8 self-review: the first cut
+    encoded on a (levels−1)-step grid but decoded 1/levels cells — a
+    deterministic but internally inconsistent hybrid), a fixed IEEE
+    chain both engines share. Returns (id, __rv:
     array<double>) with components in dimension order (the same
     array-rebuild as the k-means mean update)."""
     xr = F.when(F.col("__mx") == F.col("__mn"), F.col("__mn")).otherwise(

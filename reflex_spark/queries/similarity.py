@@ -1288,7 +1288,7 @@ _SQ_CHAIN = f"""
       SELECT vec_id, di,
              CASE WHEN mx = mn THEN 0
                   ELSE least(255, greatest(0,
-                       CAST(floor((x - mn) * 255 / (mx - mn)) AS INTEGER)))
+                       CAST(floor((x - mn) * 256 / (mx - mn)) AS INTEGER)))
              END AS code
       FROM sqc JOIN sqst USING (di)),
     sqrec AS (
