@@ -1156,3 +1156,107 @@ def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("valid_to"),
         "n_events",
     )
+
+
+def _sql_hll_scalar(pred: str) -> str:
+    """Scalar DuckDB subquery: the deterministic-HLL estimate (p=10) of
+    distinct user_id over ``events WHERE pred`` — the same register
+    chain as _SQL_HLL_ORACLE, parameterized so sketch SET ALGEBRA can
+    compose several estimates in one oracle."""
+    return f"""(
+      WITH h AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM events WHERE {pred}),
+      rw AS (
+        SELECT hv >> 50 AS idx, hv & ((1::BIGINT << 50) - 1) AS w FROM h),
+      regs AS (
+        SELECT idx,
+               MAX(CASE WHEN w = 0 THEN 50
+                        ELSE strpos(lpad(bin(w), 50, '0'), '1') END) AS m
+        FROM rw GROUP BY idx),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST(SUM(1::BIGINT << (50 - m)) AS BIGINT) AS s_present
+        FROM regs),
+      est AS (
+        SELECT 1024 - n_present AS zeros,
+               (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                  + CAST(1.079 AS DOUBLE) / 1024)) * 1024 * 1024
+                 / (CAST(s_present + (1024 - n_present) * (1::BIGINT << 50)
+                         AS DOUBLE)
+                    / CAST(1::BIGINT << 50 AS DOUBLE)) AS e_raw
+        FROM stats)
+      SELECT round(CASE WHEN e_raw <= 2.5 * 1024 AND zeros > 0
+                        THEN CAST(1024 AS DOUBLE)
+                             * ln(CAST(1024 AS DOUBLE) / CAST(zeros AS DOUBLE))
+                        ELSE e_raw END, 3)
+      FROM est)"""
+
+
+@query(
+    "events_hll_set_intersection",
+    # Sketch SET ALGEBRA judged: |A ∩ B| estimated by inclusion-
+    # exclusion over three from-scratch HLL estimates (purchasers,
+    # clickers, union) — the composition a sketch store answers overlap
+    # questions with, no raw data revisit — next to the EXACT
+    # intersection so the error is visible and judged.
+    oracle=f"""
+    SELECT a.e AS est_purchasers, b.e AS est_clickers, u.e AS est_union,
+           round(a.e + b.e - u.e, 3) AS est_intersection,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'))
+             AS true_intersection
+    FROM (SELECT {_sql_hll_scalar("event_type = 'purchase'")} AS e) a,
+         (SELECT {_sql_hll_scalar("event_type = 'click'")} AS e) b,
+         (SELECT {_sql_hll_scalar("event_type IN ('purchase', 'click')")} AS e) u
+    """,
+)
+def events_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: the intersection cardinality of purchasers and
+    clickers estimated by inclusion–exclusion over three deterministic
+    HLL sketches — |A∩B| ≈ E(A) + E(B) − E(A∪B) — alongside the exact
+    intersection, so the composition error itself is judged. This is
+    the overlap question a sketch store answers WITHOUT revisiting raw
+    data: per-segment sketches persist once (constant size, mergeable),
+    and any pairwise overlap derives from three lookups + arithmetic.
+    Every estimate is the same fully-oracle-replicated register chain
+    as events_hll_distinct_users; the final add/subtract is one fixed
+    IEEE chain both engines share."""
+    from reflex_spark.operators.dedup import hll_estimate
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purch = ev.where(F.col("event_type") == "purchase")
+    click = ev.where(F.col("event_type") == "click")
+    both = ev.where(F.col("event_type").isin("purchase", "click"))
+    ea = hll_estimate(purch, "user_id", p=10).select(
+        F.col("hll_estimate").alias("est_purchasers")
+    )
+    eb = hll_estimate(click, "user_id", p=10).select(
+        F.col("hll_estimate").alias("est_clickers")
+    )
+    eu = hll_estimate(both, "user_id", p=10).select(
+        F.col("hll_estimate").alias("est_union")
+    )
+    true_int = (
+        purch.select("user_id")
+        .distinct()
+        .join(click.select("user_id").distinct(), "user_id")
+        .agg(F.count(F.lit(1)).alias("true_intersection"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_purchasers",
+            "est_clickers",
+            "est_union",
+            F.round(
+                F.col("est_purchasers") + F.col("est_clickers") - F.col("est_union"),
+                3,
+            ).alias("est_intersection"),
+        )
+        .crossJoin(F.broadcast(true_int))
+    )
