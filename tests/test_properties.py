@@ -91,3 +91,91 @@ def test_string_cursor_store_support(tmp_path):
         with pytest.raises(CursorRegressionError):
             store.set_cursor("s", 5)  # type change rejected
         assert store.get_cursor("s") == "2024/01/02|5|0"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # height in 8px blocks
+            st.integers(min_value=1, max_value=4),  # width in 8px blocks
+            st.integers(min_value=0, max_value=255),  # base gray value
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=30, deadline=None)
+def test_avi_mjpeg_roundtrip_any_frames(frame_specs, fps):
+    """Container property: for ANY frame list (varying counts, odd/even
+    JPEG byte lengths, any fps), mux→demux returns the exact input
+    bytes and the header dimensions/count — frames must share one size
+    per stream, so the first spec fixes it."""
+    import numpy as np
+
+    from reflex_spark.functions.codecs import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    hb, wb, _ = frame_specs[0]
+    frames = [
+        encode_jpeg(np.full((hb * 8, wb * 8), v, dtype=np.uint8), quality=75)
+        for (_, _, v) in frame_specs
+    ]
+    avi = encode_avi_mjpeg(frames, wb * 8, hb * 8, fps=fps)
+    w, h, out = decode_avi_mjpeg(avi)
+    assert (w, h) == (wb * 8, hb * 8)
+    assert out == frames
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=25, deadline=None)
+def test_bpe_wrapped_replace_equals_reference_merge(words, n_merges):
+    """The wrapped-string replace() merge must equal the reference
+    left-to-right non-overlapping BPE merge for ANY corpus over a tiny
+    alphabet (maximizing overlap cases like 'aaaa') and any merge count.
+    Pure-Python check of the same string transform both engines run."""
+    from collections import Counter
+
+    freqs = Counter(words)
+    vocab = {w: list(w) for w in freqs}
+
+    def wrapped(sym_seq):
+        return "(" + ")(".join(sym_seq) + ")"
+
+    wstate = {w: wrapped(vocab[w]) for w in vocab}
+    for _ in range(n_merges):
+        stats: Counter = Counter()
+        for w, f in freqs.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += f
+        if not stats:
+            break
+        (a, b), _cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        # reference merge: left-to-right, non-overlapping
+        for w in vocab:
+            s, out, i = vocab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+        # the engine's transform: plain str.replace (leftmost,
+        # non-overlapping — same semantics as Spark/DuckDB replace())
+        for w in wstate:
+            wstate[w] = wstate[w].replace(f"({a})({b})", f"({a}{b})")
+    for w in vocab:
+        assert wstate[w] == wrapped(vocab[w]), (w, wstate[w], vocab[w])
