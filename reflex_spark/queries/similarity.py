@@ -1241,13 +1241,17 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. fit 16 coarse centroids with ``kmeans_centroids_exact`` (every
        step decimal-sum/argmin parity-proven, so DuckDB unrolls the fit);
     2. assign each vector to its nearest list (broadcast centroids +
-       window argmin — the bounded BNLJ shape);
-    3. generate candidate pairs ONLY within a list: ONE equi-join
-       shuffling on the list id (at the fixture SF this cuts candidate
-       pairs 124,750 → ~7,800, a 16× reduction; at scale FLOPs drop from
-       n² to Σ|list|² and no task ever holds more than one list);
+       min-struct argmin — the bounded BNLJ shape);
+    3. candidate pairs ONLY within a list, scored by the LIST-SCOPED
+       tiled GEMM (``cluster_scoped_cosine_pairs`` vectorized default —
+       per-task memory two tiles, FLOPs Σ|list|² not n²; at the fixture
+       SF the blocking admits ~7,800 of 124,750 pairs, and the probe in
+       SCALE_NOTES §16 shows the vectorized verify is what makes the
+       reduction actually win);
     4. exact-cosine verify at >= 0.4 (same threshold as the quadratic
-       twin), keep-min-id within each list.
+       twin; BLAS jitter ~1e-15 ≪ the 1e-6 rounding quantum, so the
+       expression-form oracle still matches bit-for-bit), keep-min-id
+       within each list.
 
     Survivors (cid, vec_id, label). A pair split across two lists is out
     of contract BY DESIGN — that is SemDeDup's semantics, and the oracle
