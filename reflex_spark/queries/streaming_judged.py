@@ -1015,12 +1015,22 @@ def stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = log.read_stream(max_files_per_trigger=1).dropDuplicates(
             ["foreign_id"]
         )
-        q = (
-            deduped.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
+        # State-partition sizing is a deliberate knob, not an accident:
+        # the store count is frozen from spark.sql.shuffle.partitions at
+        # checkpoint CREATION, and a plain 200-partition session would
+        # mint 200 state stores per micro-batch for KB of fixture state.
+        # Pin 32 for this query's checkpoint, restore after start.
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                deduped.writeStream.foreachBatch(merge)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         q.awaitTermination(120)
         if q.isActive:
             q.stop()
@@ -1133,12 +1143,20 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
                 "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
             ),
         ).select(F.col("c_user").cast("long").alias("user_id"))
-        q = (
-            joined.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
+        # same state-partition pin as stream_dedup_rollup: two join-state
+        # stores per batch — 32 deliberate partitions, not the session's
+        # default 200, for KB of fixture state.
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                joined.writeStream.foreachBatch(merge)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         q.awaitTermination(180)
         if q.isActive:
             q.stop()
