@@ -2481,10 +2481,15 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
     non-MJPG stream raise; non-AVI input raises NotImplementedError."""
     if not is_avi(data):
         raise NotImplementedError("unsupported video format (MJPEG/AVI only)")
+    riff_end = 8 + int.from_bytes(data[4:8], "little")
+    if riff_end > len(data):
+        # Declared RIFF size past EOF: without this check, slices past
+        # the buffer would silently yield short frame bytes (ADVICE r8).
+        raise ValueError("truncated RIFF chunk")
     width = height = declared = None
     handler_ok = False
     frames: list[bytes] = []
-    for fourcc, p, size in _riff_chunks(data, 12, 8 + int.from_bytes(data[4:8], "little")):
+    for fourcc, p, size in _riff_chunks(data, 12, riff_end):
         if fourcc != b"LIST":
             continue
         list_type = data[p : p + 4]

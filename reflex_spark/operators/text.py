@@ -367,6 +367,12 @@ def bpe_fit(df, text_col: str = "text", n_merges: int = 8):
             .select(F.lit(i).alias("step"), "a", "b", "cnt")
             .localCheckpoint()
         )
+        if m.isEmpty():
+            # No adjacent pair left (every word is a single symbol, or
+            # n_merges exceeds the learnable merges): stop. Without this
+            # guard the 1-row broadcast crossJoin below would silently
+            # EMPTY the word table and every later step (ADVICE r8).
+            break
         merge_rows.append(m)
         r = (
             r.crossJoin(F.broadcast(m.select("a", "b")))
@@ -380,9 +386,15 @@ def bpe_fit(df, text_col: str = "text", n_merges: int = 8):
             )
             .localCheckpoint(eager=False)
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
+    if not merge_rows:
+        spark = df.sparkSession
+        out = spark.createDataFrame(
+            [], "step int, a string, b string, cnt long"
+        )
+    else:
+        out = merge_rows[0]
+        for m in merge_rows[1:]:
+            out = out.unionByName(m)
     merges = out.select(
         F.col("step").cast("int").alias("step"),
         F.col("a").alias("left_sym"),

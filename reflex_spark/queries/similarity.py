@@ -1258,8 +1258,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical blocking, fit and tie-breaks, so the judged
     hash pins the whole composition. Reference parity: the reflex engine
     has no embedding ops; this is LLM-pipeline surface built on the
-    repo's proven ANN primitives (reference: rsql/query.go operators are
-    relational-only)."""
+    repo's proven ANN primitives (the reference's only SQL surface is
+    the relational loader in rsql/db.go:122-182)."""
     from reflex_spark.operators.similarity import (
         cluster_scoped_cosine_pairs,
         ivf_assign_exact,

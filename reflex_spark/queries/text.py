@@ -1279,8 +1279,8 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_codecs.py). That makes the THREE-layer pipeline a judged
     lossless contract — the synthetic-payload oracle pattern from the
     audio/GIF queries extended to a container format. Reference: reflex
-    has no media stack (rsql/query.go is relational-only); this is
-    LLM-pipeline surface."""
+    has no media stack (its SQL surface is the relational loader in
+    rsql/db.go:122-182); this is LLM-pipeline surface."""
     from reflex_spark.operators.multimodal import video_frame_stats
 
     return video_frame_stats(_synth_avi_corpus(spark, sf_dir))

@@ -1257,3 +1257,27 @@ def test_jpeg_flat_block_roundtrip_exact_at_q75():
         if dec.ndim == 3:
             dec = dec[:, :, 0]
         assert np.array_equal(dec, img), base
+
+
+def test_avi_truncated_buffer_raises():
+    """A buffer cut short of its declared RIFF size must raise the
+    promised 'truncated RIFF chunk' ValueError, not silently return
+    short frame bytes (ADVICE r8: the top-level walk used the declared
+    end without clamping to len(data))."""
+    import pytest
+
+    from reflex_spark.functions.codecs import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    frames = [
+        encode_jpeg(np.full((8, 8), 64, dtype=np.uint8), quality=75)
+        for _ in range(3)
+    ]
+    avi = encode_avi_mjpeg(frames, 8, 8)
+    # cut mid-movi: declared RIFF size now exceeds the actual buffer
+    for cut in (len(avi) - 1, len(avi) - 40, len(avi) // 2):
+        with pytest.raises(ValueError, match="truncated"):
+            decode_avi_mjpeg(avi[:cut])

@@ -595,3 +595,26 @@ def test_bpe_train_matches_python_reference(spark):
         for r in bpe_train_merges(df, "text", n_merges=4).orderBy("step").collect()
     ]
     assert got == expected, (got, expected)
+
+
+def test_bpe_exhausted_merges_stops_early(spark):
+    """When n_merges exceeds the learnable merges, bpe_fit must STOP —
+    returning the merges it could learn and a non-empty vocab — instead
+    of letting the empty argmax crossJoin silently empty the word table
+    (ADVICE r8). 'ab' admits exactly one merge; 'a'/'b' admit none."""
+    from reflex_spark.operators.text import bpe_fit
+
+    df = spark.createDataFrame([("ab ab a b",)], ["text"])
+    merges, vocab = bpe_fit(df, "text", n_merges=5)
+    got = [(r["step"], r["merged"]) for r in merges.orderBy("step").collect()]
+    assert got == [(1, "ab")]
+    v = {r["word"]: r["n_tokens"] for r in vocab.collect()}
+    assert v == {"ab": 1, "a": 1, "b": 1}
+
+    # corpus of single-char words only: zero learnable merges
+    df0 = spark.createDataFrame([("a b c",)], ["text"])
+    merges0, vocab0 = bpe_fit(df0, "text", n_merges=3)
+    assert merges0.count() == 0
+    assert {r["word"]: r["n_tokens"] for r in vocab0.collect()} == {
+        "a": 1, "b": 1, "c": 1,
+    }
