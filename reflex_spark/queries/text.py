@@ -1828,3 +1828,92 @@ def text_shingle_udtf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
         """
     )
+
+
+@query(
+    "text_doc_keywords_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents),
+    ft AS (SELECT doc_id, term FROM toks WHERE term NOT IN ('the', 'a')),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ft GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len
+           FROM tf GROUP BY doc_id),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ft GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((CAST(tf.tf AS DOUBLE) / dl.doc_len)
+                   * (ln(CAST(1 + n.n_docs AS DOUBLE) / (1 + dfq.df)) + 1),
+                   6) AS score
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN dfq ON tf.term = dfq.term
+      CROSS JOIN n)
+    SELECT doc_id, kw_rank, term, score FROM (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS kw_rank
+      FROM scored)
+    WHERE kw_rank <= 3
+    """,
+)
+def text_doc_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (VERDICT r8 #6): top-3 terms per
+    doc by length-normalized tf × smoothed idf — the everyday text-
+    pipeline operator that differs from ``tfidf_top_terms`` in every
+    scoring stage: regex word tokens (not naive space split), stopword
+    filtering BEFORE counting, tf normalized by the post-filter doc
+    length (long docs can't win on raw counts), and the sklearn-style
+    smoothed idf ln((1+N)/(1+df)) + 1 (never negative, never div0 —
+    safe for out-of-corpus inference vocab).
+
+    Cross-engine determinism: integer counts everywhere; the score is
+    two IEEE divisions + one ln + one add + one multiply on identical
+    inputs, rounded once; the top-k window orders by the ROUNDED score
+    with the term as tie-break. Scale shape: two shuffles (doc-term tf,
+    corpus df) + one broadcast scalar; df is broadcast-joined only if
+    AQE sizes it so — the term join keys on the natural shuffle.
+    Reference: reflex has no text surface (its SQL surface is the
+    relational loader in rsql/db.go:122-182); LLM-pipeline north star.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ft = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    ).where(~F.col("term").isin(*T.STOPWORDS))
+    tf = ft.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    dfq = ft.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfq, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf").cast("double") / F.col("doc_len"))
+                * (
+                    F.log(
+                        (1 + F.col("n_docs")).cast("double") / (1 + F.col("df"))
+                    )
+                    + 1
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .where(F.col("kw_rank") <= 3)
+        .select("doc_id", "kw_rank", "term", "score")
+    )
