@@ -1171,3 +1171,206 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         sorted(final.items()), "user_id long, n_pairs long"
     )
+
+
+@query(
+    "stream_cdc_scd2_history",
+    # The reference-faithful end-to-end composition (VERDICT r8 #1):
+    # "events are pointers to state changes of mutable data" (doc.go:7).
+    # Three TxTable commits (seed, merge-update, delete) publish typed
+    # CDC windows into an EventLog; a STREAMING consumer maintains a
+    # type-2 dimension across micro-batches (foreachBatch + SCD2 MERGE
+    # — close the superseded version, open the new one); the oracle
+    # computes the expected version intervals declaratively from the
+    # deterministic change schedule. Any lost/duplicated/misordered
+    # event, broken merge, or failed checkpoint resume changes a
+    # validity interval and fails the hash.
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             (o_orderkey % 3) <> 0 AS in_base,
+             (o_orderkey % 2) = 0 AS updated,
+             (o_orderkey % 5) = 0 AS del5
+      FROM orders),
+    r1 AS (
+      SELECT k, status, DATE '2024-01-01' AS valid_from,
+             CASE WHEN updated THEN DATE '2024-02-01'
+                  WHEN del5 THEN DATE '2024-03-01'
+                  ELSE NULL END AS valid_to
+      FROM base WHERE in_base),
+    r2 AS (
+      SELECT k, 'U' AS status, DATE '2024-02-01' AS valid_from,
+             CASE WHEN del5 THEN DATE '2024-03-01' ELSE NULL END AS valid_to
+      FROM base WHERE updated)
+    SELECT k, status, valid_from, valid_to FROM r1
+    UNION ALL
+    SELECT k, status, valid_from, valid_to FROM r2
+    """,
+)
+def stream_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC → SCD2 dimension maintenance, judged end-to-end.
+
+    Change history (all deterministic functions of o_orderkey):
+      w1 @2024-01-01  seed keys k%3!=0 with status=o_orderstatus;
+      w2 @2024-02-01  MERGE all even keys → status 'U' (update for keys
+                      in the seed, insert for the rest);
+      w3 @2024-03-01  DELETE keys k%5==0 (TxTable.delete_by_key — the
+                      third CDC verb).
+    Each window publishes through the CDC bridge as ONE EventLog commit
+    (typed insert/delete/update-pre/update-post, dense ordered ids).
+
+    The streaming side consumes the feed with maxFilesPerTrigger=1 (one
+    micro-batch per window) and maintains the dimension as a TxTable
+    keyed (k, valid_from): every non-pre-image event CLOSES the key's
+    open version (valid_to = event time) via a churn-sized join against
+    the open rows, and insert/update-post events OPEN a new version —
+    one MERGE per batch, rev = the dense event id, so replayed windows
+    (at-least-once) lose to the rows they already produced and the
+    maintenance is idempotent. This is the canonical production shape:
+    stateless streaming + transactional MERGE, state lives in the
+    dimension table itself, O(churn) per batch never O(dimension).
+
+    Checkpoint-restart chaos: the stream runs availableNow over w1+w2,
+    finishes, then w3 is published and a NEW query resumes from the
+    same checkpoint — it must process EXACTLY the one new window
+    (asserted in-query: a replay of w1/w2 or a skipped w3 raises).
+    Runs under the pinned state-store provider like every streaming
+    entry. Final dimension rows (k, status, valid_from, valid_to) cast
+    to DATE; the oracle replays the schedule per key residue."""
+    import shutil
+    import time as _time
+    from datetime import datetime
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.sources.tx_table import TxTable
+    from reflex_spark.streaming.cdc import (
+        CDC_INSERT_TYPE,
+        CDC_UPDATE_POST_TYPE,
+        CDC_UPDATE_PRE_TYPE,
+        publish_changes,
+    )
+    from reflex_spark.streaming.statestore import apply_state_store_conf
+
+    apply_state_store_conf(spark)
+    orders = load_tables(spark, sf_dir)["orders"]
+    base_dir = tempfile.mkdtemp(prefix="stream_scd2_")
+    dim_path = f"{base_dir}/dim"
+    data_batches: list[int] = []
+
+    def apply_scd2(batch_df: DataFrame, bid: int) -> None:
+        b = (
+            batch_df.where(F.col("event_type") != CDC_UPDATE_PRE_TYPE)
+            .select(
+                "event_id",
+                "event_type",
+                F.col("timestamp").alias("ts"),
+                F.get_json_object(F.col("metadata").cast("string"), "$.k")
+                .cast("long")
+                .alias("k"),
+                F.get_json_object(
+                    F.col("metadata").cast("string"), "$.status"
+                ).alias("status"),
+            )
+            .localCheckpoint()
+        )
+        if b.isEmpty():
+            return
+        data_batches.append(bid)
+        dim = TxTable(spark, dim_path)
+        new_opens = b.where(
+            F.col("event_type").isin(CDC_INSERT_TYPE, CDC_UPDATE_POST_TYPE)
+        ).select(
+            "k",
+            "status",
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.col("event_id").alias("rev"),
+        )
+        if dim.latest_version() >= 0:
+            open_rows = dim.read().where(F.col("valid_to").isNull())
+            closes = open_rows.select("k", "status", "valid_from").join(
+                b.select("k", "ts", "event_id"), "k"
+            ).select(
+                "k",
+                "status",
+                "valid_from",
+                F.col("ts").alias("valid_to"),
+                F.col("event_id").alias("rev"),
+            )
+            ups = new_opens.unionByName(closes)
+        else:
+            ups = new_opens
+        dim.merge_by_key(ups, ["k", "valid_from"], "rev")
+
+    try:
+        t = TxTable(spark, f"{base_dir}/t")
+        log = EventLog(spark, f"{base_dir}/log")
+        seed = orders.where(F.col("o_orderkey") % 3 != 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit(1).alias("ver"),
+        )
+        updates = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("U").alias("status"),
+            F.lit(2).alias("ver"),
+        )
+        v0 = t.append(seed)
+        v1 = t.merge_by_key(updates, ["k"], "ver")
+        publish_changes(t, log, "k", -1, v0, at=datetime(2024, 1, 1))
+        _time.sleep(0.1)
+        publish_changes(t, log, "k", v0, v1, at=datetime(2024, 2, 1))
+        _time.sleep(0.1)
+
+        def run_phase(timeout: int) -> None:
+            q = (
+                log.read_stream(max_files_per_trigger=1)
+                .writeStream.foreachBatch(apply_scd2)
+                .option("checkpointLocation", f"{base_dir}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(timeout)
+            if q.isActive:
+                q.stop()
+                raise TimeoutError(
+                    "stream_cdc_scd2_history: availableNow query did not "
+                    f"finish within {timeout}s; results would be partial"
+                )
+            if q.exception() is not None:
+                raise q.exception()
+
+        run_phase(120)
+        n_phase_a = len(data_batches)
+        if n_phase_a != 2:
+            raise AssertionError(
+                f"phase A must see w1+w2 as 2 micro-batches, saw {n_phase_a}"
+            )
+        # -- chaos: the query is gone; publish the delete window and
+        # resume a NEW query from the same checkpoint.
+        del_keys = orders.where(F.col("o_orderkey") % 5 == 0).select(
+            F.col("o_orderkey").alias("k")
+        )
+        v2 = t.delete_by_key(del_keys, ["k"])
+        publish_changes(t, log, "k", v1, v2, at=datetime(2024, 3, 1))
+        _time.sleep(0.1)
+        run_phase(120)
+        if len(data_batches) != n_phase_a + 1:
+            raise AssertionError(
+                "checkpoint resume must process EXACTLY the one new "
+                f"window; data batches = {data_batches}"
+            )
+        out = (
+            TxTable(spark, dim_path)
+            .read()
+            .select(
+                "k",
+                "status",
+                F.col("valid_from").cast("date").alias("valid_from"),
+                F.col("valid_to").cast("date").alias("valid_to"),
+            )
+            .localCheckpoint()  # materialize before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out

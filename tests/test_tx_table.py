@@ -574,3 +574,34 @@ def test_change_feed_across_schema_evolution(spark, tmp_path):
     log = EventLog(spark, str(tmp_path / "log"))
     publish_changes(t, log, "k", v0, at=datetime(2024, 1, 1))
     assert log.read().count() == len(feed)
+
+
+def test_delete_by_key_copy_on_write(spark, tmp_path):
+    """delete_by_key removes exactly the matched keys, rewrites only the
+    touched files, surfaces the rows as 'delete' change events, and
+    older snapshots still see the deleted rows."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    # two files: keys 1-3 and 4-6
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]).coalesce(1))
+    v1 = t.append(_mk(spark, [(4, "d", 1), (5, "e", 1), (6, "f", 1)]).coalesce(1))
+    files_before = set(t._snapshot_state(v1)[0])
+    assert len(files_before) == 2
+    keys = spark.createDataFrame([(2,), (99,)], "k long")
+    v2 = t.delete_by_key(keys, ["k"])
+    assert _rows(t.read()) == [
+        (1, "a", 1), (3, "c", 1), (4, "d", 1), (5, "e", 1), (6, "f", 1)
+    ]
+    # only the file holding k=2 was rewritten; the 4-6 file carried over
+    files_after = set(t._snapshot_state(v2)[0])
+    assert files_before & files_after == files_before - set(t._entry(v2)["removes"])
+    assert len(t._entry(v2)["removes"]) == 1
+    # change feed: exactly one delete event, no inserts
+    ch = t.changes(v1, v2).collect()
+    assert [(r["k"], r["_change_type"]) for r in ch] == [(2, "delete")]
+    # snapshot isolation: the old version still reads k=2
+    assert (2, "b", 1) in _rows(t.read(v1))
+    # deleting every key of one file drops the file without replacement
+    v3 = t.delete_by_key(spark.createDataFrame([(4,), (5,), (6,)], "k long"), ["k"])
+    assert _rows(t.read()) == [(1, "a", 1), (3, "c", 1)]
+    assert [(r["k"], r["_change_type"]) for r in sorted(
+        t.changes(v2, v3).collect())] == [(4, "delete"), (5, "delete"), (6, "delete")]
