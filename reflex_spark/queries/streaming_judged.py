@@ -1374,3 +1374,188 @@ def stream_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_stream_left_join",
+    # The LEFT OUTER stream-stream interval join (VERDICT r8 #2) — the
+    # operator whose semantics genuinely differ from the judged inner
+    # form: an unmatched click may only emit its null-padded row once
+    # the watermark passes its eviction bound (c_ts + 1h), so the
+    # null rows' VALUES and their TIMING both depend on state eviction
+    # being correct. Oracle = the one-shot batch left join.
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged stream-stream LEFT OUTER interval join: clicks left-joined
+    to purchases on user with the band `p_ts ∈ [c_ts, c_ts + 1h]`, both
+    sides replayed through real EventLogs in TWO time-ordered
+    micro-batches (split at the corpus ts median, maxFilesPerTrigger=1)
+    plus a far-future sentinel batch.
+
+    Why this is a different operator from the judged inner join
+    (`stream_stream_join_attribution`): the inner form only ever emits
+    rows both of whose sides exist; correctness is "state buffers
+    matches". The left-outer form must ALSO emit a null-padded row for
+    every click that never matches — and Spark may only emit it once
+    the global watermark passes the click's eviction bound (no future
+    purchase can land in [c_ts, c_ts+1h]), the classic outer-join
+    correctness trap. Mechanics this query pins:
+
+    - time-ordered splits + a 1-minute watermark delay make the
+      watermark ADVANCE between micro-batches (the inner query's
+      14-day delay would freeze it and no null row would ever emit);
+    - one sentinel event per side at max(ts) + 30 days (user −1,
+      filtered from the result) pushes the final watermark past every
+      real click's eviction bound, and availableNow's closing no-data
+      micro-batch performs the final eviction — prototyped: without
+      the sentinel, every unmatched click in the last hour of the
+      range would be silently dropped and the hash would fail;
+    - the in-query assertion requires every null-padded row to emit in
+      micro-batch ≥ 1 (batch 0 starts at the epoch watermark, so a
+      null row there would mean broken eviction) and at least one to
+      emit at batch ≥ 2 — i.e. after BOTH its own arrival batch and
+      the data batches entirely — proving null emission crossed a
+      micro-batch boundary, the verdict's required evidence.
+
+    The oracle is the one-shot batch left join: a null row emitted
+    early (row still matchable), late (dropped by shutdown), or twice
+    changes (user_id, n_matched, n_unmatched) and fails the hash.
+    Runs under the pinned state-store provider; join state is two
+    per-key stores exactly as SCALE_NOTES §20 argues. State partitions
+    pinned to 32 like every streaming entry (KB of fixture state)."""
+    import shutil
+    import time as _time
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.streaming.statestore import apply_state_store_conf
+
+    apply_state_store_conf(spark)
+    ev = load_tables(spark, sf_dir)["events"]
+    mid_ts, max_ts = (
+        ev.agg(
+            F.expr("percentile_approx(CAST(ts AS TIMESTAMP), 0.5)"),
+            F.max(F.col("ts").cast("timestamp")),
+        ).collect()[0]
+    )
+
+    def canonical(kind: str) -> DataFrame:
+        return ev.where(F.col("event_type") == kind).select(
+            F.lit(1).alias("event_type"),
+            F.col("user_id").cast("string").alias("foreign_id"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+            F.lit(None).cast("binary").alias("metadata"),
+            F.lit(None).cast("binary").alias("trace"),
+        )
+
+    base = tempfile.mkdtemp(prefix="stream_ssloj_")
+    clog = EventLog(spark, f"{base}/clicks")
+    plog = EventLog(spark, f"{base}/purchases")
+    sent = spark.range(1).select(
+        F.lit(1).alias("event_type"),
+        F.lit("-1").alias("foreign_id"),
+        (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("timestamp"),
+        F.lit(None).cast("binary").alias("metadata"),
+        F.lit(None).cast("binary").alias("trace"),
+    )
+    final: dict = {}
+    null_batches: list[int] = []
+
+    def merge(batch_df: DataFrame, bid: int) -> None:
+        # bounded: one row per user per batch
+        for r in (
+            batch_df.where(F.col("c_user") != "-1")
+            .groupBy("c_user")
+            .agg(
+                F.count("p_user").alias("m"),
+                F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0)).alias("u"),
+            )
+            .collect()
+        ):
+            m, u = final.get(r["c_user"], (0, 0))
+            final[r["c_user"]] = (m + r["m"], u + r["u"])
+            if r["u"] > 0:
+                null_batches.append(bid)
+
+    try:
+        for kind, log in (("click", clog), ("purchase", plog)):
+            c = canonical(kind)
+            log.append(c.where(F.col("timestamp") <= F.lit(mid_ts)))
+            _time.sleep(0.1)
+            log.append(c.where(F.col("timestamp") > F.lit(mid_ts)))
+            _time.sleep(0.1)
+            log.append(sent)
+            _time.sleep(0.1)
+        cs = (
+            clog.read_stream(max_files_per_trigger=1)
+            .withWatermark("timestamp", "1 minute")
+            .select(
+                F.col("foreign_id").alias("c_user"),
+                F.col("timestamp").alias("c_ts"),
+            )
+        )
+        ps = (
+            plog.read_stream(max_files_per_trigger=1)
+            .withWatermark("timestamp", "1 minute")
+            .select(
+                F.col("foreign_id").alias("p_user"),
+                F.col("timestamp").alias("p_ts"),
+            )
+        )
+        joined = cs.join(
+            ps,
+            F.expr(
+                "c_user = p_user AND "
+                "p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR"
+            ),
+            "leftOuter",
+        ).select("c_user", "p_user")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                joined.writeStream.foreachBatch(merge)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        q.awaitTermination(240)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "stream_stream_left_join: availableNow query did not "
+                "finish within 240s; results would be partial"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        if null_batches and min(null_batches) < 1:
+            raise AssertionError(
+                "null-padded rows emitted in micro-batch 0 — eviction "
+                "fired under the epoch watermark, which is impossible "
+                f"for correct state timing (null batches: {null_batches})"
+            )
+        if not null_batches or max(null_batches) < 2:
+            raise AssertionError(
+                "no null-padded row crossed a micro-batch boundary past "
+                "the data batches — the watermark-timed emission this "
+                f"query exists to prove (null batches: {null_batches})"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(u), m, n) for u, (m, n) in sorted(final.items())],
+        "user_id long, n_matched long, n_unmatched long",
+    )
