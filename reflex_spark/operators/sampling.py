@@ -122,3 +122,57 @@ def pack_sequences(
         "pack_id",
         F.floor((F.col("__cum_tokens") - token_col) / F.lit(seq_len)).cast("long"),
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    id_col: str,
+    tier_col: Column,
+    k: int,
+    seed: str,
+    max_tier: int = 3,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    IPL 2006): each row draws a deterministic uniform u from its content
+    hash and is ranked by the key u**(1/w); the k largest keys are the
+    sample, with P(row is drawn first) = w / sum(w) exactly.
+
+    Cross-engine design: weights are POWER-OF-TWO TIERS (w = 2**tier,
+    tier in 0..max_tier), which turns u**(1/w) into an iterated sqrt —
+    a fixed chain of correctly-rounded IEEE-754 ops that Spark and
+    DuckDB evaluate bit-identically. Arbitrary real weights would need
+    pow(u, 1/w), whose libm rounding differs between engines near
+    top-k boundaries (the documented reason this operator quantizes
+    weights; the same tradeoff class as MinHash banding). u is exact
+    too: 52 hash bits + 1 over 2**52 — integer-in-double plus one
+    power-of-two division, no rounding anywhere.
+
+    Scale shape: one scan computing (u, key) JVM-side, then a global
+    top-k = TakeOrdered (per-partition heaps + a k-row merge — the
+    distributed reservoir; nothing data-sized moves). Adds columns
+    __w (int weight) and __es_key (the E-S key)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 52))
+    tier = F.least(F.lit(max_tier), tier_col).cast("int")
+    # when-cascade: tier t -> sqrt applied t times = u ** (1 / 2**t)
+    chain = u
+    key = F.when(tier == 0, u)
+    w = F.when(tier == 0, 1)
+    for t in range(1, max_tier + 1):
+        chain = F.sqrt(chain)
+        key = key.when(tier == t, chain)
+        w = w.when(tier == t, 1 << t)
+    return (
+        df.withColumn("__w", w.cast("int"))
+        .withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col))
+        .limit(k)
+    )

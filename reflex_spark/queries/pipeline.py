@@ -509,3 +509,81 @@ def sample_global_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFram
             ).cast("binary")
         ).alias("order_md5"),
     )
+
+
+@query(
+    "sample_weighted_reservoir",
+    # Weighted sampling WITHOUT replacement (Efraimidis-Spirakis) —
+    # the sampling family's missing member (hash_sample is unweighted;
+    # stratified fixes per-stratum rates). The libm-pow cross-engine
+    # risk the key u**(1/w) normally carries is solved by POWER-OF-TWO
+    # weight tiers: the key becomes an iterated sqrt — a fixed chain of
+    # correctly-rounded IEEE ops both engines evaluate bit-identically
+    # — so the oracle replays the ENTIRE draw, not a rounded summary.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, n_chars, lang,
+             LEAST(3, n_chars // 150) AS tier,
+             CAST(('0x' || substr(md5('esample1|' || CAST(doc_id AS VARCHAR)),
+                                  1, 13)) AS BIGINT) AS h
+      FROM documents),
+    kx AS (
+      SELECT doc_id, lang,
+             CASE tier WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
+               AS weight,
+             CASE tier
+               WHEN 0 THEN (CAST(h AS DOUBLE) + CAST(1 AS DOUBLE))
+                           / CAST(4503599627370496 AS DOUBLE)
+               WHEN 1 THEN sqrt((CAST(h AS DOUBLE) + CAST(1 AS DOUBLE))
+                           / CAST(4503599627370496 AS DOUBLE))
+               WHEN 2 THEN sqrt(sqrt((CAST(h AS DOUBLE) + CAST(1 AS DOUBLE))
+                           / CAST(4503599627370496 AS DOUBLE)))
+               ELSE sqrt(sqrt(sqrt((CAST(h AS DOUBLE) + CAST(1 AS DOUBLE))
+                           / CAST(4503599627370496 AS DOUBLE))))
+             END AS es_key
+      FROM b)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS INTEGER)
+             AS draw_rank,
+           doc_id, lang, CAST(weight AS INTEGER) AS weight, es_key
+    FROM kx
+    ORDER BY es_key DESC, doc_id
+    LIMIT 16
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged weighted sampling without replacement over documents:
+    weight tier = min(3, n_chars div 150) (longer docs up-weighted
+    1/2/4/8 - the data-mixture knob a training pipeline turns), one
+    deterministic uniform per doc from md5('esample1|' || doc_id), and
+    the Efraimidis-Spirakis key u**(1/w) as an ITERATED SQRT (w = 2**
+    tier), so P(doc drawn first) = w/sum(w) exactly and every arithmetic
+    step is a correctly-rounded IEEE op both engines share bit-for-bit.
+
+    k=16 draws; output is the full draw order (rank, doc, weight, key).
+    Scale shape: one scan, JVM-only expressions, then TakeOrdered-16 —
+    per-partition heaps + a 16-row merge; the permutation-not-sample
+    twin is sample_global_shuffle_manifest. The statistical contract
+    (selection frequency proportional to weight across seeds) is pinned
+    by tests/test_weighted_sampling.py against a pure-numpy replica of
+    the same formula."""
+    from pyspark.sql import Window
+
+    from reflex_spark.operators.sampling import weighted_sample_wor
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tier = F.least(F.lit(3), F.expr("n_chars div 150"))
+    picked = weighted_sample_wor(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        tier,
+        k=16,
+        seed="esample1",
+    )
+    w = Window.orderBy(F.col("__es_key").desc(), F.col("doc_id"))
+    return picked.select(
+        F.row_number().over(w).alias("draw_rank"),
+        "doc_id",
+        "lang",
+        F.col("__w").alias("weight"),
+        F.col("__es_key").alias("es_key"),
+    )
