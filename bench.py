@@ -154,6 +154,22 @@ HEADLINE = [
     # round 8: stream-stream interval join — the symmetric stateful-join
     # operator (two per-key join-state stores), a distinct state shape
     "stream_stream_join_attribution",
+    # round 9: streaming CDC -> SCD2 dimension maintenance — CDC window
+    # publish + per-batch transactional MERGE + checkpoint restart, the
+    # end-to-end composition cost shape
+    "stream_cdc_scd2_history",
+    # round 9: judged read of BUCKETED tables — bucketed write + the
+    # shuffle-free co-located fact-fact join (no Exchange on the key)
+    "bucketed_join_rollup",
+    # round 9: LEFT OUTER stream-stream join — outer-join state with
+    # watermark-timed null emission incl. the closing no-data eviction
+    # micro-batch, a state/timing shape the inner join doesn't exercise
+    "stream_stream_left_join",
+    # round 9: KLL sketch build — the mapInPandas per-partition-sketch +
+    # bounded driver-merge path (Python/Arrow sketch stage, no shuffle);
+    # the bottom-k/weighted-sample twins re-run already-timed window/
+    # TakeOrdered paths and stay in --full
+    "events_kll_quantiles",
 ]
 
 

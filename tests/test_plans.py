@@ -316,3 +316,38 @@ def test_round8_queries_plan_shapes(spark):
 
     bi = plan_of(spark, "text_bigram_lm_logprob")
     assert "BatchEvalPython" not in bi
+
+
+def test_round9_queries_plan_shapes(spark):
+    """Round-9 plan pins: the bottom-k sample sketch and the weighted
+    reservoir stay pure-JVM with top-k as TakeOrdered (per-partition
+    heaps — the distributed-reservoir shape), and the per-doc keyword
+    extraction stays in codegen."""
+    bk = plan_of(spark, "events_sample_bottomk_quantiles")
+    assert "BatchEvalPython" not in bk
+    assert "TakeOrderedAndProject" in bk  # global bottom-k merge
+
+    wr = plan_of(spark, "sample_weighted_reservoir")
+    assert "BatchEvalPython" not in wr
+    assert "TakeOrderedAndProject" in wr  # E-S top-k, never a full sort
+
+    kw = plan_of(spark, "text_doc_keywords_topk")
+    assert "BatchEvalPython" not in kw
+
+
+def test_kll_sketch_stage_no_shuffle(spark):
+    """The KLL per-partition sketch build is ONE MapInPandas pass with
+    no Exchange before it — partition-local, nothing data-sized moves
+    (the collect after it is n_partitions x O(k log) sketch rows)."""
+    from reflex_spark.operators.quantiles import kll_partition_sketches
+    from reflex_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_MEDIUM)["events"]
+    df = kll_partition_sketches(ev.select("value"), "value")
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<value:double>" in plan  # column-pruned scan
