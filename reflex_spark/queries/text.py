@@ -1917,3 +1917,168 @@ def text_doc_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("kw_rank") <= 3)
         .select("doc_id", "kw_rank", "term", "score")
     )
+
+
+@query(
+    "pipeline_mixture_pack_end2end",
+    # The second composed pipeline (pipeline_corpus_end2end is the
+    # HYGIENE side): the DATA-LOADING side a pre-training run executes
+    # after hygiene — near-dup cluster dedup keeping the best-quality
+    # copy, per-source token-budget mixture, and fixed-length sequence
+    # packing — chained end-to-end and replayed stage-for-stage in SQL.
+    # The per-shard docs_md5 chain pins the exact surviving membership
+    # AND pack assignment: a drift in any stage (a wrong dedup keeper, a
+    # mixture off-by-one at the budget line, a pack boundary shift)
+    # changes the hash.
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    sig AS (SELECT doc_id, {_SQL_MINHASH_SIG} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id,
+             unnest([0, 1, 2, 3]) AS band_idx,
+             unnest([{_SQL_BAND_KEYS}]) AS band_key
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    dup AS (
+      SELECT j.id_a, j.id_b
+      FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.8),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dup
+      UNION SELECT id_b, id_a FROM dup),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    , members AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a),
+    scored AS (
+      SELECT m.doc_id, m.cluster_id, {{Q}} AS quality
+      FROM members m JOIN documents d ON m.doc_id = d.doc_id),
+    keeper AS (
+      SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM scored)
+      WHERE rn = 1),
+    deleted AS (
+      SELECT s.doc_id FROM scored s
+      JOIN keeper k ON s.cluster_id = k.cluster_id
+      WHERE s.doc_id <> k.keep_id),
+    survivors AS (
+      SELECT d.doc_id, d.source,
+             CAST({T.sql_token_count('d.text')} AS BIGINT) AS n_tokens
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM deleted)),
+    mix AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM survivors),
+    kept AS (
+      SELECT doc_id, n_tokens FROM mix WHERE cum - n_tokens < 3000),
+    packs AS (
+      SELECT doc_id, n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                  AS BIGINT) % 4 AS shard,
+             SUM(n_tokens) OVER (
+               PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 4))::INT AS BIGINT) % 4
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM kept)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT (cum - n_tokens) // 512) AS BIGINT) AS n_packs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS docs_md5
+    FROM packs
+    GROUP BY shard
+    """.replace("{Q}", sql_quality_score("d.text")),
+)
+def pipeline_mixture_pack_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed DATA-LOADING pipeline as one judged query — the
+    stages downstream of hygiene that the engine ships individually
+    (quality-aware near-dup cluster dedup, per-source token-budget
+    mixture, fixed-length sequence packing) chained the way a
+    pre-training ingest runs them:
+
+      1. MinHash-LSH pairs -> connected components -> keep each
+         cluster's highest-quality member (dedup_clusters_best_quality's
+         delete list, anti-joined);
+      2. mixture: greedily fill a 3000-token budget per source in
+         content-hash order (the 'sample source X to N tokens' knob);
+      3. packing: contiguous 512-token packs within 4 content-hash
+         shards (the tokenizer/writer batch shape).
+
+    Output per shard: docs, packs, token mass, and an md5 chain over the
+    surviving doc ids — the end-to-end membership hash. Scale shape:
+    the dedup stage is the banded equi-join + star-contraction plan
+    (judged separately), the mixture and packing are one window each
+    over source / shard keys; nothing new materializes between stages —
+    Catalyst fuses the chain into the same scans the stages use alone."""
+    from reflex_spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+    from reflex_spark.operators.sampling import greedy_token_budget, pack_sequences
+    from reflex_spark.operators.text import quality_score
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    ).select("id_a", "id_b")
+    cc, _rounds = connected_components_star(pairs)
+    scored = (
+        cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "cluster_id", quality_score("text").alias("quality"))
+    )
+    keeper = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            ).alias("__k")
+        )
+        .select("cluster_id", F.col("__k.doc_id").alias("keep_id"))
+    )
+    deleted = (
+        scored.join(keeper, "cluster_id")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(deleted, "doc_id", "left_anti").select(
+        "doc_id", "source", T.token_count("text").alias("n_tokens")
+    )
+    kept = greedy_token_budget(
+        survivors, "doc_id", F.col("n_tokens"), F.lit(3000), "source"
+    ).select("doc_id", "n_tokens")
+    packed = pack_sequences(kept, "doc_id", F.col("n_tokens"), seq_len=512, shards=4)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("doc_id")))),
+                    lambda r: r["doc_id"].cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("docs_md5"),
+    )

@@ -334,6 +334,12 @@ def test_round9_queries_plan_shapes(spark):
     kw = plan_of(spark, "text_doc_keywords_topk")
     assert "BatchEvalPython" not in kw
 
+    # the composed mixture+packing pipeline stays fully JVM-side end to
+    # end — three chained stages, no Python anywhere
+    mp = plan_of(spark, "pipeline_mixture_pack_end2end")
+    assert "BatchEvalPython" not in mp
+    assert "CartesianProduct" not in mp
+
 
 def test_kll_sketch_stage_no_shuffle(spark):
     """The KLL per-partition sketch build is ONE MapInPandas pass with
