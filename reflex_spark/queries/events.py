@@ -1409,3 +1409,65 @@ def events_sample_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
             for name, r in picks.items()
         ],
     )
+
+
+@query(
+    "events_ewma_user_value",
+    # Exponentially-weighted moving average per user — the time-decay
+    # aggregate (recency-weighted engagement score). Cross-engine trick,
+    # same class as the weighted-sample sqrt chain: alpha = 1/2 makes
+    # every fold step (0.5*x + 0.5*acc) two exact-rounded IEEE ops, and
+    # BOTH engines seed the left fold with the first element (Spark
+    # aggregate(slice(...), vs[1], ...), DuckDB list_reduce) — so the
+    # recurrence is replayed bit-for-bit and the output needs NO
+    # rounding. Arbitrary alpha would need a pow chain whose libm
+    # rounding diverges (the documented reason alpha is dyadic).
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           list_reduce(list(value ORDER BY event_id),
+                       (acc, x) -> CAST(0.5 AS DOUBLE) * x
+                                   + CAST(0.5 AS DOUBLE) * acc)
+             AS ewma_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values with alpha = 1/2 over the log order
+    (event_id — the order a streaming consumer replays; ns-vs-us
+    timestamp ties make ts an unreliable cross-engine sort key):
+    y_1 = x_1, y_i = 0.5*x_i + 0.5*y_{i-1} — the standard recency-decay
+    score a personalization/monitoring pipeline maintains per key.
+
+    Plan: ONE shuffle (groupBy user) collecting the per-user series,
+    then the fold runs as a JVM higher-order function (aggregate over
+    the sorted array) — no Python, no window, no per-step shuffle. The
+    per-user array is bounded by that user's event count (fixture: tens)
+    — at 100 TB the same fold runs per (user, week) bucket and the
+    bucket EWMAs chain by scaling with 0.5**n_later, which stays exact
+    because the multiplier is a power of two. Seed = first element in
+    both engines, so a single-event user's EWMA is exactly x_1."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("event_id").alias("i"), F.col("value").alias("v"))
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "aggregate(slice(transform(__s, s -> s.v), 2,"
+                "                greatest(size(__s) - 1, 0)),"
+                "          transform(__s, s -> s.v)[0],"
+                "          (acc, x) -> CAST(0.5 AS DOUBLE) * x"
+                "                      + CAST(0.5 AS DOUBLE) * acc)"
+            ).alias("ewma_value"),
+        )
+    )

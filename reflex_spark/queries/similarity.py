@@ -1726,3 +1726,121 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_recall"),
         )
     )
+
+
+@query(
+    "sim_mips_asymmetric_topk",
+    # Maximum INNER PRODUCT search via the asymmetric L2 transform
+    # (Bachrach et al., RecSys 2014; Shrivastava & Li, NIPS 2014): pad
+    # every database vector with aug = sqrt(M^2 - ||x||^2) (M = max
+    # norm) and the query with 0; then nearest-by-L2 in the augmented
+    # space IS the max-inner-product answer, because d^2 = M^2 +
+    # ||q||^2 - 2<q,x>. This is the retrieval mode recommendation /
+    # two-tower models need, where cosine is wrong (norms carry signal)
+    # and every L2/IVF index in the repo becomes MIPS-capable through
+    # the transform. The oracle replays the transform bit-for-bit:
+    # fold-order dot products, one subtraction + one sqrt for aug,
+    # d2 = sqdist + aug^2, round(6) rank keys.
+    oracle=f"""
+    WITH sq AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS sqn
+      FROM embeddings),
+    m2 AS (SELECT MAX(sqn) AS m2 FROM sq),
+    aug AS (
+      SELECT vec_id, embedding, sqrt(m2.m2 - sqn) AS aug_dim
+      FROM sq, m2),
+    qs AS (SELECT vec_id AS q_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, a.vec_id,
+             round({sql_sqdist('a.embedding', 'q.q_vec')}
+                   + a.aug_dim * a.aug_dim, 6) AS d2_aug,
+             round({sql_dot('a.embedding', 'q.q_vec')}, 6) AS ip
+      FROM aug a, qs q WHERE a.vec_id <> q.q_id)
+    SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, ip FROM (
+      SELECT q_id, vec_id, ip,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY d2_aug, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 10
+    """,
+)
+def sim_mips_asymmetric_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged MIPS top-10 for 5 queries via the asymmetric augmentation:
+    one pass computes ||x||^2, a broadcast 1-row max gives M^2, aug =
+    sqrt(M^2 - ||x||^2) is one subtraction + one sqrt (correctly
+    rounded, both engines identical), and ranking uses the AUGMENTED
+    squared L2 d2 = ||x - q||^2 + aug^2 — never a pow(), never a norm
+    division. In-query assertion: for every query, the rounded inner
+    products of the transform's top-10 must equal those of the direct
+    max-inner-product top-10 (the equivalence theorem, checked against
+    this corpus rather than assumed; id-level order may differ only
+    within exact rounded-ip ties).
+
+    Scale shape: the augmentation is a scan-fused expression; the
+    broadcast M^2 is one row; ranking is a per-query TakeOrdered via
+    window-over-5-queries. At 100 TB the same transform feeds the IVF /
+    PQ / SQ8 indexes already judged — MIPS reduces to the L2 machinery
+    the repo has, which is the entire point of the transform."""
+    from pyspark.sql import Window
+
+    from reflex_spark.operators.similarity import dot, sqdist
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sq = emb.select(
+        "vec_id", "embedding", dot(F.col("embedding"), F.col("embedding")).alias("sqn")
+    )
+    m2 = sq.agg(F.max("sqn").alias("m2"))
+    aug = sq.crossJoin(F.broadcast(m2)).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(F.col("m2") - F.col("sqn")).alias("aug_dim"),
+    )
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        aug.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                sqdist(F.col("embedding"), F.col("q_vec"))
+                + F.col("aug_dim") * F.col("aug_dim"),
+                6,
+            ).alias("d2_aug"),
+            F.round(dot(F.col("embedding"), F.col("q_vec")), 6).alias("ip"),
+        )
+    )
+    w_aug = Window.partitionBy("q_id").orderBy("d2_aug", "vec_id")
+    top_aug = (
+        scored.withColumn("rnk", F.row_number().over(w_aug))
+        .where(F.col("rnk") <= 10)
+        .select("q_id", "rnk", "vec_id", "ip")
+    )
+    # equivalence check: transform ranking must recover the direct
+    # max-inner-product answer (rounded-ip multiset per query)
+    w_ip = Window.partitionBy("q_id").orderBy(F.col("ip").desc(), "vec_id")
+    top_ip = (
+        scored.withColumn("rnk", F.row_number().over(w_ip))
+        .where(F.col("rnk") <= 10)
+        .select("q_id", "ip")
+    )
+    a = {
+        r["q_id"]: r["ips"]
+        for r in top_aug.groupBy("q_id")
+        .agg(F.sort_array(F.collect_list("ip")).alias("ips"))
+        .collect()  # bounded: 5 queries x 10 ips
+    }
+    b = {
+        r["q_id"]: r["ips"]
+        for r in top_ip.groupBy("q_id")
+        .agg(F.sort_array(F.collect_list("ip")).alias("ips"))
+        .collect()
+    }
+    if a != b:
+        raise AssertionError(
+            f"asymmetric-transform top-10 diverged from direct MIPS: {a} vs {b}"
+        )
+    return top_aug

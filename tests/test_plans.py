@@ -340,6 +340,17 @@ def test_round9_queries_plan_shapes(spark):
     assert "BatchEvalPython" not in mp
     assert "CartesianProduct" not in mp
 
+    # EWMA: one shuffle (groupBy user), fold as a JVM higher-order
+    # function — no Python, no window
+    ew = plan_of(spark, "events_ewma_user_value")
+    assert "BatchEvalPython" not in ew
+    assert "Window" not in ew
+
+    mips = plan_of(spark, "sim_mips_asymmetric_topk")
+    assert "BatchEvalPython" not in mips
+    # the 5-query probe side and the 1-row M^2 are broadcast
+    assert "BroadcastNestedLoopJoin" in mips or "BroadcastHashJoin" in mips
+
 
 def test_kll_sketch_stage_no_shuffle(spark):
     """The KLL per-partition sketch build is ONE MapInPandas pass with
