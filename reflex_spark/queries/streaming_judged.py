@@ -1559,3 +1559,150 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(u), m, n) for u, (m, n) in sorted(final.items())],
         "user_id long, n_matched long, n_unmatched long",
     )
+
+
+@query(
+    "stream_bottomk_quantiles_rollup",
+    # The mergeable-sketch x streaming composition: a bottom-k sample
+    # sketch MAINTAINED ACROSS MICRO-BATCHES must equal the one-shot
+    # batch sketch EXACTLY — bottom-k is a semilattice, so incremental
+    # merge loses nothing, and the oracle is the same direct whole-
+    # corpus SQL as the batch twin (events_sample_bottomk_quantiles).
+    # This is the rollup story end-to-end: per-batch partial sketches,
+    # k-row state, exact any-time quantile answers.
+    oracle="""
+    WITH s AS (
+      SELECT value, event_id,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                             1, 13)) AS BIGINT), event_id
+             ) AS hr
+      FROM events),
+    samp AS (SELECT value, event_id FROM s WHERE hr <= 256),
+    r AS (SELECT value,
+                 ROW_NUMBER() OVER (ORDER BY value, event_id) AS vr
+          FROM samp)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_sample,
+           MAX(CASE WHEN vr = 128 THEN value END) AS p50_est,
+           MAX(CASE WHEN vr = 231 THEN value END) AS p90_est,
+           MAX(CASE WHEN vr = 254 THEN value END) AS p99_est
+    FROM r
+    """,
+)
+def stream_bottomk_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged STREAMING quantile-sketch maintenance: events replayed
+    through a real EventLog in three micro-batches (event_id terciles,
+    maxFilesPerTrigger=1); each batch computes its own bottom-256 (k
+    smallest md5(event_id) — a per-batch partial sketch via TakeOrdered)
+    and the driver folds it into a k-row running sample. Because
+    bottom-k is a semilattice, the incrementally-merged sample is
+    IDENTICAL to the one-shot whole-corpus sample — the oracle is the
+    batch twin's direct SQL, so a batch lost, duplicated, or merged
+    wrong changes the sampled membership and fails the hash.
+
+    This is the production rollup loop: state is k rows (not O(n)), any
+    micro-batch boundary layout gives the same answer, and quantiles
+    are readable at ANY time from the running sample. In-query
+    assertion: exactly 3 data micro-batches contributed, and the final
+    sample contains rows from more than one batch (the merge actually
+    crossed boundaries). Quantile picks are raw sampled values at
+    integer ranks — selection only, no float arithmetic."""
+    import json
+    import shutil
+    import time as _time
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.streaming.statestore import apply_state_store_conf
+
+    apply_state_store_conf(spark)
+    K = 256
+    ev = load_tables(spark, sf_dir)["events"]
+    t1, t2 = (
+        ev.agg(
+            F.expr("percentile_approx(event_id, 0.33)"),
+            F.expr("percentile_approx(event_id, 0.66)"),
+        ).collect()[0]
+    )
+    base = tempfile.mkdtemp(prefix="stream_bk_")
+    log = EventLog(spark, f"{base}/log")
+    state: list = []  # (h, event_id, value) — at most K entries
+    batch_of: dict = {}  # event_id -> bid that delivered it
+    n_batches: list = []
+
+    def merge(batch_df: DataFrame, bid: int) -> None:
+        new = (
+            batch_df.select(
+                F.col("foreign_id").cast("long").alias("event_id"),
+                F.conv(F.substring(F.md5(F.col("foreign_id")), 1, 13), 16, 10)
+                .cast("long")
+                .alias("h"),
+                F.col("metadata").cast("string").alias("m"),
+            )
+            .orderBy("h", "event_id")
+            .limit(K)
+            .collect()  # bounded: K rows per batch
+        )
+        if not new:
+            return
+        n_batches.append(bid)
+        for r in new:
+            batch_of[r["event_id"]] = bid
+            state.append((r["h"], r["event_id"], json.loads(r["m"])["v"]))
+        state.sort()
+        del state[K:]
+
+    try:
+        canon = ev.select(
+            F.lit(1).alias("event_type"),
+            F.col("event_id").cast("string").alias("foreign_id"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+            F.to_json(F.struct(F.col("value").alias("v"))).cast("binary").alias("metadata"),
+            F.lit(None).cast("binary").alias("trace"),
+            F.col("event_id").alias("__oid"),
+        )
+        log.append(canon.where(F.col("__oid") <= t1).drop("__oid"))
+        _time.sleep(0.1)
+        log.append(
+            canon.where((F.col("__oid") > t1) & (F.col("__oid") <= t2)).drop("__oid")
+        )
+        _time.sleep(0.1)
+        log.append(canon.where(F.col("__oid") > t2).drop("__oid"))
+        _time.sleep(0.1)
+        q = (
+            log.read_stream(max_files_per_trigger=1)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "stream_bottomk_quantiles_rollup: availableNow query did "
+                "not finish within 120s; results would be partial"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    if len(n_batches) != 3:
+        raise AssertionError(
+            f"expected exactly 3 data micro-batches, saw {n_batches}"
+        )
+    contributing = {batch_of[eid] for _, eid, _ in state}
+    if len(contributing) < 2:
+        raise AssertionError(
+            "final sample drawn from a single micro-batch — the "
+            f"cross-batch merge never mattered (batches: {contributing})"
+        )
+    sample = sorted((v, eid) for _, eid, v in state)
+    picks = {
+        "p50_est": (len(sample) * 1 + 1) // 2,
+        "p90_est": (len(sample) * 9 + 9) // 10,
+        "p99_est": (len(sample) * 99 + 99) // 100,
+    }
+    row = tuple([len(sample)] + [sample[r - 1][0] for r in picks.values()])
+    return spark.createDataFrame(
+        [row], "k_sample long, p50_est double, p90_est double, p99_est double"
+    )
