@@ -2522,3 +2522,189 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
     if declared is not None and declared != len(frames):
         raise ValueError(f"frame count mismatch: avih={declared} movi={len(frames)}")
     return width, height, frames
+
+
+# ---------------------------------------------------------------------------
+# AVI with MUXED audio + video: a second 'auds' stream (16-bit mono PCM)
+# interleaved with the MJPEG 'vids' stream — the standard two-strl AVI
+# layout (MSDN/OpenDML): per video frame one '00dc' chunk followed by the
+# frame's worth of '01wb' PCM bytes. Both payloads ride the container
+# verbatim, so mux -> demux is lossless for audio AND (with flat-block
+# frames) video — extending the judged container contract to the muxed
+# case. Other audio codings in AVI still raise NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_av(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    samples: "np.ndarray",
+    sample_rate: int,
+    fps: int = 10,
+) -> bytes:
+    """JPEG frames + int16 mono PCM -> two-stream AVI (deterministic).
+
+    The PCM track is sliced into per-video-frame '01wb' chunks of
+    sample_rate // fps samples (the canonical interleave); len(samples)
+    must equal len(frames) * (sample_rate // fps) so every chunk is
+    full. Both streams are stored verbatim — the lossless contract."""
+    import numpy as np
+
+    for f in frames:
+        if not is_jpeg(f):
+            raise NotImplementedError("encode_avi_av takes JPEG frames only")
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim != 1:
+        raise ValueError("encode_avi_av takes mono (1-D) int16 samples")
+    spf = sample_rate // fps
+    if len(s) != len(frames) * spf:
+        raise ValueError(
+            f"need exactly {len(frames) * spf} samples "
+            f"({len(frames)} frames x {spf}), got {len(s)}"
+        )
+    avih = b"avih" + _u32(56) + b"".join(
+        _u32(x)
+        for x in (
+            1_000_000 // fps, 0, 0, 0x10, len(frames), 0,
+            2,  # dwStreams: vids + auds
+            0, width, height, 0, 0, 0, 0,
+        )
+    )
+    strh_v = (
+        b"strh" + _u32(56) + b"vids" + b"MJPG"
+        + b"".join(
+            _u32(x)
+            for x in (0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0)
+        )
+        + (0).to_bytes(2, "little") * 2
+        + int(width).to_bytes(2, "little")
+        + int(height).to_bytes(2, "little")
+    )
+    strf_v = b"strf" + _u32(40) + b"".join(
+        (
+            _u32(40), _u32(width), _u32(height),
+            (1).to_bytes(2, "little"), (24).to_bytes(2, "little"),
+            b"MJPG", _u32(width * height * 3),
+            _u32(0), _u32(0), _u32(0), _u32(0),
+        )
+    )
+    strl_v = b"LIST" + _u32(4 + len(strh_v) + len(strf_v)) + b"strl" + strh_v + strf_v
+    strh_a = (
+        b"strh" + _u32(56) + b"auds" + b"\x00\x00\x00\x00"
+        + b"".join(
+            _u32(x)
+            for x in (
+                0, 0, 0,
+                1,  # dwScale
+                sample_rate,  # dwRate
+                0,
+                len(s),  # dwLength in samples
+                0, 0xFFFFFFFF,
+                2,  # dwSampleSize = block align (16-bit mono)
+            )
+        )
+        + (0).to_bytes(2, "little") * 4  # rcFrame unused for audio
+    )
+    # WAVEFORMAT(EX without cbSize): PCM tag 1, mono, 16-bit
+    strf_a = b"strf" + _u32(16) + (
+        (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + _u32(sample_rate)
+        + _u32(sample_rate * 2)
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    strl_a = b"LIST" + _u32(4 + len(strh_a) + len(strf_a)) + b"strl" + strh_a + strf_a
+    hdrl = (
+        b"LIST"
+        + _u32(4 + len(avih) + len(strl_v) + len(strl_a))
+        + b"hdrl" + avih + strl_v + strl_a
+    )
+    pcm = s.tobytes()
+    movi_body = bytearray(b"movi")
+    entries = bytearray()
+    for i, f in enumerate(frames):
+        entries += b"00dc" + _u32(0x10) + _u32(len(movi_body)) + _u32(len(f))
+        movi_body += b"00dc" + _u32(len(f)) + f
+        if len(f) % 2:
+            movi_body += b"\x00"
+        chunk = pcm[i * spf * 2 : (i + 1) * spf * 2]
+        entries += b"01wb" + _u32(0) + _u32(len(movi_body)) + _u32(len(chunk))
+        movi_body += b"01wb" + _u32(len(chunk)) + chunk
+    movi = b"LIST" + _u32(len(movi_body)) + bytes(movi_body)
+    idx1 = b"idx1" + _u32(len(entries)) + bytes(entries)
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + _u32(len(body)) + body
+
+
+def decode_avi_av(data: bytes):
+    """Two-stream AVI -> (width, height, [JPEG frames], sample_rate,
+    int16 mono samples). Full container walk: avih must declare 2
+    streams, strl #0 must be vids/MJPG, strl #1 auds with PCM
+    WAVEFORMAT (tag 1, mono, 16-bit) — anything else raises
+    NotImplementedError; structural damage raises ValueError."""
+    import numpy as np
+
+    if not is_avi(data):
+        raise NotImplementedError("unsupported video format (MJPEG/AVI only)")
+    riff_end = 8 + int.from_bytes(data[4:8], "little")
+    if riff_end > len(data):
+        raise ValueError("truncated RIFF chunk")
+    width = height = declared = None
+    sample_rate = None
+    stream_types: list[bytes] = []
+    frames: list[bytes] = []
+    pcm = bytearray()
+    for fourcc, p, size in _riff_chunks(data, 12, riff_end):
+        if fourcc != b"LIST":
+            continue
+        list_type = data[p : p + 4]
+        if list_type == b"hdrl":
+            for cc2, p2, s2 in _riff_chunks(data, p + 4, p + size):
+                if cc2 == b"avih":
+                    declared = int.from_bytes(data[p2 + 16 : p2 + 20], "little")
+                    n_streams = int.from_bytes(data[p2 + 24 : p2 + 28], "little")
+                    if n_streams != 2:
+                        raise NotImplementedError(
+                            f"decode_avi_av expects 2 streams, found {n_streams}"
+                        )
+                    width = int.from_bytes(data[p2 + 32 : p2 + 36], "little")
+                    height = int.from_bytes(data[p2 + 36 : p2 + 40], "little")
+                elif cc2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    for cc3, p3, s3 in _riff_chunks(data, p2 + 4, p2 + s2):
+                        if cc3 == b"strh":
+                            stype = data[p3 : p3 + 4]
+                            stream_types.append(stype)
+                            if stype == b"vids" and data[p3 + 4 : p3 + 8] != b"MJPG":
+                                raise NotImplementedError(
+                                    "unsupported video codec (MJPG only)"
+                                )
+                        elif cc3 == b"strf" and stream_types[-1:] == [b"auds"]:
+                            tag = int.from_bytes(data[p3 : p3 + 2], "little")
+                            ch = int.from_bytes(data[p3 + 2 : p3 + 4], "little")
+                            bits = int.from_bytes(data[p3 + 14 : p3 + 16], "little")
+                            if tag != 1 or ch != 1 or bits != 16:
+                                raise NotImplementedError(
+                                    "unsupported audio coding (16-bit mono PCM only)"
+                                )
+                            sample_rate = int.from_bytes(data[p3 + 4 : p3 + 8], "little")
+        elif list_type == b"movi":
+            stack = [(p + 4, p + size)]
+            while stack:
+                lo, hi = stack.pop()
+                for cc2, p2, s2 in _riff_chunks(data, lo, hi):
+                    if cc2 == b"LIST" and data[p2 : p2 + 4] == b"rec ":
+                        stack.append((p2 + 4, p2 + s2))
+                    elif cc2[:2] == b"00" and cc2[2:4] in (b"dc", b"db"):
+                        frames.append(data[p2 : p2 + s2])
+                    elif cc2[:2] == b"01" and cc2[2:4] == b"wb":
+                        pcm += data[p2 : p2 + s2]
+    if stream_types[:2] != [b"vids", b"auds"] or sample_rate is None:
+        raise ValueError("missing vids/auds stream headers")
+    if declared is not None and declared != len(frames):
+        raise ValueError(f"frame count mismatch: avih={declared} movi={len(frames)}")
+    if len(pcm) % 2:
+        raise ValueError("odd PCM byte count")
+    samples = np.frombuffer(bytes(pcm), dtype="<i2")
+    return width, height, frames, sample_rate, samples

@@ -657,3 +657,64 @@ def video_frame_sample_stats(
             yield pd.DataFrame(rows)
 
     return videos.select(id_col, payload_col).mapInPandas(stats, out_schema)
+
+
+def av_container_stats(
+    videos: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Joint audio+video feature extraction from MUXED two-stream AVI
+    payloads (functions/codecs.decode_avi_av): one container walk
+    demuxes the MJPEG frames AND the interleaved 16-bit mono PCM track,
+    then both modalities reduce to exact integer features —
+
+    - n_frames, width, height, pixel_total (video, via the from-scratch
+      JPEG decoder — exact for flat-block payloads);
+    - sample_rate, n_samples, sample_sum, sample_sqsum (audio — the PCM
+      bytes ride the container verbatim, so these are exact always).
+
+    The multimodal-training shape: ONE storage object per clip, one
+    demux, per-modality features in the same row. Arrow-batched
+    mapInPandas; nothing leaves the task but the fixed-width row."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_frames int, width int, height int, "
+        "pixel_total long, sample_rate int, n_samples long, "
+        "sample_sum long, sample_sqsum long"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from reflex_spark.functions.codecs import decode_avi_av, decode_jpeg
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                id_col, "n_frames", "width", "height", "pixel_total",
+                "sample_rate", "n_samples", "sample_sum", "sample_sqsum",
+            )}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, jpegs, rate, samples = decode_avi_av(bytes(payload))
+                total = 0
+                for fb in jpegs:
+                    a = decode_jpeg(fb)
+                    if a.ndim == 3:
+                        a = a[:, :, 0]
+                    if a.shape != (h, w):
+                        raise ValueError(f"frame size {a.shape} != header {(h, w)}")
+                    total += int(a.astype(np.int64).sum())
+                s64 = samples.astype(np.int64)
+                rows[id_col].append(did)
+                rows["n_frames"].append(len(jpegs))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_total"].append(total)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s64))
+                rows["sample_sum"].append(int(s64.sum()))
+                rows["sample_sqsum"].append(int((s64 * s64).sum()))
+            yield pd.DataFrame(rows)
+
+    return videos.select(id_col, payload_col).mapInPandas(stats, out_schema)

@@ -2082,3 +2082,100 @@ def pipeline_mixture_pack_end2end(spark: SparkSession, sf_dir: str) -> DataFrame
             ).cast("binary")
         ).alias("docs_md5"),
     )
+
+
+@query(
+    "multimodal_av_container_stats",
+    # The MUXED audio+video container (round-8 shortlist): one AVI per
+    # doc carrying an MJPEG 'vids' stream AND an interleaved 16-bit PCM
+    # 'auds' stream (per-frame '01wb' chunks). Video pixels reuse the
+    # flat-block exact-JPEG payload; audio samples are a pure integer
+    # function of (doc_id, i), and PCM rides the container verbatim —
+    # so BOTH modalities are judged lossless contracts through one
+    # container walk, and DuckDB recomputes every feature from the
+    # generating formulas alone.
+    oracle="""
+    WITH nf AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents),
+    blk AS (SELECT doc_id, n_frames,
+                   unnest(generate_series(0, n_frames - 1)) AS t
+            FROM nf),
+    v AS (SELECT doc_id, n_frames, t, unnest(generate_series(0, 3)) AS b
+          FROM blk),
+    px AS (SELECT doc_id, MAX(n_frames) AS n_frames,
+                  CAST(64 * SUM((doc_id * 37 + t * 11 + b * 5) % 229 + 13)
+                       AS BIGINT) AS pixel_total
+           FROM v GROUP BY doc_id),
+    si AS (SELECT doc_id,
+                  unnest(generate_series(0, n_frames * 800 - 1)) AS i
+           FROM nf),
+    au AS (SELECT doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_samples,
+                  CAST(SUM((doc_id * 13 + i * 7) % 401 - 200) AS BIGINT)
+                    AS sample_sum,
+                  CAST(SUM(((doc_id * 13 + i * 7) % 401 - 200)
+                           * ((doc_id * 13 + i * 7) % 401 - 200)) AS BIGINT)
+                    AS sample_sqsum
+           FROM si GROUP BY doc_id)
+    SELECT p.doc_id, CAST(p.n_frames AS INTEGER) AS n_frames,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           p.pixel_total,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           a.n_samples, a.sample_sum, a.sample_sqsum
+    FROM px p JOIN au a ON p.doc_id = a.doc_id
+    """,
+)
+def multimodal_av_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint audio+video features through a MUXED two-stream AVI: every
+    document gets a clip whose video is the established flat-block
+    payload (2–5 frames of 16×16, block value (doc_id·37 + t·11 + b·5)
+    mod 229 + 13 — exact through JPEG q75) and whose mono PCM track is
+    s_i = (doc_id·13 + i·7) mod 401 − 200 at 8 kHz, 800 samples per
+    frame, interleaved as per-frame '01wb' chunks next to the '00dc'
+    frames (functions/codecs.encode_avi_av). ONE container walk demuxes
+    both streams (decode_avi_av) and reduces each modality to exact
+    integer features (operators/multimodal.av_container_stats).
+
+    This closes the last shortlisted container gap: the single-stream
+    AVI queries prove the video path; this query proves STREAM
+    INTERLEAVING — chunk routing by stream id, per-stream headers, PCM
+    byte integrity across chunk boundaries — because any mux/demux slip
+    (a '01wb' chunk miscounted, a header offset wrong, audio bytes
+    reordered) changes n_samples/sample_sum/sample_sqsum or the pixel
+    features and fails the hash. Same Arrow-stage plumbing and scale
+    posture as the other codec queries: encode and decode are two
+    mapInPandas stages, nothing data-sized leaves the executors."""
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def encode(batches):
+        import numpy as np
+
+        from reflex_spark.functions.codecs import encode_avi_av, encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 4
+                frames = []
+                for t in range(n):
+                    blocks = np.array(
+                        [(did * 37 + t * 11 + b * 5) % 229 + 13 for b in range(4)],
+                        dtype=np.uint8,
+                    ).reshape(2, 2)
+                    frames.append(
+                        encode_jpeg(
+                            np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1),
+                            quality=75,
+                        )
+                    )
+                i = np.arange(n * 800, dtype=np.int64)
+                s = ((did * 13 + i * 7) % 401 - 200).astype("<i2")
+                payloads.append(encode_avi_av(frames, 16, 16, s, 8000, fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    corpus = docs.mapInPandas(encode, "doc_id long, payload binary")
+    from reflex_spark.operators.multimodal import av_container_stats
+
+    return av_container_stats(corpus)

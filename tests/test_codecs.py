@@ -1281,3 +1281,62 @@ def test_avi_truncated_buffer_raises():
     for cut in (len(avi) - 1, len(avi) - 40, len(avi) // 2):
         with pytest.raises(ValueError, match="truncated"):
             decode_avi_mjpeg(avi[:cut])
+
+
+def test_avi_av_mux_demux_byte_identical():
+    """Muxed audio+video: both streams ride the container verbatim —
+    JPEG frame bytes AND PCM samples come back bit-identical, with the
+    per-frame '01wb' interleave reassembled in order."""
+    from reflex_spark.functions.codecs import (
+        decode_avi_av,
+        encode_avi_av,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        encode_jpeg(
+            np.repeat(
+                np.repeat(rng.integers(0, 256, (2, 2)).astype(np.uint8), 8, 0), 8, 1
+            ),
+            quality=75,
+        )
+        for _ in range(4)
+    ]
+    s = rng.integers(-32768, 32767, 4 * 800).astype("<i2")
+    avi = encode_avi_av(frames, 16, 16, s, 8000, fps=10)
+    w, h, fr, rate, got = decode_avi_av(avi)
+    assert (w, h, rate) == (16, 16, 8000)
+    assert fr == frames
+    assert np.array_equal(got, s)
+
+
+def test_avi_av_gates():
+    from reflex_spark.functions.codecs import (
+        decode_avi_av,
+        decode_avi_mjpeg,
+        encode_avi_av,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    f = [encode_jpeg(np.full((8, 8), 50, dtype=np.uint8), quality=75)]
+    s = np.zeros(800, dtype="<i2")
+    # sample-count mismatch refuses to mux
+    with pytest.raises(ValueError, match="samples"):
+        encode_avi_av(f * 2, 8, 8, s, 8000)
+    # stereo refuses
+    with pytest.raises(ValueError, match="mono"):
+        encode_avi_av(f, 8, 8, np.zeros((800, 2), dtype="<i2"), 8000)
+    # the single-stream decoder extracts exactly the VIDEO stream of a
+    # muxed file (it routes by stream id, never misreads '01wb' audio
+    # chunks as frames); the AV decoder refuses a single-stream file
+    av = encode_avi_av(f, 8, 8, s, 8000)
+    assert decode_avi_mjpeg(av)[2] == f
+    single = encode_avi_mjpeg(f, 8, 8)
+    with pytest.raises(NotImplementedError, match="2 streams"):
+        decode_avi_av(single)
+    # truncation raises, never returns short audio
+    for cut in (len(av) - 1, len(av) // 2):
+        with pytest.raises(ValueError, match="truncated"):
+            decode_avi_av(av[:cut])
