@@ -23,7 +23,23 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_col: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table."""
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Stale-location guard: a managed table's warehouse directory can
+    outlive the in-memory catalog (a previous session wrote it, this
+    session never registered it), and Spark then refuses the create
+    with LOCATION_ALREADY_EXISTS — mode("overwrite") only covers tables
+    the CURRENT catalog knows. If the table is absent from the catalog
+    but its directory exists, remove the orphan first."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        import shutil
+        from pathlib import Path
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = Path(wh.removeprefix("file:")) / table.lower()
+        if loc.exists():
+            shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.bucketBy(num_buckets, bucket_col)
     writer = writer.sortBy(sort_col or bucket_col)
     writer.mode("overwrite").saveAsTable(table)

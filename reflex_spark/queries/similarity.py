@@ -1844,3 +1844,88 @@ def sim_mips_asymmetric_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"asymmetric-transform top-10 diverged from direct MIPS: {a} vs {b}"
         )
     return top_aug
+
+
+@query(
+    "sim_mrl_truncated_recall",
+    # Matryoshka-style truncated-dimension retrieval (Kusupati et al.,
+    # NeurIPS 2022): rank by cosine over only the FIRST m dims (m = 16,
+    # 32, 64 of 64) and measure recall@20 against the full-dim exact
+    # top-20 — the dimension/recall knob an embedding pipeline turns to
+    # cut index memory and GEMM cost m/d-fold. The oracle replays the
+    # truncated ranking itself (sliced fold-order dot products), so the
+    # recall numbers are hash-pinned, the sim_ann_recall recipe.
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id < 5),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {sql_cosine("e.embedding", "q.q_vec")} DESC,
+                          e.vec_id) AS rnk
+        FROM embeddings e, qs q WHERE e.vec_id <> q.q_id)
+      WHERE rnk <= 20),
+    dims AS (SELECT unnest([16, 32, 64]) AS m),
+    approx AS (
+      SELECT m, q_id, vec_id FROM (
+        SELECT d.m, q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY d.m, q.q_id
+                 ORDER BY {sql_cosine("(e.embedding[1:d.m])", "(q.q_vec[1:d.m])")}
+                            DESC, e.vec_id) AS rnk
+        FROM embeddings e, qs q, dims d WHERE e.vec_id <> q.q_id)
+      WHERE rnk <= 20)
+    SELECT a.m AS dims, CAST(20 AS INTEGER) AS k,
+           round(COUNT(*) / 100.0, 4) AS recall_at_k
+    FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    GROUP BY a.m
+    """,
+)
+def sim_mrl_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged truncated-dimension retrieval recall: cosine over the
+    first m of 64 dims (m = 16, 32, 64) for 5 queries, recall@20
+    against the full-dim exact top-20. m = 64 must score 1.0 (identity
+    sanity row inside the same judged result); the m < 64 rows pin the
+    memory/recall trade of prefix-truncating embeddings — at 100 TB,
+    a 16-dim prefix index is 4x less bandwidth and 4x fewer FLOPs per
+    candidate, with THIS corpus's measured recall as the price tag.
+    Scale shape identical to the exact-top-k family: the 5-query probe
+    side broadcasts, the truncation is a scan-fused slice, ranking is
+    a per-(m, query) window."""
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("__q_id"), F.col("embedding").alias("__q_vec")
+    )
+    exact = exact_topk_multi(emb, emb.where(F.col("vec_id") < 5), k=20).select(
+        "__q_id", "vec_id"
+    )
+    dims = spark.range(3).select(
+        F.element_at(F.array(F.lit(16), F.lit(32), F.lit(64)), (F.col("id") + 1).cast("int")).alias("m")
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("__q_id"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "m",
+            "__q_id",
+            "vec_id",
+            cosine(
+                F.slice(F.col("embedding"), 1, F.col("m")),
+                F.slice(F.col("__q_vec"), 1, F.col("m")),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("m", "__q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    approx = cand.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 20)
+    return (
+        approx.join(exact, ["__q_id", "vec_id"])
+        .groupBy("m")
+        .agg(F.round(F.count(F.lit(1)) / 100.0, 4).alias("recall_at_k"))
+        .select(
+            F.col("m").alias("dims"), F.lit(20).alias("k"), "recall_at_k"
+        )
+    )
