@@ -386,3 +386,91 @@ def graph_kcore_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alive.join(deg, "node").select(
         "node", F.col("deg").cast("long").alias("core_degree")
     )
+
+
+def _bfs_oracle(rounds: int = 4) -> str:
+    """Unrolled BFS relaxation: d_{i} = min(d_{i-1} ∪ neighbors+1) per
+    node. MATERIALIZED for the same reason as the k-core oracle —
+    inlined recursive references explode the scan count."""
+    parts = [
+        """m AS MATERIALIZED (
+      SELECT DISTINCT event_type,
+             epoch_ms(CAST(ts AS TIMESTAMP)) // 300000 AS h, user_id
+      FROM events),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM m a JOIN m b ON a.event_type = b.event_type AND a.h = b.h
+      WHERE a.user_id < b.user_id),
+    ed AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v AS a, u AS b FROM e0),
+    s AS (SELECT MIN(a) AS src FROM ed),
+    d0 AS MATERIALIZED (SELECT src AS node, 0 AS hop FROM s)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""d{i} AS MATERIALIZED (
+      SELECT node, MIN(hop) AS hop FROM (
+        SELECT node, hop FROM d{i-1}
+        UNION ALL
+        SELECT e.b AS node, d.hop + 1 AS hop
+        FROM ed e JOIN d{i-1} d ON e.a = d.node)
+      GROUP BY node)""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, CAST(hop AS BIGINT) AS hops FROM d{rounds}"
+    )
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle(4))
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest-path hops (4 unrolled relaxation
+    rounds) over the 5-minute co-occurrence graph, source = the
+    minimum node id — the frontier-expansion algorithm family
+    (reachability, hop-distance, influence radius) the graph suite
+    did not yet cover: CC/k-core peel SETS, PageRank iterates a
+    NUMERIC fixpoint; BFS propagates an ORDERED semilattice value
+    (min hops) along edges.
+
+    Exactness: hop counts are integers and min() is an idempotent,
+    associative, commutative merge — shuffle layout, duplicate edges
+    between rounds, and re-relaxation of already-settled nodes cannot
+    change the result (relaxing a settled node re-derives the same
+    min). That idempotence is why the judged form can re-relax the
+    WHOLE distance relation each round instead of tracking a frontier
+    delta: d_i = min(d_{i-1} ∪ expand(d_{i-1})) is one equi-join +
+    one map-side-combinable min per round. A production run at 100 TB
+    iterates the same plan to fixpoint with a frontier filter
+    (hop = i-1 rows only — the delta is what's new, everything else
+    re-derives itself) and stops when the frontier empties; the fixed
+    unroll is what makes the whole computation one oracle-checkable
+    expression. localCheckpoint truncates the per-round lineage
+    exactly as in the k-core/PageRank loops."""
+    ev = load_tables(spark, sf_dir)["events"]
+    m = ev.select(
+        "event_type",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 300000").alias("h"),
+        "user_id",
+    ).distinct()
+    b = m.select("event_type", "h", F.col("user_id").alias("v_id"))
+    e0 = (
+        m.join(b, ["event_type", "h"])
+        .where(F.col("user_id") < F.col("v_id"))
+        .select(F.col("user_id").alias("u"), F.col("v_id").alias("v"))
+        .distinct()
+    )
+    ed = e0.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        e0.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint()
+    src = ed.agg(F.min("a")).collect()[0][0]  # control-plane scalar
+    dist = spark.createDataFrame([(int(src), 0)], "node long, hop int")
+    for _ in range(4):
+        nxt = ed.join(dist, ed["a"] == dist["node"]).select(
+            ed["b"].alias("node"), (dist["hop"] + 1).alias("hop")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("hop").cast("long").alias("hops"))

@@ -2179,3 +2179,278 @@ def multimodal_av_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     from reflex_spark.operators.multimodal import av_container_stats
 
     return av_container_stats(corpus)
+
+
+@query(
+    "text_chunk_sliding",
+    # RAG-style sliding-window chunking: 32-token chunks on a 16-token
+    # stride (50% overlap), boundaries pinned per doc by an md5 chain
+    # over the in-order chunk hashes. DuckDB replays the exact same
+    # windows with list_slice over generate_series starts.
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    st AS (SELECT doc_id, w,
+                  unnest(generate_series(0, len(w) - 1, 16)) AS s
+           FROM t),
+    ch AS (SELECT doc_id, s,
+                  list_slice(w, s + 1, least(s + 32, len(w))) AS c
+           FROM st),
+    per AS (SELECT doc_id, s,
+                   md5(array_to_string(c, ' ')) AS h,
+                   len(c) AS ct
+            FROM ch)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(ct) AS BIGINT) AS chunk_tokens,
+           md5(string_agg(h, '|' ORDER BY s)) AS chunks_md5
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/RAG ingestion
+    operator (split every document into fixed-size overlapping token
+    windows) that precedes embedding: 32-token chunks starting every
+    16 tokens (50% overlap, so no boundary-straddling phrase is lost),
+    last partial chunk kept. Per doc: chunk count, total chunk tokens
+    (= tokens paid for embedding, ~2x the doc under 50% overlap), and
+    an md5 CHAIN over the in-order chunk hashes — a single boundary
+    shift, dropped tail, or reordered chunk changes the chain.
+
+    Scale shape is the whole point: chunking is ZERO-shuffle — one
+    projection of JVM higher-order functions (sequence → transform →
+    slice → md5) and one partial+final groupBy on the doc id that
+    collapses map-side (each doc's chunks are produced in one task).
+    At 100 TB this runs at scan speed; the chunk EXPLOSION never
+    materializes (chunk hashes fold inside the per-row array), which
+    is exactly what an explode-then-regroup plan would get wrong.
+    Reference: reflex has no text surface (rsql/db.go:122-182 is the
+    relational loader); LLM-pipeline north star."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(w) - 1, F.lit(16))
+    chunk_hash = lambda s: F.md5(F.array_join(F.slice(w, s + 1, 32), " "))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.size(starts).cast("long").alias("n_chunks"),
+        F.aggregate(
+            starts,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.size(F.slice(w, s + 1, 32)).cast("long"),
+        ).alias("chunk_tokens"),
+        F.md5(F.array_join(F.transform(starts, chunk_hash), "|")).alias(
+            "chunks_md5"
+        ),
+    )
+
+
+# Three fixed retrieval queries over the corpus vocabulary. A constant
+# relation (not data-derived) so the oracle can inline it as VALUES.
+_BM25_QUERIES = [
+    ("q1", ("hash", "join", "merge")),
+    ("q2", ("window", "sort", "order")),
+    ("q3", ("spark", "stream", "batch")),
+]
+_BM25_SQL_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+
+@query(
+    "text_bm25_topk",
+    # BM25 (Robertson-Sparck Jones) top-5 per query: k1 = 1.2 (a literal
+    # both engines parse to the same double), b = 0.75 (dyadic). Per-term
+    # scores are a fixed chain of single IEEE ops on identical integer
+    # inputs; the per-(query, doc) sum goes through DECIMAL(38,18) so
+    # term order cannot perturb it; ranking uses the ROUNDED score with
+    # the doc id as tie-break (the doc-keywords recipe).
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_SQL_VALUES}),
+    tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tk GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                           AS DOUBLE)
+                      / COUNT(*) AS DOUBLE) AS avgdl
+          FROM documents),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(CAST(
+               ln(CAST(1 AS DOUBLE)
+                  + (CAST(n.n_docs - dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                 / (CAST(tf.tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE)
+                      * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE)
+                           * (CAST(dl.dl AS DOUBLE) / n.avgdl)))
+               AS DECIMAL(38,18))) AS DOUBLE) AS s
+      FROM q
+      JOIN tf ON q.term = tf.term
+      JOIN dfq ON q.term = dfq.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN n
+      GROUP BY q.query_id, tf.doc_id)
+    SELECT query_id, rnk, doc_id, score FROM (
+      SELECT query_id, doc_id, round(s, 6) AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(s, 6) DESC, doc_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson et al., TREC-3): top-5 documents
+    for each of three fixed multi-term queries — the classic sparse
+    retrieval scorer and the missing counterpart to the embedding-side
+    ANN family (a production RAG pipeline runs BOTH and fuses). Scoring:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the never-negative form),
+    tf saturation k1 = 1.2, length normalization b = 0.75 against
+    avgdl. Every input (tf, df, dl, N) is an exact integer; avgdl is
+    one IEEE division; each per-term score is a fixed chain of single
+    IEEE ops so both engines produce the same bits; the per-doc sum is
+    decimal (term order cannot matter); ranking orders by the ROUNDED
+    score with doc id tie-break.
+
+    Scale shape: one tokenize pass feeds tf (doc-term shuffle), dl and
+    df fold FROM tf (no second corpus scan — df counts (doc,term) rows,
+    avgdl sums tf), the 9-row query relation and the 1-row corpus
+    stats broadcast, and only candidate (query-term, doc) postings —
+    pre-filtered by the semi-join shape of the query-term equi-join —
+    reach the scoring join. The final top-5 is a per-query window over
+    a relation already restricted to candidates. At 100 TB the df/tf
+    tables persist as the inverted-index statistics and queries touch
+    only their terms' postings."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    qrel = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    tk = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tk.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " ")).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    sat = (F.col("tf").cast("double") * (F.lit(1.2) + F.lit(1.0))) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    scored = (
+        F.broadcast(qrel)
+        .join(tf, "term")
+        .join(dfq, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(n))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum((idf * sat).cast("decimal(38,18)")).cast("double").alias("s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("s", 6).desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "rnk", "doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+@query(
+    "text_inverted_posting_stats",
+    # The inverted index BUILD judged: per-term document frequency,
+    # collection frequency, and an md5 over the full ordered posting
+    # list (doc_id:pos,pos,... sorted by doc) — one wrong position,
+    # dropped posting, or misordered doc changes the hash. Top-20
+    # terms by cf with the term as tie-break.
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ti AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t),
+    tk AS (SELECT doc_id, i - 1 AS pos, w[i] AS term FROM ti),
+    pd AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+                  string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS ps
+           FROM tk GROUP BY term, doc_id),
+    pt AS (SELECT term,
+                  CAST(COUNT(*) AS BIGINT) AS df,
+                  CAST(SUM(tf) AS BIGINT) AS cf,
+                  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || ps, '|'
+                                 ORDER BY doc_id)) AS postings_md5
+           FROM pd GROUP BY term)
+    SELECT term, df, cf, postings_md5 FROM pt
+    ORDER BY cf DESC, term LIMIT 20
+    """,
+)
+def text_inverted_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index construction — the retrieval-side twin
+    of text_bm25_topk's statistics: for every term, the ordered posting
+    list doc_id → [token positions]. Judged as (df, cf, md5 of the
+    serialized postings) for the top-20 terms by collection frequency:
+    the hash pins every position of every occurrence in every document,
+    i.e. the exact index a phrase-query engine would serve.
+
+    Plan: one posexplode scan → one (term, doc) aggregation building
+    the position runs (sort_array over a collect_list bounded by
+    per-doc term frequency — tens of entries, not corpus-scale) → one
+    per-term aggregation folding postings in doc order. Both
+    aggregations are partial+final on their group keys; nothing is
+    ever globally sorted (the in-group sort_array bounds are tiny and
+    per-row). At 100 TB the (term, doc) relation IS the index —
+    written bucketed by term it serves lookups without a shuffle, and
+    skewed stopword terms are exactly the salting case documented in
+    operators/skew.py."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    )
+    pd = tk.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("pos")),
+                lambda p: p.cast("string"),
+            ),
+            ",",
+        ).alias("ps"),
+    )
+    pt = pd.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("ps")))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["doc_id"].cast("string"), s["ps"]
+                    ),
+                ),
+                "|",
+            )
+        ).alias("postings_md5"),
+    )
+    from reflex_spark.operators.relational import top_k
+
+    return top_k(
+        pt.select("term", "df", "cf", "postings_md5"),
+        20,
+        F.col("cf").desc(),
+        F.col("term"),
+    )
