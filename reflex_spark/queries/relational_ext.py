@@ -534,3 +534,241 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     return df
+
+
+@query(
+    "snapshot_diff_classify",
+    # Snapshot diff with change classification — the table-compare /
+    # reconciliation operator: two synthetic snapshots of orders (A
+    # drops keys %97==0; B drops keys %89==0 and doubles o_totalprice
+    # on keys %7==0) full-outer-joined on the key, every row classed
+    # added / removed / changed / unchanged with NULL-SAFE value
+    # comparison, rolled up per class.
+    oracle=f"""
+    WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM orders WHERE o_orderkey % 97 <> 0),
+    b AS (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 0
+                      THEN o_totalprice * CAST(2 AS DOUBLE)
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 89 <> 0),
+    j AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+             CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                   AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                  THEN 'unchanged' ELSE 'changed' END AS change_type,
+             COALESCE(b.o_totalprice, CAST(0 AS DOUBLE))
+               - COALESCE(a.o_totalprice, CAST(0 AS DOUBLE)) AS delta
+      FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey)
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS first_key,
+           CAST(MAX(k) AS BIGINT) AS last_key,
+           {sql_dsum('delta', 'price_delta')}
+    FROM j GROUP BY change_type
+    """,
+)
+def snapshot_diff_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — classify every key across two table
+    versions as added / removed / changed / unchanged and account for
+    the value drift per class. This is the data-engineering diff
+    operator behind CDC backfills, migration validation, and "what
+    changed between yesterday's and today's load": one FULL OUTER join
+    on the key, null-safe (<=>) comparison on the tracked columns
+    (a NULL value must compare equal to itself, which plain = gets
+    wrong), and a per-class rollup. The two snapshots are synthesized
+    deterministically from orders (A drops every 97th key; B drops
+    every 89th and doubles the price of every 7th — ×2 is exact IEEE
+    scaling) so the oracle replays them exactly.
+
+    Scale shape: the full-outer join shuffles both snapshots once on
+    the key — the minimum possible for a whole-table compare; the
+    classification is a codegen CASE projection and the rollup is a
+    4-group partial+final aggregate, so nothing after the join
+    shuffles more than 4 rows per task. At 100 TB both sides would be
+    bucketed on the key (bucketed_join_rollup's contract) making the
+    diff shuffle-free; price deltas sum through DECIMAL so partition
+    layout cannot perturb them."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    a = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("ak"),
+        F.col("o_orderstatus").alias("ast"),
+        F.col("o_totalprice").alias("ap"),
+    )
+    b = orders.where(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderstatus").alias("bst"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("bp"),
+    )
+    j = a.join(b, a["ak"] == b["bk"], "full_outer").select(
+        F.coalesce(F.col("ak"), F.col("bk")).alias("k"),
+        F.when(F.col("ak").isNull(), F.lit("added"))
+        .when(F.col("bk").isNull(), F.lit("removed"))
+        .when(
+            F.col("ap").eqNullSafe(F.col("bp"))
+            & F.col("ast").eqNullSafe(F.col("bst")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        (
+            F.coalesce(F.col("bp"), F.lit(0.0))
+            - F.coalesce(F.col("ap"), F.lit(0.0))
+        ).alias("delta"),
+    )
+    return j.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("k").alias("first_key"),
+        F.max("k").alias("last_key"),
+        dsum("delta", "price_delta"),
+    )
+
+
+@query(
+    "window_nth_cume_dist",
+    # nth_value + cume_dist — the two ranking-window members not yet
+    # judged. Both need explicit full frames: nth_value's default frame
+    # stops at CURRENT ROW (rows before position 2 would see NULL), and
+    # cume_dist is rank-based so its value is (# peers <=) / n — an
+    # exact integer ratio, one IEEE division in both engines.
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_price,
+           round(cume_dist() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+           ), 6) AS price_cume_dist
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    """,
+)
+def window_nth_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window coverage for nth_value and cume_dist: per
+    customer (every 10th, to exercise partition pruning on a cheap
+    predicate), the SECOND order's price in date order (nth_value over
+    the full-partition frame — the default frame would return NULL for
+    the first row) and each order's price percentile within the
+    customer (cume_dist — ties share a value because it counts peers
+    with <=, which both engines define identically; the ratio is one
+    IEEE division on exact integers, rounded once).
+
+    Scale: one shuffle on o_custkey serves both windows (same
+    partition key; Spark plans them as two Window operators over one
+    Exchange); the %10 filter is pushed to the parquet scan. Window
+    state per group is the customer's order list — bounded by per-key
+    cardinality, the standard windowing contract."""
+    orders = load_tables(spark, sf_dir)["orders"].where(
+        F.col("o_custkey") % 10 == 0
+    )
+    w_nth = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_cd = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 2).over(w_nth).alias("second_price"),
+        F.round(F.cume_dist().over(w_cd), 6).alias("price_cume_dist"),
+    )
+
+
+@query(
+    "zorder_skipping_rollup",
+    # The judged READ of a Z-ORDERED table (the r9 bucketed-read
+    # pattern applied to OPTIMIZE ZORDER): orders rewritten along a
+    # Morton curve over (o_custkey, o_totalprice), then a rectangle
+    # query served through file-level min/max skipping — files whose
+    # logged ranges cannot intersect the rectangle are never opened,
+    # asserted in-query, while the ANSWER must still hash-match the
+    # plain full-scan oracle.
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    WHERE o_custkey BETWEEN 0 AND (SELECT MAX(o_custkey) // 4 FROM orders)
+      AND o_totalprice BETWEEN CAST(100000 AS DOUBLE)
+                           AND CAST(200000 AS DOUBLE)
+    GROUP BY o_orderstatus
+    """,
+)
+def zorder_skipping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data skipping judged end-to-end: orders land in a
+    TxTable with per-file (o_custkey, o_totalprice) min/max stats,
+    OPTIMIZE rewrites them into 8 files cut along the Morton curve
+    over BOTH columns (TxTable._zorder_key — rank-interleaved bits, so
+    every file gets bounded ranges on every zorder column at once, the
+    property a single-column sort cannot give), and the query — a
+    rectangle: the low custkey quartile × the 100k-200k price band —
+    reads through ``read_pruned``, which drops files whose logged
+    ranges are provably disjoint from the rectangle WITHOUT opening
+    them.
+
+    Two contracts judged at once: (a) the in-query assertion requires
+    at least 2 of the 8 files to be skipped at ANY SF (the rectangle
+    covers ~5% of the rank grid; the curve localizes it to ~2-4
+    curve segments), turning the Z-order + stats story from a plan
+    screenshot into a checked behavior; (b) the result must hash-match
+    the full-scan oracle — skipping may only remove files that
+    contain NO qualifying row, and the residual filter still runs on
+    the survivors (files with missing stats are conservatively kept).
+    At 100 TB this is the Delta/Iceberg query-skipping loop: stats
+    live in the commit log (KB per thousand files), pruning is a
+    driver-side metadata pass, and only the curve-local files pay
+    I/O. The custkey bound is data-derived (max//4 — integer division
+    in both engines) so the rectangle scales with the fixture."""
+    import shutil
+    import tempfile
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    max_ck = orders.agg(F.max("o_custkey")).collect()[0][0]  # control-plane
+    hi_ck = int(max_ck) // 4
+    base = tempfile.mkdtemp(prefix="zorder_skip_")
+    try:
+        t = TxTable(
+            spark, f"{base}/orders_z", stats_cols=["o_custkey", "o_totalprice"]
+        )
+        t.append(
+            orders.select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            )
+        )
+        t.optimize(zorder_by=["o_custkey", "o_totalprice"], target_files=8)
+        df, n_total, n_scanned = t.read_pruned(
+            {
+                "o_custkey": (0, hi_ck),
+                "o_totalprice": (100000.0, 200000.0),
+            }
+        )
+        if n_total != 8:
+            raise AssertionError(
+                f"OPTIMIZE must leave 8 z-ordered files, found {n_total}"
+            )
+        if n_scanned > n_total - 2:
+            raise AssertionError(
+                "Z-order min/max skipping must prune >= 2 of the 8 files "
+                f"for the rectangle query; scanned {n_scanned}/{n_total}"
+            )
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_customers"),
+                dsum("o_totalprice", "revenue"),
+            )
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -269,6 +269,51 @@ class TxTable:
             return self.spark.read.schema(schema).parquet(*paths)
         return self.spark.read.parquet(*paths)
 
+    def read_pruned(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Snapshot read with FILE-LEVEL data skipping: ``ranges`` is a
+        conjunction of closed-interval predicates ``{col: (lo, hi)}``;
+        files whose logged min/max for any column cannot intersect its
+        interval are never opened (the same stats ``merge_by_key`` uses
+        for touched-file discovery, now on the read path — Delta-style
+        query skipping). Files with no recorded stats for a column are
+        conservatively KEPT, so pruning can only remove provably-
+        disjoint files; the residual predicate is still applied to the
+        surviving rows, so the result equals ``read()`` + filter
+        regardless of how well stats prune. Returns (DataFrame,
+        n_files_total, n_files_scanned) so callers can assert the
+        skipping actually happened."""
+        v = self.latest_version() if version is None else version
+        files, schema, stats = self._snapshot_state(v)
+        kept = []
+        for f in files:
+            st = stats.get(f, {})
+            keep = True
+            for c, (lo, hi) in ranges.items():
+                s = st.get(c)
+                if not s or s[0] is None or s[1] is None:
+                    continue
+                if s[1] < lo or s[0] > hi:
+                    keep = False
+                    break
+            if keep:
+                kept.append(f)
+        if not kept:
+            if schema is None:
+                raise ValueError("TxTable is empty and has no schema yet")
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.data_dir, f) for f in kept]
+            df = (
+                self.spark.read.schema(schema).parquet(*paths)
+                if schema is not None
+                else self.spark.read.parquet(*paths)
+            )
+        for c, (lo, hi) in ranges.items():
+            df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
+        return df, len(files), len(kept)
+
     # -- writes ------------------------------------------------------------
 
     def _write_files(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:

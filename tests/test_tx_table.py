@@ -605,3 +605,27 @@ def test_delete_by_key_copy_on_write(spark, tmp_path):
     assert _rows(t.read()) == [(1, "a", 1), (3, "c", 1)]
     assert [(r["k"], r["_change_type"]) for r in sorted(
         t.changes(v2, v3).collect())] == [(4, "delete"), (5, "delete"), (6, "delete")]
+
+
+def test_read_pruned_matches_full_read_and_skips(spark, tmp_path):
+    """read_pruned = read() + filter, with provably-disjoint files never
+    opened; files with missing stats are conservatively kept."""
+    from pyspark.sql import functions as F
+
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["a", "b"])
+    rows = [(i, j, i * 100 + j) for i in range(16) for j in range(16)]
+    t.append(spark.createDataFrame(rows, "a long, b long, payload long"))
+    t.optimize(zorder_by=["a", "b"], target_files=8)
+    df, total, scanned = t.read_pruned({"a": (0, 3), "b": (0, 3)})
+    assert total == 8 and scanned < total  # rectangle prunes
+    expect = {
+        tuple(r)
+        for r in t.read().where((F.col("a") <= 3) & (F.col("b") <= 3)).collect()
+    }
+    assert {tuple(r) for r in df.collect()} == expect
+    # a column with NO recorded stats prunes nothing but still filters
+    t2 = TxTable(spark, str(tmp_path / "t2"))  # no stats_cols
+    t2.append(spark.createDataFrame(rows, "a long, b long, payload long"))
+    df2, total2, scanned2 = t2.read_pruned({"a": (0, 3)})
+    assert scanned2 == total2  # conservative keep
+    assert df2.where(F.col("a") > 3).count() == 0
