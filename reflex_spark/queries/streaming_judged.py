@@ -1706,3 +1706,337 @@ def stream_bottomk_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         [row], "k_sample long, p50_est double, p90_est double, p99_est double"
     )
+
+
+@query(
+    "stream_stream_full_join",
+    # The FULL OUTER stream-stream interval join — the third member of
+    # the judged join family (inner r8, left-outer r9): BOTH sides must
+    # emit watermark-timed null-padded rows — an unmatched click once
+    # the watermark passes c_ts + 1h, an unmatched purchase once no
+    # future click could still reach back to it. Oracle = the one-shot
+    # batch full outer join.
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT c.user_id AS cu, p.user_id AS pu
+          FROM c FULL JOIN p
+            ON c.user_id = p.user_id
+           AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR)
+    SELECT COALESCE(cu, pu) AS user_id,
+           CAST(SUM(CASE WHEN cu IS NOT NULL AND pu IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN pu IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click_unmatched,
+           CAST(SUM(CASE WHEN cu IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase_unmatched
+    FROM j GROUP BY COALESCE(cu, pu)
+    """,
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged stream-stream FULL OUTER interval join: clicks ⟗ purchases
+    on user with the band p_ts ∈ [c_ts, c_ts + 1h], both sides replayed
+    through real EventLogs in two time-ordered micro-batches plus a
+    far-future sentinel (the left-outer query's harness, symmetric
+    semantics).
+
+    What makes FULL the genuinely distinct third operator: the join
+    state must produce null-padded rows for BOTH directions, and each
+    side's eviction bound differs — an unmatched CLICK emits when the
+    watermark passes c_ts + 1h (no future purchase can land in its
+    band), but an unmatched PURCHASE emits when the watermark passes
+    p_ts (its band reaches BACKWARD: any click able to match it, with
+    c_ts ∈ [p_ts − 1h, p_ts], has already arrived or never will).
+    Asymmetric eviction bounds from one symmetric-looking condition is
+    exactly where a hand-rolled outer-join state machine goes wrong;
+    Spark derives both bounds from the band predicate. In-query
+    assertions require null-padded rows ON EACH SIDE to emit only
+    after micro-batch 0 and at least one per side at batch >= 2 —
+    cross-boundary, watermark-timed emission proven for both
+    directions. The oracle is the one-shot batch full join grouped by
+    COALESCE(cu, pu): an early, dropped, or doubled null row on either
+    side changes its user's (n_matched, n_click_unmatched,
+    n_purchase_unmatched) and fails the hash. Runs under the pinned
+    state-store provider; state partitions pinned to 32 like every
+    streaming entry (KB of fixture state)."""
+    import shutil
+    import time as _time
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.streaming.statestore import apply_state_store_conf
+
+    apply_state_store_conf(spark)
+    ev = load_tables(spark, sf_dir)["events"]
+    mid_ts, max_ts = (
+        ev.agg(
+            F.expr("percentile_approx(CAST(ts AS TIMESTAMP), 0.5)"),
+            F.max(F.col("ts").cast("timestamp")),
+        ).collect()[0]
+    )
+
+    def canonical(kind: str) -> DataFrame:
+        return ev.where(F.col("event_type") == kind).select(
+            F.lit(1).alias("event_type"),
+            F.col("user_id").cast("string").alias("foreign_id"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+            F.lit(None).cast("binary").alias("metadata"),
+            F.lit(None).cast("binary").alias("trace"),
+        )
+
+    base = tempfile.mkdtemp(prefix="stream_ssfoj_")
+    clog = EventLog(spark, f"{base}/clicks")
+    plog = EventLog(spark, f"{base}/purchases")
+    sent = spark.range(1).select(
+        F.lit(1).alias("event_type"),
+        F.lit("-1").alias("foreign_id"),
+        (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("timestamp"),
+        F.lit(None).cast("binary").alias("metadata"),
+        F.lit(None).cast("binary").alias("trace"),
+    )
+    final: dict = {}
+    click_null_batches: list[int] = []
+    purchase_null_batches: list[int] = []
+
+    def merge(batch_df: DataFrame, bid: int) -> None:
+        # bounded: one row per user per batch
+        for r in (
+            batch_df.where(
+                (F.coalesce(F.col("c_user"), F.col("p_user")) != "-1")
+            )
+            .groupBy(F.coalesce(F.col("c_user"), F.col("p_user")).alias("u"))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("c_user").isNotNull()
+                        & F.col("p_user").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias("m"),
+                F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0)).alias(
+                    "cu"
+                ),
+                F.sum(F.when(F.col("c_user").isNull(), 1).otherwise(0)).alias(
+                    "pu"
+                ),
+            )
+            .collect()
+        ):
+            m, cu, pu = final.get(r["u"], (0, 0, 0))
+            final[r["u"]] = (m + r["m"], cu + r["cu"], pu + r["pu"])
+            if r["cu"] > 0:
+                click_null_batches.append(bid)
+            if r["pu"] > 0:
+                purchase_null_batches.append(bid)
+
+    try:
+        for kind, log in (("click", clog), ("purchase", plog)):
+            c = canonical(kind)
+            log.append(c.where(F.col("timestamp") <= F.lit(mid_ts)))
+            _time.sleep(0.1)
+            log.append(c.where(F.col("timestamp") > F.lit(mid_ts)))
+            _time.sleep(0.1)
+            log.append(sent)
+            _time.sleep(0.1)
+        cs = (
+            clog.read_stream(max_files_per_trigger=1)
+            .withWatermark("timestamp", "1 minute")
+            .select(
+                F.col("foreign_id").alias("c_user"),
+                F.col("timestamp").alias("c_ts"),
+            )
+        )
+        ps = (
+            plog.read_stream(max_files_per_trigger=1)
+            .withWatermark("timestamp", "1 minute")
+            .select(
+                F.col("foreign_id").alias("p_user"),
+                F.col("timestamp").alias("p_ts"),
+            )
+        )
+        joined = cs.join(
+            ps,
+            F.expr(
+                "c_user = p_user AND "
+                "p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR"
+            ),
+            "fullOuter",
+        ).select("c_user", "p_user")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                joined.writeStream.foreachBatch(merge)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        q.awaitTermination(240)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "stream_stream_full_join: availableNow query did not "
+                "finish within 240s; results would be partial"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        for side, batches in (
+            ("click", click_null_batches),
+            ("purchase", purchase_null_batches),
+        ):
+            if batches and min(batches) < 1:
+                raise AssertionError(
+                    f"{side}-side null rows emitted in micro-batch 0 — "
+                    "eviction fired under the epoch watermark "
+                    f"(batches: {batches})"
+                )
+            if not batches or max(batches) < 2:
+                raise AssertionError(
+                    f"no {side}-side null-padded row crossed a micro-batch "
+                    "boundary past the data batches — the watermark-timed "
+                    f"emission this query exists to prove (batches: {batches})"
+                )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(u), m, cu, pu) for u, (m, cu, pu) in sorted(final.items())],
+        "user_id long, n_matched long, n_click_unmatched long, "
+        "n_purchase_unmatched long",
+    )
+
+
+def _hll_oracle() -> str:
+    from reflex_spark.queries.events import _SQL_HLL_ORACLE
+
+    return _SQL_HLL_ORACLE
+
+
+@query(
+    "stream_hll_distinct_rollup",
+    # The flagship mergeable sketch maintained ACROSS micro-batches:
+    # per-batch HLL register frames max-merged into 1024-entry running
+    # state must equal the one-shot whole-corpus sketch EXACTLY
+    # (register max is a semilattice, like bottom-k), so the oracle is
+    # the SAME direct whole-corpus SQL as the batch twins
+    # (events_hll_distinct_users / events_hll_merged_daily).
+    oracle=_hll_oracle(),
+)
+def stream_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged STREAMING distinct-count sketch maintenance under
+    AT-LEAST-ONCE delivery: events replayed through a real EventLog in
+    three micro-batches that deliberately OVERLAP (user residues
+    {0,1}, {1,2}, {2,0} mod 3 — every event is delivered, a third of
+    them twice, the backfill-overlap shape at-least-once systems
+    produce); each batch computes its own 1024-register HLL frame over
+    its user ids (operators/dedup.hll_registers — one
+    map-side-combinable max aggregation per batch) and the driver
+    max-merges it into a bounded running register table. Register max
+    is associative, commutative, and IDEMPOTENT, so the merged sketch
+    is IDENTICAL to the one-shot whole-corpus sketch despite the
+    duplicated deliveries — the oracle is the batch twin's direct SQL
+    (the same contract events_hll_merged_daily judges across DAY
+    shards, now across overlapping arrival shards). A count-based
+    merge would double-count the overlap and fail the estimate hash;
+    so would a lost batch or a wrong max.
+
+    This is the production streaming-rollup loop for COUNT(DISTINCT):
+    state is exactly 1024 integers regardless of stream length
+    (vs dropDuplicates' O(distinct keys) state in
+    stream_dedup_rollup), any-time reads estimate through the same
+    tail as the batch path (hll_estimate_from_registers), and
+    duplicate arrivals — users recur across batches by construction —
+    are absorbed by idempotence rather than tracked. In-query
+    assertions: exactly 3 data micro-batches contributed; at least one
+    register entered the state AFTER the first data batch (the merge
+    grows across boundaries); and at least one register received the
+    SAME contribution from two different batches (a recurring user —
+    idempotent absorption is doing real work, where a count-based
+    merge would have double-counted)."""
+    import shutil
+    import time as _time
+
+    from reflex_spark.operators.dedup import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.streaming.statestore import apply_state_store_conf
+
+    apply_state_store_conf(spark)
+    ev = load_tables(spark, sf_dir)["events"]
+    base = tempfile.mkdtemp(prefix="stream_hll_")
+    log = EventLog(spark, f"{base}/log")
+    regs: dict[int, int] = {}  # __idx -> max rho; bounded at 1024 entries
+    first_seen: dict[int, int] = {}  # __idx -> bid of first contribution
+    absorbed = [False]  # identical contribution from two distinct batches
+    n_batches: list[int] = []
+
+    def merge(batch_df: DataFrame, bid: int) -> None:
+        frame = hll_registers(
+            batch_df.select(F.col("foreign_id").cast("long").alias("user_id")),
+            "user_id",
+            p=10,
+        ).collect()  # bounded: <= 1024 rows per batch
+        if not frame:
+            return
+        n_batches.append(bid)
+        for r in frame:
+            idx, m = r["__idx"], r["__m"]
+            if idx not in regs:
+                regs[idx] = m
+                first_seen[idx] = bid
+            else:
+                if m >= regs[idx] and bid > first_seen[idx]:
+                    absorbed[0] = True
+                regs[idx] = max(regs[idx], m)
+
+    try:
+        canon = ev.select(
+            F.lit(1).alias("event_type"),
+            F.col("user_id").cast("string").alias("foreign_id"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+            F.lit(None).cast("binary").alias("metadata"),
+            F.lit(None).cast("binary").alias("trace"),
+            (F.col("user_id") % 3).alias("__res"),
+        )
+        for pair in ((0, 1), (1, 2), (2, 0)):
+            log.append(canon.where(F.col("__res").isin(*pair)).drop("__res"))
+            _time.sleep(0.1)
+        q = (
+            log.read_stream(max_files_per_trigger=1)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "stream_hll_distinct_rollup: availableNow query did not "
+                "finish within 120s; results would be partial"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    if len(n_batches) != 3:
+        raise AssertionError(
+            f"expected exactly 3 data micro-batches, saw {n_batches}"
+        )
+    first_bid = min(n_batches)
+    if not any(b > first_bid for b in first_seen.values()):
+        raise AssertionError(
+            "no register entered the state after the first data batch — "
+            "the cross-batch merge never grew the sketch"
+        )
+    if not absorbed[0]:
+        raise AssertionError(
+            "no register received the same contribution from two distinct "
+            "batches — idempotent absorption was never exercised"
+        )
+    merged = spark.createDataFrame(
+        sorted(regs.items()), "__idx long, __m int"
+    )
+    return hll_estimate_from_registers(merged, p=10)
