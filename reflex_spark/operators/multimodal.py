@@ -718,3 +718,74 @@ def av_container_stats(
             yield pd.DataFrame(rows)
 
     return videos.select(id_col, payload_col).mapInPandas(stats, out_schema)
+
+
+def audio_dft4_bins(
+    audio: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact spectral binning over DECODED WAV payloads: a 4-point DFT
+    per non-overlapping 4-sample frame, energies summed per bin across
+    the clip → (id, n_frames, e_dc, e_quarter, e_nyquist,
+    dominant_bin).
+
+    N = 4 is the largest DFT whose twiddle factors are all in
+    {1, 0, −1} (e^{-iπk/2}), so every bin energy is EXACT integer
+    arithmetic — no floating-point FFT, no libm, nothing an oracle
+    cannot replay bit-for-bit:
+
+    - X₀ (DC)      = s₀+s₁+s₂+s₃,              e += X₀²
+    - X₁ (fs/4)    = (s₀−s₂) − i(s₁−s₃),       e += (s₀−s₂)² + (s₁−s₃)²
+    - X₂ (Nyquist) = s₀−s₁+s₂−s₃,              e += X₂²
+
+    (X₃ is X₁'s conjugate — a real signal's spectrum is symmetric, so
+    its energy is redundant and omitted.) dominant_bin = argmin-index
+    argmax over the three totals (ties to the lower bin). Bounds: a
+    frame term is ≤ (4·32768)² ≈ 1.7e10 and clips are constant-bounded,
+    so int64 never overflows. Clip length must be divisible by 4
+    (callers pad or pick sizes). Runs in the same Arrow stage as the
+    WAV decode; vectorized numpy per batch, no shuffle beyond the scan.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_frames long, e_dc long, e_quarter long, "
+        "e_nyquist long, dominant_bin int"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from reflex_spark.functions.codecs import decode_wav
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    id_col, "n_frames", "e_dc", "e_quarter", "e_nyquist",
+                    "dominant_bin",
+                )
+            }
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                _rate, dec = decode_wav(bytes(payload))
+                s = dec[:, 0].astype(np.int64)
+                fr = s.reshape(-1, 4)
+                x0 = fr.sum(axis=1)
+                re1 = fr[:, 0] - fr[:, 2]
+                im1 = fr[:, 1] - fr[:, 3]
+                x2 = fr[:, 0] - fr[:, 1] + fr[:, 2] - fr[:, 3]
+                e = (
+                    int((x0 * x0).sum()),
+                    int((re1 * re1 + im1 * im1).sum()),
+                    int((x2 * x2).sum()),
+                )
+                rows[id_col].append(did)
+                rows["n_frames"].append(fr.shape[0])
+                rows["e_dc"].append(e[0])
+                rows["e_quarter"].append(e[1])
+                rows["e_nyquist"].append(e[2])
+                rows["dominant_bin"].append(int(max(range(3), key=lambda k: (e[k], -k))))
+            yield pd.DataFrame(rows)
+
+    return audio.select(id_col, payload_col).mapInPandas(feats, out_schema)

@@ -609,21 +609,40 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _synth_wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _synth_wav_corpus(
+    spark: SparkSession, sf_dir: str, carrier: bool = False
+) -> DataFrame:
     """(doc_id, payload): the deterministic synthetic WAV corpus shared by
     the judged audio queries — per-doc PCM of length 256..640 from a
     mod-arithmetic waveform with forced silence gaps (i%16 < 3) and
     genuine int16 clipping, built JVM-side as an array expression and
     WAV-encoded in one Arrow stage. The integer formula is replicated
-    verbatim in each query's oracle."""
+    verbatim in each query's oracle.
+
+    ``carrier=True`` multiplies the raw waveform (BEFORE clipping, so
+    int16 range holds) by a per-doc ±1 square carrier — doc%3 = 0: none
+    (the base signal is a slow sawtooth, energy at DC); 1: period-4
+    (+,+,−,−), shifting energy to fs/4; 2: period-2 (+,−), shifting it
+    to Nyquist — giving the spectral query a corpus whose dominant bins
+    actually differ. Integer ±1 modulation keeps every sample exact."""
     import pandas as pd
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
     n = (F.lit(256) + (F.col("doc_id") % 7) * 64).cast("int")
     i64 = lambda i: i.cast("long")  # noqa: E731
-    raw = lambda i: (  # noqa: E731
+    raw_base = lambda i: (  # noqa: E731
         F.col("doc_id") * 7919 + i64(i) * F.lit(2654435761)
     ) % 70001 - 35000
+    if carrier:
+        m = F.col("doc_id") % 3
+        car = lambda i: (  # noqa: E731
+            F.when(m == 0, F.lit(1))
+            .when(m == 1, F.when(i % 4 < 2, F.lit(1)).otherwise(F.lit(-1)))
+            .otherwise(F.when(i % 2 == 0, F.lit(1)).otherwise(F.lit(-1)))
+        )
+        raw = lambda i: raw_base(i) * car(i)  # noqa: E731
+    else:
+        raw = raw_base
     sample = lambda i: (  # noqa: E731
         F.when(i % 16 < 3, F.lit(0))
         .otherwise(F.greatest(F.lit(-32768), F.least(F.lit(32767), raw(i))))
@@ -2454,3 +2473,82 @@ def text_inverted_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cf").desc(),
         F.col("term"),
     )
+
+
+@query(
+    "multimodal_audio_dft4_bins",
+    # Spectral analysis with ZERO float arithmetic: a 4-point DFT per
+    # 4-sample frame (twiddles ∈ {1, 0, −1}), bin energies as exact
+    # int64 sums, dominant bin by integer argmax (ties to the lower
+    # bin). The oracle recomputes every frame term from the shared PCM
+    # formula; the WAV round-trip is again the judged contract.
+    oracle="""
+    WITH nn AS (SELECT doc_id, 256 + (doc_id % 7) * 64 AS n FROM documents),
+    seq AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM nn),
+    smp AS (
+      SELECT doc_id, i,
+             CASE WHEN i % 16 < 3 THEN 0
+                  ELSE greatest(-32768, least(32767,
+                       ((doc_id * 7919 + i * 2654435761) % 70001 - 35000)
+                       * (CASE WHEN doc_id % 3 = 0 THEN 1
+                               WHEN doc_id % 3 = 1 THEN
+                                    CASE WHEN i % 4 < 2 THEN 1 ELSE -1 END
+                               ELSE CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END
+                          END))) END AS s
+      FROM seq),
+    fr AS (SELECT doc_id, i // 4 AS f,
+                  SUM(s) AS x0,
+                  SUM(CASE WHEN i % 4 = 0 THEN s
+                           WHEN i % 4 = 2 THEN -s ELSE 0 END) AS re1,
+                  SUM(CASE WHEN i % 4 = 1 THEN s
+                           WHEN i % 4 = 3 THEN -s ELSE 0 END) AS im1,
+                  SUM(CASE WHEN i % 4 IN (0, 2) THEN s ELSE -s END) AS x2
+           FROM smp GROUP BY 1, 2),
+    ag AS (SELECT doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_frames,
+                  CAST(SUM(x0 * x0) AS BIGINT) AS e_dc,
+                  CAST(SUM(re1 * re1 + im1 * im1) AS BIGINT) AS e_quarter,
+                  CAST(SUM(x2 * x2) AS BIGINT) AS e_nyquist
+           FROM fr GROUP BY doc_id)
+    SELECT doc_id, n_frames, e_dc, e_quarter, e_nyquist,
+           CAST(CASE WHEN e_dc >= e_quarter AND e_dc >= e_nyquist THEN 0
+                     WHEN e_quarter >= e_nyquist THEN 1 ELSE 2 END
+                AS INTEGER) AS dominant_bin
+    FROM ag
+    """,
+)
+def multimodal_audio_dft4_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features through the REAL WAV codec — the
+    spectral rung of the audio family (multimodal_audio_stats is
+    time-domain energy, _segments is run-length structure): each
+    clip's decoded samples go through a 4-point DFT per non-overlapping
+    4-sample frame and the per-bin energies (DC, fs/4, Nyquist) sum
+    across the clip, plus the dominant bin. N = 4 is chosen because
+    its twiddle factors are exactly {1, 0, −1} — the largest DFT that
+    is PURE INTEGER arithmetic, so the whole spectral pipeline is
+    oracle-replayable bit-for-bit with no FFT library and no libm
+    (the synthetic-payload recipe's "integer arithmetic only" rule
+    applied to the frequency domain). The corpus uses the carrier
+    variant of the shared synth (base sawtooth / fs/4 square / Nyquist
+    square by doc_id%3), so each third of the corpus PROVABLY lands
+    its dominant bin on a different frequency — an in-query assertion
+    requires all three bins to appear, making the classifier
+    discriminative rather than vacuously constant.
+
+    Scale: same posture as every audio query — constant-bounded clip
+    payloads, one Arrow mapInPandas stage doing decode + vectorized
+    numpy DFT, no shuffle beyond the scan; at 100 TB this is the
+    feature-extraction pass of an audio training pipeline with the
+    spectral kernel swapped for a real windowed FFT (same plumbing,
+    float features, rows-only checkable)."""
+    from reflex_spark.operators.multimodal import audio_dft4_bins
+
+    audio = _synth_wav_corpus(spark, sf_dir, carrier=True)
+    out = audio_dft4_bins(audio, "doc_id", "payload").localCheckpoint()
+    bins = {r["dominant_bin"] for r in out.select("dominant_bin").distinct().collect()}
+    if bins != {0, 1, 2}:
+        raise AssertionError(
+            "the carrier corpus must produce all three dominant bins "
+            f"(DC / fs-4 / Nyquist); saw only {sorted(bins)}"
+        )
+    return out
