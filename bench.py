@@ -238,7 +238,27 @@ def main() -> None:
         out["build_total_sec"] = round(sum(builds.values()), 3)
         # complement again: the two split totals sum exactly to value
         out["exec_total_sec"] = round(total - out["build_total_sec"], 3)
+    # The driver records only a bounded TAIL of stdout; in round 10 the
+    # per-query dict grew large enough that the line's head (with
+    # "value") was cut and the bench went unparsed.  Truncation-proof
+    # protocol: the full detail line first, then a short summary line
+    # LAST — the summary always survives tail-keeping capture, and any
+    # parser that scans for the final JSON line gets a complete object.
     print(json.dumps(out))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    summary = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        # full per-query dict is on the previous line; this line stays
+        # under ~1 KB so "value" can never be truncated away again
+        "queries": slowest,
+    }
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -770,6 +770,16 @@ def audio_dft4_bins(
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 _rate, dec = decode_wav(bytes(payload))
                 s = dec[:, 0].astype(np.int64)
+                # 4-point frames: truncate any ragged tail (< 4 samples)
+                # rather than letting reshape raise an opaque ValueError
+                # for a clip whose length isn't divisible by 4 — corpus
+                # clips make no divisibility promise (ADVICE r10).
+                s = s[: (len(s) // 4) * 4]
+                if len(s) == 0:
+                    raise ValueError(
+                        f"audio_dft4_bins: doc {did!r} decodes to fewer "
+                        "than 4 samples; cannot form a single DFT frame"
+                    )
                 fr = s.reshape(-1, 4)
                 x0 = fr.sum(axis=1)
                 re1 = fr[:, 0] - fr[:, 2]

@@ -1481,27 +1481,34 @@ def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-halving multiplies and correctly-rounded adds, and BOTH
     # engines seed the left fold with the first element (Spark
     # aggregate over slice(...,2,...) with a struct seed; DuckDB
-    # list_reduce over structs), so the coupled recurrence replays
-    # bit-for-bit — NO rounding in the output.
+    # list_reduce over 2-element [l, b] DOUBLE lists — see the
+    # in-oracle comment for why a struct accumulator is unusable
+    # there), so the coupled recurrence replays bit-for-bit — NO
+    # rounding in the output.
     oracle="""
     SELECT user_id,
            CAST(cnt AS BIGINT) AS n_events,
-           h.l AS level,
-           h.b AS trend,
-           h.l + h.b AS forecast_next
+           h[1] AS level,
+           h[2] AS trend,
+           h[1] + h[2] AS forecast_next
     FROM (
+      -- Accumulator is a 2-element DOUBLE LIST [l, b], NOT a struct:
+      -- DuckDB 1.0.0's list_reduce evaluates struct-accumulator fields
+      -- in place (the 'b' field would see the already-updated 'l'),
+      -- which silently breaks any coupled recurrence.  A LIST
+      -- accumulator folds correctly and replays Spark bit-for-bit.
       SELECT user_id, COUNT(*) AS cnt,
              list_reduce(
                list_transform(list(value ORDER BY event_id),
-                              x -> {'l': x, 'b': CAST(0 AS DOUBLE)}),
-               (acc, x) -> {
-                 'l': CAST(0.5 AS DOUBLE) * x.l
-                      + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),
-                 'b': CAST(0.5 AS DOUBLE) * acc.b
-                      + CAST(0.5 AS DOUBLE)
-                        * ((CAST(0.5 AS DOUBLE) * x.l
-                            + CAST(0.5 AS DOUBLE) * (acc.l + acc.b))
-                           - acc.l)}) AS h
+                              x -> [x, CAST(0 AS DOUBLE)]),
+               (acc, x) -> [
+                 CAST(0.5 AS DOUBLE) * x[1]
+                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.5 AS DOUBLE) * acc[2]
+                   + CAST(0.5 AS DOUBLE)
+                     * ((CAST(0.5 AS DOUBLE) * x[1]
+                         + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))
+                        - acc[1])]) AS h
       FROM events GROUP BY user_id)
     """,
 )
@@ -1521,10 +1528,12 @@ def events_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds/subtracts — written as the IDENTICAL expression tree in both
     engines (the b-step inlines the l-step rather than binding it, so
     the op order is pinned), and both folds seed with the first
-    element. A 2-field struct is the accumulator on both sides (Spark
-    named_struct in a higher-order aggregate; DuckDB list_reduce over
-    struct-typed elements) — proving the fold lane carries arbitrary
-    fixed-width state, not just scalars.
+    element. The 2-field accumulator proves the fold lane carries
+    fixed-width state, not just scalars: Spark uses named_struct in a
+    higher-order aggregate; DuckDB uses a 2-element DOUBLE list,
+    because DuckDB 1.0.0 evaluates struct-accumulator fields in place
+    inside list_reduce (a coupled recurrence would read the
+    already-updated level when computing the trend).
 
     Plan: identical to the EWMA twin — one groupBy shuffle collecting
     each user's (event_id, value) pairs, array_sort + one JVM

@@ -756,9 +756,14 @@ def zorder_skipping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"OPTIMIZE must leave 8 z-ordered files, found {n_total}"
             )
-        if n_scanned > n_total - 2:
+        # >= 1 pruned file proves min/max skipping actually engaged; the
+        # exact count depends on the rank distribution of o_custkey /
+        # o_totalprice at the given SF, so a tighter constant would turn
+        # a still-correct result into a spurious failure on a fixture
+        # refresh (ADVICE r10).
+        if n_scanned > n_total - 1:
             raise AssertionError(
-                "Z-order min/max skipping must prune >= 2 of the 8 files "
+                "Z-order min/max skipping must prune >= 1 of the 8 files "
                 f"for the rectangle query; scanned {n_scanned}/{n_total}"
             )
         return (

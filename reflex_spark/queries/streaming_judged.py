@@ -1987,7 +1987,10 @@ def stream_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 regs[idx] = m
                 first_seen[idx] = bid
             else:
-                if m >= regs[idx] and bid > first_seen[idx]:
+                # absorption = the SAME rho arrives again from a LATER
+                # batch and changes nothing (m > regs[idx] would be a new
+                # max, not an idempotent absorb — must not count)
+                if m == regs[idx] and bid != first_seen[idx]:
                     absorbed[0] = True
                 regs[idx] = max(regs[idx], m)
 

@@ -71,3 +71,82 @@ def test_every_source_decorator_registers_exactly_once():
 
 def test_oracle_names_are_registered_queries():
     assert set(all_oracle_sql()) <= set(all_queries())
+
+
+def test_driver_window_is_rotated_and_green_capable():
+    """The driver judges exactly the first 50 names in all_queries()
+    order.  Pin the round-11 rotation contract: the window list is 50
+    unique registered names, every one oracle-checkable (no no_oracle
+    name may burn a driver slot), and all_queries() actually emits them
+    first and in window order."""
+    from reflex_spark.queries import _WINDOW
+
+    assert len(_WINDOW) == 50
+    assert len(set(_WINDOW)) == 50
+    q = list(all_queries())
+    oracle = set(all_oracle_sql())
+    assert q[:50] == _WINDOW
+    missing_oracle = [n for n in _WINDOW if n not in oracle]
+    assert not missing_oracle, (
+        f"window names without an oracle (would record no_oracle in the "
+        f"driver slot): {missing_oracle}"
+    )
+    # rotation invariant: the tail preserves registration order
+    assert len(q) == len(set(q))
+
+
+def test_every_oracle_parses_and_plans_in_duckdb():
+    """Fast gate (seconds, not the 30-minute two-SF value sweep): every
+    registered oracle must at least PARSE and PLAN in DuckDB against the
+    sf0.001 views.  Round 10 shipped a query whose oracle had never been
+    executed locally; this makes 'oracle never ran' impossible to commit
+    — a syntactically broken or view-mismatched oracle fails here in the
+    default suite."""
+    import duckdb
+
+    from reflex_spark.tables import TABLES, table_path
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+        )
+    bad: dict[str, str] = {}
+    for name, sql in all_oracle_sql().items():
+        try:
+            con.sql(f"EXPLAIN {sql}").fetchall()
+        except Exception as e:  # noqa: BLE001 — collect all failures
+            bad[name] = str(e).splitlines()[0]
+    assert not bad, f"oracles that fail to plan in DuckDB: {bad}"
+
+
+def test_duckdb_list_reduce_struct_accumulator_is_unsafe():
+    """Harness self-test pinning the engine bug that produced round 10's
+    only wrong answer: DuckDB 1.x evaluates struct-accumulator fields of
+    list_reduce IN PLACE, so a coupled recurrence reads the already-
+    updated first field when computing the second.  Minimal repro: over
+    four zero elements, a correct fold of {a: acc.a+1, b: acc.b+acc.a}
+    gives b=3; the struct accumulator gives b=5.  The LIST accumulator
+    folds correctly — which is why every oracle with multi-field fold
+    state MUST use a LIST accumulator (see events_holt_trend_forecast).
+    If a DuckDB upgrade fixes the struct path, this test fails loudly and
+    the comment trail can be retired."""
+    import duckdb
+
+    con = duckdb.connect()
+    struct_b = con.sql(
+        "SELECT list_reduce(list_transform([0, 0, 0, 0],"
+        " x -> {'a': 0, 'b': 0}),"
+        " (acc, x) -> {'a': acc.a + 1, 'b': acc.b + acc.a}).b"
+    ).fetchone()[0]
+    list_b = con.sql(
+        "SELECT list_reduce(list_transform([0, 0, 0, 0], x -> [0, 0]),"
+        " (acc, x) -> [acc[1] + 1, acc[2] + acc[1]])[2]"
+    ).fetchone()[0]
+    assert list_b == 3, f"LIST accumulator fold broke: {list_b}"
+    assert struct_b == 5, (
+        f"DuckDB struct-accumulator behavior changed (b={struct_b}); "
+        "if it now folds correctly (b=3), the engine bug is fixed — "
+        "update this pin and the oracle-authoring guidance"
+    )
