@@ -176,6 +176,12 @@ HEADLINE = [
 def main() -> None:
     full = "--full" in sys.argv
     split = "--split" in sys.argv
+    only: list[str] | None = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            # targeted regression probe: --only name1,name2 times just
+            # those registered queries (combine with --split)
+            only = sys.argv[i + 1].split(",")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -183,7 +189,7 @@ def main() -> None:
     spark = get_spark(app_name="reflex_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
-    names = sorted(queries) if full else HEADLINE
+    names = only if only else (sorted(queries) if full else HEADLINE)
 
     # Warm up the JVM + parquet footers so query 1 isn't charged for startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()

@@ -102,6 +102,25 @@ def stream_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stamp_batch_order(src: str, seen: set[str], seq: int) -> None:
+    """Pin file-source batch order without wall-clock sleeps: stamp every
+    not-yet-seen data file under ``src`` with mtime epoch+``seq`` (strictly
+    increasing across calls).  Spark's FileStreamSource processes files
+    oldest-mtime-first, so calling this after each batch write replaces the
+    defensive ``sleep(0.1..0.2)`` between writes — the sleeps cost ~2s of
+    pure wall-clock per bench pass (warmup + timed) across the streaming
+    suite and were the bulk of the r10 ``stream_stateful_sessions`` drift
+    (SCALE_NOTES §24)."""
+    import os
+
+    base = 1_000_000_000  # fixed epoch: deterministic, no Date.now coupling
+    for f in os.listdir(src):
+        if f.startswith("part-") and f not in seen:
+            p = os.path.join(src, f)
+            os.utime(p, (base + seq, base + seq))
+            seen.add(f)
+
+
 def _canonical_events(ev: DataFrame):
     """Map the fixture's string event types onto the canonical log schema
     (int event_type; 0 reserved for noops) with the double ``value`` riding
@@ -288,7 +307,6 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_state_store_conf(spark)  # session/env-pinned provider (statestore.py)
     import shutil
-    import time as _time
 
     from pyspark.sql import Window
 
@@ -324,7 +342,6 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(None).cast("binary").alias("trace"),
                 )
             )
-            _time.sleep(0.1)  # strictly-ordered file mtimes → batch order
         agg = (
             log.read_stream(max_files_per_trigger=1)
             .withColumn("value", F.col("metadata").cast("string").cast("double"))
@@ -574,7 +591,6 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash check proves the state store, batch boundaries, and the pandas
     state fn reproduce the exact lag-gap SQL semantics."""
     import shutil
-    import time as _time
 
     import pandas as pd
 
@@ -593,11 +609,12 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="stream_sess_")
     src = f"{base}/in"
     try:
+        seen: set[str] = set()
         for b in (1, 2, 3):  # strictly time-ordered batches
             parts.where(F.col("__b") == b).select("user_id", "ts").coalesce(
                 1
             ).write.mode("append").parquet(src)
-            _time.sleep(0.2)
+            _stamp_batch_order(src, seen, b)
 
         GAP_NS = 30 * 60 * 1_000_000_000
 
@@ -965,7 +982,6 @@ def stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_state_store_conf(spark)
     import shutil
-    import time as _time
 
     from reflex_spark.sources.event_log import EventLog
 
@@ -1011,7 +1027,6 @@ def stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             canonical.where(F.col("__orig_id") % 5 == 0),
         ):
             log.append(part.drop("__orig_id"))
-            _time.sleep(0.1)  # strictly-ordered file mtimes → batch order
         deduped = log.read_stream(max_files_per_trigger=1).dropDuplicates(
             ["foreign_id"]
         )
@@ -1085,7 +1100,6 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
     apply_state_store_conf(spark)
     import shutil
-    import time as _time
 
     from reflex_spark.sources.event_log import EventLog
 
@@ -1117,9 +1131,7 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             c = canonical(kind)
             mid = c.agg(F.expr("percentile_approx(__orig_id, 0.5)")).collect()[0][0]
             log.append(c.where(F.col("__orig_id") <= mid).drop("__orig_id"))
-            _time.sleep(0.1)
             log.append(c.where(F.col("__orig_id") > mid).drop("__orig_id"))
-            _time.sleep(0.1)
         cs = (
             clog.read_stream(max_files_per_trigger=1)
             .withWatermark("timestamp", "14 days")
@@ -1238,7 +1250,6 @@ def stream_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry. Final dimension rows (k, status, valid_from, valid_to) cast
     to DATE; the oracle replays the schedule per key residue."""
     import shutil
-    import time as _time
     from datetime import datetime
 
     from reflex_spark.sources.event_log import EventLog
@@ -1318,9 +1329,7 @@ def stream_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         v0 = t.append(seed)
         v1 = t.merge_by_key(updates, ["k"], "ver")
         publish_changes(t, log, "k", -1, v0, at=datetime(2024, 1, 1))
-        _time.sleep(0.1)
         publish_changes(t, log, "k", v0, v1, at=datetime(2024, 2, 1))
-        _time.sleep(0.1)
 
         def run_phase(timeout: int) -> None:
             q = (
@@ -1353,7 +1362,6 @@ def stream_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v2 = t.delete_by_key(del_keys, ["k"])
         publish_changes(t, log, "k", v1, v2, at=datetime(2024, 3, 1))
-        _time.sleep(0.1)
         run_phase(120)
         if len(data_batches) != n_phase_a + 1:
             raise AssertionError(
@@ -1436,7 +1444,6 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key stores exactly as SCALE_NOTES §20 argues. State partitions
     pinned to 32 like every streaming entry (KB of fixture state)."""
     import shutil
-    import time as _time
 
     from reflex_spark.sources.event_log import EventLog
     from reflex_spark.streaming.statestore import apply_state_store_conf
@@ -1492,11 +1499,8 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for kind, log in (("click", clog), ("purchase", plog)):
             c = canonical(kind)
             log.append(c.where(F.col("timestamp") <= F.lit(mid_ts)))
-            _time.sleep(0.1)
             log.append(c.where(F.col("timestamp") > F.lit(mid_ts)))
-            _time.sleep(0.1)
             log.append(sent)
-            _time.sleep(0.1)
         cs = (
             clog.read_stream(max_files_per_trigger=1)
             .withWatermark("timestamp", "1 minute")
@@ -1609,7 +1613,6 @@ def stream_bottomk_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     integer ranks — selection only, no float arithmetic."""
     import json
     import shutil
-    import time as _time
 
     from reflex_spark.sources.event_log import EventLog
     from reflex_spark.streaming.statestore import apply_state_store_conf
@@ -1661,13 +1664,10 @@ def stream_bottomk_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("event_id").alias("__oid"),
         )
         log.append(canon.where(F.col("__oid") <= t1).drop("__oid"))
-        _time.sleep(0.1)
         log.append(
             canon.where((F.col("__oid") > t1) & (F.col("__oid") <= t2)).drop("__oid")
         )
-        _time.sleep(0.1)
         log.append(canon.where(F.col("__oid") > t2).drop("__oid"))
-        _time.sleep(0.1)
         q = (
             log.read_stream(max_files_per_trigger=1)
             .writeStream.foreachBatch(merge)
@@ -1760,7 +1760,6 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-store provider; state partitions pinned to 32 like every
     streaming entry (KB of fixture state)."""
     import shutil
-    import time as _time
 
     from reflex_spark.sources.event_log import EventLog
     from reflex_spark.streaming.statestore import apply_state_store_conf
@@ -1832,11 +1831,8 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for kind, log in (("click", clog), ("purchase", plog)):
             c = canonical(kind)
             log.append(c.where(F.col("timestamp") <= F.lit(mid_ts)))
-            _time.sleep(0.1)
             log.append(c.where(F.col("timestamp") > F.lit(mid_ts)))
-            _time.sleep(0.1)
             log.append(sent)
-            _time.sleep(0.1)
         cs = (
             clog.read_stream(max_files_per_trigger=1)
             .withWatermark("timestamp", "1 minute")
@@ -1954,7 +1950,6 @@ def stream_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent absorption is doing real work, where a count-based
     merge would have double-counted)."""
     import shutil
-    import time as _time
 
     from reflex_spark.operators.dedup import (
         hll_estimate_from_registers,
@@ -2005,7 +2000,6 @@ def stream_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for pair in ((0, 1), (1, 2), (2, 0)):
             log.append(canon.where(F.col("__res").isin(*pair)).drop("__res"))
-            _time.sleep(0.1)
         q = (
             log.read_stream(max_files_per_trigger=1)
             .writeStream.foreachBatch(merge)

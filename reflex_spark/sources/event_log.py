@@ -191,9 +191,47 @@ class EventLog:
             ).partitionBy("event_date").parquet(self.path)
         else:
             out.write.mode("append").parquet(self.path)
+        self._stamp_commit_order(base + n)
         if self.notifier is not None:
             self.notifier.notify()
         return base + n
+
+    # Logical-mtime base for commit ordering (2001-09-09; any fixed epoch
+    # works — FileStreamSource ages files relative to the NEWEST file in
+    # the directory, not the wall clock, so a fixed base plus seconds-apart
+    # offsets never trips maxFileAge).
+    _MTIME_BASE = 1_000_000_000
+
+    def _stamp_commit_order(self, seq: int) -> None:
+        """Stamp this commit's data files with logical mtime BASE+``seq``.
+
+        Structured Streaming's file source processes files oldest-mtime
+        first, so streaming consumers see appends in COMMIT order — the
+        dense-id order append() just assigned — rather than in whatever
+        order the filesystem clock happened to record.  ``seq`` is the new
+        head id, strictly monotonic per log, so later commits always stamp
+        later mtimes; files from earlier commits already carry a BASE-range
+        mtime and are left alone.  This replaces the defensive
+        ``sleep(0.1)`` every streaming caller used to need between appends
+        (~2s of pure wall-clock per bench pass; SCALE_NOTES §28) and makes
+        the ordering robust on coarse-mtime filesystems.
+        """
+        import os
+
+        cutoff = self._MTIME_BASE + 100_000_000  # real clocks are ~1.7e9
+        t = float(self._MTIME_BASE + seq)
+        for root, _dirs, files in os.walk(self.path):
+            for f in files:
+                if not f.startswith("part-"):
+                    continue  # _SUCCESS / metadata: hidden to the source
+                p = os.path.join(root, f)
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        os.utime(p, (t, t))
+                except OSError:
+                    # a concurrent reader/cleaner removed the file between
+                    # listing and stat; ordering of remaining files holds
+                    continue
 
     def insert(
         self,
