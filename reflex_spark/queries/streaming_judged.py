@@ -121,6 +121,72 @@ def _stamp_batch_order(src: str, seen: set[str], seq: int) -> None:
             seen.add(f)
 
 
+class _BatchSink:
+    """Parquet accumulation sink for judged ``foreachBatch`` streams
+    (VERDICT r10 #8): each micro-batch APPENDS its (optionally
+    pre-aggregated) emissions tagged with the batch id, and the final
+    answer is resolved DISTRIBUTED after the stream finishes — the
+    driver holds a path string, never per-key state.  This is the 100 TB
+    posture the judged streaming queries exist to prove: emissions are
+    data-plane-sized, so the old per-query driver-dict pattern (bounded
+    only by fixture cardinality) is replaced with append-to-sink + a
+    final distributed resolve, mirroring ``stream_stateful_sessions``.
+
+    ``writer(prepare)`` returns the foreachBatch callable; ``prepare``
+    (if given) runs inside the batch — typically a per-batch partial
+    aggregate so the sink stores one row per key per batch, not raw
+    join output.  Resolve with ``latest_per_key`` (update-mode
+    cumulative emissions: newest batch wins) or ``sum_per_key``
+    (append-mode deltas: fold by summation).  Both resolvers
+    ``persist()`` + count before returning so callers can remove the
+    temp sink directory afterwards (in production the sink itself is
+    the durable output and that step disappears)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def writer(self, prepare=None):
+        path = self.path
+
+        def merge(bdf: DataFrame, bid: int) -> None:
+            out = prepare(bdf) if prepare is not None else bdf
+            out.withColumn("__bid", F.lit(bid)).write.mode("append").parquet(path)
+
+        return merge
+
+    def read(self) -> DataFrame:
+        import os
+
+        if not os.path.exists(self.path):
+            raise AssertionError(
+                f"_BatchSink at {self.path}: no batch ever wrote a row — "
+                "the stream emitted nothing, which every judged streaming "
+                "query treats as a failure, not an empty result"
+            )
+        return self.spark.read.parquet(self.path)
+
+    def _materialize(self, df: DataFrame) -> DataFrame:
+        df = df.persist()
+        df.count()
+        return df
+
+    def latest_per_key(self, key_cols: list[str], cols: list[str]) -> DataFrame:
+        from reflex_spark.operators.upsert import latest_by_key
+
+        return self._materialize(
+            latest_by_key(self.read(), key_cols, "__bid").select(*key_cols, *cols)
+        )
+
+    def sum_per_key(self, key_cols: list[str], sums: dict[str, str]) -> DataFrame:
+        """``sums`` maps output alias -> sink column summed over batches."""
+        return self._materialize(
+            self.read()
+            .groupBy(*key_cols)
+            .agg(*[F.sum(src).alias(dst) for dst, src in sums.items()])
+        )
+
+
 def _canonical_events(ev: DataFrame):
     """Map the fixture's string event types onto the canonical log schema
     (int event_type; 0 reserved for noops) with the double ``value`` riding
@@ -299,9 +365,9 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a hash match proves the engine's REAL late-data behavior, not a
     mock of it.
 
-    The foreachBatch merge overwrites per-window rows (update-mode
-    emissions are cumulative); the final dict is bounded by the number of
-    hourly windows — control-plane size, like MaterializedCounts.
+    The foreachBatch merge appends update-mode (cumulative) emissions to
+    a parquet sink keyed by batch id; the final per-window row is the
+    latest batch's — resolved distributed via ``_BatchSink``, driver O(1).
     """
     from reflex_spark.streaming.statestore import apply_state_store_conf
 
@@ -324,12 +390,10 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="stream_wm_")
     log = EventLog(spark, f"{base}/log")
-    final: dict = {}
-
-    def merge(batch_df: DataFrame, _bid: int) -> None:
-        # update-mode emissions are cumulative per window: overwrite-merge.
-        for r in batch_df.collect():  # bounded: one row per hourly window
-            final[r["window_start"]] = (r["n_events"], r["sum_value"])
+    # update-mode emissions are cumulative per window: latest batch wins,
+    # resolved distributed from the sink (no driver-side window dict).
+    sink = _BatchSink(spark, f"{base}/sink")
+    merge = sink.writer()
 
     try:
         for p in parts:
@@ -372,12 +436,10 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         if q.exception() is not None:
             raise q.exception()
+        out = sink.latest_per_key(["window_start"], ["n_events", "sum_value"])
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        [(k, n, s) for k, (n, s) in sorted(final.items())],
-        "window_start timestamp, n_events long, sum_value double",
-    )
+    return out
 
 
 @query(
@@ -661,14 +723,11 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # must stay O(1). Each batch appends with its batch id; the final
         # per-user row is resolved distributed (latest batch wins) — the
         # MaterializedCounts upsert posture, driver never holds the keys.
-        sink = f"{base}/sink"
-
-        def merge(bdf: DataFrame, bid: int) -> None:
-            bdf.withColumn("__bid", F.lit(bid)).write.mode("append").parquet(sink)
+        sink = _BatchSink(spark, f"{base}/sink")
 
         q = (
             agg.writeStream.outputMode("update")
-            .foreachBatch(merge)
+            .foreachBatch(sink.writer())
             .option("checkpointLocation", f"{base}/ckpt")
             .trigger(availableNow=True)
             .start()
@@ -682,18 +741,7 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         if q.exception() is not None:
             raise q.exception()
-        from reflex_spark.operators.upsert import latest_by_key
-
-        final = (
-            latest_by_key(spark.read.parquet(sink), ["user_id"], "__bid")
-            .select("user_id", "n_sessions", "n_events")
-        )
-        # Materialize into executor storage before the temp sink is removed
-        # (in production the parquet sink itself is the durable output and
-        # this persist step disappears); driver memory stays O(1).
-        final = final.persist()
-        final.count()
-        return final
+        return sink.latest_per_key(["user_id"], ["n_sessions", "n_events"])
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -1002,23 +1050,19 @@ def stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="stream_dedup_")
     log = EventLog(spark, f"{base}/log")
-    final: dict = {}
-
-    def merge(batch_df: DataFrame, _bid: int) -> None:
-        rows = (
-            batch_df.withColumn(
-                "value", F.col("metadata").cast("string").cast("double")
-            )
-            .groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
-            )
-            .collect()
+    # per-batch partial aggregate inside foreachBatch; batch deltas fold
+    # by (exact decimal) summation at resolve time — no driver dict.
+    sink = _BatchSink(spark, f"{base}/sink")
+    merge = sink.writer(
+        lambda bdf: bdf.withColumn(
+            "value", F.col("metadata").cast("string").cast("double")
         )
-        for r in rows:  # bounded: one row per event type
-            n0, s0 = final.get(r["event_type"], (0, 0))
-            final[r["event_type"]] = (n0 + r["n"], s0 + (r["s"] or 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+    )
 
     try:
         for part in (
@@ -1055,16 +1099,22 @@ def stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         if q.exception() is not None:
             raise q.exception()
+        label_of = {code: lbl for lbl, code in code_of.items()}
+        decode = F.create_map(
+            *[F.lit(x) for code, lbl in sorted(label_of.items()) for x in (code, lbl)]
+        )
+        out = (
+            sink.sum_per_key(["event_type"], {"n_events": "n", "sum_value": "s"})
+            .select(
+                decode[F.col("event_type")].alias("event_type"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("sum_value").cast("double").alias("sum_value"),
+            )
+            .localCheckpoint()
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    label_of = {code: lbl for lbl, code in code_of.items()}
-    return spark.createDataFrame(
-        [
-            (label_of[t], n, float(s))
-            for t, (n, s) in sorted(final.items())
-        ],
-        "event_type string, n_events long, sum_value double",
-    )
+    return out
 
 
 @query(
@@ -1118,13 +1168,10 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     base = tempfile.mkdtemp(prefix="stream_ssj_")
     clog = EventLog(spark, f"{base}/clicks")
     plog = EventLog(spark, f"{base}/purchases")
-    final: dict = {}
-
-    def merge(batch_df: DataFrame, _bid: int) -> None:
-        for r in batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect():  # bounded: one row per user
-            final[r["user_id"]] = final.get(r["user_id"], 0) + r["n"]
+    sink = _BatchSink(spark, f"{base}/sink")
+    merge = sink.writer(
+        lambda bdf: bdf.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    )
 
     try:
         for kind, log in (("click", clog), ("purchase", plog)):
@@ -1178,11 +1225,10 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             )
         if q.exception() is not None:
             raise q.exception()
+        out = sink.sum_per_key(["user_id"], {"n_pairs": "n"})
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        sorted(final.items()), "user_id long, n_pairs long"
-    )
+    return out
 
 
 @query(
@@ -1476,24 +1522,15 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("binary").alias("metadata"),
         F.lit(None).cast("binary").alias("trace"),
     )
-    final: dict = {}
-    null_batches: list[int] = []
-
-    def merge(batch_df: DataFrame, bid: int) -> None:
-        # bounded: one row per user per batch
-        for r in (
-            batch_df.where(F.col("c_user") != "-1")
-            .groupBy("c_user")
-            .agg(
-                F.count("p_user").alias("m"),
-                F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0)).alias("u"),
-            )
-            .collect()
-        ):
-            m, u = final.get(r["c_user"], (0, 0))
-            final[r["c_user"]] = (m + r["m"], u + r["u"])
-            if r["u"] > 0:
-                null_batches.append(bid)
+    sink = _BatchSink(spark, f"{base}/sink")
+    merge = sink.writer(
+        lambda bdf: bdf.where(F.col("c_user") != "-1")
+        .groupBy("c_user")
+        .agg(
+            F.count("p_user").alias("m"),
+            F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0)).alias("u"),
+        )
+    )
 
     try:
         for kind, log in (("click", clog), ("purchase", plog)):
@@ -1545,6 +1582,16 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         if q.exception() is not None:
             raise q.exception()
+        # watermark-timing probe, resolved from the sink's batch ids
+        # (distributed min/max over the rows that carried null padding)
+        null_batches = sorted(
+            r["__bid"]
+            for r in sink.read()
+            .where(F.col("u") > 0)
+            .select("__bid")
+            .distinct()
+            .collect()  # bounded: one row per micro-batch id
+        )
         if null_batches and min(null_batches) < 1:
             raise AssertionError(
                 "null-padded rows emitted in micro-batch 0 — eviction "
@@ -1557,12 +1604,16 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "the data batches — the watermark-timed emission this "
                 f"query exists to prove (null batches: {null_batches})"
             )
+        out = sink.sum_per_key(["c_user"], {"n_matched": "m", "n_unmatched": "u"}).select(
+            F.col("c_user").cast("long").alias("user_id"),
+            "n_matched",
+            "n_unmatched",
+        )
+        out = out.persist()
+        out.count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        [(int(u), m, n) for u, (m, n) in sorted(final.items())],
-        "user_id long, n_matched long, n_unmatched long",
-    )
+    return out
 
 
 @query(
@@ -1792,40 +1843,23 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("binary").alias("metadata"),
         F.lit(None).cast("binary").alias("trace"),
     )
-    final: dict = {}
-    click_null_batches: list[int] = []
-    purchase_null_batches: list[int] = []
-
-    def merge(batch_df: DataFrame, bid: int) -> None:
-        # bounded: one row per user per batch
-        for r in (
-            batch_df.where(
-                (F.coalesce(F.col("c_user"), F.col("p_user")) != "-1")
-            )
-            .groupBy(F.coalesce(F.col("c_user"), F.col("p_user")).alias("u"))
-            .agg(
-                F.sum(
-                    F.when(
-                        F.col("c_user").isNotNull()
-                        & F.col("p_user").isNotNull(),
-                        1,
-                    ).otherwise(0)
-                ).alias("m"),
-                F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0)).alias(
-                    "cu"
-                ),
-                F.sum(F.when(F.col("c_user").isNull(), 1).otherwise(0)).alias(
-                    "pu"
-                ),
-            )
-            .collect()
-        ):
-            m, cu, pu = final.get(r["u"], (0, 0, 0))
-            final[r["u"]] = (m + r["m"], cu + r["cu"], pu + r["pu"])
-            if r["cu"] > 0:
-                click_null_batches.append(bid)
-            if r["pu"] > 0:
-                purchase_null_batches.append(bid)
+    sink = _BatchSink(spark, f"{base}/sink")
+    merge = sink.writer(
+        lambda bdf: bdf.where(
+            (F.coalesce(F.col("c_user"), F.col("p_user")) != "-1")
+        )
+        .groupBy(F.coalesce(F.col("c_user"), F.col("p_user")).alias("u"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c_user").isNotNull() & F.col("p_user").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("m"),
+            F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0)).alias("cu"),
+            F.sum(F.when(F.col("c_user").isNull(), 1).otherwise(0)).alias("pu"),
+        )
+    )
 
     try:
         for kind, log in (("click", clog), ("purchase", plog)):
@@ -1877,6 +1911,16 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         if q.exception() is not None:
             raise q.exception()
+        # watermark-timing probe per side, from the sink's batch ids
+        sunk = sink.read()
+        click_null_batches = sorted(
+            r["__bid"]
+            for r in sunk.where(F.col("cu") > 0).select("__bid").distinct().collect()
+        )  # bounded: one row per micro-batch id
+        purchase_null_batches = sorted(
+            r["__bid"]
+            for r in sunk.where(F.col("pu") > 0).select("__bid").distinct().collect()
+        )
         for side, batches in (
             ("click", click_null_batches),
             ("purchase", purchase_null_batches),
@@ -1893,13 +1937,20 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "boundary past the data batches — the watermark-timed "
                     f"emission this query exists to prove (batches: {batches})"
                 )
+        out = sink.sum_per_key(
+            ["u"],
+            {"n_matched": "m", "n_click_unmatched": "cu", "n_purchase_unmatched": "pu"},
+        ).select(
+            F.col("u").cast("long").alias("user_id"),
+            "n_matched",
+            "n_click_unmatched",
+            "n_purchase_unmatched",
+        )
+        out = out.persist()
+        out.count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        [(int(u), m, cu, pu) for u, (m, cu, pu) in sorted(final.items())],
-        "user_id long, n_matched long, n_click_unmatched long, "
-        "n_purchase_unmatched long",
-    )
+    return out
 
 
 def _hll_oracle() -> str:
