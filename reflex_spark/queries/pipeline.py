@@ -587,3 +587,102 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__w").alias("weight"),
         F.col("__es_key").alias("es_key"),
     )
+
+
+@query(
+    "pipeline_dsir_importance",
+    # DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    # Importance Resampling"): hashed-unigram bucket distributions for a
+    # target (eval-like) slice and the raw pool, per-doc average
+    # log importance ratio.  Parity recipe: the bucket weight is ONE ln
+    # over a fixed IEEE chain of correctly-rounded ops, per-token weights
+    # sum through DECIMAL(38,18) (order-free), round(3) absorbs last-ulp
+    # libm ln jitter, and `selected` compares the already-rounded score.
+    oracle="""
+    WITH tb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 4))::INT AS BIGINT) % 256 AS b
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)),
+    counts AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr
+      FROM tb GROUP BY b),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                   CAST(SUM(cr) AS BIGINT) AS nr FROM counts),
+    w AS (
+      SELECT b,
+             ln(((CAST(ct AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 / (CAST(nt AS DOUBLE) + CAST(256.0 AS DOUBLE)))
+                / ((CAST(cr AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                   / (CAST(nr AS DOUBLE) + CAST(256.0 AS DOUBLE)))) AS w
+      FROM counts, tot),
+    s AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM tb JOIN w USING (b)
+      WHERE doc_id % 97 <> 0
+      GROUP BY doc_id)
+    SELECT doc_id, k AS n_tokens,
+           round(s / k, 3) AS avg_logratio,
+           round(s / k, 3) > CAST(0.0 AS DOUBLE) AS selected
+    FROM s
+    """,
+)
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): score every raw-pool
+    document by how target-like its hashed-unigram distribution is —
+    avg over tokens of ln(p_target(bucket) / p_raw(bucket)), Laplace-
+    smoothed over 256 md5 buckets — and flag docs whose (rounded) score
+    is positive as selected for the target-matched training mixture.
+    The target slice is the doc_id % 97 == 0 eval split (the same split
+    decontamination uses), the raw pool is everything else.
+
+    Plan: ONE token-bucket shuffle computes BOTH distributions
+    (conditional partial aggregates — map-side combine, never two corpus
+    scans), the 256-row weight table broadcasts into the scoring pass,
+    and the per-doc aggregate is a second map-side-combined shuffle.  At
+    100 TB the weight table is still 256 rows: the feature-distribution
+    aggregate and the broadcast are corpus-size-free, which is exactly
+    why DSIR uses hashed features instead of a vocabulary."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    is_target = F.col("doc_id") % 97 == 0
+    tb = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("long") % 256
+        ).alias("b"),
+    )
+    counts = tb.groupBy("b").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_target, 1).otherwise(0)).alias("cr"),
+    )
+    tot = counts.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            (
+                (F.col("ct").cast("double") + F.lit(1.0))
+                / (F.col("nt").cast("double") + F.lit(256.0))
+            )
+            / (
+                (F.col("cr").cast("double") + F.lit(1.0))
+                / (F.col("nr").cast("double") + F.lit(256.0))
+            )
+        ).alias("w"),
+    )
+    scored = (
+        tb.where(~is_target)
+        .join(F.broadcast(w), "b")
+        .select("doc_id", F.col("w").cast("decimal(38,18)").alias("__w"))
+    )
+    avg = F.round(F.sum("__w").cast("double") / F.count(F.lit(1)), 3)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        avg.alias("avg_logratio"),
+        (avg > F.lit(0.0)).alias("selected"),
+    )

@@ -2552,3 +2552,144 @@ def multimodal_audio_dft4_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(DC / fs-4 / Nyquist); saw only {sorted(bins)}"
         )
     return out
+
+
+@query(
+    "text_substring_span_dedup",
+    # Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    # Training Data Makes Language Models Better", the ExactSubstr
+    # posture with a 10-token match length): every corpus position that
+    # participates in a 10-token run occurring >= 2 times anywhere in
+    # the corpus is covered; overlapping covered windows merge into
+    # maximal spans (gaps-and-islands), and the retained-bytes md5 pins
+    # the exact post-removal text.  All-integer + string ops — no float
+    # anywhere — so the hash match is unconditional.
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    starts AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 9)) AS i
+      FROM w WHERE len(w) >= 10),
+    sh AS (
+      SELECT doc_id, i - 1 AS i0, array_to_string(w[i : i + 9], ' ') AS sig
+      FROM starts),
+    dup AS (SELECT sig FROM sh GROUP BY sig HAVING COUNT(*) >= 2),
+    occ AS (SELECT doc_id, i0 FROM sh JOIN dup USING (sig)),
+    cov AS (
+      SELECT DISTINCT doc_id, i0 + o AS pos
+      FROM occ, (SELECT unnest(generate_series(0, 9)) AS o) offs),
+    st AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_covered,
+             CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM cov)
+      GROUP BY doc_id),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM w),
+    toks AS (SELECT doc_id, p - 1 AS pos, w[p] AS t FROM idx),
+    ret AS (
+      SELECT toks.doc_id,
+             md5(COALESCE(string_agg(t, ' ' ORDER BY toks.pos)
+                            FILTER (WHERE cov.pos IS NULL), '')) AS retained_md5
+      FROM toks LEFT JOIN cov
+        ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+      GROUP BY toks.doc_id)
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_tokens,
+           COALESCE(st.n_covered, 0) AS n_covered,
+           COALESCE(st.n_spans, 0) AS n_spans,
+           ret.retained_md5
+    FROM w LEFT JOIN st ON w.doc_id = st.doc_id
+           JOIN ret ON w.doc_id = ret.doc_id
+    """,
+)
+def text_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022 ExactSubstr): any
+    10-token run that occurs >= 2 times ANYWHERE in the corpus (across
+    docs or repeated within one) covers all ten of its token positions
+    at every occurrence; overlapping covered windows merge into maximal
+    removal spans, and each doc reports covered-token count, merged-span
+    count, and the md5 of its surviving text — so the judged hash pins
+    exact retained BYTES, not just statistics.  This is the long-run
+    upgrade of text_boilerplate_spans (3-token, >= 5 docs, aligned
+    blocks): sliding windows at EVERY position, the suffix-array
+    formulation's output contract without the suffix array.
+
+    Plan: one scan builds per-position 10-gram signatures (JVM
+    transform/slice, no Python); ONE shuffle groups signatures to find
+    duplicates (map-side combine on the count); occurrences of
+    duplicated signatures semi-join back (second shuffle, carries only
+    (sig, doc, pos)); coverage positions explode 10-wide, dedup
+    row-locally via array ops per doc in the final per-doc aggregate
+    (third shuffle, by doc_id).  At 100 TB the signature table is the
+    big shuffle — hash the 10-gram to a 64-bit fingerprint instead of
+    carrying the string (same plan, 8-byte keys); kept as the readable
+    string here because the fixture fits and the oracle then needs no
+    hash-parity argument."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = (
+        w.where(F.size("w") >= 10)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 9),"
+                    "  i -> struct(i - 1 AS i0, concat_ws(' ', slice(w, i, 10)) AS sig))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.i0").alias("i0"), F.col("s.sig").alias("sig"))
+    )
+    dup = sh.groupBy("sig").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
+    occ = sh.join(dup.select("sig"), "sig", "left_semi")
+    cov = (
+        occ.select("doc_id", F.explode(F.expr("sequence(i0, i0 + 9)")).alias("pos"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    lag_w = Window.partitionBy("doc_id").orderBy("pos")
+    st = (
+        cov.withColumn("prev", F.lag("pos").over(lag_w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_covered"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("pos") - F.col("prev") > 1), 1
+                ).otherwise(0)
+            ).alias("n_spans"),
+        )
+    )
+    toks = w.select(
+        "doc_id", F.posexplode("w").alias("pos", "t")
+    )
+    ret = (
+        toks.join(cov, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, t))), x -> x.t)"
+                    ),
+                )
+            ).alias("retained_md5")
+        )
+    )
+    empty_md5 = F.lit("d41d8cd98f00b204e9800998ecf8427e")  # md5('')
+    return (
+        w.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(st, "doc_id", "left")
+        .join(ret, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("retained_md5", empty_md5).alias("retained_md5"),
+        )
+    )
