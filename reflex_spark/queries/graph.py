@@ -474,3 +474,93 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select("node", F.col("hop").cast("long").alias("hops"))
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation: l_i(v) = the most frequent
+    label among v's neighbors under l_{i-1}, ties to the SMALLEST label
+    (the deterministic replacement for classic LPA's random tie-break);
+    seed l_0(v) = v. MATERIALIZED per round like the k-core/BFS oracles."""
+    parts = [
+        """m AS MATERIALIZED (
+      SELECT DISTINCT event_type,
+             epoch_ms(CAST(ts AS TIMESTAMP)) // 300000 AS h, user_id
+      FROM events),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM m a JOIN m b ON a.event_type = b.event_type AND a.h = b.h
+      WHERE a.user_id < b.user_id),
+    ed AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v AS a, u AS b FROM e0),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM ed)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""l{i} AS MATERIALIZED (
+      SELECT node, lab FROM (
+        SELECT e.a AS node, l.lab AS lab, COUNT(*) AS c
+        FROM ed e JOIN l{i-1} l ON e.b = l.node
+        GROUP BY e.a, l.lab)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) = 1)""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, CAST(lab AS BIGINT) AS label FROM l{rounds}"
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(3))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), determinized: every node starts labeled with its own id,
+    and each round adopts the most frequent label among its neighbors
+    with ties broken toward the SMALLEST label — the random tie-break of
+    classic LPA replaced by an order so the fixture result is unique and
+    oracle-checkable. 3 unrolled synchronous rounds over the 5-minute
+    co-occurrence graph (the suite's shared graph; see
+    graph_triangle_count for why minute-cells keep density linear-ish).
+
+    Plan per round: one equi-join (edges x labels, shuffle on the label
+    side's node key), one (node, label) count with map-side combine, one
+    row_number window per node — all JVM, lineage truncated per round
+    with localCheckpoint exactly like the PageRank/k-core/BFS loops. At
+    100 TB this is the canonical iterate: labels are a node-sized
+    relation, edges stream through the join, and the per-round argmax is
+    a partial-aggregable count + a bounded per-node top-1."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    m = ev.select(
+        "event_type",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 300000").alias("h"),
+        "user_id",
+    ).distinct()
+    b = m.select("event_type", "h", F.col("user_id").alias("v_id"))
+    e0 = (
+        m.join(b, ["event_type", "h"])
+        .where(F.col("user_id") < F.col("v_id"))
+        .select(F.col("user_id").alias("u"), F.col("v_id").alias("v"))
+        .distinct()
+    )
+    ed = (
+        e0.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(e0.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint()
+    )
+    labels = ed.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    top = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(3):
+        votes = (
+            ed.join(labels, ed["b"] == labels["node"])
+            .select(ed["a"].alias("node"), "lab")
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(top))
+            .where(F.col("__rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lab").cast("long").alias("label"))

@@ -2088,3 +2088,180 @@ def stream_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(regs.items()), "__idx long, __m int"
     )
     return hll_estimate_from_registers(merged, p=10)
+
+
+@query(
+    "stream_dedup_within_watermark",
+    # dropDuplicatesWithinWatermark: the BOUNDED-STATE streaming dedup
+    # (plain dropDuplicates keeps every key forever; this one evicts
+    # state once the watermark passes eventTime + delay — the only dedup
+    # a 100 TB stream can run).  The oracle replays the operator's exact
+    # timing, pinned empirically this round (tests/test_streaming_windows
+    # probes + this hash):
+    #   * late filter uses the CURRENT batch's watermark W_b (max event
+    #     time over batches < b, minus delay; W_0 = epoch 0);
+    #   * duplicates are dropped whenever the key is in state — and
+    #     state cleanup LAGS one batch: entries are evicted at the END
+    #     of batch b using W_b, so a key expired under W_b still dedups
+    #     rows DURING batch b and only frees for batch b+1;
+    #   * duplicates do NOT extend the stored expiry (it stays
+    #     firstEventTime + delay).
+    # delay = 149 minutes: event times are whole hours, so every
+    # comparison (h vs W, expiry vs W) has a non-zero hour-fraction gap
+    # and no strict-vs-non-strict boundary ambiguity exists.
+    oracle="""
+    WITH e AS (SELECT user_id, ts, event_id,
+                      epoch_ms(date_trunc('hour', ts)) AS h
+               FROM events),
+    r AS (SELECT user_id, h,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM e),
+    p AS (SELECT user_id,
+                 MAX(CASE WHEN rn = 1 THEN h END) AS h0,
+                 MAX(CASE WHEN rn = (n + 1) // 2 THEN h END) AS h1,
+                 MAX(CASE WHEN rn = n THEN h END) AS h2
+          FROM r GROUP BY user_id),
+    m AS (SELECT (SELECT MAX(h0) FROM p WHERE user_id % 3 <> 0)
+                   - 8940000 AS w1,
+                 (SELECT MAX(h1) FROM p) - 8940000 AS w2),
+    f AS (SELECT user_id,
+            CASE WHEN user_id % 3 <> 0 THEN
+              1 + CASE WHEN h2 >= w2 AND h0 + 8940000 < w1
+                       THEN 1 ELSE 0 END
+            ELSE
+              CASE WHEN h1 >= w1 THEN 1 ELSE 0 END
+              + CASE WHEN h1 < w1 AND h2 >= w2 THEN 1 ELSE 0 END
+            END AS n_emitted,
+            CASE WHEN user_id % 3 <> 0 THEN 0
+                 WHEN h1 >= w1 THEN 1
+                 WHEN h2 >= w2 THEN 2
+                 ELSE NULL END AS first_emit
+          FROM p, m)
+    SELECT user_id,
+           CAST(n_emitted AS BIGINT) AS n_emitted,
+           CAST(first_emit AS BIGINT) AS first_emit
+    FROM f
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged dropDuplicatesWithinWatermark end-to-end: three
+    deterministic micro-batches per user — batch 0 carries the first
+    event's hour for users with user_id % 3 != 0, batch 1 carries every
+    user's median-event hour, batch 2 every user's last-event hour (one
+    row per user per batch, so the in-batch anchor is unique and no row
+    order can change state).  The replay exercises every state
+    transition the operator has: first-contact emit, duplicate drop
+    while state is live, LATE drop of a first contact (the row never
+    reaches the state store), eviction after the watermark passes
+    expiry, and re-emission of an evicted key — with the one-batch
+    cleanup lag and no-expiry-extension semantics pinned in the oracle
+    comment.  Output: per-user emitted-row count and first emitting
+    batch id (NULL for users whose every arrival was late), resolved
+    distributed from the parquet batch sink.
+
+    Scale posture: state is O(keys live within the watermark horizon),
+    not O(all keys ever) — the entire point of the operator; the sink
+    resolve is one groupBy over emitted rows."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.streaming.statestore import apply_state_store_conf
+
+    apply_state_store_conf(spark)
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    picks = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("h", F.date_trunc("hour", F.col("ts")))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("h"))).alias("h0"),
+            F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("h"))).alias("h1"),
+            F.max(F.when(F.expr("rn = n"), F.col("h"))).alias("h2"),
+        )
+        .persist()
+    )
+    base = tempfile.mkdtemp(prefix="stream_ddww_")
+    log = EventLog(spark, f"{base}/log")
+
+    def canon(users: DataFrame, hcol: str) -> DataFrame:
+        return users.select(
+            F.lit(1).alias("event_type"),
+            F.col("user_id").cast("string").alias("foreign_id"),
+            F.col(hcol).alias("timestamp"),
+            F.lit(None).cast("binary").alias("metadata"),
+            F.lit(None).cast("binary").alias("trace"),
+        )
+
+    sink = _BatchSink(spark, f"{base}/sink")
+    try:
+        log.append(canon(picks.where(F.col("user_id") % 3 != 0), "h0"))
+        log.append(canon(picks, "h1"))
+        log.append(canon(picks, "h2"))
+        dd = (
+            log.read_stream(max_files_per_trigger=1)
+            .withWatermark("timestamp", "149 minutes")
+            .dropDuplicatesWithinWatermark(["foreign_id"])
+            .select(F.col("foreign_id").cast("long").alias("user_id"))
+        )
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                dd.writeStream.foreachBatch(sink.writer())
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "stream_dedup_within_watermark: availableNow query did not "
+                "finish within 180s; results would be partial"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        got = (
+            sink.read()
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_emitted"),
+                F.min("__bid").alias("first_emit"),
+            )
+        )
+        out = (
+            picks.select("user_id")
+            .join(got, "user_id", "left")
+            .select(
+                "user_id",
+                F.coalesce("n_emitted", F.lit(0)).cast("long").alias("n_emitted"),
+                F.col("first_emit").cast("long").alias("first_emit"),
+            )
+        )
+        out = out.persist()
+        # in-query behavior probes: eviction-driven re-emission happened,
+        # batch-1 first contacts happened, and dedup actually dropped rows
+        n_users = out.count()
+        if out.where(F.col("n_emitted") >= 2).count() == 0:
+            raise AssertionError(
+                "no key re-emitted after eviction — the bounded-state "
+                "semantics this query exists to prove never fired"
+            )
+        if out.where(F.col("first_emit") == 1).count() == 0:
+            raise AssertionError("no batch-1 first-contact emission")
+        total_emitted = out.agg(F.sum("n_emitted")).collect()[0][0]
+        if total_emitted >= 3 * n_users:
+            raise AssertionError("dedup dropped nothing — semantics not exercised")
+    finally:
+        picks.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+    return out
