@@ -378,3 +378,65 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n * 1000000) div row_total").alias("prob_ppm"),
         )
     )
+
+
+@query(
+    "events_seq_patterns_top",
+    # Sequential pattern mining (the contiguous-trigram core of
+    # PrefixSpan-style mining): support = number of DISTINCT users whose
+    # time-ordered event stream contains the event-type trigram. Top-20
+    # with the (support DESC, pattern ASC) total order, integer-only.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (
+      SELECT DISTINCT user_id,
+             event_type || '>' || t2 || '>' || t3 AS pattern
+      FROM s WHERE t3 IS NOT NULL),
+    sup AS (SELECT pattern, CAST(COUNT(*) AS BIGINT) AS support
+            FROM tri GROUP BY pattern)
+    SELECT pattern, support
+    FROM sup ORDER BY support DESC, pattern LIMIT 20
+    """,
+)
+def events_seq_patterns_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 contiguous event-type trigrams by user support — the
+    sequence-mining query class (funnel discovery, behavioral motifs)
+    the behavioral suite lacked: transition_matrix counts bigram
+    TRANSITIONS, this counts per-user DISTINCT pattern containment
+    (PrefixSpan's support definition restricted to contiguous length-3
+    patterns, which keeps the pattern lattice enumerable in one pass).
+
+    Plan: one window pass per user builds trigrams (two LEADs over the
+    same sort), a row-local DISTINCT per (user, pattern) folds repeats,
+    one map-side-combined count, then TakeOrdered-20 — per-partition
+    heaps, no global sort. At 100 TB the window shuffle is the only
+    data-sized exchange; patterns are a bounded vocabulary."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .where(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "event_type", "t2", "t3").alias("pattern"),
+        )
+        .distinct()
+    )
+    return (
+        tri.groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "pattern")
+        .limit(20)
+    )

@@ -686,3 +686,95 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_logratio"),
         (avg > F.lit(0.0)).alias("selected"),
     )
+
+
+@query(
+    "pipeline_feature_normalize",
+    # Winsorized z-scoring per language group — the standard feature-
+    # normalization pass before training-data scoring/mixing. Exactness:
+    # p10/p90 bounds are SELECTED data values at integer rank targets
+    # (the (n*q + d - 1) // d ceil-division recipe, float-free), the
+    # clip is integer LEAST/GREATEST, the moments sum through
+    # DECIMAL(38,6) (order-free), and mean/var/z are the IDENTICAL fixed
+    # chain of correctly-rounded IEEE ops in both engines; round(6) is
+    # belt-and-braces.
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    r AS (SELECT doc_id, lang, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM d),
+    b AS (SELECT lang,
+                 MAX(CASE WHEN rn = (n + 9) // 10 THEN n_chars END) AS lo,
+                 MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_chars END) AS hi
+          FROM r GROUP BY lang),
+    wz AS (SELECT doc_id, d.lang,
+                  LEAST(GREATEST(n_chars, lo), hi) AS w
+           FROM d JOIN b ON d.lang = b.lang),
+    s AS (SELECT lang,
+                 CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+                 CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE) AS sww,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM wz GROUP BY lang),
+    st AS (SELECT lang, sw / n AS mean,
+                  (sww / n) - (sw / n) * (sw / n) AS var FROM s)
+    SELECT wz.doc_id, wz.lang, CAST(w AS BIGINT) AS winsorized,
+           CASE WHEN var > CAST(0 AS DOUBLE)
+                THEN round((CAST(w AS DOUBLE) - mean) / sqrt(var), 6)
+                ELSE CAST(0 AS DOUBLE) END AS zscore
+    FROM wz JOIN st ON wz.lang = st.lang
+    """,
+)
+def pipeline_feature_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group (language) feature normalization: winsorize n_chars at
+    the exact p10/p90 ranks, then z-score against the winsorized
+    moments — the clip-then-standardize pass every feature pipeline runs
+    before thresholding or mixing scores across heterogeneous groups.
+
+    Plan: one window pass per group ranks values (the percentile bounds
+    are selections, not interpolations — integer-exact), the tiny
+    per-group bounds/moments tables broadcast back into the scan, and
+    the z expression is JVM scalar math.  At 100 TB the ranks come from
+    the same window (or a two-pass count + rank-target scan); the
+    moments are one map-side-combined aggregate — nothing here holds
+    more than O(groups) driver-side."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select("doc_id", "lang", "n_chars")
+    w_rank = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = d.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    b = r.groupBy("lang").agg(
+        F.max(F.when(F.expr("rn = (n + 9) div 10"), F.col("n_chars"))).alias("lo"),
+        F.max(F.when(F.expr("rn = (n * 9 + 9) div 10"), F.col("n_chars"))).alias("hi"),
+    )
+    wz = d.join(F.broadcast(b), "lang").select(
+        "doc_id", "lang", F.least(F.greatest("n_chars", F.col("lo")), F.col("hi")).alias("w")
+    )
+    s = wz.groupBy("lang").agg(
+        F.sum(F.col("w").cast("decimal(38,6)")).cast("double").alias("sw"),
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,6)")).cast("double").alias("sww"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    st = s.select(
+        "lang",
+        (F.col("sw") / F.col("n")).alias("mean"),
+        (
+            (F.col("sww") / F.col("n"))
+            - (F.col("sw") / F.col("n")) * (F.col("sw") / F.col("n"))
+        ).alias("var"),
+    )
+    return wz.join(F.broadcast(st), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("w").cast("long").alias("winsorized"),
+        F.when(
+            F.col("var") > F.lit(0.0),
+            F.round((F.col("w").cast("double") - F.col("mean")) / F.sqrt("var"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("zscore"),
+    )

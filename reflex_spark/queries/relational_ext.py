@@ -777,3 +777,88 @@ def zorder_skipping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "dedup_record_linkage",
+    # Fellegi-Sunter record linkage (1969), determinized to integer
+    # log-odds weights: candidate pairs from (nation, segment) blocking,
+    # per-field agreement weights summed, matches at score >= 4.
+    # levenshtein() has the same definition in both engines (pinned by
+    # dedup_edit_distance_blocked); everything else is integer/boolean
+    # over identical doubles, so the hash is unconditional.
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                      c_acctbal FROM customer),
+    p AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             levenshtein(a.c_name, b.c_name) AS name_d,
+             abs(a.c_acctbal - b.c_acctbal) AS bal_d,
+             CASE WHEN (a.c_acctbal < 0) = (b.c_acctbal < 0)
+                  THEN 1 ELSE 0 END AS sign_eq
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey),
+    scored AS (
+      SELECT id_a, id_b, name_d,
+             (CASE WHEN name_d <= 4 THEN 3 ELSE -1 END)
+             + (CASE WHEN bal_d < CAST(500.0 AS DOUBLE) THEN 2 ELSE -1 END)
+             + sign_eq AS score
+      FROM p)
+    SELECT id_a, id_b, CAST(name_d AS BIGINT) AS name_d,
+           CAST(score AS BIGINT) AS score
+    FROM scored WHERE score >= 4
+    """,
+)
+def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage, Fellegi-Sunter style: blocked candidate pairs
+    (same nation + market segment — blocking is what keeps linkage
+    sub-quadratic), a per-field agreement vector (name edit distance,
+    balance proximity, balance-sign agreement) mapped to integer
+    log-odds-style weights, matches at summed score >= 4.  The
+    entity-resolution pattern that sits between exact dedup (hash
+    equality) and the similarity family (MinHash/SimHash): structured
+    records, field-wise evidence, an explicit decision threshold.
+
+    Plan: the self-join shuffles once on the blocking key; pair volume
+    is sum of block-size² — the blocking key's cardinality is the
+    scale knob (at 100 TB you block finer, e.g. name prefix + nation,
+    exactly like the pigeonhole/SimHash buckets); scoring is JVM scalar
+    math inside the join projection, no second shuffle before the
+    threshold filter."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    pairs = a.join(b, ["c_nationkey", "c_mktsegment"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    name_d = F.levenshtein("name_a", "name_b")
+    bal_d = F.abs(F.col("bal_a") - F.col("bal_b"))
+    sign_eq = ((F.col("bal_a") < 0) == (F.col("bal_b") < 0)).cast("int")
+    score = (
+        F.when(name_d <= 4, 3).otherwise(-1)
+        + F.when(bal_d < F.lit(500.0), 2).otherwise(-1)
+        + sign_eq
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            name_d.cast("long").alias("name_d"),
+            score.cast("long").alias("score"),
+        )
+        .where(F.col("score") >= 4)
+    )
