@@ -862,3 +862,144 @@ def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("score") >= 4)
     )
+
+
+@query(
+    "ivm_join_agg_maintenance",
+    # Incremental view maintenance (counting algorithm, Gupta et al.
+    # SIGMOD '93): the maintained view after base + 2 insert deltas + 1
+    # delete delta must be BIT-IDENTICAL to a direct recompute over the
+    # final base — which is exactly what this oracle computes.  Revenue
+    # sums through DECIMAL(18,6) (exact, associative), so delta-merge
+    # order cannot diverge from the one-shot sum; the deleted nation's
+    # group must VANISH (count-zero removal), not linger as a zero row.
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_nationkey <> 7
+    GROUP BY n_name
+    """,
+)
+def ivm_join_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join-aggregate view (revenue and
+    order count per nation over orders x customer x nation) across four
+    states: a base load (orderkey % 3 == 0), two INSERT deltas (% 3 ==
+    1, then % 3 == 2), and a DELETE delta retracting every order of
+    nation-7 customers.  Each step aggregates ONLY the delta (joined to
+    the broadcast dimensions) and merges it into the 25-row view by key
+    — the base fact table is never rescanned after its initial load,
+    which is the entire point of IVM; the delete uses the counting
+    algorithm's signed merge, and the nation whose orders are all
+    retracted disappears from the view (zero-count removal), which the
+    oracle's direct recompute confirms structurally (no nation-7 row).
+
+    At 100 TB: the view is a keyed table, each maintenance step is one
+    delta-sized aggregate + one keyed MERGE (the TxTable path), and the
+    dimension joins broadcast — maintenance cost is O(churn), never
+    O(base), the same posture as the CDC -> SCD2 pipeline but for
+    AGGREGATED state."""
+    from reflex_spark.operators.ivm import delta_aggregate, merge_view
+
+    t = load_tables(spark, sf_dir)
+    dims = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+
+    def enrich(orders_part: DataFrame) -> DataFrame:
+        return orders_part.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")).select(
+            "n_name",
+            "c_nationkey",
+            F.col("o_totalprice").cast("decimal(18,6)").alias("rev"),
+        )
+
+    orders = t["orders"]
+    keys = ["n_name"]
+    sums = {"revenue": "rev"}
+    base = enrich(orders.where(F.col("o_orderkey") % 3 == 0))
+    view = delta_aggregate(base, keys, sums).localCheckpoint()
+    for delta, sign in (
+        (enrich(orders.where(F.col("o_orderkey") % 3 == 1)), 1),
+        (enrich(orders.where(F.col("o_orderkey") % 3 == 2)), 1),
+        (enrich(orders).where(F.col("c_nationkey") == 7), -1),
+    ):
+        view = merge_view(
+            view, delta_aggregate(delta, keys, sums, sign=sign), keys
+        ).localCheckpoint()  # lineage truncation: each step is delta-sized
+    out = view.select(
+        "n_name",
+        F.col("__cnt").cast("long").alias("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+    # counting-algorithm structural probe: the retracted nation is GONE
+    n_nations_all = t["nation"].count()
+    if out.count() != n_nations_all - 1:
+        raise AssertionError(
+            f"maintained view has {out.count()} groups; expected "
+            f"{n_nations_all - 1} (nation 7 retracted to zero must vanish)"
+        )
+    return out
+
+
+@query(
+    "recursive_cte_supplier_chain",
+    # WITH RECURSIVE — new surface in Spark 4 — against DuckDB's own
+    # recursive CTE.  The hierarchy is synthesized from the key space
+    # (parent = suppkey // 2, a binary tree rooted at 1) so both engines
+    # recurse over identical edges; depth is an integer, the
+    # ancestor-chain balance accumulates in DECIMAL along one fixed path
+    # per node (no order ambiguity), cast to DOUBLE only at the end.
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey, CAST(0 AS BIGINT) AS depth,
+             CAST(s_acctbal AS DECIMAL(18,6)) AS chain_bal
+      FROM supplier WHERE s_suppkey = 1
+      UNION ALL
+      SELECT s.s_suppkey, c.depth + 1,
+             CAST(c.chain_bal + CAST(s.s_acctbal AS DECIMAL(18,6))
+                  AS DECIMAL(18,6))
+      FROM supplier s JOIN chain c ON s.s_suppkey // 2 = c.s_suppkey
+      WHERE s.s_suppkey > 1)
+    SELECT s_suppkey, depth, CAST(chain_bal AS DOUBLE) AS chain_bal
+    FROM chain
+    """,
+)
+def recursive_cte_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE execution (WITH RECURSIVE, new in Spark 4): treat
+    the supplier key space as a binary tree (parent = suppkey // 2,
+    root = 1) and compute every supplier's depth plus the exact DECIMAL
+    sum of account balances along its ancestor chain — the hierarchical
+    query class (org charts, BOM explosions, folder trees) that the
+    unrolled-loop iteratives (BFS/k-core/PageRank) covered only with a
+    fixed iteration count; recursion here runs to the data's own depth.
+
+    Each recursion step is one join of the frontier against the base
+    relation — Spark executes it as an iterative union of micro-plans,
+    the same shape as the hand-rolled BFS loop but driven by the SQL
+    surface.  Exactness: one fixed accumulation path per node (its
+    ancestor chain), DECIMAL all the way, cast to DOUBLE once at
+    output.  Depth is ~log2(suppliers): 7 levels at sf0.01, 10 at
+    sf0.1 — recursion terminates by key exhaustion, no LIMIT crutch."""
+    t = load_tables(spark, sf_dir)
+    t["supplier"].createOrReplaceTempView("__rcte_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey, CAST(0 AS BIGINT) AS depth,
+                 CAST(s_acctbal AS DECIMAL(18,6)) AS chain_bal
+          FROM __rcte_supplier WHERE s_suppkey = 1
+          UNION ALL
+          SELECT s.s_suppkey, c.depth + 1,
+                 CAST(c.chain_bal + CAST(s.s_acctbal AS DECIMAL(18,6))
+                      AS DECIMAL(18,6))
+          FROM __rcte_supplier s JOIN chain c ON s.s_suppkey div 2 = c.s_suppkey
+          WHERE s.s_suppkey > 1)
+        SELECT s_suppkey, depth, CAST(chain_bal AS DOUBLE) AS chain_bal
+        FROM chain
+        """
+    )
