@@ -1003,3 +1003,88 @@ def recursive_cte_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain
         """
     )
+
+
+@query(
+    "hilbert_skipping_rollup",
+    # The Hilbert-curve twin of zorder_skipping_rollup: same table, same
+    # rectangle, same full-scan oracle — only the clustering curve
+    # differs (xy2d bit walk instead of Morton interleave).  The curve
+    # is physical layout only, so the oracle is identical; the judged
+    # deltas are the pruning assertion and the curve math itself
+    # (validated bit-exact against the reference xy2d in pytest).
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    WHERE o_custkey BETWEEN 0 AND (SELECT MAX(o_custkey) // 4 FROM orders)
+      AND o_totalprice BETWEEN CAST(100000 AS DOUBLE)
+                           AND CAST(200000 AS DOUBLE)
+    GROUP BY o_orderstatus
+    """,
+)
+def hilbert_skipping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data skipping along a HILBERT curve: orders rewritten
+    into 8 files cut along the Hilbert order of (o_custkey,
+    o_totalprice) rank space (TxTable._hilbert_stage — the classic xy2d
+    bit walk, 16 unrolled quadrant-accumulate/rotate steps compiled as
+    one codegen stage), then the same rectangle query as the Z-order
+    twin served through read_pruned.  Hilbert's locality is strictly
+    better than Morton's — consecutive curve positions are always
+    grid-adjacent, with none of Morton's cross-grid seams — so per-file
+    min/max boxes are at least as tight at equal file count; the
+    in-query assertion requires >= 1 of 8 files pruned, and the answer
+    must hash-match the plain full-scan oracle (pruning may only drop
+    provably-disjoint files).  Both curves stay judged so the layouts
+    remain directly comparable file-for-file in the commit log."""
+    import shutil
+    import tempfile
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    max_ck = orders.agg(F.max("o_custkey")).collect()[0][0]  # control-plane
+    hi_ck = int(max_ck) // 4
+    base = tempfile.mkdtemp(prefix="hilbert_skip_")
+    try:
+        t = TxTable(
+            spark, f"{base}/orders_h", stats_cols=["o_custkey", "o_totalprice"]
+        )
+        t.append(
+            orders.select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            )
+        )
+        t.optimize(
+            zorder_by=["o_custkey", "o_totalprice"],
+            target_files=8,
+            curve="hilbert",
+        )
+        df, n_total, n_scanned = t.read_pruned(
+            {
+                "o_custkey": (0, hi_ck),
+                "o_totalprice": (100000.0, 200000.0),
+            }
+        )
+        if n_total != 8:
+            raise AssertionError(
+                f"OPTIMIZE must leave 8 hilbert-ordered files, found {n_total}"
+            )
+        if n_scanned > n_total - 1:
+            raise AssertionError(
+                "Hilbert min/max skipping must prune >= 1 of the 8 files "
+                f"for the rectangle query; scanned {n_scanned}/{n_total}"
+            )
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_customers"),
+                dsum("o_totalprice", "revenue"),
+            )
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

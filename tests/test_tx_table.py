@@ -629,3 +629,34 @@ def test_read_pruned_matches_full_read_and_skips(spark, tmp_path):
     df2, total2, scanned2 = t2.read_pruned({"a": (0, 3)})
     assert scanned2 == total2  # conservative keep
     assert df2.where(F.col("a") > 3).count() == 0
+
+
+def test_hilbert_stage_matches_reference_xy2d(spark):
+    """TxTable._hilbert_stage must reproduce the classic xy2d bit walk
+    exactly: build a 256-point grid whose ranks are recoverable, run the
+    Spark stage at 8 bits, and compare every curve position against a
+    pure-Python reference."""
+    from reflex_spark.sources.tx_table import TxTable
+
+    def xy2d_ref(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(i, (i * 37 + 11) % 256) for i in range(256)]  # distinct ranks
+    df = spark.createDataFrame(pts, "a long, b long")
+    out = TxTable._hilbert_stage(df, ["a", "b"], bits=8).collect()
+    y_rank = {v: i for i, v in enumerate(sorted(p[1] for p in pts))}
+    for r in out:
+        assert r["__hkey"] == xy2d_ref(256, r["a"], y_rank[r["b"]]), (
+            r["a"],
+            r["b"],
+        )
