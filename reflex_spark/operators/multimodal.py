@@ -799,3 +799,66 @@ def audio_dft4_bins(
             yield pd.DataFrame(rows)
 
     return audio.select(id_col, payload_col).mapInPandas(feats, out_schema)
+
+
+def audio_resample_half(
+    audio: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decimate-by-2 resampling over DECODED WAV payloads with an
+    integer anti-alias smoother — the audio 'resize' op of the
+    multimodal family (the image path has resize/framesample; this is
+    the 1-D analogue a 16 kHz -> 8 kHz corpus pass runs).
+
+    For each even input index 2j the output sample is the [1, 2, 1]/4
+    smoothed value with zero boundary padding:
+
+        o_j = (s_{2j-1} + 2 s_{2j} + s_{2j+1} + 140000) // 4 - 35000
+
+    The +140000 offset keeps the dividend non-negative (|sum| <=
+    131068), so floor division and truncating division agree — the
+    cross-engine integer-division trap (DuckDB ``//`` floors, Spark
+    ``div`` truncates toward zero) never fires, and every output
+    feature (count, sum, energy, max |o|) is exact int64 arithmetic an
+    oracle replays from the generating formula.
+
+    Plan: one Arrow-batched mapInPandas stage over constant-bounded
+    payloads; the numpy kernel is vectorized (shifted views, no Python
+    loop per sample). At 100 TB: embarrassingly parallel, no shuffle."""
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, n_in long, n_out long, sum_out long, "
+        "energy_out long, max_abs_out long"
+    )
+
+    def resample(batches):
+        import pandas as pd
+
+        from reflex_spark.functions.codecs import decode_wav
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    id_col, "n_in", "n_out", "sum_out", "energy_out",
+                    "max_abs_out",
+                )
+            }
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                _rate, dec = decode_wav(bytes(payload))
+                s = dec[:, 0].astype(np.int64)
+                prev = np.concatenate(([np.int64(0)], s[:-1]))
+                nxt = np.concatenate((s[1:], [np.int64(0)]))
+                tri = (prev + 2 * s + nxt)[0::2]
+                o = (tri + 140000) // 4 - 35000
+                rows[id_col].append(did)
+                rows["n_in"].append(len(s))
+                rows["n_out"].append(len(o))
+                rows["sum_out"].append(int(o.sum()))
+                rows["energy_out"].append(int((o * o).sum()))
+                rows["max_abs_out"].append(int(np.abs(o).max()) if len(o) else 0)
+            yield pd.DataFrame(rows)
+
+    return audio.select(id_col, payload_col).mapInPandas(resample, out_schema)

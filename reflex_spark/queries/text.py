@@ -2821,3 +2821,56 @@ def text_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iter long, n_mis long, w_bias long, w_ntok long, w_long long, "
         "w_short long, w_chars long",
     )
+
+
+@query(
+    "multimodal_audio_resample",
+    # Decimate-by-2 with an integer [1,2,1]/4 anti-alias smoother over
+    # the REAL WAV round-trip; the oracle recomputes from the PCM
+    # formula with LAG/LEAD neighbors.  The +140000 offset keeps every
+    # dividend non-negative so DuckDB's flooring // and Spark's
+    # truncating div agree — all features are exact int64.
+    oracle="""
+    WITH nn AS (SELECT doc_id, 256 + (doc_id % 7) * 64 AS n FROM documents),
+    seq AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM nn),
+    smp AS (
+      SELECT doc_id, n, i,
+             CASE WHEN i % 16 < 3 THEN 0
+                  ELSE greatest(-32768, least(32767,
+                       (doc_id * 7919 + i * 2654435761) % 70001 - 35000)) END AS s
+      FROM seq),
+    rs AS (
+      SELECT doc_id, n, i, s,
+             LAG(s, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS sp,
+             LEAD(s, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS sn
+      FROM smp),
+    o AS (
+      SELECT doc_id, n,
+             (sp + 2 * s + sn + 140000) // 4 - 35000 AS o
+      FROM rs WHERE i % 2 = 0)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_in,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(o) AS BIGINT) AS sum_out,
+           CAST(SUM(o * o) AS BIGINT) AS energy_out,
+           CAST(MAX(abs(o)) AS BIGINT) AS max_abs_out
+    FROM o GROUP BY doc_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling through the REAL WAV codec — the 1-D 'resize'
+    of the multimodal family (16 kHz -> 8 kHz corpus normalization):
+    decode each clip, apply the integer [1, 2, 1]/4 anti-alias smoother
+    at every even index with zero boundary padding, and report exact
+    integer features of the half-rate signal (count, sum, energy, max
+    magnitude).  The offset-division trick in the kernel
+    (operators/multimodal.audio_resample_half) makes floor-vs-truncate
+    integer division moot, so the oracle replays the resample from the
+    synthesis formula bit-for-bit — the lossless PCM round-trip plus an
+    exact DSP kernel is the judged contract, same family as the DFT
+    bins and segment queries.  One Arrow stage over constant-bounded
+    payloads; no shuffle beyond the per-doc aggregate."""
+    from reflex_spark.operators.multimodal import audio_resample_half
+
+    audio = _synth_wav_corpus(spark, sf_dir)
+    return audio_resample_half(audio, "doc_id", "payload")
