@@ -170,6 +170,17 @@ HEADLINE = [
     # the bottom-k/weighted-sample twins re-run already-timed window/
     # TakeOrdered paths and stay in --full
     "events_kll_quantiles",
+    # round 11: exact-substring span dedup — the heaviest new text shape
+    # (per-position 10-gram signatures: one sig-group shuffle + coverage
+    # explode + per-doc island merge)
+    "text_substring_span_dedup",
+    # round 11: DSIR importance weighting — one token-bucket shuffle for
+    # both distributions + a 256-row broadcast scoring pass
+    "pipeline_dsir_importance",
+    # round 11: bounded-state streaming dedup — the
+    # dropDuplicatesWithinWatermark state-lifetime cost shape (eviction +
+    # re-admission), distinct from stream_dedup_rollup's grow-only state
+    "stream_dedup_within_watermark",
 ]
 
 

@@ -1088,3 +1088,111 @@ def hilbert_skipping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "lateral_top2_orders_per_customer",
+    # LATERAL correlated subquery (per-customer top-2 orders by price)
+    # — both engines support SQL-standard LATERAL; the deterministic
+    # (price DESC, orderkey) tie-break makes the row set unique, so the
+    # hash match is unconditional.
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the per-row table-subquery surface
+    (SQL:1999 LATERAL, Spark 4's lateral-join support): for every
+    customer, the top-2 orders by price.  Customers with no orders
+    vanish (inner lateral), ties broken by orderkey so the row set is
+    unique.
+
+    Catalyst DECORRELATES this into a ranked window over one
+    orders-side shuffle — the same physical plan the ROW_NUMBER
+    formulation gets — so the lateral syntax costs nothing at 100 TB;
+    what's judged is that the decorrelation preserves exact per-row
+    top-k semantics, not a per-customer re-execution (which is what a
+    naive nested-loop lateral would be and what the plan must avoid)."""
+    t = load_tables(spark, sf_dir)
+    t["customer"].createOrReplaceTempView("__lat_customer")
+    t["orders"].createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
+@query(
+    "dpp_partitioned_events_join",
+    # Dynamic partition pruning judged end-to-end: the qualifying-day
+    # dim is an AGGREGATE-dependent HAVING (count % 2 = 0), which
+    # constraint propagation cannot fold into a static partition filter
+    # — only a runtime DPP subquery can prune, and the in-query plan
+    # assertion requires it. The oracle replays the same join logically.
+    oracle=f"""
+    WITH d AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS c
+      FROM events GROUP BY 1 HAVING COUNT(*) % 2 = 0)
+    SELECT d.day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events e JOIN d ON strftime(e.ts, '%Y-%m-%d') = d.day
+    GROUP BY d.day
+    """,
+)
+def dpp_partitioned_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a date-partitioned fact table:
+    events land partitioned by day, the dim side is the set of days
+    whose event count is EVEN — a predicate only computable at runtime
+    (an aggregate feeds the HAVING, so InferFiltersFromConstraints
+    cannot rewrite it into a static partition filter) — and the join
+    must prune the fact scan to qualifying partitions via a DPP
+    subquery, asserted in-query on the executed plan.
+
+    This is THE mechanism that makes fact-dim star joins affordable at
+    100 TB: the fact side reads only partitions the filtered dimension
+    can reach, decided per-run from the dim's actual rows; at fixture
+    scale 14 of 30 day-partitions survive.  Result correctness is
+    judged against the logical join (pruning may only skip partitions
+    that cannot match)."""
+    import shutil
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = tempfile.mkdtemp(prefix="dpp_events_")
+    try:
+        fact = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        fact.write.partitionBy("day").mode("overwrite").parquet(f"{base}/fact")
+        f2 = spark.read.parquet(f"{base}/fact")
+        dim = (
+            ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") % 2 == 0)
+            .select("day")
+        )
+        out = (
+            f2.join(dim, "day")
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", "sum_value"),
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "dynamicpruning" not in plan.lower():
+            raise AssertionError(
+                "no DPP subquery in the executed plan — the partitioned "
+                "fact scan is not being runtime-pruned by the dim"
+            )
+        return out.localCheckpoint()  # materialize before tmp dir removal
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
