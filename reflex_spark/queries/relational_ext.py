@@ -1196,3 +1196,54 @@ def dpp_partitioned_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()  # materialize before tmp dir removal
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "nullsafe_join_type_counts",
+    # Null-safe equality join (<=> / IS NOT DISTINCT FROM): the click
+    # type is mapped to NULL on both sides, so the NULL<=>NULL group —
+    # which a plain equi-join silently drops — must appear in the
+    # output with its full pair count.
+    oracle="""
+    WITH e AS (
+      SELECT CASE WHEN event_type = 'click' THEN NULL
+                  ELSE event_type END AS k, user_id
+      FROM events),
+    d AS (SELECT DISTINCT k FROM e)
+    SELECT d.k AS event_key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.k
+    """,
+)
+def nullsafe_join_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join semantics (`<=>`, SQL's IS NOT DISTINCT FROM):
+    the dominant event type is nulled out and the join key dimension
+    includes that NULL — a plain `=` join drops every NULL-keyed row
+    (three-valued logic), while the null-safe join must keep the NULL
+    group and count it exactly.  The surface matters for real
+    pipelines because dimension keys ARE nullable (unknown user,
+    unattributed source) and silently dropping them is the classic
+    fact-table undercount bug.
+
+    Plan: `<=>` is hash-joinable in Spark (NULL hashes to a regular
+    bucket under null-safe equality), so this stays a broadcast/shuffle
+    hash join — no nested-loop penalty for the null-safe form."""
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.select(
+        F.when(F.col("event_type") == "click", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+        "user_id",
+    )
+    d = e.select("k").distinct().select(F.col("k").alias("dk"))
+    return (
+        e.join(d, e["k"].eqNullSafe(d["dk"]))
+        .groupBy("dk")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("dk").alias("event_key"), "n_events", "n_users")
+    )
