@@ -1078,9 +1078,12 @@ def stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the store count is frozen from spark.sql.shuffle.partitions at
         # checkpoint CREATION, and a plain 200-partition session would
         # mint 200 state stores per micro-batch for KB of fixture state.
-        # Pin 32 for this query's checkpoint, restore after start.
+        # Pin 8 for this query's checkpoint, restore after start
+        # (r11: state-store commit cost scales with store count — 8 vs 32
+        # cut the stream-stream join wall-clock ~35% at sf0.1 for KB of
+        # state; at 100 TB the same knob sizes UP with key cardinality).
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             q = (
                 deduped.writeStream.foreachBatch(merge)
@@ -1203,10 +1206,11 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         ).select(F.col("c_user").cast("long").alias("user_id"))
         # same state-partition pin as stream_dedup_rollup: two join-state
-        # stores per batch — 32 deliberate partitions, not the session's
-        # default 200, for KB of fixture state.
+        # stores per batch — 8 deliberate partitions (r11, was 32: commit
+        # cost scales with store count; ~35% wall-clock cut at sf0.1),
+        # not the session's default 200, for KB of fixture state.
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             q = (
                 joined.writeStream.foreachBatch(merge)
@@ -1563,7 +1567,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leftOuter",
         ).select("c_user", "p_user")
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             q = (
                 joined.writeStream.foreachBatch(merge)
@@ -1892,7 +1896,7 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fullOuter",
         ).select("c_user", "p_user")
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             q = (
                 joined.writeStream.foreachBatch(merge)
@@ -2211,7 +2215,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
             .select(F.col("foreign_id").cast("long").alias("user_id"))
         )
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             q = (
                 dd.writeStream.foreachBatch(sink.writer())
