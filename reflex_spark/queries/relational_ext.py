@@ -1307,3 +1307,94 @@ def observe_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_nonpositive long, sum_price double, max_price double",
     )
+
+
+@query(
+    "aqe_skew_join_rollup",
+    # AQE runtime skew-join handling judged end-to-end: 95% of fact rows
+    # share one join key, the executed plan must show
+    # SortMergeJoin(skew=true) (the hot partition split along MAPPER
+    # boundaries and the dim side replicated), and the answer must still
+    # hash-match the logical join — the skew split is physical only.
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN event_id % 20 < 19 THEN 0 ELSE user_id END AS k,
+             md5(CAST(event_id AS VARCHAR)) AS payload
+      FROM events),
+    d AS (
+      SELECT k, k % 7 AS bucket FROM (
+        SELECT DISTINCT user_id AS k FROM events
+        UNION SELECT 0 AS k))
+    SELECT d.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(f.payload) AS max_payload
+    FROM f JOIN d ON f.k = d.k
+    GROUP BY d.bucket
+    """,
+)
+def aqe_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive skew-join mitigation, judged: a fact relation with 95%
+    of rows on one hot key sort-merge-joins a key dimension, and AQE
+    must detect the skewed shuffle partition at runtime and split it —
+    asserted as SortMergeJoin(skew=true) in the executed plan — while
+    the result hash-matches the logical join.  This is the AUTOMATIC
+    complement of the judged manual mitigations (skew_salted_rollup /
+    skew_salted_join_revenue): at 100 TB you salt what you can predict
+    and let AQE catch what you can't.
+
+    Two non-obvious preconditions, learned empirically (SCALE_NOTES
+    §30): the skew split's granularity is MAP-OUTPUT boundaries, so a
+    hot partition fed by a single mapper (a one-file scan!) is
+    unsplittable and the rule silently skips — the fact side is
+    repartitioned 16 ways first; and the rule pattern-matches only
+    SMJ(Sort(Shuffle), Sort(Shuffle)), so the dim's distinct aggregate
+    is materialized below a checkpoint.  Thresholds are pinned at 16 KB so the hot partition qualifies
+    even at sf0.001, and restored after."""
+    ev = load_tables(spark, sf_dir)["events"]
+    fact = ev.select(
+        F.when(F.col("event_id") % 20 < 19, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.md5(F.col("event_id").cast("string")).alias("payload"),
+    ).repartition(16, F.col("payload"))
+    dim = (
+        ev.select(F.col("user_id").alias("k"))
+        .distinct()
+        .union(ev.sparkSession.range(1).select(F.lit(0).cast("long").alias("k")))
+        .distinct()
+        .withColumn("bucket", F.pmod(F.col("k"), F.lit(7)))
+        .localCheckpoint()
+    )
+    pins = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        out = (
+            fact.join(dim.hint("merge"), "k")
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("payload").alias("max_payload"),
+            )
+        )
+        out = out.persist()
+        out.count()  # executes THIS queryExecution so the final plan is real
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "skew=true" not in plan:
+            raise AssertionError(
+                "AQE did not split the skewed join partition — "
+                "SortMergeJoin(skew=true) absent from the final plan"
+            )
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
