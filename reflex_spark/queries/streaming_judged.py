@@ -2269,3 +2269,132 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         picks.unpersist()
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_static_enrich_rollup",
+    # Stream-static enrichment: the canonical production join shape
+    # (reference consumers enrich events against lookup tables the same
+    # way, api.go Consumer + a dimension read) — a micro-batch stream
+    # BroadcastHashJoins a small static dimension, then a stateful
+    # streaming aggregate rolls up per segment.  The oracle is the plain
+    # batch join+rollup: stream-static semantics guarantee each
+    # micro-batch joins the SAME dimension snapshot, so the cumulative
+    # update-mode aggregate must equal the one-shot answer exactly.
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('e.value', 'sum_value')}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY segment
+    """,
+)
+def stream_static_enrich_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged stream-static broadcast enrichment: the events fixture
+    replayed through an EventLog in three appends (maxFilesPerTrigger=1
+    → one micro-batch each) joins the static customer dimension with an
+    explicit ``F.broadcast`` inside the STREAMING plan, feeding an
+    update-mode stateful rollup per market segment (decimal sums).  The
+    final answer is resolved from the parquet batch sink by
+    latest-batch-wins per key (update-mode emissions are cumulative).
+
+    Two in-query pins make the posture checkable, not aspirational:
+    the SQL status store must contain a micro-batch execution whose
+    physical plan carries BOTH ``StateStoreSave`` (it is the streaming
+    aggregate) and ``BroadcastHashJoin`` (the dimension never shuffles
+    the stream side), and the sink must hold emissions from >= 2
+    distinct micro-batches (the rollup genuinely accumulated across
+    batches).  At 100 TB this is exactly the plan you want: the fact
+    stream is never reshuffled for the join — only the KB-sized
+    dimension moves — and state is O(segments), not O(events).
+    """
+    import shutil
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.streaming.statestore import apply_state_store_conf
+
+    apply_state_store_conf(spark)
+    tables = load_tables(spark, sf_dir)
+    ev, cust = tables["events"], tables["customer"]
+    canonical, _ = _canonical_events(ev)
+    base = tempfile.mkdtemp(prefix="stream_static_enrich_")
+    log = EventLog(spark, f"{base}/log")
+    sink = _BatchSink(spark, f"{base}/sink")
+    try:
+        third = ev.count() // 3 + 1
+        ordered = canonical.orderBy("__orig_id").drop("__orig_id")
+        for i in range(3):
+            log.append(ordered.offset(i * third).limit(third))
+        dim = F.broadcast(
+            cust.select(
+                F.col("c_custkey").alias("user_key"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+        )
+        enriched = (
+            log.read_stream(max_files_per_trigger=1)
+            .select(
+                F.col("foreign_id").cast("long").alias("user_key"),
+                F.col("metadata").cast("string").cast("double").alias("value"),
+            )
+            .join(dim, "user_key")
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("dsum"),
+            )
+        )
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                enriched.writeStream.outputMode("update")
+                .foreachBatch(sink.writer())
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "stream_static_enrich_rollup: availableNow query did not "
+                "finish within 180s; results would be partial"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        store = spark._jsparkSession.sharedState().statusStore()
+        execs = store.executionsList()
+        pinned = False
+        # newest-first: the micro-batch executions are the most recent
+        # entries, and a long-lived session can hold thousands
+        for i in range(execs.size() - 1, max(execs.size() - 40, 0) - 1, -1):
+            desc = execs.apply(i).physicalPlanDescription()
+            if "StateStoreSave" in desc and "BroadcastHashJoin" in desc:
+                pinned = True
+                break
+        if not pinned:
+            raise AssertionError(
+                "no micro-batch execution shows StateStoreSave + "
+                "BroadcastHashJoin — the stream-static join did not run "
+                "as a broadcast inside the streaming plan"
+            )
+        emitted = sink.read()
+        if emitted.select("__bid").distinct().count() < 2:
+            raise AssertionError(
+                "emissions came from a single micro-batch — the "
+                "cross-batch accumulation this query exists to prove "
+                "never happened"
+            )
+        out = sink.latest_per_key(["segment"], ["n_events", "dsum"]).select(
+            "segment",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("dsum").cast("double").alias("sum_value"),
+        )
+        out = out.persist()
+        out.count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
