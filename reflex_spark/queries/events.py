@@ -1579,3 +1579,108 @@ def events_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__h.l") + F.col("__h.b")).alias("forecast_next"),
         )
     )
+
+
+@query(
+    "events_acf_lags",
+    # Autocorrelation of the zero-filled hourly event-count series at
+    # lags 1..6.  Every sum is an EXACT integer (counts and products of
+    # counts in BIGINT), so both engines hand the same exactly-
+    # representable values (< 2^53) to an identical IEEE op chain:
+    # two multiplies + one subtract per moment, one multiply, one sqrt,
+    # one divide — each correctly rounded, hence bit-identical.
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000
+               AS t,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    b AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM hourly),
+    dense AS (SELECT unnest(generate_series(mn, mx)) AS t FROM b),
+    s AS (SELECT d.t, COALESCE(h.c, 0) AS c
+          FROM dense d LEFT JOIN hourly h USING (t)),
+    lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
+    p AS (SELECT l.lag, a.c AS cx, y.c AS cy
+          FROM s a CROSS JOIN lags l JOIN s y ON y.t = a.t + l.lag),
+    g AS (SELECT lag,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cx) AS BIGINT) AS sx,
+                 CAST(SUM(cy) AS BIGINT) AS sy,
+                 CAST(SUM(cx * cy) AS BIGINT) AS sxy,
+                 CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+                 CAST(SUM(cy * cy) AS BIGINT) AS syy
+          FROM p GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag,
+           n AS n_pairs,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS acf
+    FROM g
+    """,
+)
+def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series autocorrelation (the standard seasonality/burstiness
+    diagnostic the reference's metrics consumers compute downstream):
+    Pearson ACF of the hourly event-count series at lags 1..6, with
+    missing hours zero-filled so the series is the true dense signal.
+
+    Scale shape: the series is a post-aggregation artifact (one row per
+    hour — bounded by wall-clock time, not data volume), densified
+    executor-side via explode(sequence).  Lagged pairs come from a
+    self-equi-join on t+lag (no window over a single global partition),
+    so the plan is two hash aggregates + one broadcastable join at any
+    corpus size.  All moments are exact BIGINT sums; the correlation is
+    one shared IEEE op chain per lag (see oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.select(
+            F.expr(
+                "unix_millis(date_trunc('hour', CAST(ts AS TIMESTAMP)))"
+                " div 3600000"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = hourly.agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    dense = bounds.select(F.explode(F.sequence("mn", "mx")).alias("t"))
+    s = dense.join(hourly, "t", "left").select(
+        "t", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    lags = spark.range(1, 7).select(F.col("id").alias("lag"))
+    left = s.crossJoin(F.broadcast(lags)).select(
+        "lag", F.col("c").alias("cx"), (F.col("t") + F.col("lag")).alias("t2")
+    )
+    right = s.select(F.col("t").alias("t2"), F.col("c").alias("cy"))
+    g = (
+        left.join(right, "t2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cx").alias("sx"),
+            F.sum("cy").alias("sy"),
+            F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
+            F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+            F.sum(F.col("cy") * F.col("cy")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    denx = nd * sxxd - sxd * sxd
+    deny = nd * syyd - syd * syd
+    num = nd * sxyd - sxd * syd
+    return g.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when(denx * deny > 0, num / F.sqrt(denx * deny)).alias("acf"),
+    )

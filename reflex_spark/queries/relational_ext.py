@@ -1398,3 +1398,95 @@ def aqe_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "ols_price_items_regression",
+    # Closed-form OLS of order totalprice on lineitem count: every moment
+    # is an exact sum (BIGINT for integer x, DECIMAL(18,6)-family for the
+    # price moments), then slope / intercept / r2 come from one shared
+    # IEEE op chain over exactly-converted doubles — the same parity
+    # recipe as the judged PageRank/ACF queries.  (y**2 uses
+    # DECIMAL(12,2) operands: DuckDB multiplies DECIMAL(18,*) mantissas
+    # in int64 and overflows before widening — width <= 12 per side
+    # forces the int128 kernel; y has 2 true decimals, so (12,2) is
+    # exact.)
+    oracle="""
+    WITH xy AS (
+      SELECT o_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             MAX(o_totalprice) AS y
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syd,
+             CAST(SUM(x * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxyd,
+             CAST(SUM(CAST(y AS DECIMAL(12,2))
+                      * CAST(y AS DECIMAL(12,2))) AS DOUBLE) AS syyd
+      FROM xy)
+    SELECT n AS n_orders,
+           (CAST(n AS DOUBLE) * sxyd - CAST(sx AS DOUBLE) * syd)
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (syd - (CAST(n AS DOUBLE) * sxyd - CAST(sx AS DOUBLE) * syd)
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+           (CAST(n AS DOUBLE) * sxyd - CAST(sx AS DOUBLE) * syd)
+             * (CAST(n AS DOUBLE) * sxyd - CAST(sx AS DOUBLE) * syd)
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * syyd - syd * syd)) AS r2
+    FROM g
+    """,
+)
+def ols_price_items_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed closed-form linear regression (the analytics staple
+    Spark exposes as regr_slope/regr_intercept, re-derived here with
+    exact moments because the builtins sum IEEE doubles in partition
+    order — non-deterministic across engines AND across runs at scale):
+    regress o_totalprice on the order's lineitem count.
+
+    Scale shape: one join-side aggregate (per-order x, y), then a single
+    all-reduce of six moments (each a partial+final exact sum — one
+    shuffle of six numbers), then O(1) scalar math.  This is the
+    map-side-combinable way to fit any closed-form model at 100 TB; the
+    moments stay exact (BIGINT / decimal), so the fit is reproducible
+    bit-for-bit regardless of partitioning."""
+    t = load_tables(spark, sf_dir)
+    xy = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.max("o_totalprice").alias("y"),
+        )
+    )
+    yd = F.col("y").cast("decimal(18,6)")
+    y2 = F.col("y").cast("decimal(12,2)")
+    g = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(yd).cast("double").alias("syd"),
+        F.sum(F.col("x") * yd).cast("double").alias("sxyd"),
+        F.sum(y2 * y2).cast("double").alias("syyd"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syd, sxyd, syyd = F.col("syd"), F.col("sxyd"), F.col("syyd")
+    num = nd * sxyd - sxd * syd
+    denx = nd * sxxd - sxd * sxd
+    deny = nd * syyd - syd * syd
+    slope = num / denx
+    return g.select(
+        F.col("n").alias("n_orders"),
+        slope.alias("slope"),
+        ((syd - slope * sxd) / nd).alias("intercept"),
+        (num * num / (denx * deny)).alias("r2"),
+    )
