@@ -564,3 +564,107 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return labels.select("node", F.col("lab").cast("long").alias("label"))
+
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        """edges AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+    h0 AS (SELECT DISTINCT u, CAST(1 AS DOUBLE) AS h FROM edges)"""
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        ctes.append(
+            f"""ar{i} AS (
+      SELECT e.t, CAST(SUM(CAST(p.h AS DECIMAL(38,18))) AS DOUBLE) AS a
+      FROM edges e JOIN h{i-1} p ON e.u = p.u GROUP BY e.t),
+    an{i} AS (SELECT sqrt(CAST(SUM(CAST(a * a AS DECIMAL(38,18)))
+                               AS DOUBLE)) AS nr FROM ar{i}),
+    a{i} AS (SELECT t, a / (SELECT nr FROM an{i}) AS a FROM ar{i}),
+    hr{i} AS (
+      SELECT e.u, CAST(SUM(CAST(q.a AS DECIMAL(38,18))) AS DOUBLE) AS h
+      FROM edges e JOIN a{i} q ON e.t = q.t GROUP BY e.u),
+    hn{i} AS (SELECT sqrt(CAST(SUM(CAST(h * h AS DECIMAL(38,18)))
+                               AS DOUBLE)) AS nr FROM hr{i}),
+    h{i} AS (SELECT u, h / (SELECT nr FROM hn{i}) AS h FROM hr{i})"""
+        )
+    n = _HITS_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT 'hub' AS side, 'u:' || CAST(u AS VARCHAR) AS node,
+           round(h, 6) AS score
+    FROM h{n}
+    UNION ALL
+    SELECT 'authority' AS side, 't:' || t AS node, round(a, 6) AS score
+    FROM a{n}"""
+    )
+
+
+@query("graph_hits_hubs_authorities", oracle=_hits_oracle())
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities, 3 iterations, L2-normalized)
+    over the directed bipartite user→event-type graph — the second
+    judged eigenvector-style fixpoint after PageRank, using the same
+    bit-exactness recipe: neighbor sums through DECIMAL(38,18) (exact,
+    order-independent), normalization as one exact decimal sum of IEEE
+    squares followed by a correctly-rounded sqrt and one division per
+    node.  The per-iteration norm is a 1-row aggregate crossJoin-
+    broadcast back into the plan (the oracle's scalar subquery) — no
+    driver round-trip in the loop, unlike the control-plane n_nodes
+    scalar PageRank reads once up front.
+
+    Scale: each iteration is two broadcast-able joins + two aggregations
+    with lineage truncated by localCheckpoint; the score vectors are
+    O(nodes), never collected."""
+    ev = load_tables(spark, sf_dir)["events"]
+    edges = (
+        ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = edges.select("u").distinct().select("u", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            edges.join(h, "u")
+            .groupBy("t")
+            .agg(F.sum(F.col("h").cast("decimal(38,18)")).cast("double").alias("a"))
+        )
+        an = ar.agg(
+            F.sqrt(
+                F.sum((F.col("a") * F.col("a")).cast("decimal(38,18)")).cast("double")
+            ).alias("nr")
+        )
+        a = ar.crossJoin(F.broadcast(an)).select(
+            "t", (F.col("a") / F.col("nr")).alias("a")
+        )
+        hr = (
+            edges.join(a, "t")
+            .groupBy("u")
+            .agg(F.sum(F.col("a").cast("decimal(38,18)")).cast("double").alias("h"))
+        )
+        hn = hr.agg(
+            F.sqrt(
+                F.sum((F.col("h") * F.col("h")).cast("decimal(38,18)")).cast("double")
+            ).alias("nr")
+        )
+        h = (
+            hr.crossJoin(F.broadcast(hn))
+            .select("u", (F.col("h") / F.col("nr")).alias("h"))
+            .localCheckpoint()
+        )
+        a = a.localCheckpoint()
+    hubs = h.select(
+        F.lit("hub").alias("side"),
+        F.concat(F.lit("u:"), F.col("u").cast("string")).alias("node"),
+        F.round("h", 6).alias("score"),
+    )
+    auths = a.select(
+        F.lit("authority").alias("side"),
+        F.concat(F.lit("t:"), F.col("t")).alias("node"),
+        F.round("a", 6).alias("score"),
+    )
+    return hubs.unionByName(auths)
