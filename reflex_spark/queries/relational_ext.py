@@ -1490,3 +1490,60 @@ def ols_price_items_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((syd - slope * sxd) / nd).alias("intercept"),
         (num * num / (denx * deny)).alias("r2"),
     )
+
+
+@query(
+    "window_running_distinct_users",
+    # Running COUNT(DISTINCT) over an ordered window — a capability
+    # NEITHER engine's window machinery has natively (Spark rejects
+    # DISTINCT in window functions; so does DuckDB): both sides use the
+    # canonical first-occurrence rewrite — flag each (type, user)'s
+    # first event via ROW_NUMBER, then a running SUM of flags — which
+    # is also the only formulation that scales (the naive per-row
+    # distinct re-scan is O(n²)).
+    oracle="""
+    WITH f AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events)
+    SELECT event_id, event_type,
+           CAST(SUM(is_first) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS running_distinct_users
+    FROM f
+    """,
+)
+def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event type in event order — the
+    audience-growth curve.  COUNT(DISTINCT) OVER doesn't exist in Spark
+    (or DuckDB), so this pins the standard scalable rewrite: one window
+    to flag first occurrences (partitioned by (type, user) — high
+    cardinality, parallel), one running sum per type.  Tie-break by
+    event_id makes every prefix deterministic.
+
+    Scale note: the second window's partition is per event type; if one
+    type dominates at 100 TB you'd bucket time ranges and prefix-sum
+    across buckets (two-phase scan), but the first-occurrence flag —
+    the part that replaces DISTINCT state — already parallelizes over
+    (type, user)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return f.select(
+        "event_id",
+        "event_type",
+        F.sum("is_first").over(w_run).cast("long").alias("running_distinct_users"),
+    )

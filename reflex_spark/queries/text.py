@@ -2874,3 +2874,121 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     audio = _synth_wav_corpus(spark, sf_dir)
     return audio_resample_half(audio, "doc_id", "payload")
+
+
+@query(
+    "text_naive_bayes_langid",
+    # Multinomial Naive Bayes trained IN the query (add-one smoothing,
+    # 80/20 split on doc_id % 5): per-(doc, lang) score = log prior +
+    # decimal-summed token log-likelihoods — the unigram-LM parity
+    # recipe (each ln is one libm call on identical doubles; the
+    # DECIMAL(38,18) sum is order-independent; round(3) absorbs ulp
+    # jitter).  Prediction = per-doc argmax on the rounded score with
+    # lang as the deterministic tie-break.
+    oracle="""
+    WITH tr AS (SELECT doc_id, lang, text FROM documents
+                WHERE doc_id % 5 <> 0),
+    te AS (SELECT doc_id, lang AS true_lang, text FROM documents
+           WHERE doc_id % 5 = 0),
+    trt AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM tr),
+    tet AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM te),
+    cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM tr GROUP BY lang),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr),
+    cw AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM trt GROUP BY lang, t),
+    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot
+            FROM trt GROUP BY lang),
+    sc AS (
+      SELECT x.doc_id, l.lang,
+             CAST(SUM(CAST(ln((CAST(COALESCE(cw.c, 0) AS DOUBLE)
+                               + CAST(1.0 AS DOUBLE))
+                              / (CAST(tot.tot AS DOUBLE)
+                                 + CAST(vv.v AS DOUBLE)))
+                           AS DECIMAL(38,18))) AS DOUBLE)
+               + ln(CAST(l.n_docs AS DOUBLE) / CAST(nd.n AS DOUBLE)) AS s
+      FROM tet x
+      CROSS JOIN cls l
+      JOIN tot ON tot.lang = l.lang
+      CROSS JOIN (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM trt) vv
+      CROSS JOIN nd
+      LEFT JOIN cw ON cw.lang = l.lang AND cw.t = x.t
+      GROUP BY x.doc_id, l.lang, l.n_docs, nd.n),
+    rk AS (
+      SELECT doc_id, lang, round(s, 3) AS score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY round(s, 3) DESC, lang) AS rn
+      FROM sc)
+    SELECT r.doc_id, r.lang AS pred_lang, te.true_lang, r.score,
+           (r.lang = te.true_lang) AS correct
+    FROM rk r JOIN te ON r.doc_id = te.doc_id
+    WHERE r.rn = 1
+    """,
+)
+def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A judged TRAINED classifier, end-to-end in one plan: multinomial
+    Naive Bayes language ID with add-one smoothing, fit on the 80%
+    train split (doc_id % 5 != 0) and applied to the held-out 20% —
+    the supervised complement of the heuristic ``text_lang_id``.
+    Unseen test tokens still contribute their smoothed floor
+    log(1/(total_c + V)) via the left join + coalesce(0), which is the
+    part naive implementations silently drop.
+
+    Scale shape: training is two token-count shuffles (the model is
+    data-sized but each token is touched once, map-side combinable);
+    scoring is one broadcastable join per token against the count
+    table plus a per-(doc, lang) decimal-sum aggregate; argmax is a
+    5-row-per-doc window.  No Python anywhere — the whole fit+predict
+    is codegen expressions."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tr = docs.where(F.col("doc_id") % 5 != 0)
+    te = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    )
+    trt = tr.select("lang", F.explode(F.split("text", " ")).alias("t"))
+    tet = te.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    cls = tr.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    nd = tr.agg(F.count(F.lit(1)).alias("n"))
+    cw = trt.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = trt.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vv = trt.agg(F.countDistinct("t").alias("v"))
+    loglik = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("tot").cast("double") + F.col("v").cast("double"))
+    )
+    sc = (
+        tet.crossJoin(F.broadcast(cls))
+        .join(tot, "lang")
+        .crossJoin(F.broadcast(vv))
+        .crossJoin(F.broadcast(nd))
+        .join(cw, ["lang", "t"], "left")
+        .groupBy("doc_id", "lang", "n_docs", "n")
+        .agg(F.sum(loglik.cast("decimal(38,18)")).cast("double").alias("ds"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("ds")
+                + F.log(F.col("n_docs").cast("double") / F.col("n").cast("double"))
+            ).alias("s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    rk = sc.select(
+        "doc_id", "lang", F.round("s", 3).alias("score")
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        rk.where(F.col("rn") == 1)
+        .join(te.select("doc_id", "true_lang"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            "true_lang",
+            "score",
+            (F.col("lang") == F.col("true_lang")).alias("correct"),
+        )
+    )
