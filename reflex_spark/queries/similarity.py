@@ -1929,3 +1929,120 @@ def sim_mrl_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").alias("dims"), F.lit(20).alias("k"), "recall_at_k"
         )
     )
+
+
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration CTEs (the PageRank/HITS recipe): all
+    cross-row sums go through DECIMAL(38,18) casts of single-IEEE-op
+    products, so partitioning cannot perturb any iterate."""
+    ctes = [
+        """xr AS (
+      SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS x
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1,
+                    (SELECT MAX(len(embedding)) FROM embeddings))) AS j)),
+    mu AS (
+      SELECT j, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+                / (SELECT COUNT(*) FROM embeddings) AS m
+      FROM xr GROUP BY j),
+    cx AS (SELECT vec_id, xr.j, x - m AS x
+           FROM xr JOIN mu ON xr.j = mu.j),
+    v0 AS (SELECT j, CAST(0.125 AS DOUBLE) AS v FROM mu)"""
+    ]
+    for i in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT cx.vec_id,
+             CAST(SUM(CAST(cx.x * p.v AS DECIMAL(38,18))) AS DOUBLE) AS c
+      FROM cx JOIN v{i-1} p ON cx.j = p.j GROUP BY cx.vec_id),
+    w{i} AS (
+      SELECT cx.j,
+             CAST(SUM(CAST(c{i}.c * cx.x AS DECIMAL(38,18))) AS DOUBLE) AS w
+      FROM cx JOIN c{i} ON cx.vec_id = c{i}.vec_id GROUP BY cx.j),
+    n{i} AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18)))
+                              AS DOUBLE)) AS nr FROM w{i}),
+    v{i} AS (SELECT j, w / (SELECT nr FROM n{i}) AS v FROM w{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(j AS BIGINT) AS dim, round(v, 6) AS loading
+    FROM v{_PCA_ITERS}"""
+    )
+
+
+@query("sim_pca_power_iteration", oracle=_pca_oracle())
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION (3 rounds), judged bit-exact — the whitening/compression
+    primitive under PCA-dim-reduction and decorrelated retrieval.  The
+    covariance matrix is never materialized: each round computes
+    c_i = x_i·v (per-row) then w = Σ_i c_i·x_i (per-dimension) as two
+    rowized joins over (vec_id, dim, value) — exactly how you'd do it
+    at 100 TB, where X is tall-skinny and Σ X Xᵀ v is two passes of
+    map-side-combinable decimal sums.  Mean-centering uses exact
+    per-dimension decimal means; normalization is one exact decimal
+    sum of IEEE squares + sqrt + divide (the HITS recipe).  The
+    deterministic uniform init (1/8 per dim, unit L2 over 64 dims)
+    makes the whole iterate sequence reproducible; convergence after 3
+    rounds is approximate BY DESIGN (the judged contract is the exact
+    3-round iterate, not the eigenvector limit)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    xr = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("j0") + 1).alias("j"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    n_vecs = emb.count()  # control-plane scalar (PageRank precedent)
+    mu = xr.groupBy("j").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+            / F.lit(float(n_vecs))
+        ).alias("m")
+    )
+    cx = (
+        xr.join(mu, "j")
+        .select("vec_id", "j", (F.col("x") - F.col("m")).alias("x"))
+        .localCheckpoint()
+    )
+    v = mu.select("j", F.lit(0.125).alias("v"))
+    for _ in range(_PCA_ITERS):
+        c = (
+            cx.join(v, "j")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("x") * F.col("v")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("c")
+            )
+        )
+        w = (
+            cx.join(c, "vec_id")
+            .groupBy("j")
+            .agg(
+                F.sum((F.col("c") * F.col("x")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        nr = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast(
+                    "double"
+                )
+            ).alias("nr")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nr))
+            .select("j", (F.col("w") / F.col("nr")).alias("v"))
+            .localCheckpoint()
+        )
+    return v.select(
+        F.col("j").cast("long").alias("dim"), F.round("v", 6).alias("loading")
+    )
