@@ -1684,3 +1684,184 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.when(denx * deny > 0, num / F.sqrt(denx * deny)).alias("acf"),
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    # One-sided CUSUM over the zero-filled hourly count series, judged
+    # EXACTLY: with integer reference mu = total div n_hours and slack
+    # k = 0, the recurrence S_t = max(0, S_{t-1} + (x_t - mu)) has the
+    # closed form S_t = P_t - min(0, min_{s<=t} P_s) over the prefix
+    # sums P — two plain windows, no fold, and every value is an exact
+    # BIGINT on both engines.
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000
+               AS t,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    b AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM hourly),
+    dense AS (SELECT unnest(generate_series(mn, mx)) AS t FROM b),
+    s AS (SELECT d.t, COALESCE(h.c, 0) AS c
+          FROM dense d LEFT JOIN hourly h USING (t)),
+    m AS (SELECT CAST(SUM(c) AS BIGINT) // COUNT(*) AS mu,
+                 5 * (CAST(SUM(c) AS BIGINT) // COUNT(*)) AS h
+          FROM s),
+    p AS (SELECT t, c,
+                 SUM(c - (SELECT mu FROM m))
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS pre
+          FROM s),
+    cs AS (SELECT t, c,
+                  CAST(pre - LEAST(CAST(0 AS BIGINT),
+                       MIN(pre) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                       AS BIGINT) AS cusum
+           FROM p)
+    SELECT t AS hour_idx, c AS n_events, cusum,
+           (cusum > (SELECT h FROM m)) AS alarm
+    FROM cs
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the hourly event-count series —
+    the classic drift detector (Page 1954), judged bit-exact.  The
+    textbook form is a sequential fold (max(0, S+d)); at scale a fold
+    is a single-threaded scan, so this query pins the CLOSED FORM:
+    S_t = P_t - min(0, running-min of P), which turns the recurrence
+    into two ordinary cumulative windows — parallelizable by the same
+    two-phase prefix-scan trick as any running sum.  Reference mu is
+    the integer mean (total div hours) and the alarm threshold 5·mu,
+    so every quantity is an exact BIGINT and the hash cannot drift.
+
+    The single-partition ORDER BY window is over the post-aggregation
+    hourly series (bounded by wall-clock hours, not data volume — the
+    ACF posture)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.select(
+            F.expr(
+                "unix_millis(date_trunc('hour', CAST(ts AS TIMESTAMP)))"
+                " div 3600000"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = hourly.agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    dense = bounds.select(F.explode(F.sequence("mn", "mx")).alias("t"))
+    s = dense.join(hourly, "t", "left").select(
+        "t", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    m = s.agg(
+        F.expr("sum(c) div count(*)").alias("mu"),
+        (F.lit(5) * F.expr("sum(c) div count(*)")).alias("h"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = s.crossJoin(F.broadcast(m)).select(
+        "t",
+        "c",
+        "h",
+        F.sum(F.col("c") - F.col("mu")).over(w).alias("pre"),
+    )
+    cs = p.select(
+        "t",
+        "c",
+        "h",
+        (
+            F.col("pre")
+            - F.least(F.lit(0).cast("long"), F.min("pre").over(w))
+        ).cast("long").alias("cusum"),
+    )
+    return cs.select(
+        F.col("t").alias("hour_idx"),
+        F.col("c").alias("n_events"),
+        "cusum",
+        (F.col("cusum") > F.col("h")).alias("alarm"),
+    )
+
+
+@query(
+    "events_ks_two_sample",
+    # Two-sample Kolmogorov-Smirnov distance between the value
+    # distributions of two event types, computed EXACTLY: the KS
+    # statistic sup|F1 - F2| is rational with denominator n1*n2, so
+    # both engines find the integer maximum of |c1*n2 - c2*n1| over
+    # the merged order statistics and perform ONE final division.
+    oracle="""
+    WITH a AS (SELECT value FROM events WHERE event_type = 'purchase'),
+    bb AS (SELECT value FROM events WHERE event_type = 'click'),
+    n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n1,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM bb) AS n2),
+    v AS (SELECT DISTINCT value FROM (SELECT value FROM a
+                                      UNION ALL SELECT value FROM bb)),
+    cum AS (
+      SELECT v.value,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM a
+              WHERE a.value <= v.value) AS c1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bb
+              WHERE bb.value <= v.value) AS c2
+      FROM v),
+    d AS (SELECT MAX(ABS(c1 * (SELECT n2 FROM n)
+                         - c2 * (SELECT n1 FROM n))) AS dnum
+          FROM cum)
+    SELECT CAST((SELECT n1 FROM n) AS BIGINT) AS n1,
+           CAST((SELECT n2 FROM n) AS BIGINT) AS n2,
+           CAST(dnum AS BIGINT) AS d_numerator,
+           CAST(dnum AS DOUBLE)
+             / (CAST((SELECT n1 FROM n) AS DOUBLE)
+                * CAST((SELECT n2 FROM n) AS DOUBLE)) AS ks_stat
+    FROM d
+    """,
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test statistic between the value
+    distributions of 'purchase' and 'click' events — the standard
+    distribution-shift detector for pipeline monitoring, judged
+    bit-exact because sup|F1(x) - F2(x)| is RATIONAL: the engine
+    maximizes the integer |c1·n2 - c2·n1| over merged order statistics
+    (cumulative counts by value via one window each) and divides once.
+
+    Spark computes the cumulative counts with sort-based windows over
+    the merged distinct values (no correlated subqueries — the
+    oracle's form is O(n²) and fine for DuckDB at fixture scale; the
+    engine's is the scalable sort+scan shape)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    a = ev.where(F.col("event_type") == "purchase").select("value")
+    b = ev.where(F.col("event_type") == "click").select("value")
+    counts = (
+        a.select(F.col("value"), F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionByName(
+            b.select(F.col("value"), F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+        )
+        .groupBy("value")
+        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "value",
+        F.sum("da").over(w).alias("c1"),
+        F.sum("db").over(w).alias("c2"),
+    )
+    n = counts.agg(
+        F.sum("da").cast("long").alias("n1"), F.sum("db").cast("long").alias("n2")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("dnum"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+    )
+    return d.select(
+        F.col("n1"),
+        F.col("n2"),
+        F.col("dnum").cast("long").alias("d_numerator"),
+        (
+            F.col("dnum").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("ks_stat"),
+    )
