@@ -1547,3 +1547,88 @@ def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         F.sum("is_first").over(w_run).cast("long").alias("running_distinct_users"),
     )
+
+
+@query(
+    "source_csv_roundtrip_rollup",
+    # CSV as an ingestion format judged end-to-end: the fixture is
+    # round-tripped through real CSV files (header, quoted fields — a
+    # synthesized column embeds both the delimiter and the quote char —
+    # IEEE doubles via shortest-round-trip repr, ISO timestamps) and
+    # the rollup of the READ-BACK rows must hash-match the oracle
+    # computed from the parquet original: any serde mangling (quote
+    # handling, double precision, timestamp format) breaks the hash.
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date,
+           CAST(SUM(LENGTH(o_orderpriority || ',"' || o_orderstatus || '"'))
+                AS BIGINT) AS sum_tricky_len
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def source_csv_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format ingestion coverage (the reference's sources are
+    SQL/blob/stream; a Spark engine must also eat CSV exports): write
+    orders to headered CSV — including a column that CONTAINS the
+    delimiter and the quote character, forcing the quoting path — read
+    it back with an explicit schema (schema inference at 100 TB means
+    an extra full scan; never ship it), assert zero row loss, and roll
+    up the read-back rows.  Doubles survive via Java's shortest
+    round-trip rendering; timestamps via the default ISO format; the
+    hash against the parquet-side oracle proves the whole serde loop
+    is lossless.
+
+    Scale: CSV files split by line, so reads parallelize like any text
+    source; the quoted column also documents the standard caveat that
+    quoted fields disable intra-file splitting in pathological cases
+    (multiline stays off here)."""
+    import shutil
+    import tempfile
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    src = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.concat(
+            F.col("o_orderpriority"), F.lit(',"'), F.col("o_orderstatus"), F.lit('"')
+        ).alias("tricky"),
+    )
+    base = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    try:
+        n_src = src.count()
+        src.write.option("header", True).csv(f"{base}/orders_csv")
+        back = (
+            spark.read.schema(
+                "o_orderkey long, o_orderstatus string, o_totalprice double,"
+                " o_orderdate timestamp, tricky string"
+            )
+            .option("header", True)
+            .csv(f"{base}/orders_csv")
+        )
+        out = (
+            back.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_price"),
+                F.min("o_orderdate").alias("first_date"),
+                F.max("o_orderdate").alias("last_date"),
+                F.sum(F.length("tricky")).cast("long").alias("sum_tricky_len"),
+            )
+        )
+        out = out.persist()
+        n_back = out.agg(F.sum("n_orders")).collect()[0][0]
+        if n_back != n_src:
+            raise AssertionError(
+                f"CSV round-trip lost rows: wrote {n_src}, read {n_back}"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
