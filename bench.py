@@ -181,6 +181,17 @@ HEADLINE = [
     # dropDuplicatesWithinWatermark state-lifetime cost shape (eviction +
     # re-admission), distinct from stream_dedup_rollup's grow-only state
     "stream_dedup_within_watermark",
+    # round 11: stream-static broadcast enrichment — the stream-side
+    # BroadcastHashJoin + update-mode stateful rollup cost shape (dim
+    # broadcast per micro-batch), distinct from both stream-stream joins
+    "stream_static_enrich_rollup",
+    # round 11: AQE runtime skew-join mitigation — the only entry that
+    # times the OptimizeSkewedJoin re-plan path (hot-partition split +
+    # replicated build side)
+    "aqe_skew_join_rollup",
+    # round 11: CSV serde round-trip — the text-format write+read scan
+    # path (quoting, double/timestamp rendering), not timed elsewhere
+    "source_csv_roundtrip_rollup",
 ]
 
 
