@@ -1632,3 +1632,97 @@ def source_csv_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "range_join_binned_overlaps",
+    # PURE interval-overlap join — no equi key anywhere in the
+    # predicate, the case that silently plans as a nested-loop cross
+    # product and dies at scale.  The engine runs the BINNED rewrite:
+    # explode each interval onto the hour buckets it spans, hash-join
+    # on the bucket (complete: overlapping intervals always share the
+    # bucket containing the intersection), dedup candidate pairs, then
+    # verify the exact overlap as a residual — and asserts the executed
+    # plan contains NO BroadcastNestedLoopJoin/CartesianProduct.  The
+    # oracle is the plain quadratic theta join: identical rows.
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS e
+      FROM events WHERE event_id % 3 = 0)
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(epoch_ms(LEAST(a.e, b.e)) - epoch_ms(GREATEST(a.s, b.s))
+                AS BIGINT) AS overlap_ms
+    FROM iv a JOIN iv b
+      ON a.event_id < b.event_id AND a.s < b.e AND b.s < a.e
+    """,
+)
+def range_join_binned_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key (the other range-join
+    case — ``range_join_events_near_orders`` anchors on user=custkey;
+    drop the anchor and Catalyst has nothing to hash on, so the naive
+    form is a nested-loop cross product, O(n²) at 100 TB).  This query
+    pins the scalable rewrite: each 1-hour activity interval explodes
+    onto the hour buckets it spans (≤ 2 rows), candidates hash-join on
+    the bucket, pairs dedup, and the exact a.s < b.e AND b.s < a.e
+    predicate verifies as a residual.  Binning is COMPLETE, not
+    approximate: two overlapping intervals always co-occupy the bucket
+    containing any intersection instant, so the rewrite returns exactly
+    the theta join's rows (the oracle runs the quadratic form).  The
+    executed plan is asserted free of BroadcastNestedLoopJoin and
+    CartesianProduct."""
+    ev = load_tables(spark, sf_dir)["events"]
+    iv = ev.where(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("s"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    binned = iv.select(
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr("unix_millis(s) div 3600000"),
+                F.expr("unix_millis(e) div 3600000"),
+            )
+        ).alias("bucket"),
+    )
+    a = binned.select(
+        F.col("event_id").alias("id_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        "bucket",
+    )
+    b = binned.select(
+        F.col("event_id").alias("id_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+        )
+        .select("id_a", "id_b", "sa", "ea", "sb", "eb")
+        .distinct()
+    )
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        (
+            F.expr("unix_millis(least(ea, eb))")
+            - F.expr("unix_millis(greatest(sa, sb))")
+        ).cast("long").alias("overlap_ms"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        if bad in plan:
+            raise AssertionError(
+                f"binned interval join must not plan a {bad} — "
+                "the whole point is avoiding the O(n²) fallback"
+            )
+    return out
