@@ -1865,3 +1865,118 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n1").cast("double") * F.col("n2").cast("double"))
         ).alias("ks_stat"),
     )
+
+
+@query(
+    "events_session_window_dynamic",
+    # session_window with a DYNAMIC per-event gap (15 min for clicks,
+    # 45 min otherwise) — the variant where each event extends the
+    # session by its own type-dependent horizon.  The oracle replays
+    # the merge rule from first principles: sessions are unions of
+    # [ts, ts + gap); an event starts a new session iff its ts is
+    # STRICTLY past the running max end of all prior events (equality
+    # merges — the boundary pinned empirically for the static variant).
+    # Tie-safety: equal-ts events always co-session (each one's own end
+    # exceeds the shared ts), so per-user counts are order-invariant.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type = 'click' THEN INTERVAL 15 MINUTE
+                  ELSE INTERVAL 45 MINUTE END AS gap
+      FROM events),
+    w AS (
+      SELECT user_id, ts,
+             MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_end
+      FROM e),
+    b AS (SELECT user_id,
+                 CASE WHEN prev_end IS NULL OR ts > prev_end
+                      THEN 1 ELSE 0 END AS brk
+          FROM w)
+    SELECT user_id,
+           CAST(SUM(brk) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b GROUP BY user_id
+    """,
+)
+def events_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a DYNAMIC gap through Spark's native
+    session_window operator: clicks keep a session alive for 15
+    minutes, every other event type for 45 — the engagement-dependent
+    timeout real products use (a page view should not hold a session
+    open as long as a purchase).  ``events_session_window_native``
+    pins the static MergingSessions operator; this pins the
+    per-event-gap variant, judged against a first-principles replay of
+    the interval-union merge rule (strict-break boundary inherited
+    from the static pin).
+
+    Plan: same single shuffle on user_id into MergingSessions — the
+    dynamic gap is a row-local expression, costing nothing extra at
+    any scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    gap = F.when(F.col("event_type") == "click", F.lit("15 minutes")).otherwise(
+        F.lit("45 minutes")
+    )
+    sessions = (
+        ev.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "events_user_mean_grouped_udaf",
+    # The GROUPED_AGG pandas UDF surface (a vectorized UDAF: whole
+    # group in, scalar out over Arrow) judged bit-exact: the UDF sums
+    # micro-quantized int64 values (== the decimal(18,6) mantissa — the
+    # fixture's values are <= 6 dp) so the result is order-independent,
+    # then performs the same IEEE chain the oracle spells out
+    # (float(total) / n / 1e6).
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                AS DOUBLE)
+             / COUNT(*) / CAST(1000000 AS DOUBLE) AS mean_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_mean_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mean value through a GROUPED_AGG pandas UDF — the
+    vectorized-UDAF API (group's column in as one Arrow batch, scalar
+    out) that completes the UDF-surface matrix alongside mapInPandas,
+    applyInPandas(WithState), scalar pandas UDFs, and the Python UDTF.
+    The aggregation body quantizes to int64 micros before summing, so
+    the custom aggregate is exactly partition-layout-invariant — the
+    discipline ANY user UDAF needs before its results are reproducible
+    at 100 TB (a naive float .sum() differs run to run).
+
+    The mean itself is deliberately oracle-trivial: what is judged is
+    the Arrow round-trip and the exactness discipline, not the math."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit eval type: module-wide `from __future__ import annotations`
+    # stringifies hints, which defeats pandas_udf's type-hint inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def micro_mean(v):
+        micros = (v * 1e6).round().astype("int64")
+        return float(micros.sum()) / len(micros) / 1e6
+
+    # GROUPED_AGG UDFs cannot mix with built-in aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count is a second UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def group_size(v):
+        return len(v)
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("user_id").agg(
+        group_size("value").alias("n_events"),
+        micro_mean("value").alias("mean_value"),
+    )
