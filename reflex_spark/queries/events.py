@@ -1980,3 +1980,118 @@ def events_user_mean_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame
         group_size("value").alias("n_events"),
         micro_mean("value").alias("mean_value"),
     )
+
+
+@query(
+    "events_xcorr_purchase_click",
+    # Cross-correlation between TWO signals (hourly purchase counts vs
+    # hourly click counts) at lags -6..6 — the lead-lag diagnostic
+    # (does clicking predict purchasing, and by how many hours?).
+    # Same exactness contract as events_acf_lags: both series are
+    # zero-filled integers over the common hour range, every moment is
+    # an exact BIGINT sum, and the correlation is one shared IEEE op
+    # chain per lag.
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000
+               AS t,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events GROUP BY 1),
+    b AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM hourly),
+    dense AS (SELECT unnest(generate_series(mn, mx)) AS t FROM b),
+    s AS (SELECT d.t, COALESCE(h.ca, 0) AS ca, COALESCE(h.cb, 0) AS cb
+          FROM dense d LEFT JOIN hourly h USING (t)),
+    lags AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+    p AS (SELECT l.lag, a.ca AS x, y.cb AS y
+          FROM s a CROSS JOIN lags l JOIN s y ON y.t = a.t + l.lag),
+    g AS (SELECT lag,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM p GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag,
+           n AS n_pairs,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS xcorr
+    FROM g
+    """,
+)
+def events_xcorr_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly purchase-count and
+    click-count series at lags -6..+6 hours: positive-lag peaks mean
+    clicks LEAD purchases (the funnel delay read directly off the
+    signals).  Completes the series-diagnostics family with the
+    two-signal case (ACF = one signal, CUSUM = drift, KS = marginal
+    distributions).  Same scale shape as events_acf_lags: both series
+    are post-aggregation artifacts; lagged pairs come from one
+    self-equi-join on t+lag; all moments exact BIGINT."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.select(
+            F.expr(
+                "unix_millis(date_trunc('hour', CAST(ts AS TIMESTAMP)))"
+                " div 3600000"
+            ).alias("t"),
+            "event_type",
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    bounds = hourly.agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    dense = bounds.select(F.explode(F.sequence("mn", "mx")).alias("t"))
+    s = dense.join(hourly, "t", "left").select(
+        "t",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    lags = spark.range(-6, 7).select(F.col("id").alias("lag"))
+    left = s.crossJoin(F.broadcast(lags)).select(
+        "lag", F.col("ca").alias("x"), (F.col("t") + F.col("lag")).alias("t2")
+    )
+    right = s.select(F.col("t").alias("t2"), F.col("cb").alias("y"))
+    g = (
+        left.join(right, "t2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    denx = nd * sxxd - sxd * sxd
+    deny = nd * syyd - syd * syd
+    num = nd * sxyd - sxd * syd
+    return g.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when(denx * deny > 0, num / F.sqrt(denx * deny)).alias("xcorr"),
+    )
