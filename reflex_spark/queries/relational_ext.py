@@ -1726,3 +1726,78 @@ def range_join_binned_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "the whole point is avoiding the O(n²) fallback"
             )
     return out
+
+
+@query(
+    "stats_mutual_information",
+    # Mutual information I(event_type; market segment) in nats, judged
+    # via the logprob parity recipe: every probability is an exact
+    # count ratio, each ln is one libm call on an identical double
+    # (p_xy / (p_x * p_y) reduces to the all-integer cross ratio
+    # (n_xy * n) / (n_x * n_y) — computed as one integer-exact double
+    # division), contributions sum through DECIMAL(38,18), and round(6)
+    # absorbs ulp jitter.
+    oracle="""
+    WITH j AS (
+      SELECT e.event_type AS x, c.c_mktsegment AS y
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j),
+    nxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS nxy
+            FROM j GROUP BY x, y),
+    nx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS nx FROM j GROUP BY x),
+    ny AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS ny FROM j GROUP BY y),
+    terms AS (
+      SELECT (CAST(nxy AS DOUBLE) / CAST(nn.n AS DOUBLE))
+               * ln((CAST(nxy AS DOUBLE) * CAST(nn.n AS DOUBLE))
+                    / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS term
+      FROM nxy JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN n nn)
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6)
+             AS mi_nats
+    FROM terms
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and the acting customer's
+    market segment — the dependence measure feature-selection and
+    leakage audits run over categorical pairs (zero iff independent).
+    Computed from exact contingency counts: one join + three
+    aggregations; each cell contributes (n_xy/n)·ln(n_xy·n/(n_x·n_y)),
+    with the log's argument formed as one division of two
+    integer-exact doubles (counts < 2^53), contributions decimal-
+    summed so partition order cannot move the total, and round(6)
+    absorbing libm's 1-ulp ln slack (the unigram-LM recipe).
+
+    Scale: contingency tables are tiny relative to data (|X|·|Y|
+    cells); everything before the final |X|·|Y|-row sum is
+    map-side-combinable counting."""
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["events"]
+        .join(t["customer"], F.col("user_id") == F.col("c_custkey"))
+        .select(F.col("event_type").alias("x"), F.col("c_mktsegment").alias("y"))
+    )
+    n = j.agg(F.count(F.lit(1)).alias("n"))
+    nxy = j.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    nx = j.groupBy("x").agg(F.count(F.lit(1)).alias("nx"))
+    ny = j.groupBy("y").agg(F.count(F.lit(1)).alias("ny"))
+    terms = (
+        nxy.join(nx, "x")
+        .join(ny, "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            (
+                (F.col("nxy").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    (F.col("nxy").cast("double") * F.col("n").cast("double"))
+                    / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+                )
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("mi_nats")
+    ).select(F.col("n").cast("long").alias("n_pairs"), "mi_nats")
