@@ -2095,3 +2095,182 @@ def events_xcorr_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.when(denx * deny > 0, num / F.sqrt(denx * deny)).alias("xcorr"),
     )
+
+
+@query(
+    "events_seasonal_profile",
+    # Additive seasonality profile of the zero-filled hourly count
+    # series: hour-of-day and day-of-week effects as (factor mean −
+    # grand mean).  Every mean is an exact BIGINT sum over the dense
+    # series divided once (IEEE), the effect is one subtraction —
+    # a two-op chain shared verbatim by both engines.  Calendar
+    # factors come from pure integer arithmetic on the epoch-hour
+    # index (hod = t % 24; dow = (t // 24 + 4) % 7, epoch day 0 =
+    # Thursday), so no timezone/locale function can diverge.
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000
+               AS t,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    b AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM hourly),
+    dense AS (SELECT unnest(generate_series(mn, mx)) AS t FROM b),
+    s AS (SELECT d.t, COALESCE(h.c, 0) AS c
+          FROM dense d LEFT JOIN hourly h USING (t)),
+    g AS (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS gm FROM s),
+    hod AS (
+      SELECT 'hour_of_day' AS component, t % 24 AS idx,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(c) AS DOUBLE) / COUNT(*) - (SELECT gm FROM g)
+               AS effect
+      FROM s GROUP BY t % 24),
+    dow AS (
+      SELECT 'day_of_week' AS component, (t // 24 + 4) % 7 AS idx,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(c) AS DOUBLE) / COUNT(*) - (SELECT gm FROM g)
+               AS effect
+      FROM s GROUP BY (t // 24 + 4) % 7)
+    SELECT component, CAST(idx AS BIGINT) AS idx, n_cells, effect
+    FROM hod
+    UNION ALL
+    SELECT component, CAST(idx AS BIGINT) AS idx, n_cells, effect
+    FROM dow
+    """,
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of event volume: the hour-of-day
+    and day-of-week effects (factor mean minus grand mean) over the
+    zero-filled hourly series — the profile behind every "traffic is
+    2.3/hr above baseline at 14:00 UTC" dashboard and the detrending
+    step ahead of anomaly detection (events_hourly_anomaly handles the
+    residual; this pins the seasonal component).
+
+    Calendar factors are integer arithmetic on the epoch-hour index —
+    deliberately not date_part('dow', ...), whose weekday numbering
+    differs across engines.  Scale: the series is post-aggregation
+    (bounded by wall-clock hours); the two factor rollups are 24- and
+    7-group aggregates; the grand mean broadcasts back as a 1-row
+    crossJoin."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.select(
+            F.expr(
+                "unix_millis(date_trunc('hour', CAST(ts AS TIMESTAMP)))"
+                " div 3600000"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = hourly.agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    dense = bounds.select(F.explode(F.sequence("mn", "mx")).alias("t"))
+    s = dense.join(hourly, "t", "left").select(
+        "t", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    g = s.agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("gm")
+    )
+
+    def factor(component: str, idx_col) -> DataFrame:
+        return (
+            s.select(idx_col.alias("idx"), "c")
+            .groupBy("idx")
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                (F.sum("c").cast("double") / F.count(F.lit(1))).alias("fm"),
+            )
+            .crossJoin(F.broadcast(g))
+            .select(
+                F.lit(component).alias("component"),
+                F.col("idx").cast("long").alias("idx"),
+                F.col("n_cells").cast("long").alias("n_cells"),
+                (F.col("fm") - F.col("gm")).alias("effect"),
+            )
+        )
+
+    hod = factor("hour_of_day", F.pmod(F.col("t"), F.lit(24)))
+    dow = factor("day_of_week", F.pmod(F.expr("t div 24") + 4, F.lit(7)))
+    return hod.unionByName(dow)
+
+
+@query(
+    "pipeline_winsorize_robust",
+    # Winsorization + robust z-scores — the outlier-hygiene pass every
+    # numeric feature pipeline runs before training: clamp to the
+    # [p1, p99] exact percentiles, score by (x − median)/(1.4826·MAD).
+    # Percentile interpolation is engine-identical after round(6) (the
+    # percentiles_order_value precedent); every downstream op is one
+    # shared IEEE chain over the rounded cuts, so the hash pins the
+    # whole composition.
+    oracle="""
+    WITH cuts AS (
+      SELECT round(percentile_cont(0.01)
+                   WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)), 6) AS p01,
+             round(percentile_cont(0.99)
+                   WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)), 6) AS p99,
+             round(percentile_cont(0.5)
+                   WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)), 6) AS med
+      FROM events),
+    dev AS (
+      SELECT round(percentile_cont(0.5)
+                   WITHIN GROUP (ORDER BY ABS(value - (SELECT med FROM cuts))),
+                   6) AS mad
+      FROM events),
+    scored AS (
+      SELECT event_id,
+             LEAST(GREATEST(value, (SELECT p01 FROM cuts)),
+                   (SELECT p99 FROM cuts)) AS v_wins,
+             round((value - (SELECT med FROM cuts))
+                   / ((SELECT mad FROM dev) * CAST(1.4826 AS DOUBLE)),
+                   6) AS robust_z
+      FROM events)
+    SELECT event_id, v_wins, robust_z,
+           (ABS(robust_z) > CAST(3.5 AS DOUBLE)) AS is_outlier
+    FROM scored
+    """,
+)
+def pipeline_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric feature hygiene judged end-to-end: winsorize every event
+    value to the exact [p1, p99] band and attach the robust z-score
+    (median/MAD with the 1.4826 normal-consistency constant) plus the
+    standard |z| > 3.5 outlier flag — the clamp-and-score pass that
+    precedes any regression/normalization stage
+    (pipeline_feature_normalize handles mean/std scaling; this is its
+    outlier-robust sibling).
+
+    Plan: two exact percentile aggregates (partial+final, no global
+    sort), each broadcast back as a 1-row crossJoin; the per-row clamp
+    and score are codegen expressions — one scan + two tiny
+    aggregation passes at any scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cuts = ev.agg(
+        F.round(F.percentile("value", F.lit(0.01)), 6).alias("p01"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med"),
+    )
+    dev = (
+        ev.crossJoin(F.broadcast(cuts))
+        .select(F.abs(F.col("value") - F.col("med")).alias("d"))
+        .agg(F.round(F.percentile("d", F.lit(0.5)), 6).alias("mad"))
+    )
+    scored = (
+        ev.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(dev))
+        .select(
+            "event_id",
+            F.least(
+                F.greatest(F.col("value"), F.col("p01")), F.col("p99")
+            ).alias("v_wins"),
+            F.round(
+                (F.col("value") - F.col("med"))
+                / (F.col("mad") * F.lit(1.4826)),
+                6,
+            ).alias("robust_z"),
+        )
+    )
+    return scored.select(
+        "event_id",
+        "v_wins",
+        "robust_z",
+        (F.abs(F.col("robust_z")) > F.lit(3.5)).alias("is_outlier"),
+    )

@@ -2992,3 +2992,120 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("true_lang")).alias("correct"),
         )
     )
+
+
+@query(
+    "text_sparse_cosine_pairs",
+    # All-pairs SPARSE cosine similarity (the Bayardo/PPJoin family)
+    # over word-3-shingle TF-IDF vectors: candidates come from the
+    # inverted index (pairs sharing >= 1 shingle), which is COMPLETE —
+    # weights are non-negative, so cos > 0 requires a shared term —
+    # and the verify step decimal-sums per-term weight products so no
+    # partition layout can move a dot product.  idf uses ln on
+    # identical doubles; round(6) on the final cosine absorbs ulp
+    # jitter (the LM-family recipe).
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                 FROM w)),
+    tf AS (SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM sh GROUP BY doc_id, s),
+    df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY s),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    wt AS (SELECT doc_id, tf.s,
+                  CAST(tf AS DOUBLE)
+                    * ln(CAST((SELECT n FROM nn) AS DOUBLE)
+                         / CAST(df AS DOUBLE)) AS w
+           FROM tf JOIN df ON tf.s = df.s),
+    nrm AS (SELECT doc_id,
+                   sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18)))
+                             AS DOUBLE)) AS nr
+            FROM wt GROUP BY doc_id),
+    num AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,18)))
+                        AS DOUBLE) AS dot
+            FROM wt a JOIN wt b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(dot / (na.nr * nb.nr), 6) AS cos_sim
+    FROM num JOIN nrm na ON num.id_a = na.doc_id
+             JOIN nrm nb ON num.id_b = nb.doc_id
+    WHERE round(dot / (na.nr * nb.nr), 6) >= 0.5
+    """,
+)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse cosine similarity over word-3-shingle TF-IDF
+    vectors — the SPARSE-vector complement of the dense
+    dedup_embedding_cosine: near-dup detection by weighted term
+    overlap, computed the way an all-pairs similarity search must run
+    at 100 TB (Bayardo et al.): build the inverted index, generate
+    candidates by co-occurrence in a posting list (complete for
+    cos > 0 since weights are non-negative — no recall caveat, unlike
+    MinHash banding), and aggregate per-pair dot products DISTRIBUTED
+    as one groupBy over posting-list self-join rows — there is never a
+    per-pair vector materialization or a driver-side index.  3-shingles
+    (not unigrams) because the fixture's shared vocabulary makes
+    unigram vectors non-discriminative (round-7 note).
+
+    Scale: the self-join volume is Σ df(s)² over posting lists — the
+    quantity prefix-filtering would prune further at higher thresholds;
+    at this fixture it is ~12k pairs. Output: pairs with cosine >= 0.5."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            )
+        ).alias("s"),
+    )
+    tf = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    nn = tf.agg(F.countDistinct("doc_id").alias("n"))
+    wt = (
+        tf.join(df, "s")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "s",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast("double")
+        ).alias("nr")
+    )
+    a = wt.select(F.col("doc_id").alias("id_a"), "s", F.col("w").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("id_b"), "s", F.col("w").alias("wb"))
+    num = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nr").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nr").alias("nb"))
+    out = (
+        num.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= 0.5)
+    )
+    return out
