@@ -2587,3 +2587,160 @@ def tx_schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_dim_pinning_contrast",
+    # The slowly-changing-dimension trap, judged: a TxTable dim ADVANCES
+    # (MERGE) between micro-batches 0 and 1 while a stream enriches
+    # against it two ways — (a) through a DataFrame captured BEFORE the
+    # stream started (snapshot isolation pins it to v1 forever: the
+    # commit log's explicit v1 file list is frozen in the plan, and
+    # copy-on-write means those files still exist after the merge), and
+    # (b) through a FRESH read() inside each foreachBatch (latest
+    # version at batch time).  The oracle replays both: 'pinned' rows
+    # use the v1 mapping for every batch; 'fresh' rows use v1 for
+    # batch 0 and v2 for batches 1-2 (the mutation lands in batch 0's
+    # callback, strictly before batch 1 plans).  Both answers are
+    # judged — the point is that BOTH are correct semantics and a 100 TB
+    # pipeline must choose one deliberately, because the default
+    # (capture once) silently serves stale dimensions.
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, value,
+             (ROW_NUMBER() OVER (ORDER BY event_id) - 1)
+               // ((SELECT COUNT(*) FROM events) // 3 + 1) AS batch
+      FROM events),
+    v1 AS (SELECT DISTINCT user_id AS k,
+                  'S' || CAST(user_id % 2 AS VARCHAR) AS seg
+           FROM events),
+    v2 AS (SELECT k, CASE WHEN k % 3 = 0 THEN 'F' ELSE seg END AS seg
+           FROM v1),
+    u AS (
+      SELECT 'pinned' AS tag, v1.seg, r.value
+      FROM ranked r JOIN v1 ON r.user_id = v1.k
+      UNION ALL
+      SELECT 'fresh' AS tag,
+             CASE WHEN r.batch = 0 THEN v1.seg ELSE v2.seg END AS seg,
+             r.value
+      FROM ranked r JOIN v1 ON r.user_id = v1.k
+                    JOIN v2 ON r.user_id = v2.k)
+    SELECT tag, seg,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM u GROUP BY tag, seg
+    """,
+)
+def stream_dim_pinning_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enrichment against a dimension that CHANGES mid-stream,
+    both semantics judged side by side: the captured-DataFrame join
+    stays pinned to the pre-stream snapshot (TxTable snapshot isolation
+    — the frozen v1 file list outlives the merge because copy-on-write
+    never mutates files in place), while a fresh ``read()`` inside each
+    ``foreachBatch`` tracks the latest committed version.  The dim
+    MERGE is issued inside batch 0's callback — foreachBatch is
+    synchronous within the trigger loop, so batch 1 deterministically
+    sees v2 on the fresh path.  In-query pins: the two tags must
+    actually DIFFER (the mutation was observed), and the pinned rollup
+    must equal the fresh rollup restricted to batch 0's mapping
+    everywhere else (enforced by the oracle hash).
+
+    This is the judged form of the production rule: capture-once dim
+    joins silently serve stale data after the next upstream publish;
+    per-batch re-reads (or CDC-driven dim maintenance,
+    stream_cdc_scd2_history) are the deliberate alternatives."""
+    import shutil
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.sources.tx_table import TxTable
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = tempfile.mkdtemp(prefix="stream_dim_pin_")
+    sink = _BatchSink(spark, f"{base}/sink")
+    try:
+        dim = TxTable(spark, f"{base}/dim")
+        v1 = ev.select(F.col("user_id").alias("k")).distinct().select(
+            "k",
+            F.concat(F.lit("S"), (F.col("k") % 2).cast("string")).alias("seg"),
+            F.lit(1).alias("ver"),
+        )
+        dim.append(v1)
+        updates = v1.where(F.col("k") % 3 == 0).select(
+            "k", F.lit("F").alias("seg"), F.lit(2).alias("ver")
+        )
+        pinned_dim = dim.read()  # captured BEFORE the stream: frozen at v1
+
+        log = EventLog(spark, f"{base}/log")
+        canonical, _ = _canonical_events(ev)
+        ordered = canonical.orderBy("__orig_id").drop("__orig_id")
+        third = ev.count() // 3 + 1
+        for i in range(3):
+            log.append(ordered.offset(i * third).limit(third))
+
+        def enrich_both(bdf: DataFrame, bid: int) -> None:
+            rows = bdf.select(
+                F.col("foreign_id").cast("long").alias("k"),
+                F.col("metadata").cast("string").cast("double").alias("value"),
+            )
+            for tag, d in (("pinned", pinned_dim), ("fresh", dim.read())):
+                out = (
+                    rows.join(F.broadcast(d.select("k", "seg")), "k")
+                    .groupBy("seg")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col("value").cast("decimal(18,6)")).alias("ds"),
+                    )
+                    .withColumn("tag", F.lit(tag))
+                )
+                out.withColumn("__bid", F.lit(bid)).write.mode("append").parquet(
+                    sink.path
+                )
+            if bid == 0:
+                dim.merge_by_key(updates, ["k"], "ver")
+
+        # pin the per-batch aggregate shuffles to the fixture (the house
+        # state-store sizing rule, §29 — a plain driver session defaults
+        # to 200)
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                log.read_stream(max_files_per_trigger=1)
+                .writeStream.foreachBatch(enrich_both)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "stream_dim_pinning_contrast: availableNow query did not "
+                "finish within 180s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        emitted = sink.read()
+        if emitted.select("__bid").distinct().count() < 3:
+            raise AssertionError("expected 3 micro-batches")
+        out = (
+            emitted.groupBy("tag", "seg")
+            .agg(
+                F.sum("n").cast("long").alias("n_events"),
+                F.sum("ds").cast("double").alias("sum_value"),
+            )
+        )
+        out = out.persist()
+        pin = {r["seg"]: r["n_events"] for r in out.where(F.col("tag") == "pinned").collect()}
+        fre = {r["seg"]: r["n_events"] for r in out.where(F.col("tag") == "fresh").collect()}
+        if pin == fre:
+            raise AssertionError(
+                "pinned and fresh enrichments agree — the mid-stream dim "
+                "mutation was never observed, the contrast this query "
+                "exists to prove is vacuous"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
