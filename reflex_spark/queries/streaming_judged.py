@@ -2744,3 +2744,94 @@ def stream_dim_pinning_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "blob_sink_roundtrip_rollup",
+    # The WRITE half of the registered bucket format judged end-to-end:
+    # df.write.format("reflex_blob") serializes each partition as one
+    # JSON-lines blob with a DETERMINISTIC key (task retries overwrite
+    # their own blob — idempotent, never duplicated), commit() stamps a
+    # _SUCCESS manifest, and the same format reads the bucket back.
+    # The rollup over the round-trip hash-matching the direct oracle
+    # proves the sink lost/duplicated nothing and that doubles survive
+    # the JSON round-trip bit-exactly (shortest-round-trip repr).
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def blob_sink_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged custom SINK: the bucket format's writer
+    (``df.write.format("reflex_blob")``) — producers and consumers of
+    the reference's blob bucket share one layout (rblob/doc.go), so the
+    engine registers BOTH halves of the format; blob_source_rollup
+    judged the scan, this judges the write path: per-partition
+    JSON-lines blobs under deterministic ``data/part-<pid>.jsonl`` keys
+    (idempotent under task retry), driver-side ``commit`` manifest, and
+    mode("overwrite") clearing the bucket at planning time — exercised
+    in-query by writing a WRONG bucket first and overwriting it.
+
+    Scale: one blob per partition, written executor-side in parallel;
+    the read back is one input partition per blob. The JSON hop is the
+    bucket's wire contract, not a perf path — parquet remains the fast
+    lane."""
+    import shutil
+
+    from reflex_spark.sources.blob_datasource import register
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="blob_sink_")
+    try:
+        register(spark)
+        bucket = f"{base}/bucket"
+        # first write a DECOY (events with negated values), then
+        # overwrite with the real frame — if overwrite failed to clear,
+        # counts double and sums cancel, and the hash check explodes
+        decoy = ev.withColumn("value", -F.col("value"))
+        decoy.repartition(4).write.format("reflex_blob").option(
+            "path", bucket
+        ).mode("overwrite").save()
+        ev.repartition(4).write.format("reflex_blob").option(
+            "path", bucket
+        ).mode("overwrite").save()
+        import json as _json
+        import os as _os
+
+        with open(f"{bucket}/_SUCCESS", encoding="utf-8") as f:
+            manifest = _json.load(f)["blobs"]
+        on_disk = sorted(
+            _os.path.join("data", fn)
+            for fn in _os.listdir(f"{bucket}/data")
+            if not fn.startswith(("_", "."))
+        )
+        if manifest != on_disk:
+            raise AssertionError(
+                f"commit manifest {manifest} != bucket contents {on_disk}"
+            )
+        back = (
+            spark.read.format("reflex_blob")
+            .option("path", bucket)
+            .option(
+                "schema",
+                "event_id long, user_id long, event_type string, value double",
+            )
+            .load()
+        )
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").cast("long").alias("first_event"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

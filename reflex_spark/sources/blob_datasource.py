@@ -38,7 +38,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BooleanType,
@@ -95,6 +97,70 @@ class ReflexBlobDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "ReflexBlobStreamReader":
         return ReflexBlobStreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "ReflexBlobWriter":
+        return ReflexBlobWriter(self.options, schema, overwrite)
+
+
+class _BlobWriteCommit(WriterCommitMessage):
+    def __init__(self, key: str, n_rows: int):
+        self.key = key
+        self.n_rows = n_rows
+
+
+class ReflexBlobWriter(DataSourceWriter):
+    """The WRITE half of the bucket format (reference buckets are
+    written by producers the same way consumers read them, rblob/doc.go):
+    each Spark partition serializes its rows as one JSON-lines blob
+    under ``data/part-<pid>.jsonl`` — deterministic keys, so a task
+    RETRY overwrites its own blob (idempotent) instead of duplicating
+    it, and the bucket's lexicographic-order contract holds by
+    construction.  Doubles ride Python's shortest-round-trip repr, so a
+    read-back is bit-exact.  ``mode("overwrite")`` clears the bucket at
+    planning time (driver side, before any task runs); ``commit`` stamps
+    ``_SUCCESS`` with the blob manifest, and ``abort`` removes this
+    attempt's blobs."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("reflex_blob requires a 'path' option")
+        self.fields = [f.name for f in schema.fields]
+        import shutil
+
+        if overwrite and os.path.isdir(self.root):
+            shutil.rmtree(self.root)
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+
+    def write(self, iterator) -> _BlobWriteCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        key = os.path.join("data", f"part-{pid:05d}.jsonl")
+        full = os.path.join(self.root, key)
+        n = 0
+        with open(full, "w", encoding="utf-8") as f:
+            for row in iterator:
+                rec = {name: row[name] for name in self.fields}
+                f.write(json.dumps(rec) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(full)  # empty partitions leave no blob
+            return _BlobWriteCommit("", 0)
+        return _BlobWriteCommit(key, n)
+
+    def commit(self, messages) -> None:
+        manifest = sorted(m.key for m in messages if m and m.key)
+        with open(os.path.join(self.root, "_SUCCESS"), "w", encoding="utf-8") as f:
+            json.dump({"blobs": manifest}, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and m.key:
+                try:
+                    os.remove(os.path.join(self.root, m.key))
+                except OSError:
+                    pass
 
 
 class ReflexBlobReader(DataSourceReader):
