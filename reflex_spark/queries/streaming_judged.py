@@ -2835,3 +2835,70 @@ def blob_sink_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "tx_bloom_point_lookup",
+    # File-level BLOOM skipping judged: orders land HASH-clustered (8
+    # files, each spanning the full key range — min/max stats are
+    # provably useless), each file's commit entry carries an 8 KiB
+    # packed Bloom (m=65536, k=4, the dedup sketch family's md5
+    # hashing), and a two-key point lookup must open at most half the
+    # files (expected: exactly the 2 true files; false positives are
+    # allowed by the assert but cannot change the ANSWER — the
+    # residual IN-filter makes pruning correctness-invisible, which is
+    # precisely what the oracle hash proves).
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey IN ((SELECT MIN(o_orderkey) FROM orders),
+                         (SELECT MAX(o_orderkey) FROM orders))
+    """,
+)
+def tx_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups on a hash-clustered transactional table via
+    per-file BLOOM metadata — the data-skipping case min/max cannot
+    touch: when a key column interleaves across files (any
+    hash-partitioned layout), every file's [min, max] covers every
+    probe, but an 8 KiB per-file Bloom answers "could this file contain
+    THIS key" with no false negatives.  Completes the judged skipping
+    matrix: partition pruning (dpp), min/max (read_pruned), Z-order /
+    Hilbert clustering (multi-column ranges), and now point membership.
+
+    In-query pins: the lookup of the min and max order keys must scan
+    <= half of the 8 files (expected 2; fp rate at 65536 bits is ~1e-4
+    per file at sf0.01 densities), and the returned rows hash-match the
+    plain IN-filter oracle — skipping is physical only.  At 100 TB the
+    same 8 KiB rides each commit entry: metadata stays O(files),
+    independent of row count (saturation starts ~40k distinct keys per
+    file — split files, not the filter)."""
+    import shutil
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    base_dir = tempfile.mkdtemp(prefix="tx_bloom_")
+    try:
+        t = TxTable(spark, f"{base_dir}/orders", bloom_cols=["k"])
+        t.append(
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+            ).repartition(8, "k")
+        )
+        b = orders.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]  # control-plane scalars
+        res, total, scanned = t.read_points("k", [b["lo"], b["hi"]])
+        if total != 8:
+            raise AssertionError(f"expected 8 data files, found {total}")
+        if scanned > total // 2:
+            raise AssertionError(
+                f"bloom skipping opened {scanned}/{total} files — point "
+                "lookup pruning never engaged"
+            )
+        out = res.select("k", "status", "price").localCheckpoint()
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out

@@ -54,6 +54,10 @@ from pyspark.sql.types import StructType
 from reflex_spark.operators.upsert import latest_by_key
 
 
+_BLOOM_M = 65536  # bits per per-file Bloom (8 KiB packed)
+_BLOOM_K = 4      # md5-derived hash functions (operators/dedup._md5_mod)
+
+
 class ConcurrentCommitError(Exception):
     """Another writer committed this version first — reread and retry."""
 
@@ -79,16 +83,29 @@ class TxTable:
         spark: SparkSession,
         path: str,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ):
         """``stats_cols``: record per-file min/max for these columns in the
         commit log (Delta-style data skipping). ``merge_by_key`` then
         prunes files whose recorded key range cannot intersect the update
         keys WITHOUT opening them — at 100 TB with key-clustered files the
         touched-file discovery scan drops from every-file to a handful.
-        Costs one extra aggregation job per write."""
+        Costs one extra aggregation job per write.
+
+        ``bloom_cols``: additionally record a fixed-size per-file Bloom
+        filter (m = 65536 bits packed to an 8 KiB base64 bitmap, k = 4
+        md5-derived hashes — the operators/dedup sketch family's
+        hashing) for these columns. Min/max skipping is useless when a
+        column's values INTERLEAVE across files (hash-clustered layouts:
+        every file spans the whole range); the Bloom answers the point
+        membership question instead — ``read_points`` prunes files that
+        provably do not contain any probed value. Constant metadata per
+        file regardless of row count; saturation (fp → 1) starts around
+        ~40k distinct keys per file — split files, not the filter."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.stats_cols = list(stats_cols or [])
+        self.bloom_cols = list(bloom_cols or [])
         self.log_dir = os.path.join(self.path, "_txlog")
         self.data_dir = os.path.join(self.path, "data")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -314,6 +331,62 @@ class TxTable:
             df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
         return df, len(files), len(kept)
 
+    def read_points(
+        self, col: str, values: list, version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Snapshot POINT lookup with Bloom file skipping: keep only the
+        files whose per-file Bloom for ``col`` possibly contains at least
+        one probed value (no false negatives — a pruned file provably
+        holds none of them), plus files written without a Bloom
+        (conservative). min/max stats, when present, prune as well. The
+        residual IN-filter runs on the survivors, so the result equals
+        ``read()`` + filter regardless of false positives. Returns
+        (DataFrame, n_files_total, n_files_scanned)."""
+        import base64
+        import hashlib
+
+        v = self.latest_version() if version is None else version
+        files, schema, stats = self._snapshot_state(v)
+
+        def bloom_bits_of(value) -> list[int]:
+            out = []
+            for j in range(_BLOOM_K):
+                h = hashlib.md5(f"{j}|{value}".encode()).hexdigest()[:15]
+                out.append(int(h, 16) % _BLOOM_M)
+            return out
+
+        probe_bits = [bloom_bits_of(x) for x in values if x is not None]
+        kept = []
+        for f in files:
+            st = stats.get(f, {})
+            b64 = st.get(f"bloom${col}")
+            rng = st.get(col)
+            keep = True
+            if rng and rng[0] is not None and rng[1] is not None:
+                if not any(rng[0] <= x <= rng[1] for x in values if x is not None):
+                    keep = False
+            if keep and b64:
+                bm = base64.b64decode(b64)
+                keep = any(
+                    all(bm[b >> 3] & (1 << (b & 7)) for b in bits)
+                    for bits in probe_bits
+                )
+            if keep:
+                kept.append(f)
+        if not kept:
+            if schema is None:
+                raise ValueError("TxTable is empty and has no schema yet")
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.data_dir, f) for f in kept]
+            df = (
+                self.spark.read.schema(schema).parquet(*paths)
+                if schema is not None
+                else self.spark.read.parquet(*paths)
+            )
+        df = df.where(F.col(col).isin(values))
+        return df, len(files), len(kept)
+
     # -- writes ------------------------------------------------------------
 
     def _write_files(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
@@ -340,6 +413,37 @@ class TxTable:
                     ):  # only JSON-native types are skippable
                         stats[c] = [mn, mx]
                 part_stats[part] = stats
+        bloom_cols = [c for c in self.bloom_cols if c in df.columns]
+        if bloom_cols:
+            import base64
+
+            from reflex_spark.operators.dedup import _md5_mod
+
+            sdf = self.spark.read.parquet(tmp).withColumn(
+                "__f", F.input_file_name()
+            )
+            js = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+            for c in bloom_cols:
+                bits = (
+                    sdf.where(F.col(c).isNotNull())
+                    .select("__f", F.explode(js).alias("__j"), F.col(c))
+                    .select(
+                        "__f",
+                        _md5_mod(F.col(c), F.col("__j"), _BLOOM_M).alias("__bit"),
+                    )
+                    .distinct()
+                    .collect()
+                )
+                packed: dict[str, bytearray] = {}
+                for r in bits:
+                    part = os.path.basename(r["__f"].replace("file://", ""))
+                    bm = packed.setdefault(part, bytearray(_BLOOM_M // 8))
+                    b = r["__bit"]
+                    bm[b >> 3] |= 1 << (b & 7)
+                for part, bm in packed.items():
+                    part_stats.setdefault(part, {})[f"bloom${c}"] = (
+                        base64.b64encode(bytes(bm)).decode("ascii")
+                    )
         names = []
         file_stats: dict[str, dict] = {}
         for part in sorted(os.listdir(tmp)):
