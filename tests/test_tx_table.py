@@ -660,3 +660,69 @@ def test_hilbert_stage_matches_reference_xy2d(spark):
             r["a"],
             r["b"],
         )
+
+
+def test_bloom_point_skipping(spark, tmp_path):
+    """Per-file Bloom metadata: hash-clustered files (min/max useless)
+    prune point lookups; absent keys prune everything; NULL probes are
+    ignored; answers equal read()+filter regardless of pruning."""
+    t = TxTable(spark, str(tmp_path / "t"), bloom_cols=["k"])
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t.append(df.repartition(8, "k"))
+    res, total, scanned = t.read_points("k", [3, 1997])
+    assert total == 8 and scanned <= 4
+    assert sorted(r["k"] for r in res.collect()) == [3, 1997]
+    # absent key: no false negatives means pruning everything is safe
+    res2, _, scanned2 = t.read_points("k", [10_000_000])
+    assert scanned2 <= 1 and res2.count() == 0  # <=1 allows a bloom fp
+    # NULL probes are skipped (the _md5_mod NULL contract)
+    res3, _, _ = t.read_points("k", [None, 42])
+    assert [r["k"] for r in res3.collect()] == [42]
+
+
+def test_bloom_and_minmax_compose(spark, tmp_path):
+    """When BOTH stats exist, a file must survive min/max AND bloom to
+    be scanned; files written before bloom_cols existed stay
+    conservative (scanned)."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k"], bloom_cols=["k"])
+    # range-clustered commit: min/max prunes, bloom agrees
+    t.append(
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k"))
+        .repartitionByRange(4, "k")
+    )
+    _, total, scanned = t.read_points("k", [5])
+    assert total == 4 and scanned == 1
+    # a second commit written by a table handle WITHOUT bloom_cols:
+    # its files carry min/max only and must stay conservative for
+    # bloom (but still prune by range)
+    t2 = TxTable(spark, str(tmp_path / "t"), stats_cols=["k"])
+    t2.append(
+        spark.range(1000, 2000)
+        .select(F.col("id").alias("k"))
+        .repartitionByRange(4, "k")
+    )
+    res, total, scanned = t.read_points("k", [5])
+    assert total == 8 and scanned == 1
+    assert [r["k"] for r in res.collect()] == [5]
+
+
+def test_time_travel_to_vacuumed_version_fails_loudly(spark, tmp_path):
+    """Vacuum + log truncation must turn a too-old snapshot read into
+    HistoryTruncatedError, never a silently partial answer."""
+    from reflex_spark.sources.tx_table import HistoryTruncatedError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1).alias("ver")))
+    t.merge_by_key(
+        spark.range(0, 10).select(F.col("id").alias("k"), F.lit(2).alias("ver")),
+        ["k"],
+        "ver",
+    )
+    t._write_checkpoint(t.latest_version())
+    t.truncate_log()
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    with pytest.raises(HistoryTruncatedError):
+        t.read(version=0).collect()
