@@ -417,13 +417,23 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
         )
-        q = (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(merge)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
+        # State-partition sizing (SCALE_NOTES §29): the store count is frozen
+        # from spark.sql.shuffle.partitions at checkpoint CREATION; the
+        # session default (32) commits 32 state stores per micro-batch for
+        # KB of fixture state. Pin 8 like every other stateful entry here;
+        # at 100 TB the same knob sizes UP with window-key cardinality.
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(merge)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         q.awaitTermination(120)
         if q.isActive:
             # Mirror run_stream (commit 6cd5e04): a query still active after
@@ -1492,7 +1502,8 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes (user_id, n_matched, n_unmatched) and fails the hash.
     Runs under the pinned state-store provider; join state is two
     per-key stores exactly as SCALE_NOTES §20 argues. State partitions
-    pinned to 32 like every streaming entry (KB of fixture state)."""
+    pinned to 8 like every stateful entry (SCALE_NOTES §29: store-commit
+    cost scales with store count; KB of fixture state)."""
     import shutil
 
     from reflex_spark.sources.event_log import EventLog
@@ -1812,8 +1823,8 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     COALESCE(cu, pu): an early, dropped, or doubled null row on either
     side changes its user's (n_matched, n_click_unmatched,
     n_purchase_unmatched) and fails the hash. Runs under the pinned
-    state-store provider; state partitions pinned to 32 like every
-    streaming entry (KB of fixture state)."""
+    state-store provider; state partitions pinned to 8 like every
+    stateful entry (SCALE_NOTES §29; KB of fixture state)."""
     import shutil
 
     from reflex_spark.sources.event_log import EventLog

@@ -112,14 +112,40 @@ class ReflexBlobWriter(DataSourceWriter):
     """The WRITE half of the bucket format (reference buckets are
     written by producers the same way consumers read them, rblob/doc.go):
     each Spark partition serializes its rows as one JSON-lines blob
-    under ``data/part-<pid>.jsonl`` — deterministic keys, so a task
-    RETRY overwrites its own blob (idempotent) instead of duplicating
-    it, and the bucket's lexicographic-order contract holds by
-    construction.  Doubles ride Python's shortest-round-trip repr, so a
-    read-back is bit-exact.  ``mode("overwrite")`` clears the bucket at
-    planning time (driver side, before any task runs); ``commit`` stamps
-    ``_SUCCESS`` with the blob manifest, and ``abort`` removes this
-    attempt's blobs."""
+    under ``data/w-<seq>-part-<pid>.jsonl``.
+
+    Crash/retry discipline (each clause is pinned by a test):
+
+    - **per-attempt temp + atomic rename**: ``write()`` streams rows to
+      a dot-prefixed temp named after the task ATTEMPT, then one
+      ``os.replace`` publishes the blob. A task that dies mid-write
+      leaves only the invisible temp (readers skip ``_``/``.`` names);
+      a zombie or speculative attempt for the same partition can never
+      interleave lines with the winner — each attempt owns its temp and
+      the last whole-file rename wins.
+    - **append mode is namespaced**: ``<seq>`` is this write's
+      monotonic sequence number, chosen driver-side in the constructor
+      from the existing bucket contents, so a second ``save()`` can
+      never clobber an earlier write's blobs AND new blobs sort
+      lexicographically AFTER every existing blob — the bucket's
+      cursor-resume contract (consume strictly ascending keys,
+      rblob/doc.go) keeps holding across producer runs. ``commit``
+      merges the prior bucket contents into the ``_SUCCESS`` manifest
+      instead of rewriting it to only the new write.
+    - **atomic commit**: ``_SUCCESS`` is published via temp +
+      ``os.replace`` (+fsync) — the manifest_log.py discipline — so a
+      crash mid-commit leaves either the previous manifest or the new
+      one, never a torn file.
+    - ``mode("overwrite")`` clears the bucket at PLANNING time (driver
+      side, before any task runs) — the local-FS analogue of
+      planning-time truncation. On a real object store this would be a
+      delete-marker / new-manifest-generation design instead of an
+      in-place rmtree; concurrent writers would additionally need a
+      conditional-put on ``_SUCCESS`` (documented, out of scope for the
+      local bucket).
+
+    Doubles ride Python's shortest-round-trip repr, so a read-back is
+    bit-exact."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
         self.root = options.get("path")
@@ -131,36 +157,93 @@ class ReflexBlobWriter(DataSourceWriter):
         if overwrite and os.path.isdir(self.root):
             shutil.rmtree(self.root)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        # Driver-side: runs once per write job, before any task. After an
+        # overwrite's rmtree this is empty, so the manifest union below is
+        # unconditional. (At object-store scale the prior list would come
+        # from the previous _SUCCESS manifest, not a directory listing.)
+        self.prior = self._existing_blobs()
+        self.seq = self._next_seq(self.prior)
+
+    def _existing_blobs(self) -> list[str]:
+        data = os.path.join(self.root, "data")
+        if not os.path.isdir(data):
+            return []
+        return sorted(
+            os.path.join("data", fn)
+            for fn in os.listdir(data)
+            if not fn.startswith(("_", "."))
+        )
+
+    @staticmethod
+    def _next_seq(keys: list[str]) -> int:
+        """Smallest sequence number that sorts after every existing blob.
+
+        ``w-<seq>`` prefixes parse directly; legacy unprefixed names
+        (``part-*.jsonl``) count as write 0 — and since ``'p' < 'w'``
+        they sort before any ``w-`` blob, preserving append order."""
+        seq = 0
+        for k in keys:
+            fn = os.path.basename(k)
+            if fn.startswith("w-"):
+                try:
+                    seq = max(seq, int(fn.split("-")[1]) + 1)
+                except (IndexError, ValueError):
+                    seq = max(seq, 1)
+            else:
+                seq = max(seq, 1)
+        return seq
 
     def write(self, iterator) -> _BlobWriteCommit:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        key = os.path.join("data", f"part-{pid:05d}.jsonl")
-        full = os.path.join(self.root, key)
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        stem = f"w-{self.seq:06d}-part-{pid:05d}"
+        key = os.path.join("data", f"{stem}.jsonl")
+        tmp = os.path.join(
+            self.root, "data", f".{stem}.attempt-{tc.taskAttemptId()}.tmp"
+        )
         n = 0
-        with open(full, "w", encoding="utf-8") as f:
+        with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
                 rec = {name: row[name] for name in self.fields}
                 f.write(json.dumps(rec) + "\n")
                 n += 1
         if n == 0:
-            os.remove(full)  # empty partitions leave no blob
+            os.remove(tmp)  # empty partitions leave no blob
             return _BlobWriteCommit("", 0)
+        os.replace(tmp, os.path.join(self.root, key))
         return _BlobWriteCommit(key, n)
 
     def commit(self, messages) -> None:
-        manifest = sorted(m.key for m in messages if m and m.key)
-        with open(os.path.join(self.root, "_SUCCESS"), "w", encoding="utf-8") as f:
+        new = [m.key for m in messages if m and m.key]
+        manifest = sorted(set(self.prior) | set(new))
+        tmp = os.path.join(self.root, "._SUCCESS.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"blobs": manifest}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.root, "_SUCCESS"))
 
     def abort(self, messages) -> None:
+        # Remove blobs published by completed attempts, then sweep this
+        # write's leftover attempt temps (they were never visible to
+        # readers, but don't leak disk).
         for m in messages:
             if m and m.key:
                 try:
                     os.remove(os.path.join(self.root, m.key))
                 except OSError:
                     pass
+        import glob as _glob
+
+        for tmp in _glob.glob(
+            os.path.join(self.root, "data", f".w-{self.seq:06d}-part-*.tmp")
+        ):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 class ReflexBlobReader(DataSourceReader):

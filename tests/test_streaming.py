@@ -882,3 +882,130 @@ def test_blob_datasource_arrow_batch_roundtrip(spark, tmp_path):
 
     ts_schema = _St([StructField("k", _Lt()), StructField("t", TimestampType())])
     assert ReflexBlobReader({"path": str(root)}, ts_schema).arrow_schema is None
+
+
+def test_blob_writer_append_merges_manifest_and_orders_keys(spark, tmp_path):
+    """Append-mode writes are namespaced per write (w-<seq>- prefix): a
+    second save() can neither clobber the first write's blobs nor shrink
+    the _SUCCESS manifest, and the new keys sort lexicographically AFTER
+    every existing key — the cursor-resume contract across producer runs
+    (rblob/doc.go: consumers scan strictly ascending keys)."""
+    import json as _json
+    import os as _os
+
+    from reflex_spark.sources.blob_datasource import register
+
+    register(spark)
+    bucket = str(tmp_path / "bucket")
+    df1 = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    df2 = spark.range(10, 25).selectExpr("id AS k", "CAST(-id AS DOUBLE) AS v")
+    df1.repartition(3).write.format("reflex_blob").option("path", bucket).mode(
+        "overwrite"
+    ).save()
+    with open(f"{bucket}/_SUCCESS", encoding="utf-8") as f:
+        first_manifest = _json.load(f)["blobs"]
+    df2.repartition(2).write.format("reflex_blob").option("path", bucket).mode(
+        "append"
+    ).save()
+
+    with open(f"{bucket}/_SUCCESS", encoding="utf-8") as f:
+        manifest = _json.load(f)["blobs"]
+    on_disk = sorted(
+        _os.path.join("data", fn)
+        for fn in _os.listdir(f"{bucket}/data")
+        if not fn.startswith(("_", "."))
+    )
+    # manifest is the union: first write's blobs survive and stay listed
+    assert set(first_manifest) < set(manifest)
+    assert manifest == on_disk
+    # every appended key sorts after every pre-existing key
+    new_keys = sorted(set(manifest) - set(first_manifest))
+    assert new_keys and max(first_manifest) < min(new_keys)
+
+    back = (
+        spark.read.format("reflex_blob")
+        .option("path", bucket)
+        .option("schema", "k long, v double")
+        .load()
+    )
+    rows = {r["k"]: r["v"] for r in back.collect()}
+    assert len(rows) == 25
+    assert rows[3] == 3.0 and rows[20] == -20.0
+
+
+def test_blob_writer_abort_leaves_no_torn_state(spark, tmp_path):
+    """Chaos: a task that dies MID-WRITE must leave nothing a reader can
+    half-trust — no torn blob (attempts stream to a dot-prefixed temp,
+    published only by the final atomic rename), no orphan blob from
+    sibling tasks that completed (abort removes them), and _SUCCESS
+    still describing exactly the previous successful write."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+    from pyspark.sql.types import LongType
+
+    from reflex_spark.sources.blob_datasource import register
+
+    register(spark)
+    bucket = str(tmp_path / "bucket")
+    spark.range(0, 5).selectExpr("id AS k").repartition(1).write.format(
+        "reflex_blob"
+    ).option("path", bucket).mode("overwrite").save()
+    with open(f"{bucket}/_SUCCESS", encoding="utf-8") as f:
+        before = _json.load(f)["blobs"]
+
+    @_F.udf(LongType())
+    def boom(k):
+        if k == 95:  # fails partway through one partition's iterator
+            raise RuntimeError("chaos: die mid-write")
+        return k
+
+    bad = spark.range(0, 100).selectExpr("id AS k").select(boom("k").alias("k"))
+    with _pytest.raises(Exception):
+        bad.repartition(2).write.format("reflex_blob").option("path", bucket).mode(
+            "append"
+        ).save()
+
+    # no torn or orphan blob is visible to a directory-listing reader
+    visible = sorted(
+        _os.path.join("data", fn)
+        for fn in _os.listdir(f"{bucket}/data")
+        if not fn.startswith(("_", "."))
+    )
+    assert visible == before
+    with open(f"{bucket}/_SUCCESS", encoding="utf-8") as f:
+        assert _json.load(f)["blobs"] == before
+    back = (
+        spark.read.format("reflex_blob")
+        .option("path", bucket)
+        .option("schema", "k long")
+        .load()
+    )
+    assert sorted(r["k"] for r in back.collect()) == [0, 1, 2, 3, 4]
+
+    # and a clean retry of the same append lands normally (fresh load():
+    # the Python DataSource plans its blob list at load time)
+    spark.range(100, 103).selectExpr("id AS k").repartition(1).write.format(
+        "reflex_blob"
+    ).option("path", bucket).mode("append").save()
+    back2 = (
+        spark.read.format("reflex_blob")
+        .option("path", bucket)
+        .option("schema", "k long")
+        .load()
+    )
+    assert back2.count() == 8
+
+
+def test_blob_writer_next_seq_parses_legacy_and_new_keys():
+    from reflex_spark.sources.blob_datasource import ReflexBlobWriter
+
+    nxt = ReflexBlobWriter._next_seq
+    assert nxt([]) == 0
+    # legacy unprefixed blobs count as write 0 ('p' < 'w' keeps ordering)
+    assert nxt(["data/part-00000.jsonl"]) == 1
+    assert nxt(["data/w-000000-part-00000.jsonl"]) == 1
+    assert nxt(["data/part-00000.jsonl", "data/w-000004-part-00001.jsonl"]) == 5
+    assert nxt(["data/w-garbage.jsonl"]) == 1
