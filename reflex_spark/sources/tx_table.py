@@ -56,6 +56,33 @@ from reflex_spark.operators.upsert import latest_by_key
 
 _BLOOM_M = 65536  # bits per per-file Bloom (8 KiB packed)
 _BLOOM_K = 4      # md5-derived hash functions (operators/dedup._md5_mod)
+# Past this many distinct keys per file the 65536-bit/k=4 Bloom's false
+# positive rate exceeds ~70% ((1-exp(-kn/m))^k at n=40k) — pruning is
+# effectively dead. Writes record the per-file distinct count next to the
+# bitmap so read_points can WARN instead of silently degrading.
+_BLOOM_SATURATION_N = 40_000
+
+
+def _bloom_probe_str(value) -> str:
+    """Render a probe value exactly as the stored Bloom hashed it.
+
+    The write side hashes Spark's ``CAST(col AS STRING)`` rendering
+    (_md5_mod); a Python ``str(value)`` diverges for bool ('True' vs
+    'true'), floats ('1e-07' vs '1.0E-7') and timestamps — which would
+    produce Bloom FALSE NEGATIVES, i.e. silently dropped matching rows.
+    Integers and strings render identically in both engines; bool is
+    mapped explicitly; anything else raises rather than risk a wrong
+    answer."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, str)):
+        return str(value)
+    raise TypeError(
+        f"read_points probe of type {type(value).__name__} is not supported: "
+        "the per-file Bloom hashes Spark's CAST(col AS STRING) rendering, "
+        "which diverges from Python's for float/timestamp values. Restrict "
+        "bloom_cols probes to integer/string/boolean."
+    )
 
 
 class ConcurrentCommitError(Exception):
@@ -350,13 +377,15 @@ class TxTable:
 
         def bloom_bits_of(value) -> list[int]:
             out = []
+            rendered = _bloom_probe_str(value)
             for j in range(_BLOOM_K):
-                h = hashlib.md5(f"{j}|{value}".encode()).hexdigest()[:15]
+                h = hashlib.md5(f"{j}|{rendered}".encode()).hexdigest()[:15]
                 out.append(int(h, 16) % _BLOOM_M)
             return out
 
         probe_bits = [bloom_bits_of(x) for x in values if x is not None]
         kept = []
+        saturated: list[tuple[str, int]] = []
         for f in files:
             st = stats.get(f, {})
             b64 = st.get(f"bloom${col}")
@@ -366,6 +395,9 @@ class TxTable:
                 if not any(rng[0] <= x <= rng[1] for x in values if x is not None):
                     keep = False
             if keep and b64:
+                nkeys = st.get(f"bloomn${col}")
+                if nkeys is not None and nkeys > _BLOOM_SATURATION_N:
+                    saturated.append((f, nkeys))
                 bm = base64.b64decode(b64)
                 keep = any(
                     all(bm[b >> 3] & (1 << (b & 7)) for b in bits)
@@ -373,6 +405,18 @@ class TxTable:
                 )
             if keep:
                 kept.append(f)
+        if saturated:
+            import warnings
+
+            worst = max(n for _, n in saturated)
+            warnings.warn(
+                f"TxTable Bloom on '{col}' is saturated in "
+                f"{len(saturated)}/{len(files)} files (up to {worst} distinct "
+                f"keys/file > {_BLOOM_SATURATION_N}): false-positive rate is "
+                "near 1 and point-lookup pruning is ineffective. Write "
+                "smaller files (raise write partitions) or widen _BLOOM_M.",
+                stacklevel=2,
+            )
         if not kept:
             if schema is None:
                 raise ValueError("TxTable is empty and has no schema yet")
@@ -444,6 +488,18 @@ class TxTable:
                     part_stats.setdefault(part, {})[f"bloom${c}"] = (
                         base64.b64encode(bytes(bm)).decode("ascii")
                     )
+                # Saturation telemetry: per-file distinct-key count stored
+                # next to the bitmap (one map-side-combinable agg over the
+                # same scan) so read_points can WARN when the fp rate is
+                # provably dead instead of silently scanning everything.
+                for r in (
+                    sdf.where(F.col(c).isNotNull())
+                    .groupBy("__f")
+                    .agg(F.countDistinct(F.col(c)).alias("__n"))
+                    .collect()
+                ):
+                    part = os.path.basename(r["__f"].replace("file://", ""))
+                    part_stats.setdefault(part, {})[f"bloomn${c}"] = int(r["__n"])
         names = []
         file_stats: dict[str, dict] = {}
         for part in sorted(os.listdir(tmp)):

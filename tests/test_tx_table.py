@@ -726,3 +726,52 @@ def test_time_travel_to_vacuumed_version_fails_loudly(spark, tmp_path):
     t.vacuum(keep_versions=1, retention_seconds=0)
     with pytest.raises(HistoryTruncatedError):
         t.read(version=0).collect()
+
+
+def test_bloom_probe_rendering_matches_spark_cast(spark, tmp_path):
+    """The probe side must hash Spark's CAST(col AS STRING) rendering.
+    Python str() diverges for bool ('True' vs 'true') — before the
+    _bloom_probe_str fix a boolean probe was a guaranteed Bloom false
+    negative, i.e. matching rows silently dropped. Unsupported probe
+    types (float/timestamp, whose renderings also diverge) raise
+    instead of risking a wrong answer."""
+    import pytest as _pytest
+
+    t = TxTable(spark, str(tmp_path / "t"), bloom_cols=["flag"])
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("flag")
+    )
+    t.append(df.repartition(2))
+    res, total, scanned = t.read_points("flag", [True])
+    # no false negatives: every even k comes back
+    assert res.count() == 50
+    assert scanned == total == 2  # both files contain both values
+    with _pytest.raises(TypeError, match="CAST"):
+        t.read_points("flag", [1.5])
+
+
+def test_bloom_saturation_warns(spark, tmp_path):
+    """Past ~40k distinct keys/file the 8 KiB Bloom's fp rate is near 1;
+    writes record the per-file distinct count (bloomn$) and read_points
+    surfaces the documented failure mode as a warning — while the
+    answer stays exact (residual IN-filter)."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    t = TxTable(spark, str(tmp_path / "t"), bloom_cols=["k"])
+    t.append(
+        spark.range(0, 45_000).select(F.col("id").alias("k")).coalesce(1)
+    )
+    with _pytest.warns(UserWarning, match="saturated"):
+        res, total, scanned = t.read_points("k", [7])
+    assert total == scanned == 1
+    assert [r["k"] for r in res.collect()] == [7]
+
+    # an UNsaturated table warns nothing
+    t2 = TxTable(spark, str(tmp_path / "t2"), bloom_cols=["k"])
+    t2.append(spark.range(0, 1000).select(F.col("id").alias("k")).coalesce(1))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        res2, _, _ = t2.read_points("k", [7])
+        assert [r["k"] for r in res2.collect()] == [7]
