@@ -180,6 +180,7 @@ class EventLog:
         base = self.head()
         n = events.count()
         self._guard_append_size(n)
+        pre_files = self._data_files()
         w = F.row_number().over(Window.orderBy(*(order_by or ["timestamp", "foreign_id"])))
         out = (
             events.withColumn("event_id", (F.lit(base) + w).cast("long"))
@@ -191,7 +192,7 @@ class EventLog:
             ).partitionBy("event_date").parquet(self.path)
         else:
             out.write.mode("append").parquet(self.path)
-        self._stamp_commit_order(base + n)
+        self._stamp_commit_order(base + n, already=pre_files)
         if self.notifier is not None:
             self.notifier.notify()
         return base + n
@@ -202,7 +203,18 @@ class EventLog:
     # offsets never trips maxFileAge).
     _MTIME_BASE = 1_000_000_000
 
-    def _stamp_commit_order(self, seq: int) -> None:
+    def _data_files(self) -> set[str]:
+        """The log's current data-file paths (part-* only)."""
+        import os
+
+        out: set[str] = set()
+        for root, _dirs, files in os.walk(self.path):
+            for f in files:
+                if f.startswith("part-"):
+                    out.add(os.path.join(root, f))
+        return out
+
+    def _stamp_commit_order(self, seq: int, already: set[str]) -> None:
         """Stamp this commit's data files with logical mtime BASE+``seq``.
 
         Structured Streaming's file source processes files oldest-mtime
@@ -210,28 +222,27 @@ class EventLog:
         dense-id order append() just assigned — rather than in whatever
         order the filesystem clock happened to record.  ``seq`` is the new
         head id, strictly monotonic per log, so later commits always stamp
-        later mtimes; files from earlier commits already carry a BASE-range
-        mtime and are left alone.  This replaces the defensive
-        ``sleep(0.1)`` every streaming caller used to need between appends
-        (~2s of pure wall-clock per bench pass; SCALE_NOTES §28) and makes
-        the ordering robust on coarse-mtime filesystems.
+        later mtimes.  ``already`` is the exact file set captured BEFORE
+        this commit's write: only files outside it are stamped — explicit
+        tracking, same as streaming_judged._stamp_batch_order, rather than
+        an mtime-threshold heuristic (which would re-stamp EARLIER commits
+        once seq crossed the threshold and break commit ordering; large
+        seq gaps could also trip FileStreamSource's maxFileAge relative to
+        the newest stamp).  This replaces the defensive ``sleep(0.1)``
+        every streaming caller used to need between appends (~2s of pure
+        wall-clock per bench pass; SCALE_NOTES §28) and makes the ordering
+        robust on coarse-mtime filesystems.
         """
         import os
 
-        cutoff = self._MTIME_BASE + 100_000_000  # real clocks are ~1.7e9
         t = float(self._MTIME_BASE + seq)
-        for root, _dirs, files in os.walk(self.path):
-            for f in files:
-                if not f.startswith("part-"):
-                    continue  # _SUCCESS / metadata: hidden to the source
-                p = os.path.join(root, f)
-                try:
-                    if os.path.getmtime(p) > cutoff:
-                        os.utime(p, (t, t))
-                except OSError:
-                    # a concurrent reader/cleaner removed the file between
-                    # listing and stat; ordering of remaining files holds
-                    continue
+        for p in self._data_files() - already:
+            try:
+                os.utime(p, (t, t))
+            except OSError:
+                # a concurrent reader/cleaner removed the file between
+                # listing and stat; ordering of remaining files holds
+                continue
 
     def insert(
         self,

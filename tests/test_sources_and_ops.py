@@ -828,3 +828,56 @@ def test_audio_features_exact_dsp(spark):
         total_ss = 62 * 1000**2 + 32767**2 + 32768**2
         assert r["rms"] == float(np.sqrt(total_ss / 128))
         assert r["max_frame_rms"] == float(np.sqrt(total_ss / 64.0))
+
+
+def test_stamp_commit_order_never_restamps_earlier_commits(spark, tmp_path):
+    """Commit-order stamping tracks this commit's NEW files explicitly
+    (pre-write listing), so a later append can never re-stamp an earlier
+    commit's files — even when their mtimes sit past any threshold (the
+    old BASE+100M heuristic broke exactly there: once head seq crossed
+    100M, every stamped file looked 'unstamped' again and commit
+    ordering collapsed)."""
+    import os
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.sources.memory import make_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append(make_events(spark, [(1, f"a{i}") for i in range(5)]))
+    first = {p: os.path.getmtime(p) for p in log._data_files()}
+    assert first  # sanity
+
+    # adversarial: push the first commit's mtimes way past the old
+    # cutoff, as a log whose head seq exceeded 100M would legitimately be
+    big = float(EventLog._MTIME_BASE + 150_000_000)
+    for p in first:
+        os.utime(p, (big, big))
+
+    log.append(make_events(spark, [(1, f"b{i}") for i in range(5)]))
+    after = {p: os.path.getmtime(p) for p in log._data_files()}
+    for p in first:
+        assert after[p] == big, "earlier commit re-stamped"
+    new = set(after) - set(first)
+    assert new and all(
+        after[p] == float(EventLog._MTIME_BASE + 10) for p in new
+    ), "new files carry this commit's logical mtime"
+
+
+def test_stamp_commit_order_is_monotonic_across_appends(spark, tmp_path):
+    """Three appends → three strictly increasing logical mtime groups
+    (BASE + head), so the file stream source replays them in commit
+    order regardless of filesystem clock granularity."""
+    import os
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.sources.memory import make_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    groups = []
+    seen: set[str] = set()
+    for n in (3, 4, 5):
+        log.append(make_events(spark, [(1, f"x{n}_{i}") for i in range(n)]))
+        fresh = log._data_files() - seen
+        seen |= fresh
+        groups.append({os.path.getmtime(p) for p in fresh})
+    assert max(groups[0]) < min(groups[1]) <= max(groups[1]) < min(groups[2])
