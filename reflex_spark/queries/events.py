@@ -1960,20 +1960,10 @@ def events_user_mean_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame
 
     The mean itself is deliberately oracle-trivial: what is judged is
     the Arrow round-trip and the exactness discipline, not the math."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # explicit eval type: module-wide `from __future__ import annotations`
-    # stringifies hints, which defeats pandas_udf's type-hint inference
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def micro_mean(v):
-        micros = (v * 1e6).round().astype("int64")
-        return float(micros.sum()) / len(micros) / 1e6
-
-    # GROUPED_AGG UDFs cannot mix with built-in aggregates in one agg
-    # (INVALID_PANDAS_UDF_PLACEMENT) — the count is a second UDAF
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def group_size(v):
-        return len(v)
+    # UDAFs live in _pandas_udafs (no `from __future__ import annotations`
+    # there), where pd.Series -> scalar hints select GROUPED_AGG the
+    # supported way instead of the deprecated PandasUDFType enum.
+    from reflex_spark.queries._pandas_udafs import group_size, micro_mean
 
     ev = load_tables(spark, sf_dir)["events"]
     return ev.groupBy("user_id").agg(
