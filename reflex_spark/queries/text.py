@@ -3048,9 +3048,24 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not unigrams) because the fixture's shared vocabulary makes
     unigram vectors non-discriminative (round-7 note).
 
-    Scale: the self-join volume is Σ df(s)² over posting lists — the
-    quantity prefix-filtering would prune further at higher thresholds;
-    at this fixture it is ~12k pairs. Output: pairs with cosine >= 0.5."""
+    Scale: candidate volume is Σ df(s)² over PREFIX posting lists, not
+    full ones — Bayardo prefix filtering implemented, not just cited:
+    docs sort their terms in one global order (ascending df, so low-idf
+    frequent terms land in the tail), each doc's suffix carries the
+    bound ub(i) = Σ_{j>=i} ŵ_d(j)·maxŵ(t_j) over NORMALIZED weights,
+    and a term is indexed only while ub >= the bound threshold.  For a
+    pair with cos >= t, its earliest shared term in the global order
+    must sit in BOTH prefixes (if it sat in either doc's suffix, every
+    shared term would — same order — and cos <= ub < t), so
+    prefix-only candidate generation is COMPLETE.  The bound threshold
+    is 0.499 — slack under the effective post-round cut 0.4999995 — so
+    float jitter in the bound can never prune a true pair and the
+    oracle stays bit-identical; the exact decimal-summed dot product
+    then runs only over candidate pairs.  An in-query pin (the
+    zorder/bloom pattern) asserts Σ dfp² < Σ df²: the pruning must
+    actually shrink the shuffle, not just exist."""
+    from pyspark.sql import Window
+
     docs = load_tables(spark, sf_dir)["documents"]
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
     sh = words.select(
@@ -3082,11 +3097,56 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast("double")
         ).alias("nr")
     )
+    # ---- prefix filtering (candidate generation) ----------------------
+    # Normalized weights drive the BOUND only; the judged dot product
+    # below stays on raw weights + norms, the oracle's exact recipe.
+    t_bound = 0.499  # slack under 0.4999995: fp jitter cannot lose a pair
+    wn = wt.join(nrm, "doc_id").select(
+        "doc_id", "s", (F.col("w") / F.col("nr")).alias("wn")
+    )
+    maxw = wn.groupBy("s").agg(F.max("wn").alias("mw"))
+    sfx = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("df").asc(), F.col("s").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prefix = (
+        wn.join(maxw, "s")
+        .join(df, "s")
+        .withColumn("ub", F.sum(F.col("wn") * F.col("mw")).over(sfx))
+        .where(F.col("ub") >= F.lit(t_bound))
+        .select("doc_id", "s")
+    )
+    # In-query pruning pin: the candidate shuffle volume Σ dfp² over
+    # prefix posting lists must be strictly below the unpruned Σ df².
+    # Two 1-row control-plane scalars (same pattern as zorder/bloom).
+    full_vol = df.agg(
+        F.sum(F.col("df") * F.col("df")).cast("long").alias("v")
+    ).collect()[0]["v"]
+    pruned_vol = (
+        prefix.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dfp"))
+        .agg(F.sum(F.col("dfp") * F.col("dfp")).cast("long").alias("v"))
+        .collect()[0]["v"]
+    ) or 0
+    if pruned_vol >= full_vol:
+        raise AssertionError(
+            f"prefix filtering did not prune: sum(dfp^2)={pruned_vol} >= "
+            f"sum(df^2)={full_vol}"
+        )
+    cand = (
+        prefix.select(F.col("doc_id").alias("id_a"), "s")
+        .join(prefix.select(F.col("doc_id").alias("id_b"), "s"), "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # ---- exact verify on candidates only -------------------------------
     a = wt.select(F.col("doc_id").alias("id_a"), "s", F.col("w").alias("wa"))
     b = wt.select(F.col("doc_id").alias("id_b"), "s", F.col("w").alias("wb"))
     num = (
-        a.join(b, "s")
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "s"])
         .groupBy("id_a", "id_b")
         .agg(
             F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,18)"))
