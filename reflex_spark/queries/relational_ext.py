@@ -1801,3 +1801,87 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("term").cast("decimal(38,18)")).cast("double"), 6
         ).alias("mi_nats")
     ).select(F.col("n").cast("long").alias("n_pairs"), "mi_nats")
+
+
+@query(
+    "prefix_scan_running_revenue",
+    # The two-phase bucketed prefix scan judged end-to-end: running
+    # daily revenue over the full order history, computed WITHOUT a
+    # single-partition window (operators/scan.bucketed_prefix_sum, 16
+    # range buckets + broadcast offsets), asserted in-query bit-equal
+    # to the single-partition form, and hash-matched against the
+    # oracle's ordinary cumulative window. Day sums and the running
+    # sum are decimal-exact in both engines; the double cast happens
+    # once at the end on identical values.
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY o_orderdate)
+    SELECT day,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_revenue
+    FROM d
+    """,
+)
+def prefix_scan_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running daily revenue via the two-phase bucketed prefix scan —
+    the operator the statistics family's docstrings promise (CUSUM,
+    running-distinct): phase 1 computes per-range-bucket partial
+    prefixes in parallel, phase 2 broadcast-joins exclusive bucket
+    offsets back, so NO single-partition window touches the series.
+    The judged pin is threefold: (1) the driver hash against the
+    oracle's plain cumulative window; (2) an in-query bit-equality
+    assertion against Spark's own single-partition form (the operator
+    must be a pure parallelization, not an approximation); (3) decimal
+    sums end-to-end, so bucket boundaries and task order provably
+    cannot move a cent.
+
+    Scale: ~2.4k day rows here, but the operator's shape is
+    volume-independent — per-bucket windows parallelize over
+    num_buckets tasks and the offset frame stays control-plane sized;
+    at 100 TB raise num_buckets to the task budget (the
+    single-partition window is the degenerate num_buckets=1)."""
+    from reflex_spark.operators.scan import bucketed_prefix_sum
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+        .withColumn("bk", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    )
+    scanned = bucketed_prefix_sum(
+        daily,
+        order_by=["day"],
+        bucket_key="bk",
+        value=F.col("rev"),
+        out_col="run_rev",
+        num_buckets=16,
+    )
+    # in-query pin: bit-equal to the single-partition window
+    ref = daily.select(
+        "day",
+        F.sum("rev")
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("ref_run"),
+    )
+    bad = (
+        scanned.join(ref, "day")
+        .where(F.col("run_rev").cast("decimal(38,6)") != F.col("ref_run").cast("decimal(38,6)"))
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            f"bucketed prefix scan diverged from single-partition window on {bad} days"
+        )
+    return scanned.select(
+        "day",
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.col("run_rev").cast("double").alias("running_revenue"),
+    )

@@ -618,3 +618,77 @@ def test_bpe_exhausted_merges_stops_early(spark):
     assert {r["word"]: r["n_tokens"] for r in vocab0.collect()} == {
         "a": 1, "b": 1, "c": 1,
     }
+
+
+def test_bucketed_prefix_sum_matches_single_partition(spark):
+    """The two-phase bucketed scan is bit-equal to the single-partition
+    window for exact (decimal/long) sums, for any bucket count, with and
+    without group partitioning."""
+    from pyspark.sql import Window
+
+    from reflex_spark.operators.scan import bucketed_prefix_sum
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    val = F.col("value").cast("decimal(18,6)")
+
+    ref_w = Window.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = ev.select(
+        "event_id", F.sum(val).over(ref_w).alias("run")
+    )
+    for nb in (1, 7, 32):
+        got = bucketed_prefix_sum(
+            ev,
+            order_by=["ts", "event_id"],
+            bucket_key="event_id",
+            value=val,
+            out_col="run",
+            num_buckets=nb,
+        ).select("event_id", "run")
+        assert got.join(ref, "event_id").where(
+            got["run"] != ref["run"]
+        ).count() == 0, f"mismatch at num_buckets={nb}"
+        assert got.count() == ref.count()
+
+    # grouped form: per-event-type running counts
+    ref_g = ev.select(
+        "event_id",
+        F.sum(F.lit(1))
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("run"),
+    )
+    got_g = bucketed_prefix_sum(
+        ev,
+        order_by=["ts", "event_id"],
+        bucket_key="event_id",
+        value=F.lit(1),
+        out_col="run",
+        num_buckets=8,
+        partition_by=["event_type"],
+    ).select("event_id", "run")
+    assert got_g.join(ref_g, "event_id").where(
+        got_g["run"] != ref_g["run"]
+    ).count() == 0
+
+
+def test_bucketed_prefix_sum_empty_and_constant_key(spark):
+    from reflex_spark.operators.scan import bucketed_prefix_sum
+
+    empty = spark.range(0).selectExpr("id AS k", "id AS v")
+    out = bucketed_prefix_sum(
+        empty, ["k"], "k", F.col("v"), "run", num_buckets=4
+    )
+    assert out.count() == 0 and "run" in out.columns
+
+    const = spark.range(5).selectExpr("id AS k", "CAST(1 AS LONG) AS v").withColumn(
+        "c", F.lit(7)
+    )
+    out2 = bucketed_prefix_sum(
+        const, ["k"], "c", F.col("v"), "run", num_buckets=4
+    )
+    assert sorted(r["run"] for r in out2.collect()) == [1, 2, 3, 4, 5]
