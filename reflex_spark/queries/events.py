@@ -168,13 +168,46 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_distinct_users")  # HLL sketches differ per engine: rows-only check
+@query(
+    "events_approx_distinct_users",
+    # Upgraded from rows-only (r12, the events_kll_quantiles pattern):
+    # Spark's HLL++ register values are engine-specific, so the
+    # APPROXIMATION can't be value-judged — but the judged output
+    # doesn't ship it. It ships the exact per-type distinct counts
+    # (ordinary COUNT(DISTINCT) both sides) plus a boolean pinned by an
+    # in-query assertion that approx_count_distinct(rsd=0.01) landed
+    # within a generous 5% of exact for EVERY type — a broken sketch
+    # raises; a green row certifies the built-in's contract held.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hllpp_within_envelope
+    FROM events GROUP BY event_type
+    """,
+)
 def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
-    cardinality; exact values are engine-specific so no value oracle."""
+    cardinality — judged via its CONTRACT: per-type exact distincts are
+    the oracle-checked columns, and the in-query envelope assertion
+    (|approx - exact| <= 5% exact, vs the configured rsd=1%) is what a
+    driver-green row certifies about the sketch itself."""
     ev = load_tables(spark, sf_dir)["events"]
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    both = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    bad = both.where(
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        > 0.05 * F.col("exact_users")
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"approx_count_distinct missed the 5% envelope on {bad} event types"
+        )
+    return both.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.lit(True).alias("hllpp_within_envelope"),
     )
 
 
