@@ -56,10 +56,66 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 115/197 queries would never receive a hard external correctness row.
 # _WINDOW rotates the judged window explicitly: these names are emitted
 # first (in this order), then every other registered name in registration
-# order.  Round 11 window: 50 names never driver-judged in rounds 1-10,
-# every one oracle-checkable, spanning the TPC-H, relational-ext, dedup,
-# similarity, text, pipeline/sampling, and multimodal families.
+# order.  Round 12 window: 50 names never driver-judged in rounds 1-11
+# (verified against every CORRECTNESS_r*.json), every one oracle-checkable.
+# Priority follows VERDICT r11 Next #1: the round-11 additions (AQE skew,
+# tx time-travel/schema-evolution/bloom, watermark-bounded streaming, blob
+# sink, the statistics family, HITS/PCA/LPA, range join, recursive CTE)
+# plus this round's touched/new queries (stream_watermark_rollup re-pin,
+# prefix-filtered text_sparse_cosine_pairs, prefix_scan_running_revenue),
+# then never-judged relational/pipeline/multimodal/ANN names.
 _WINDOW: list[str] = [
+    "aqe_skew_join_rollup",
+    "tx_schema_evolution_rollup",
+    "tx_time_travel_rollup",
+    "tx_bloom_point_lookup",
+    "stream_dedup_within_watermark",
+    "stream_static_enrich_rollup",
+    "stream_dim_pinning_contrast",
+    "blob_sink_roundtrip_rollup",
+    "stream_watermark_rollup",
+    "events_acf_lags",
+    "events_cusum_changepoint",
+    "events_ks_two_sample",
+    "events_xcorr_purchase_click",
+    "ols_price_items_regression",
+    "stats_mutual_information",
+    "window_running_distinct_users",
+    "graph_hits_hubs_authorities",
+    "sim_pca_power_iteration",
+    "graph_label_propagation",
+    "range_join_binned_overlaps",
+    "recursive_cte_supplier_chain",
+    "prefix_scan_running_revenue",
+    "text_sparse_cosine_pairs",
+    "text_substring_span_dedup",
+    "text_naive_bayes_langid",
+    "text_perceptron_quality",
+    "multimodal_audio_resample",
+    "multimodal_audio_dft4_bins",
+    "events_seq_patterns_top",
+    "events_session_window_dynamic",
+    "events_user_mean_grouped_udaf",
+    "events_seasonal_profile",
+    "pipeline_winsorize_robust",
+    "sample_global_shuffle_manifest",
+    "pipeline_dsir_importance",
+    "pipeline_feature_normalize",
+    "orders_years_agg",
+    "nation_order_volume",
+    "zorder_skipping_rollup",
+    "hilbert_skipping_rollup",
+    "dedup_record_linkage",
+    "ivm_join_agg_maintenance",
+    "lateral_top2_orders_per_customer",
+    "dpp_partitioned_events_join",
+    "nullsafe_join_type_counts",
+    "observe_metrics_orders",
+    "source_csv_roundtrip_rollup",
+    "top_terms_per_lang",
+    "sim_ann_ivfpq_topk",
+    "sample_negatives_contrastive",
+] = [
     "q4_late_shipment_priority",
     "q6_revenue_change",
     "q7_nation_volume",
