@@ -115,57 +115,6 @@ _WINDOW: list[str] = [
     "top_terms_per_lang",
     "sim_ann_ivfpq_topk",
     "sample_negatives_contrastive",
-] = [
-    "q4_late_shipment_priority",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "correlated_max_order",
-    "monthly_revenue_trend",
-    "unpivot_flag_measures",
-    "date_functions_orders",
-    "string_functions_part",
-    "array_functions_embeddings",
-    "rollup_grouping_id",
-    "bloom_filter_customer_prune",
-    "bucketed_join_rollup",
-    "snapshot_diff_classify",
-    "window_nth_cume_dist",
-    "dedup_exact_docs",
-    "dedup_events_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_semantic_clusters",
-    "sim_topk_cosine",
-    "sim_pairs_cosine",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_ann_pq_topk",
-    "sim_mips_asymmetric_topk",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_bm25_topk",
-    "text_chunk_sliding",
-    "tfidf_top_terms",
-    "text_gopher_filter",
-    "text_fingerprints",
-    "pipeline_corpus_end2end",
-    "pipeline_mixture_pack_end2end",
-    "sample_weighted_reservoir",
-    "multimodal_binary_stats",
 ]
 
 
