@@ -381,7 +381,10 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     late = F.col("event_id") % 23 == 0
     w = Window.orderBy("ts", "event_id")  # bounded fixture: single-pass ntile
-    ontime = ev.where(~late).withColumn("__b", F.ntile(2).over(w) - 1)
+    # materialize the ntile ONCE: each per-batch filter below would
+    # otherwise replay the global-order window (r12: the three appends
+    # were paying the sort 3x)
+    ontime = ev.where(~late).withColumn("__b", F.ntile(2).over(w) - 1).localCheckpoint()
     parts = [
         ontime.where(F.col("__b") == 0),
         ontime.where(F.col("__b") == 1),

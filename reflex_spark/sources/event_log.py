@@ -138,6 +138,14 @@ class EventLog:
         #: loop parks on it at head instead of sleeping the backoff.
         self.notifier = notifier
         self._gap_listeners: list[Callable[[Gap], None]] = []
+        #: In-instance head cache. Dense-id assignment already assumes a
+        #: single writer per log (the auto-increment analogue); this
+        #: instance's own appends are therefore the only head movements it
+        #: can observe, so re-reading the ENTIRE log before every append
+        #: just to recover max(event_id) is pure waste (it was the single
+        #: largest cost in the 3-append streaming fixtures). First use
+        #: reads storage; each append updates the cache.
+        self._head_cache: int | None = None
 
     def _guard_append_size(self, n: int) -> None:
         if n > self.max_append_rows:
@@ -160,9 +168,16 @@ class EventLog:
         corrupt the dense-id invariant. Emptiness is handled structurally
         in read() (missing/empty directory → empty DataFrame), not by
         catching exceptions.
+
+        Cached per instance after the first read (single-writer contract —
+        see ``_head_cache``); a fresh EventLog handle always re-reads
+        storage.
         """
+        if self._head_cache is not None:
+            return self._head_cache
         row = self.read().agg(F.max("event_id").alias("m")).collect()[0]
-        return row["m"] if row["m"] is not None else 0
+        self._head_cache = row["m"] if row["m"] is not None else 0
+        return self._head_cache
 
     def append(self, events: DataFrame, order_by: list[str] | None = None) -> int:
         """Append events (no event_id column), assigning dense monotonic ids.
@@ -193,6 +208,7 @@ class EventLog:
         else:
             out.write.mode("append").parquet(self.path)
         self._stamp_commit_order(base + n, already=pre_files)
+        self._head_cache = base + n
         if self.notifier is not None:
             self.notifier.notify()
         return base + n
@@ -380,6 +396,9 @@ class EventLog:
             ).partitionBy("event_date").parquet(self.path)
         else:
             df.write.mode("append").parquet(self.path)
+        # gaps sit below head by construction, but stay defensive: a fill
+        # at/above a stale cached head must never corrupt id assignment
+        self._head_cache = None
         if self.notifier is not None:
             self.notifier.notify()
         return len(fill)

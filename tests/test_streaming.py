@@ -646,12 +646,15 @@ def test_head_empty_dir_ok_but_corruption_raises(spark, tmp_path):
     pdir.mkdir()
     assert EventLog(spark, str(pdir), partitioned=True).head() == 0
 
-    # corrupt parquet file: must raise, not return 0
+    # corrupt parquet file: must raise, not return 0. A FRESH handle is
+    # what recovers head from storage (the instance that appended serves
+    # its own cached head — single-writer contract, r12); the propagation
+    # guarantee protects the recovering writer.
     log = seed_log(spark, str(tmp_path / "log"), [(1, "a")])
     assert log.head() == 1
     (tmp_path / "log" / "part-corrupt.parquet").write_bytes(b"not a parquet file")
     with pytest.raises(Exception):
-        log.head()
+        EventLog(spark, str(tmp_path / "log")).head()
 
 
 def test_buffered_cursor_store_coalesces_writes(spark, tmp_path):
