@@ -176,3 +176,51 @@ def weighted_sample_wor(
         .orderBy(F.col("__es_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def group_split(
+    df: DataFrame,
+    group: Column | str,
+    fractions: dict[str, float],
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Add a ``split`` column assigning every row's GROUP to exactly one
+    split — the leakage-free train/val/test split a training pipeline
+    needs: a row-level random split puts one user's (or one document
+    family's) rows on both sides of the train/eval boundary, and the
+    model is then evaluated on groups it memorized.  Assignment is a
+    salted content hash of the group key, so it is group-atomic by
+    construction and reproducible across runs, engines, and cluster
+    sizes; changing ``salt`` re-rolls the split without touching data.
+
+    ``fractions``: ordered split name -> fraction (must sum to <= 1;
+    any remainder falls into the LAST split).  Thresholds are integer
+    bucket counts out of 65536, identical to the SQL twin
+    ``sql_group_split``.
+    """
+    g = F.col(group) if isinstance(group, str) else group
+    b = _bucket(F.concat(F.lit(salt + "|"), g.cast("string")))
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = b < int(cum * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def sql_group_split(expr: str, fractions: dict[str, float], salt: str = "gsplit") -> str:
+    """DuckDB CASE expression byte-identical to ``group_split``."""
+    bucket = (
+        f"CAST(('0x' || substr(md5('{salt}|' || CAST({expr} AS VARCHAR)), 1, 4))"
+        f"::INT AS BIGINT)"
+    )
+    names = list(fractions)
+    cum = 0.0
+    arms = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        arms.append(f"WHEN {bucket} < {int(cum * _BUCKETS)} THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"

@@ -112,9 +112,9 @@ _WINDOW: list[str] = [
     "nullsafe_join_type_counts",
     "observe_metrics_orders",
     "source_csv_roundtrip_rollup",
-    "top_terms_per_lang",
-    "sim_ann_ivfpq_topk",
-    "sample_negatives_contrastive",
+    "blob_sink_append_rollup",
+    "pipeline_group_split_leakage_free",
+    "events_resample_interpolate",
 ]
 
 

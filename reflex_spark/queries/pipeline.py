@@ -778,3 +778,76 @@ def pipeline_feature_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("zscore"),
     )
+
+
+from reflex_spark.operators.sampling import group_split, sql_group_split  # noqa: E402
+from reflex_spark.queries.helpers import sql_dsum  # noqa: E402
+
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "pipeline_group_split_leakage_free",
+    # Group-aware train/val/test split (r12): every USER lands atomically
+    # in one split — the property a row-level random split violates and
+    # the one that actually protects an eval set from memorization. The
+    # assignment is a salted md5 bucket of the group key (reproducible
+    # on any engine/cluster), the oracle replays the identical CASE, and
+    # the in-query pin proves zero leakage: no user appears in two
+    # splits AND per-split distinct users sum exactly to the global
+    # distinct count (a row-level split fails both within one fixture).
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, value,
+             {sql_group_split('user_id', {'train': 0.8, 'val': 0.1, 'test': 0.1})}
+               AS split
+      FROM events)
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM s GROUP BY split
+    """,
+)
+def pipeline_group_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split assignment over events grouped by user
+    (operators/sampling.group_split): 80/10/10 by salted content hash
+    of user_id.  In-query pins: (1) zero users straddle splits — the
+    leakage audit itself, one distinct-count aggregate; (2) the three
+    splits partition the user set exactly (sum of per-split distinct
+    users == global distinct users).  Judged columns are the per-split
+    exact user/event counts and decimal value sums.
+
+    Scale: the hash decision is a pure JVM expression per row (no
+    shuffle to ASSIGN); the leakage audit is one groupBy(user) —
+    map-side-combinable — and would be run once per dataset release, not
+    per batch."""
+    ev = load_tables(spark, sf_dir)["events"]
+    s = group_split(ev, "user_id", _SPLIT_FRACS).select(
+        "user_id", "value", "split"
+    )
+    leak = (
+        s.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    if leak:
+        raise AssertionError(f"group split leaked {leak} users across splits")
+    per = s.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    tot = s.agg(F.countDistinct("user_id").alias("g")).collect()[0]["g"]
+    ssum = per.agg(F.sum("n_users").alias("s")).collect()[0]["s"]
+    if ssum != tot:
+        raise AssertionError(
+            f"splits do not partition users: sum {ssum} != global {tot}"
+        )
+    return per.select(
+        "split",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )

@@ -2916,3 +2916,101 @@ def tx_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "blob_sink_append_rollup",
+    # The bucket producer's APPEND lifecycle judged end-to-end (r12 —
+    # completes blob_sink_roundtrip_rollup's overwrite story): two
+    # separate save() jobs land in one bucket; write 2's keys are
+    # namespaced by a monotonic w-<seq> prefix so they can neither
+    # clobber write 1's blobs nor sort before them (the bucket's
+    # ascending-key cursor contract across producer runs), and commit()
+    # merges the manifest instead of rewriting it. The rollup over the
+    # read-back hash-matching the whole-table oracle proves no row of
+    # either write was lost, duplicated, or torn.
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first_write,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def blob_sink_append_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged APPEND-mode bucket producer: save() twice into one bucket
+    (even event_ids first via overwrite, odd via append) and pin the
+    multi-write contract in-query — (1) the _SUCCESS manifest after
+    write 2 is the UNION: every write-1 key survives and the manifest
+    equals the directory listing; (2) every write-2 key sorts
+    lexicographically AFTER every write-1 key, so a consumer cursor
+    parked at write 1's tail resumes into write 2 without skipping
+    (rblob/doc.go: consumers scan strictly ascending keys); (3) the
+    read-back rollup hash-matches the direct oracle over the fixture.
+
+    Scale: same as the overwrite twin — one blob per partition written
+    executor-side; the manifest merge is driver-side control-plane
+    (listing today, previous-_SUCCESS at object-store scale)."""
+    import json as _json
+    import os as _os
+    import shutil
+
+    from reflex_spark.sources.blob_datasource import register
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="blob_append_")
+    try:
+        register(spark)
+        bucket = f"{base}/bucket"
+        ev.where(F.col("event_id") % 2 == 0).repartition(4).write.format(
+            "reflex_blob"
+        ).option("path", bucket).mode("overwrite").save()
+        with open(f"{bucket}/_SUCCESS", encoding="utf-8") as f:
+            first = _json.load(f)["blobs"]
+        ev.where(F.col("event_id") % 2 == 1).repartition(4).write.format(
+            "reflex_blob"
+        ).option("path", bucket).mode("append").save()
+        with open(f"{bucket}/_SUCCESS", encoding="utf-8") as f:
+            manifest = _json.load(f)["blobs"]
+        on_disk = sorted(
+            _os.path.join("data", fn)
+            for fn in _os.listdir(f"{bucket}/data")
+            if not fn.startswith(("_", "."))
+        )
+        new = sorted(set(manifest) - set(first))
+        if not set(first) < set(manifest) or manifest != on_disk:
+            raise AssertionError(
+                f"append manifest not the union: first={first} "
+                f"manifest={manifest} disk={on_disk}"
+            )
+        if not new or max(first) >= min(new):
+            raise AssertionError(
+                f"append keys do not sort after existing keys: "
+                f"first_max={max(first)} new_min={min(new) if new else None}"
+            )
+        back = (
+            spark.read.format("reflex_blob")
+            .option("path", bucket)
+            .option(
+                "schema",
+                "event_id long, user_id long, event_type string, value double",
+            )
+            .load()
+        )
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_first_write"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
