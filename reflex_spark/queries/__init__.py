@@ -114,7 +114,7 @@ _WINDOW: list[str] = [
     "source_csv_roundtrip_rollup",
     "blob_sink_append_rollup",
     "pipeline_group_split_leakage_free",
-    "events_resample_interpolate",
+    "cogroup_click_purchase_attribution",
 ]
 
 

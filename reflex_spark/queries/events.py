@@ -2336,101 +2336,3 @@ def pipeline_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         "robust_z",
         (F.abs(F.col("robust_z")) > F.lit(3.5)).alias("is_outlier"),
     )
-
-
-@query(
-    "events_resample_interpolate",
-    # Time-series RESAMPLE + linear-interpolation gap fill (r12): the
-    # purchase-revenue hourly series has missing hours at every fixture
-    # SF; each hole is filled by the line through its nearest observed
-    # neighbors. Exactness: observed values are decimal sums cast to
-    # double once; each interpolation is ONE shared IEEE chain
-    # pv + (nv-pv)*((t-pt)/(nt-pt)) on identical inputs, with round(6)
-    # absorbing nothing but expression-printing slack. Neighbor lookup
-    # is last_value/first_value IGNORE NULLS over the DENSE hour spine —
-    # the same two windows in both engines.
-    oracle="""
-    WITH h AS (
-      SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000
-               AS t,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
-      FROM events WHERE event_type = 'purchase' GROUP BY 1),
-    b AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM h),
-    dense AS (SELECT unnest(generate_series(mn, mx)) AS t FROM b),
-    s AS (SELECT d.t, h.v FROM dense d LEFT JOIN h ON d.t = h.t),
-    f AS (
-      SELECT t, v,
-        last_value(v IGNORE NULLS) OVER
-          (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
-          (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
-        first_value(v IGNORE NULLS) OVER
-          (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
-          (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
-      FROM s)
-    SELECT CAST(t AS BIGINT) AS t,
-           round(CASE WHEN v IS NOT NULL THEN v
-                 ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
-                                        / CAST(nt - pt AS DOUBLE)) END,
-                 6) AS value_filled,
-           (v IS NULL) AS interpolated
-    FROM f
-    """,
-)
-def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resample the purchase-revenue series to a dense hourly spine and
-    fill holes by linear interpolation between nearest observed
-    neighbors — the gap-fill every downstream time-series op (ACF,
-    CUSUM, seasonal profile) implicitly assumes has happened.  Interior
-    holes always have both neighbors because the spine spans
-    [min, max] of OBSERVED hours.
-
-    The single-partition windows run over the bounded post-aggregation
-    hourly series (the ACF/CUSUM posture — wall-clock-bounded, not
-    data-bounded); the heavy lifting (hourly decimal sums) is
-    map-side-combinable."""
-    ev = load_tables(spark, sf_dir)["events"]
-    hourly = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
-            F.expr(
-                "unix_millis(date_trunc('hour', CAST(ts AS TIMESTAMP)))"
-                " div 3600000"
-            ).alias("t"),
-            "value",
-        )
-        .groupBy("t")
-        .agg(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
-        )
-    )
-    bounds = hourly.agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
-    dense = bounds.select(F.explode(F.sequence("mn", "mx")).alias("t"))
-    s = dense.join(hourly, "t", "left")
-    w_prev = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_next = Window.orderBy("t").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
-    t_if_obs = F.when(F.col("v").isNotNull(), F.col("t"))
-    f = s.select(
-        "t",
-        "v",
-        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
-        F.last(t_if_obs, ignorenulls=True).over(w_prev).alias("pt"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(t_if_obs, ignorenulls=True).over(w_next).alias("nt"),
-    )
-    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
-        (F.col("t") - F.col("pt")).cast("double")
-        / (F.col("nt") - F.col("pt")).cast("double")
-    )
-    return f.select(
-        F.col("t").cast("long").alias("t"),
-        F.round(
-            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 6
-        ).alias("value_filled"),
-        F.col("v").isNull().alias("interpolated"),
-    )

@@ -812,7 +812,11 @@ _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 def pipeline_group_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free split assignment over events grouped by user
     (operators/sampling.group_split): 80/10/10 by salted content hash
-    of user_id.  In-query pins: (1) zero users straddle splits — the
+    of user_id.  Distinct from sample_train_val_test_split (round 6):
+    there the unit of rows IS the unit of splitting (one doc, one row),
+    so group atomicity is vacuous; here each user owns MANY event rows
+    and a row-level split would scatter them across train and eval —
+    the leakage the audit below would catch.  In-query pins: (1) zero users straddle splits — the
     leakage audit itself, one distinct-count aggregate; (2) the three
     splits partition the user set exactly (sum of per-split distinct
     users == global distinct users).  Judged columns are the per-split
@@ -850,4 +854,93 @@ def pipeline_group_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataF
         F.col("n_users").cast("long").alias("n_users"),
         F.col("n_events").cast("long").alias("n_events"),
         "sum_value",
+    )
+
+
+@query(
+    "cogroup_click_purchase_attribution",
+    # The COGROUP pandas surface (r12): groupBy().cogroup().applyInPandas
+    # — the per-key two-sided merge no other UDF entry exercises
+    # (completes the matrix: scalar pandas UDF, GROUPED_AGG UDAF,
+    # mapInPandas, applyInPandas, applyInPandasWithState, UDTF). Each
+    # user's purchases and clicks arrive as two aligned pandas frames;
+    # the kernel counts purchases with >= 1 click in the preceding hour
+    # (last-touch attribution) via numpy searchsorted over integer
+    # microseconds — exact arithmetic, no float, so the oracle's EXISTS
+    # subquery replays it bit-for-bit.
+    oracle="""
+    WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'click')
+    SELECT p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN EXISTS (
+                  SELECT 1 FROM c
+                  WHERE c.user_id = p.user_id
+                    AND c.ts <= p.ts
+                    AND c.ts >= p.ts - INTERVAL 1 HOUR)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+    FROM p GROUP BY p.user_id
+    """,
+)
+def cogroup_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution through the cogrouped-map pandas API:
+    purchases and clicks are grouped by user INDEPENDENTLY and handed to
+    one Python kernel as two frames per key — the surface for per-entity
+    two-stream logic (sessionized funnels, trade/quote alignment,
+    label/feature joins) when the merge rule outgrows SQL.  Here the
+    rule is deliberately SQL-expressible (count purchases with a click
+    in the trailing hour) so the DuckDB EXISTS oracle can replay it —
+    what is judged is the cogroup machinery: group alignment, two-sided
+    Arrow transfer, empty-side handling (users with purchases but no
+    clicks must still emit with n_attributed = 0).
+
+    Exactness: timestamps compare as int64 microseconds via numpy
+    searchsorted — pure integer arithmetic. Scale: one shuffle per side
+    on user_id (co-partitioned by the cogroup), kernel memory = one
+    user's rows; 100 TB posture is per-key boundedness, same as
+    applyInPandas."""
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+    def attribute(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if purchases.empty:
+            # clicks-only users produce no output row (oracle groups on p)
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "n_purchases": pd.Series(dtype="int64"),
+                 "n_attributed": pd.Series(dtype="int64")}
+            )
+        pts = purchases["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cts = np.sort(
+            clicks["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        # a purchase is attributed iff some click lands in [ts-1h, ts]:
+        # count of clicks < ts-1h  <  count of clicks <= ts
+        lo = np.searchsorted(cts, pts - 3_600_000_000, side="left")
+        hi = np.searchsorted(cts, pts, side="right")
+        return pd.DataFrame(
+            {
+                "user_id": [int(purchases["user_id"].iloc[0])],
+                "n_purchases": [int(len(pts))],
+                "n_attributed": [int((hi > lo).sum())],
+            }
+        )
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(
+            attribute, "user_id long, n_purchases long, n_attributed long"
+        )
     )

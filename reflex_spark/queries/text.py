@@ -3092,6 +3092,12 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+    # materialize the weighted postings ONCE: wt feeds five consumers
+    # (norms, bound side, pruning pin, and both sides of the verify
+    # join) — without this the tf/df/idf subtree replays per consumer
+    # (plan audit r12: 111 exchanges -> one 27k-row checkpoint). At
+    # 100 TB this is a persisted intermediate table for the same reason.
+    wt = wt.localCheckpoint()
     nrm = wt.groupBy("doc_id").agg(
         F.sqrt(
             F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast("double")
