@@ -192,6 +192,18 @@ HEADLINE = [
     # round 11: CSV serde round-trip — the text-format write+read scan
     # path (quoting, double/timestamp rendering), not timed elsewhere
     "source_csv_roundtrip_rollup",
+    # round 12: the two-phase bucketed prefix scan — range-bucket window
+    # partials + broadcast offset join, a running-agg path with NO
+    # single-partition window (plus its in-query bit-equality twin)
+    "prefix_scan_running_revenue",
+    # round 12: cogrouped-map pandas — the two-sided per-key Arrow
+    # transfer (two shuffles co-partitioned into one Python stage), a
+    # UDF data path applyInPandas does not exercise
+    "cogroup_click_purchase_attribution",
+    # round 12: append-mode bucket producer — two write jobs + manifest
+    # union + full read-back; the sink-lifecycle cost shape (the
+    # overwrite twin times a single job)
+    "blob_sink_append_rollup",
 ]
 
 
