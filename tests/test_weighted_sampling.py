@@ -76,3 +76,33 @@ def test_tier_caps_at_max_tier(spark):
     df = spark.createDataFrame([(1, 9)], "id long, tier int")
     r = weighted_sample_wor(df, "id", F.col("tier"), k=1, seed="x").collect()[0]
     assert r["__w"] == 8 and r["__es_key"] == es_key("x", 1, 3)
+
+
+def test_group_split_atomic_deterministic_and_salted(spark):
+    from reflex_spark.operators.sampling import group_split
+
+    df = spark.range(0, 3000).selectExpr("id % 300 AS g", "id AS row_id")
+    out = group_split(df, "g", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # group-atomic: every group maps to exactly one split
+    assert (
+        out.groupBy("g").agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1).count() == 0
+    )
+    # deterministic across invocations
+    a = {r["g"]: r["split"] for r in out.select("g", "split").distinct().collect()}
+    b = {
+        r["g"]: r["split"]
+        for r in group_split(df, "g", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("g", "split").distinct().collect()
+    }
+    assert a == b
+    # all splits realized, remainder falls into the LAST split
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+    # a different salt re-rolls membership without touching data
+    c = {
+        r["g"]: r["split"]
+        for r in group_split(df, "g", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v2")
+        .select("g", "split").distinct().collect()
+    }
+    assert c != a
