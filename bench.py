@@ -204,6 +204,10 @@ HEADLINE = [
     # union + full read-back; the sink-lifecycle cost shape (the
     # overwrite twin times a single job)
     "blob_sink_append_rollup",
+    # round 12: the streaming producer loop — foreachBatch publishing
+    # each micro-batch into the bucket as one append-mode save; the
+    # stream->custom-sink composition is not timed elsewhere
+    "blob_sink_stream_producer_rollup",
 ]
 
 

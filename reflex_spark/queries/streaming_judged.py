@@ -3014,3 +3014,129 @@ def blob_sink_append_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "blob_sink_stream_producer_rollup",
+    # The streaming bucket PRODUCER (r12): a consume loop whose
+    # foreachBatch PUBLISHES each micro-batch into the blob bucket with
+    # an append-mode save — the reference's producer side of rblob
+    # (buckets are written by one pipeline and consumed by another,
+    # rblob/doc.go). Three micro-batches → three producer runs → three
+    # strictly ascending w-<seq> generations in one bucket; the
+    # manifest stays the union after every write, and a consumer
+    # reading the whole bucket must recover exactly the original
+    # events. Producer semantics are AT-LEAST-ONCE by design (a crash
+    # between blob publish and _SUCCESS could re-emit a batch on
+    # restart — the reference's consumers dedup by stable id); this
+    # run is single-pass, so the rollup is exact and hash-judged.
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def blob_sink_stream_producer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming producer loop end-to-end: EventLog (3 commits) →
+    read_stream(maxFilesPerTrigger=1) → foreachBatch publishing each
+    batch into ONE bucket via ``format("reflex_blob").mode("append")``
+    → full-bucket read-back rollup hash-matched to the direct oracle.
+
+    In-query pins: (1) exactly 3 distinct ``w-<seq>`` generations — one
+    per micro-batch — with strictly ascending integer seqs, so a bucket
+    consumer's ascending-key cursor replays batches in production
+    order; (2) ``_SUCCESS`` equals the directory listing after the
+    final write (the manifest survived two merges).
+
+    Scale: each micro-batch writes its partitions as parallel blobs;
+    the per-write driver work is the manifest merge (listing locally,
+    previous-_SUCCESS at object-store scale)."""
+    import json as _json
+    import os as _os
+    import shutil
+
+    from reflex_spark.sources.blob_datasource import register
+    from reflex_spark.sources.event_log import EventLog
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = tempfile.mkdtemp(prefix="blob_producer_")
+    try:
+        register(spark)
+        bucket = f"{base}/bucket"
+        log = EventLog(spark, f"{base}/log")
+        for k in range(3):
+            log.append(
+                ev.where(F.col("event_id") % 3 == k).select(
+                    F.lit(1).alias("event_type"),
+                    F.col("event_type").alias("foreign_id"),
+                    F.col("ts").cast("timestamp").alias("timestamp"),
+                    F.col("value").cast("string").cast("binary").alias("metadata"),
+                    F.lit(None).cast("binary").alias("trace"),
+                )
+            )
+
+        def publish(batch_df, batch_id: int) -> None:
+            batch_df.select(
+                F.col("foreign_id").alias("event_type"),
+                F.col("metadata").cast("string").cast("double").alias("value"),
+            ).write.format("reflex_blob").option("path", bucket).mode(
+                "append"
+            ).save()
+
+        q = (
+            log.read_stream(max_files_per_trigger=1)
+            .writeStream.foreachBatch(publish)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "blob_sink_stream_producer_rollup: availableNow query did "
+                "not finish within 120s; results would be partial"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+
+        with open(f"{bucket}/_SUCCESS", encoding="utf-8") as f:
+            manifest = _json.load(f)["blobs"]
+        on_disk = sorted(
+            _os.path.join("data", fn)
+            for fn in _os.listdir(f"{bucket}/data")
+            if not fn.startswith(("_", "."))
+        )
+        if manifest != on_disk:
+            raise AssertionError(
+                f"producer manifest {manifest} != bucket contents {on_disk}"
+            )
+        seqs = sorted(
+            {
+                int(_os.path.basename(k).split("-")[1])
+                for k in manifest
+                if _os.path.basename(k).startswith("w-")
+            }
+        )
+        if len(seqs) != 3 or seqs != sorted(seqs) or len(set(seqs)) != 3:
+            raise AssertionError(
+                f"expected 3 strictly ascending producer generations, got {seqs}"
+            )
+        back = (
+            spark.read.format("reflex_blob")
+            .option("path", bucket)
+            .option("schema", "event_type string, value double")
+            .load()
+        )
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
