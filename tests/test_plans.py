@@ -368,3 +368,40 @@ def test_kll_sketch_stage_no_shuffle(spark):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
     assert "ReadSchema: struct<value:double>" in plan  # column-pruned scan
+
+
+def test_cogroup_runs_flatmap_cogroups_in_pandas(spark):
+    """The cogrouped attribution query must execute through the real
+    FlatMapCoGroupsInPandas operator (two-sided per-key Arrow transfer)
+    — a refactor that silently degrades it to a join would stop
+    exercising the surface the query exists to judge."""
+    plan = plan_of(spark, "cogroup_click_purchase_attribution")
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_bucketed_prefix_sum_main_window_is_partitioned(spark):
+    """The two-phase scan's PHASE-1 window must run hash-partitioned by
+    bucket — exactly ONE SinglePartition exchange is allowed in the
+    operator's own plan (the control-plane offsets window over
+    num_buckets rows). A second one would mean the main series is being
+    funneled through one task, the failure the operator exists to
+    avoid."""
+    from pyspark.sql import functions as F
+
+    from reflex_spark.operators.scan import bucketed_prefix_sum
+    from reflex_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_MEDIUM)["events"]
+    out = bucketed_prefix_sum(
+        ev,
+        order_by=["ts", "event_id"],
+        bucket_key="event_id",
+        value=F.lit(1),
+        out_col="run",
+        num_buckets=8,
+    )
+    jvm = spark._jvm
+    plan = out._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("SinglePartition") == 1, plan
