@@ -180,17 +180,35 @@ class ReflexBlobWriter(DataSourceWriter):
 
         ``w-<seq>`` prefixes parse directly; legacy unprefixed names
         (``part-*.jsonl``) count as write 0 — and since ``'p' < 'w'``
-        they sort before any ``w-`` blob, preserving append order."""
+        they sort before any ``w-`` blob, preserving append order.
+
+        Refuses (ValueError) rather than guess when the ordering
+        invariant cannot be guaranteed — both cases found by the
+        hypothesis property test, not hypothetically: (a) a ``w-`` key
+        whose seq segment is not a 6-digit zero-padded integer sorts
+        after every numeric seq (letters sort after digits), so no
+        chooseable seq can sort after it; (b) seq 1,000,000 would
+        outgrow the 6-digit padding and sort BEFORE 999999 textually."""
         seq = 0
         for k in keys:
             fn = os.path.basename(k)
             if fn.startswith("w-"):
-                try:
-                    seq = max(seq, int(fn.split("-")[1]) + 1)
-                except (IndexError, ValueError):
-                    seq = max(seq, 1)
+                seg = fn.split("-")[1] if fn.count("-") >= 1 else ""
+                if not (len(seg) == 6 and seg.isdigit()):
+                    raise ValueError(
+                        f"bucket holds a non-writer 'w-' key ({k!r}): the "
+                        "append-ordering contract (new keys sort after all "
+                        "existing keys) cannot be guaranteed — clean the "
+                        "bucket or use mode('overwrite')"
+                    )
+                seq = max(seq, int(seg) + 1)
             else:
                 seq = max(seq, 1)
+        if seq > 999_999:
+            raise ValueError(
+                "bucket exhausted the 6-digit write-sequence space "
+                "(999999 appends); compact or re-create the bucket"
+            )
         return seq
 
     def write(self, iterator) -> _BlobWriteCommit:

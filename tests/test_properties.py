@@ -179,3 +179,46 @@ def test_bpe_wrapped_replace_equals_reference_merge(words, n_merges):
             wstate[w] = wstate[w].replace(f"({a})({b})", f"({a}{b})")
     for w in vocab:
         assert wstate[w] == wrapped(vocab[w]), (w, wstate[w], vocab[w])
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=999_998).map(
+                lambda s: f"data/w-{s:06d}-part-00000.jsonl"
+            ),
+            st.integers(min_value=0, max_value=99).map(
+                lambda p: f"data/part-{p:05d}.jsonl"  # legacy write-0 names
+            ),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200)
+def test_blob_next_seq_always_sorts_after_existing(keys):
+    """The append-namespacing invariant: whatever mix of legacy and
+    w-<seq> blob keys a bucket holds, the next write's keys must sort
+    lexicographically strictly AFTER every existing key — the bucket's
+    ascending-key cursor contract across producer runs. (This property
+    test originally falsified the implementation: a malformed w- key
+    sorts after every numeric seq, so _next_seq now REFUSES such
+    buckets instead of silently breaking ordering.)"""
+    from reflex_spark.sources.blob_datasource import ReflexBlobWriter
+
+    seq = ReflexBlobWriter._next_seq(sorted(set(keys)))
+    new_key = f"data/w-{seq:06d}-part-00000.jsonl"
+    for k in set(keys):
+        assert new_key > k, (seq, k)
+
+
+def test_blob_next_seq_refuses_unorderable_buckets():
+    from pytest import raises
+
+    from reflex_spark.sources.blob_datasource import ReflexBlobWriter
+
+    with raises(ValueError, match="non-writer"):
+        ReflexBlobWriter._next_seq(["data/w-garbage.jsonl"])
+    with raises(ValueError, match="non-writer"):
+        ReflexBlobWriter._next_seq(["data/w-12345-part-00000.jsonl"])  # 5 digits
+    with raises(ValueError, match="exhausted"):
+        ReflexBlobWriter._next_seq(["data/w-999999-part-00000.jsonl"])

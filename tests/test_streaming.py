@@ -1011,4 +1011,11 @@ def test_blob_writer_next_seq_parses_legacy_and_new_keys():
     assert nxt(["data/part-00000.jsonl"]) == 1
     assert nxt(["data/w-000000-part-00000.jsonl"]) == 1
     assert nxt(["data/part-00000.jsonl", "data/w-000004-part-00001.jsonl"]) == 5
-    assert nxt(["data/w-garbage.jsonl"]) == 1
+    # ordering cannot be guaranteed past malformed w- keys or 6-digit
+    # exhaustion: refuse loudly (pinned by the hypothesis property test)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-writer"):
+        nxt(["data/w-garbage.jsonl"])
+    with _pytest.raises(ValueError, match="exhausted"):
+        nxt(["data/w-999999-part-00000.jsonl"])
