@@ -208,6 +208,10 @@ HEADLINE = [
     # each micro-batch into the bucket as one append-mode save; the
     # stream->custom-sink composition is not timed elsewhere
     "blob_sink_stream_producer_rollup",
+    # round 12: incremental dedup against a persisted band index — the
+    # index write/read-back + cross-corpus candidate join composition
+    # (within-batch LSH is timed via dedup_minhash_lsh)
+    "dedup_incremental_minhash_rollup",
 ]
 
 
