@@ -212,6 +212,9 @@ HEADLINE = [
     # index write/read-back + cross-corpus candidate join composition
     # (within-batch LSH is timed via dedup_minhash_lsh)
     "dedup_incremental_minhash_rollup",
+    # round 12: compaction under a live poll consumer — the
+    # coalesce-rewrite + symlink swap + cursor resume composition
+    "stream_compaction_cursor_rollup",
 ]
 
 

@@ -3140,3 +3140,144 @@ def blob_sink_stream_producer_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_compaction_cursor_rollup",
+    # Log COMPACTION under a live poll consumer judged end-to-end
+    # (r12): id-cursor consumption must be completely oblivious to a
+    # physical rewrite of the log's files — the operational fact that
+    # makes small-file compaction safe to run in production (the
+    # docstring contract of EventLog.compact: poll cursors survive,
+    # checkpointed file-source streams must detach). Phase 1 consumes
+    # half the corpus; compact() rewrites the log to 2 files behind the
+    # atomic symlink swap; phase 2 appends and consumes the rest. Pins:
+    # compaction actually shrank the file count; the resumed consumer
+    # re-read NOTHING (sink delta == phase-2 rows exactly — a cursor
+    # reset to 0 would double phase 1). The final rollup hash-matches
+    # the direct whole-table oracle.
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_compaction_cursor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume → compact → append → resume on one id cursor: the poll
+    consumer's cursor is an EVENT ID, so rewriting the storage layout
+    (coalesce to 2 files, atomic symlink swap) between runs is
+    invisible — ids are preserved, the second run() resumes exactly
+    after the last consumed id and reads only the post-compaction
+    append.  Contrast: a file-tracking streaming checkpoint would
+    re-ingest every rewritten file as new data, which is why
+    EventLog.compact requires streaming readers to detach first (and
+    the judged streaming entries never compact mid-query).
+
+    Scale: compaction is the file-backed log's OPTIMIZE — without it,
+    high-rate appends make scan cost file-count-bound; with id cursors
+    it needs no coordination with poll consumers at all."""
+    import os as _os
+    import shutil
+
+    from reflex_spark.sources.event_log import EventLog
+
+    ev = load_tables(spark, sf_dir)["events"]
+    half = ev.agg(
+        F.expr("percentile_approx(event_id, 0.5, 10000)").alias("m")
+    ).collect()[0]["m"]
+    base = tempfile.mkdtemp(prefix="compact_cursor_")
+    try:
+        log = EventLog(spark, f"{base}/log")
+        sink = f"{base}/sink"
+
+        def to_log(frame):
+            return frame.select(
+                F.lit(1).alias("event_type"),
+                F.concat_ws(
+                    "|", F.col("event_type"), F.col("user_id").cast("string")
+                ).alias("foreign_id"),
+                F.col("ts").cast("timestamp").alias("timestamp"),
+                F.col("value").cast("string").cast("binary").alias("metadata"),
+                F.lit(None).cast("binary").alias("trace"),
+            )
+
+        def consume(df, meta):
+            df.select("foreign_id", "metadata").write.mode("append").parquet(sink)
+
+        store = MemCursorStore()
+        spec = Spec(log, store, Consumer("cc", consume), StreamOptions(to_head=True))
+
+        # phase 1: several appends (many small files), consume to head
+        p1 = ev.where(F.col("event_id") <= half)
+        for k in range(3):
+            log.append(to_log(p1.where(F.col("event_id") % 3 == k)))
+        try:
+            run(spec)
+        except ErrHeadReached:
+            pass
+        n_sink_1 = spark.read.parquet(sink).count()
+
+        def n_files() -> int:
+            return sum(
+                1
+                for _r, _d, files in _os.walk(f"{base}/log")
+                for f in files
+                if f.startswith("part-")
+            )
+
+        files_before = n_files()
+        log.compact(2)
+        # compact swaps the path to a symlink; reuse the same handle
+        files_after = n_files()
+        if files_after >= files_before:
+            raise AssertionError(
+                f"compaction did not shrink files: {files_before} -> {files_after}"
+            )
+
+        # phase 2: append the rest AFTER compaction, resume the SAME cursor
+        log.append(to_log(ev.where(F.col("event_id") > half)))
+        try:
+            run(spec)
+        except ErrHeadReached:
+            pass
+        n_sink_2 = spark.read.parquet(sink).count()
+        n_p2 = ev.where(F.col("event_id") > half).count()
+        if n_sink_2 - n_sink_1 != n_p2:
+            raise AssertionError(
+                f"resumed consumer read {n_sink_2 - n_sink_1} rows, expected "
+                f"{n_p2}: the cursor did not survive compaction"
+            )
+
+        out = (
+            spark.read.parquet(sink)
+            .select(
+                F.split(F.col("foreign_id"), r"\|").alias("fk"),
+                F.col("metadata").cast("string").cast("double").alias("value"),
+            )
+            .select(
+                F.col("fk")[0].alias("event_type"),
+                F.col("fk")[1].alias("user_id"),
+                "value",
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("n_users").cast("long").alias("n_users"),
+                "sum_value",
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
