@@ -215,6 +215,9 @@ HEADLINE = [
     # round 12: compaction under a live poll consumer — the
     # coalesce-rewrite + symlink swap + cursor resume composition
     "stream_compaction_cursor_rollup",
+    # round 12: crash-hole recovery — dense-guard halt + noop gap fill
+    # + resume, the poll path's failure-mode composition
+    "stream_gapfill_recovery_rollup",
 ]
 
 

@@ -3281,3 +3281,134 @@ def stream_compaction_cursor_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_gapfill_recovery_rollup",
+    # Gap detection + noop gap filling judged end-to-end (r12; G1/G2
+    # were pytest-only): a writer that reserved an id range and CRASHED
+    # leaves a permanent hole; the dense guard must halt consumption at
+    # the hole (at-least-once cannot skip ids silently), the registered
+    # filler must noop-fill exactly the missing ids after the grace
+    # wait, and consumption must then proceed to the true head with the
+    # noops dropped from delivery (the reference's gapfill.go contract).
+    # Pins: noops written == exactly the crashed commit's row count; the
+    # consumer delivered exactly the surviving rows. The rollup over
+    # delivered rows hash-matches the oracle over the surviving subset.
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    WHERE event_id % 3 <> 1
+    GROUP BY event_type
+    """,
+)
+def stream_gapfill_recovery_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-hole recovery on the poll path: commit 1 lands normally;
+    the would-be commit 2 (event_id % 3 == 1) CRASHES after reserving
+    its id range (simulated by raw-writing commit 3 with explicit ids
+    past the hole); `fill_gaps` noop-fills the reserved-but-lost ids so
+    the dense-id contract holds and the consumer advances — delivering
+    every surviving row exactly once and none of the lost ones.
+
+    Scale: the filler writes O(hole) noop rows once; detection is the
+    same dense check every poll already does. The alternative designs
+    are judged elsewhere — ManifestEventLog cannot hole (atomic commit)
+    and refuses filling; TxTable is MVCC."""
+    import shutil
+
+    from pyspark.sql.window import Window as _W
+
+    from reflex_spark.sources.event_log import EVENT_SCHEMA, EventLog
+    from reflex_spark.sources.gapfill import fill_gaps
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = tempfile.mkdtemp(prefix="gapfill_")
+    try:
+        log = EventLog(spark, f"{base}/log")
+        sink = f"{base}/sink"
+
+        def payload(frame):
+            return frame.select(
+                F.lit(1).alias("event_type"),
+                F.concat_ws(
+                    "|", F.col("event_type"), F.col("user_id").cast("string")
+                ).alias("foreign_id"),
+                F.col("ts").cast("timestamp").alias("timestamp"),
+                F.col("value").cast("string").cast("binary").alias("metadata"),
+                F.lit(None).cast("binary").alias("trace"),
+            )
+
+        p1 = ev.where(F.col("event_id") % 3 == 0)
+        p_lost = ev.where(F.col("event_id") % 3 == 1)
+        p3 = ev.where(F.col("event_id") % 3 == 2)
+        n1 = log.append(payload(p1))
+        n_lost = p_lost.count()
+        # crashed middle writer: commit 3 lands RAW with explicit ids
+        # past the reserved-but-never-written hole [n1+1, n1+n_lost]
+        w = _W.orderBy("timestamp", "foreign_id")
+        raw3 = (
+            payload(p3)
+            .withColumn(
+                "event_id",
+                (F.lit(n1 + n_lost) + F.row_number().over(w)).cast("long"),
+            )
+            .select([f.name for f in EVENT_SCHEMA.fields])
+        )
+        raw3.write.mode("append").parquet(log.path)
+
+        fill_gaps(log, grace_seconds=0.2, recheck_interval=0.05)
+
+        def consume(df, meta):
+            df.select("foreign_id", "metadata").write.mode("append").parquet(sink)
+
+        spec = Spec(
+            log,
+            MemCursorStore(),
+            Consumer("gf", consume),
+            StreamOptions(to_head=True),
+        )
+        try:
+            run(spec)
+        except ErrHeadReached:
+            pass
+
+        n_noops = log.read().where(
+            "foreign_id = '0' AND event_type = 0"
+        ).count()
+        if n_noops != n_lost:
+            raise AssertionError(
+                f"filler wrote {n_noops} noops, expected the crashed "
+                f"commit's {n_lost}"
+            )
+        delivered = spark.read.parquet(sink)
+        n_expected = p1.count() + p3.count()
+        if delivered.count() != n_expected:
+            raise AssertionError(
+                f"consumer delivered {delivered.count()} rows, expected "
+                f"{n_expected} (noops must be dropped, survivors complete)"
+            )
+        out = (
+            delivered.select(
+                F.split(F.col("foreign_id"), r"\|").alias("fk"),
+                F.col("metadata").cast("string").cast("double").alias("value"),
+            )
+            .select(F.col("fk")[0].alias("event_type"), "value")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+                "sum_value",
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
