@@ -3208,7 +3208,16 @@ def stream_compaction_cursor_rollup(spark: SparkSession, sf_dir: str) -> DataFra
             df.select("foreign_id", "metadata").write.mode("append").parquet(sink)
 
         store = MemCursorStore()
-        spec = Spec(log, store, Consumer("cc", consume), StreamOptions(to_head=True))
+        # batch_limit sized to the fixture: the judged content is the
+        # cursor surviving compaction, not poll granularity (which
+        # stream_rollup_counts et al. already judge at small limits) —
+        # the default 1000 would mean ~300 poll round-trips at sf0.1
+        spec = Spec(
+            log,
+            store,
+            Consumer("cc", consume),
+            StreamOptions(to_head=True, batch_limit=1_000_000),
+        )
 
         # phase 1: several appends (many small files), consume to head
         p1 = ev.where(F.col("event_id") <= half)
@@ -3300,17 +3309,19 @@ def stream_compaction_cursor_rollup(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(COUNT(*) AS BIGINT) AS n_events,
            {sql_dsum('value', 'sum_value')}
     FROM events
-    WHERE event_id % 3 <> 1
+    WHERE event_id % 101 <> 1
     GROUP BY event_type
     """,
 )
 def stream_gapfill_recovery_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crash-hole recovery on the poll path: commit 1 lands normally;
-    the would-be commit 2 (event_id % 3 == 1) CRASHES after reserving
-    its id range (simulated by raw-writing commit 3 with explicit ids
-    past the hole); `fill_gaps` noop-fills the reserved-but-lost ids so
-    the dense-id contract holds and the consumer advances — delivering
-    every surviving row exactly once and none of the lost ones.
+    the would-be commit 2 (~1% of rows, event_id % 101 == 1 — a crashed
+    commit is one BATCH, not a third of the corpus) CRASHES after
+    reserving its id range (simulated by raw-writing commit 3 with
+    explicit ids past the hole); `fill_gaps` noop-fills the
+    reserved-but-lost ids so the dense-id contract holds and the
+    consumer advances — delivering every surviving row exactly once and
+    none of the lost ones.
 
     Scale: the filler writes O(hole) noop rows once; detection is the
     same dense check every poll already does. The alternative designs
@@ -3340,9 +3351,11 @@ def stream_gapfill_recovery_rollup(spark: SparkSession, sf_dir: str) -> DataFram
                 F.lit(None).cast("binary").alias("trace"),
             )
 
-        p1 = ev.where(F.col("event_id") % 3 == 0)
-        p_lost = ev.where(F.col("event_id") % 3 == 1)
-        p3 = ev.where(F.col("event_id") % 3 == 2)
+        lost = F.col("event_id") % 101 == 1
+        keep = ev.where(~lost)
+        p1 = keep.where(F.col("event_id") % 2 == 0)
+        p_lost = ev.where(lost)
+        p3 = keep.where(F.col("event_id") % 2 == 1)
         n1 = log.append(payload(p1))
         n_lost = p_lost.count()
         # crashed middle writer: commit 3 lands RAW with explicit ids
@@ -3367,7 +3380,9 @@ def stream_gapfill_recovery_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             log,
             MemCursorStore(),
             Consumer("gf", consume),
-            StreamOptions(to_head=True),
+            # fixture-sized batches (see stream_compaction_cursor_rollup);
+            # the dense guard + filler behave identically at any limit
+            StreamOptions(to_head=True, batch_limit=1_000_000),
         )
         try:
             run(spec)

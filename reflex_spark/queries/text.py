@@ -3261,7 +3261,7 @@ def dedup_incremental_minhash_rollup(spark: SparkSession, sf_dir: str) -> DataFr
 
     import tempfile as _tempfile
 
-    from reflex_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures, shingle_rows
+    from reflex_spark.operators.dedup import minhash_signatures, shingle_rows
 
     docs = load_tables(spark, sf_dir)["documents"]
     b1 = docs.where(F.col("doc_id") % 2 == 0)
@@ -3269,63 +3269,28 @@ def dedup_incremental_minhash_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     base = _tempfile.mkdtemp(prefix="incr_dedup_")
     index_dir = f"{base}/band_index"
     try:
-        # ---- phase 1: within-batch dedup, persist the index ------------
-        p1 = minhash_lsh_pairs(b1, "doc_id", "text")  # verified, id_a < id_b
-        drop1 = p1.select(F.col("id_b").alias("doc_id")).distinct()
-        acc1 = b1.join(drop1, "doc_id", "left_anti").select("doc_id", "text")
+        # ONE signature pass and ONE shingle pass over the corpus feed
+        # every stage below (phase-1 banding, the index, phase-2 banding,
+        # both verify stages) — per-doc signatures are batch-independent,
+        # so recomputing them per phase would only re-shuffle the same
+        # md5 work (first cut of this query paid that 3x).
         rows_per_band = 4
-
-        def banded(frame: DataFrame) -> DataFrame:
-            sig = minhash_signatures(frame, "doc_id", "text")
-            band_cols = [
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-                    )
-                ).alias(f"band{b}")
-                for b in range(4)
-            ]
-            return sig.select("doc_id", *band_cols).select(
-                "doc_id",
-                F.posexplode(
-                    F.array(*[F.col(f"band{b}") for b in range(4)])
-                ).alias("band_idx", "band_key"),
-            )
-
-        banded(acc1).write.mode("overwrite").parquet(index_dir)
-
-        # ---- phase 2: candidates from the PERSISTED index + new batch --
-        idx = spark.read.parquet(index_dir)  # storage round-trip: load-bearing
-        n_acc1 = acc1.count()
-        n_idx = idx.select("doc_id").distinct().count()
-        if n_idx != n_acc1:
-            raise AssertionError(f"index holds {n_idx} docs, accepted {n_acc1}")
-        new_bands = banded(b2)
-        cross_cand = (
-            idx.select(F.col("doc_id").alias("id_x"), "band_idx", "band_key")
-            .join(
-                new_bands.select(
-                    F.col("doc_id").alias("id_y"), "band_idx", "band_key"
-                ),
-                ["band_idx", "band_key"],
-            )
-            .select("id_x", "id_y")
-            .distinct()
+        sig_all = minhash_signatures(docs, "doc_id", "text").localCheckpoint()
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias(f"band{b}")
+            for b in range(4)
+        ]
+        bands_all = sig_all.select("doc_id", *band_cols).select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"band{b}") for b in range(4)])
+            ).alias("band_idx", "band_key"),
         )
-        within_cand = (
-            new_bands.select(F.col("doc_id").alias("id_x"), "band_idx", "band_key")
-            .join(
-                new_bands.select(
-                    F.col("doc_id").alias("id_y"), "band_idx", "band_key"
-                ),
-                ["band_idx", "band_key"],
-            )
-            .where(F.col("id_x") < F.col("id_y"))
-            .select("id_x", "id_y")
-            .distinct()
-        )
-
         sh = shingle_rows(docs, "doc_id", "text", spread=True).cache()
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -3368,9 +3333,63 @@ def dedup_incremental_minhash_rollup(spark: SparkSession, sf_dir: str) -> DataFr
                 .distinct()
             )
 
-        cross_drop = verified_drops(cross_cand)
-        within_drop = verified_drops(within_cand).join(
-            cross_drop, "doc_id", "left_anti"
+        # ---- phase 1: within-batch dedup, persist the index ------------
+        b1_bands = bands_all.where(F.col("doc_id") % 2 == 0)
+        cand1 = (
+            b1_bands.select(F.col("doc_id").alias("id_x"), "band_idx", "band_key")
+            .join(
+                b1_bands.select(F.col("doc_id").alias("id_y"), "band_idx", "band_key"),
+                ["band_idx", "band_key"],
+            )
+            .where(F.col("id_x") < F.col("id_y"))
+            .select("id_x", "id_y")
+            .distinct()
+        )
+        # the drop lists are tiny (ids only) but their lineage contains a
+        # full verify stage — checkpoint them so the counts, index writes
+        # and rollup below don't re-run verification per action
+        drop1 = verified_drops(cand1).localCheckpoint()
+        acc1 = b1.join(drop1, "doc_id", "left_anti").select("doc_id", "text")
+        bands_all.join(acc1.select("doc_id"), "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(index_dir)
+
+        # ---- phase 2: candidates from the PERSISTED index + new batch --
+        idx = spark.read.parquet(index_dir)  # storage round-trip: load-bearing
+        n_acc1 = acc1.count()
+        n_idx = idx.select("doc_id").distinct().count()
+        if n_idx != n_acc1:
+            raise AssertionError(f"index holds {n_idx} docs, accepted {n_acc1}")
+        new_bands = bands_all.where(F.col("doc_id") % 2 == 1)
+        cross_cand = (
+            idx.select(F.col("doc_id").alias("id_x"), "band_idx", "band_key")
+            .join(
+                new_bands.select(
+                    F.col("doc_id").alias("id_y"), "band_idx", "band_key"
+                ),
+                ["band_idx", "band_key"],
+            )
+            .select("id_x", "id_y")
+            .distinct()
+        )
+        within_cand = (
+            new_bands.select(F.col("doc_id").alias("id_x"), "band_idx", "band_key")
+            .join(
+                new_bands.select(
+                    F.col("doc_id").alias("id_y"), "band_idx", "band_key"
+                ),
+                ["band_idx", "band_key"],
+            )
+            .where(F.col("id_x") < F.col("id_y"))
+            .select("id_x", "id_y")
+            .distinct()
+        )
+
+        cross_drop = verified_drops(cross_cand).localCheckpoint()
+        within_drop = (
+            verified_drops(within_cand)
+            .join(cross_drop, "doc_id", "left_anti")
+            .localCheckpoint()
         )
         acc2 = (
             b2.join(cross_drop, "doc_id", "left_anti")
@@ -3378,7 +3397,9 @@ def dedup_incremental_minhash_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             .select("doc_id", "text")
         )
         # grow the index and pin the final state
-        banded(acc2).write.mode("append").parquet(index_dir)
+        bands_all.join(acc2.select("doc_id"), "doc_id", "left_semi").write.mode(
+            "append"
+        ).parquet(index_dir)
         n_acc2 = acc2.count()
         n_final = (
             spark.read.parquet(index_dir).select("doc_id").distinct().count()
