@@ -218,6 +218,9 @@ HEADLINE = [
     # round 12: crash-hole recovery — dense-guard halt + noop gap fill
     # + resume, the poll path's failure-mode composition
     "stream_gapfill_recovery_rollup",
+    # round 12: CHECK-constraint enforcement — the pre-commit validation
+    # agg + rejection path on append and MERGE
+    "tx_constraint_enforcement_rollup",
 ]
 
 

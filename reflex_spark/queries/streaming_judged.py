@@ -3427,3 +3427,104 @@ def stream_gapfill_recovery_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "tx_constraint_enforcement_rollup",
+    # Delta-style CHECK constraints judged end-to-end (r12): the table
+    # declares row-level invariants (price > 0, status in the known
+    # set); two poisoned writes — an append with negated prices and a
+    # MERGE with a violating update — must raise BEFORE any commit,
+    # leaving version and visible rows untouched (staged files without
+    # a log entry are invisible: the torn-write guarantee doubles as
+    # constraint rollback). The final rollup hash-matching the plain
+    # orders oracle is the decoy pattern: had either rejected write
+    # leaked, counts and sums would diverge and the hash would fail.
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def tx_constraint_enforcement_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints on the transactional table: every incoming row
+    of an append or MERGE must satisfy the declared SQL invariants
+    (ANSI semantics — only FALSE violates, NULL passes), validated in
+    ONE map-side-combinable aggregation before any commit; violations
+    raise ConstraintViolationError naming each failed constraint and
+    its row count, and commit nothing.
+
+    In-query pins: both poisoned writes raise; after each rejection the
+    version is unchanged and the row count equals the committed state
+    (nothing leaked). Scale: the check is one extra aggregation job per
+    write over the incoming frame only — never a table scan."""
+    import shutil
+
+    from reflex_spark.sources.tx_table import ConstraintViolationError, TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    base = tempfile.mkdtemp(prefix="tx_constraints_")
+    try:
+        t = TxTable(
+            spark,
+            f"{base}/t",
+            constraints={
+                "positive_price": "price > 0",
+                "known_status": "status IN ('O', 'F', 'P')",
+            },
+        )
+        half = orders.where(F.col("okey") % 2 == 0)
+        rest = orders.where(F.col("okey") % 2 == 1)
+        t.append(half)
+        v1 = t.latest_version()
+        n1 = t.read().count()
+
+        poisoned = rest.withColumn("price", -F.col("price"))
+        try:
+            t.append(poisoned)
+            raise AssertionError("violating append was not rejected")
+        except ConstraintViolationError:
+            pass
+        if t.latest_version() != v1 or t.read().count() != n1:
+            raise AssertionError("rejected append leaked state")
+
+        t.append(rest)
+        v2 = t.latest_version()
+        n2 = t.read().count()
+
+        bad_merge = spark.createDataFrame(
+            [(1, "X", 100.0, 1)], "okey long, status string, price double, ver int"
+        )
+        try:
+            t.merge_by_key(bad_merge, ["okey"], "ver")
+            raise AssertionError("violating merge was not rejected")
+        except ConstraintViolationError:
+            pass
+        if t.latest_version() != v2 or t.read().count() != n2:
+            raise AssertionError("rejected merge leaked state")
+
+        out = (
+            t.read()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("price").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .select(
+                "status",
+                F.col("n_orders").cast("long").alias("n_orders"),
+                "sum_price",
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -85,6 +85,11 @@ def _bloom_probe_str(value) -> str:
     )
 
 
+class ConstraintViolationError(Exception):
+    """A write contained rows that fail a table CHECK constraint; nothing
+    was committed (any staged files are invisible without a log entry)."""
+
+
 class ConcurrentCommitError(Exception):
     """Another writer committed this version first — reread and retry."""
 
@@ -111,6 +116,7 @@ class TxTable:
         path: str,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
     ):
         """``stats_cols``: record per-file min/max for these columns in the
         commit log (Delta-style data skipping). ``merge_by_key`` then
@@ -133,6 +139,14 @@ class TxTable:
         self.path = path.rstrip("/")
         self.stats_cols = list(stats_cols or [])
         self.bloom_cols = list(bloom_cols or [])
+        #: Delta-style CHECK constraints: name -> SQL boolean expression
+        #: every INCOMING row must satisfy (append and MERGE updates are
+        #: checked before any commit; ANSI semantics — only FALSE
+        #: violates, NULL passes). A violating write raises
+        #: ConstraintViolationError and commits nothing; staged files
+        #: without a log entry are invisible to every reader (the
+        #: torn-write guarantee doubles as constraint rollback).
+        self.constraints = dict(constraints or {})
         self.log_dir = os.path.join(self.path, "_txlog")
         self.data_dir = os.path.join(self.path, "data")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -433,6 +447,32 @@ class TxTable:
 
     # -- writes ------------------------------------------------------------
 
+    def _check_constraints(self, df: DataFrame, op: str) -> None:
+        """One aggregation pass counting violations of every constraint
+        (map-side-combinable; no row data reaches the driver). Raises
+        ConstraintViolationError naming each violated constraint and its
+        row count."""
+        applicable = {
+            name: expr for name, expr in self.constraints.items()
+        }
+        if not applicable:
+            return
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+            ).alias(name)
+            for name, expr in applicable.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {name: int(row[name]) for name in applicable if row[name]}
+        if bad:
+            detail = ", ".join(
+                f"{name} ({n} rows: {applicable[name]!r})" for name, n in bad.items()
+            )
+            raise ConstraintViolationError(
+                f"{op} rejected — CHECK constraint(s) violated: {detail}"
+            )
+
     def _write_files(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
         """Materialize df as new immutable data files; invisible until a
         log entry references them (torn writes cannot corrupt a reader).
@@ -517,6 +557,7 @@ class TxTable:
         """Blind append: no read-set, so it is commutative and auto-retries
         the version race (the already-written files are reused; only the
         log entry re-targets the new head). Returns the committed version."""
+        self._check_constraints(df, "append")
         adds, stats = self._write_files(df)
         entry = {
             "op": "append",
@@ -542,7 +583,11 @@ class TxTable:
         deterministically, matching operators/upsert.latest_by_key);
         unmatched update rows insert. Only data files containing matched
         keys are rewritten. Raises ConcurrentCommitError if the table
-        advanced between snapshot and commit — retry with a fresh call."""
+        advanced between snapshot and commit — retry with a fresh call.
+        Incoming updates are CHECK-constraint-validated before any file
+        is rewritten (rows already in the table were validated at their
+        own commit)."""
+        self._check_constraints(updates, "merge")
         base_version = self.latest_version()
         if base_version < 0:
             # empty table: MERGE degenerates to insert

@@ -775,3 +775,35 @@ def test_bloom_saturation_warns(spark, tmp_path):
         _warnings.simplefilter("error")
         res2, _, _ = t2.read_points("k", [7])
         assert [r["k"] for r in res2.collect()] == [7]
+
+
+def test_check_constraints_reject_and_roll_back(spark, tmp_path):
+    """Delta-style CHECK constraints: a violating append/merge raises and
+    commits NOTHING (version and visible rows unchanged — staged files
+    without a log entry are invisible); ANSI semantics: NULL passes,
+    only FALSE violates."""
+    import pytest as _pytest
+
+    from reflex_spark.sources.tx_table import ConstraintViolationError
+
+    t = TxTable(
+        spark,
+        str(tmp_path / "t"),
+        constraints={"positive_v": "v > 0", "known_k": "k IN ('a', 'b')"},
+    )
+    ok = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+    v0 = t.append(ok)
+    bad = spark.createDataFrame([("a", -1.0), ("c", 3.0)], "k string, v double")
+    with _pytest.raises(ConstraintViolationError, match="positive_v.*known_k|known_k.*positive_v"):
+        t.append(bad)
+    assert t.latest_version() == v0
+    assert t.read().count() == 2
+
+    # NULL passes (ANSI CHECK semantics)
+    t.append(spark.createDataFrame([("a", None)], "k string, v double"))
+    assert t.read().count() == 3
+
+    # merge path is checked too
+    upd = spark.createDataFrame([("a", -5.0, 9)], "k string, v double, ver int")
+    with _pytest.raises(ConstraintViolationError, match="positive_v"):
+        t.merge_by_key(upd, ["k"], "ver")
