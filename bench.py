@@ -221,6 +221,9 @@ HEADLINE = [
     # round 12: CHECK-constraint enforcement — the pre-commit validation
     # agg + rejection path on append and MERGE
     "tx_constraint_enforcement_rollup",
+    # round 12: mapInArrow partial aggregation — the Arrow-native Python
+    # stage (pyarrow group_by per batch, partials-only shuffle)
+    "events_arrow_partial_agg_rollup",
 ]
 
 

@@ -2336,3 +2336,65 @@ def pipeline_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         "robust_z",
         (F.abs(F.col("robust_z")) > F.lit(3.5)).alias("is_outlier"),
     )
+
+
+@query(
+    "events_arrow_partial_agg_rollup",
+    # The mapInArrow surface (r12) — the last uncovered Python data
+    # path (no pandas conversion: pyarrow RecordBatches in and out) —
+    # exercised as the pattern that makes custom Python aggregation
+    # 100 TB-viable: PARTIAL aggregation inside the Arrow stage (one
+    # tiny partial row per (batch, type)), so the shuffle carries
+    # per-batch partials instead of events. Exactness is the
+    # micro-quantization recipe shared with the GROUPED_AGG UDAF:
+    # per-row round(value*1e6) to int64 is exact for the fixture's
+    # <= 6dp values, int64 partials add associatively, and the final
+    # double emerges from one IEEE division both engines share.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_arrow_partial_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event rollup where the first aggregation level runs
+    INSIDE a mapInArrow stage: each Arrow batch is grouped with
+    pyarrow.compute (no pandas materialization) into (event_type, n,
+    micros) partials, and Spark's ordinary groupBy only combines
+    partials.  This is the shape for custom Python feature extraction
+    that ends in an aggregate — the Python stage's output is bounded by
+    (batches x groups), not rows, so the downstream shuffle is
+    control-plane sized no matter the corpus.
+
+    Completes the Python-surface matrix: scalar pandas UDF, GROUPED_AGG
+    UDAF, mapInPandas, applyInPandas(+WithState), cogrouped-map, UDTF,
+    and now the Arrow-native mapInArrow."""
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+
+    def partials(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            micros = pc.cast(
+                pc.round(pc.multiply(tbl.column("value"), pa.scalar(1e6))),
+                pa.int64(),
+            )
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("value"), "micros", micros
+            )
+            agg = tbl.group_by("event_type").aggregate(
+                [("micros", "sum"), ("micros", "count")]
+            )
+            yield from agg.rename_columns(
+                ["event_type", "micros", "n"]
+            ).to_batches()
+
+    part = ev.mapInArrow(partials, "event_type string, micros long, n long")
+    return part.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        (F.sum("micros").cast("double") / F.lit(1_000_000.0)).alias("sum_value"),
+    )
