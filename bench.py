@@ -224,6 +224,10 @@ HEADLINE = [
     # round 12: mapInArrow partial aggregation — the Arrow-native Python
     # stage (pyarrow group_by per batch, partials-only shuffle)
     "events_arrow_partial_agg_rollup",
+    # round 12: merge-on-read deletes — DV write + position anti-join
+    # reads, the zero-rewrite delete path (copy-on-write delete is timed
+    # via the CDC/SCD2 entries)
+    "tx_delete_mor_rollup",
 ]
 
 

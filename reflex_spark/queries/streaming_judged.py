@@ -3528,3 +3528,94 @@ def tx_constraint_enforcement_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "tx_delete_mor_rollup",
+    # Merge-on-read DELETE via deletion vectors judged end-to-end
+    # (r12): the delete commit writes a (file, row_index) position
+    # vector and NOT ONE data file — pinned in-query by comparing the
+    # snapshot file lists across the commit — while every read variant
+    # suppresses exactly the deleted positions and time travel to the
+    # pre-delete version still sees every row. The oracle recomputes
+    # before/after per status from first principles; a DV that
+    # over-suppressed, under-suppressed, or leaked into the historical
+    # snapshot changes a count or a decimal sum and fails the hash.
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN o_orderkey % 13 <> 0
+                         THEN CAST(o_totalprice AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS sum_price_after
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def tx_delete_mor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE on the transactional table — the
+    current-gen lakehouse small-delete strategy (Delta deletion
+    vectors / Iceberg v2 position deletes): O(matched positions)
+    written, zero data files rewritten, readers pay one position
+    anti-join until OPTIMIZE materializes.  Contrast judged elsewhere:
+    ``delete_by_key`` (copy-on-write file rewrite, the CDC-friendly
+    form) and ``tx_time_travel_rollup`` (historical reads).
+
+    In-query pins: the data-file set is IDENTICAL before and after the
+    DV commit; the pre-delete version still reads every row.  Judged
+    columns: per-status row counts before/after and the surviving
+    decimal price sum."""
+    import shutil
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    base = tempfile.mkdtemp(prefix="tx_mor_")
+    try:
+        t = TxTable(spark, f"{base}/t")
+        t.append(orders.repartition(4, "okey"))  # hash-clustered files
+        v1 = t.latest_version()
+        files_v1, _s1, _st1, _dv1 = t._snapshot_state(v1)
+
+        dead = orders.where(F.col("okey") % 13 == 0).select("okey")
+        v2 = t.delete_by_key_mor(dead, ["okey"])
+        files_v2, _s2, _st2, dvs_v2 = t._snapshot_state(v2)
+        if sorted(files_v1) != sorted(files_v2):
+            raise AssertionError(
+                "merge-on-read delete rewrote data files: "
+                f"{sorted(files_v1)} -> {sorted(files_v2)}"
+            )
+        if not dvs_v2:
+            raise AssertionError("DV commit recorded no deletion vector")
+
+        before = (
+            t.read(v1)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_before"))
+        )
+        after = (
+            t.read()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_after"),
+                F.sum(F.col("price").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_price_after"),
+            )
+        )
+        out = before.join(after, "status").select(
+            "status",
+            F.col("n_before").cast("long").alias("n_before"),
+            F.col("n_after").cast("long").alias("n_after"),
+            "sum_price_after",
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

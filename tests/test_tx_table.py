@@ -276,7 +276,7 @@ def test_stats_skipping_prunes_merge_discovery_scan(spark, tmp_path):
     t.append(_mk(spark, [(1, "a", 1), (5, "b", 1)]).coalesce(1))
     t.append(_mk(spark, [(100, "c", 1), (150, "d", 1)]).coalesce(1))
     t.append(_mk(spark, [(1000, "e", 1)]).coalesce(1))
-    files, _, stats = t._snapshot_state(t.latest_version())
+    files, _, stats, _dvs = t._snapshot_state(t.latest_version())
     assert len(files) == 3 and all(f in stats for f in files)
     # range predicate: update keys [100, 160] touch only the middle file
     cands = [f for f in files if t._range_may_match(stats[f]["k"], 100, 160)]
@@ -296,7 +296,7 @@ def test_stats_skipping_prunes_merge_discovery_scan(spark, tmp_path):
         t.append(_mk(spark, [(2000 + i, "x", 1)]).coalesce(1))
     assert t._checkpoints()
     t.truncate_log()
-    files2, _, stats2 = t._snapshot_state(t.latest_version())
+    files2, _, stats2, _dv2 = t._snapshot_state(t.latest_version())
     live_old = [f for f in files if f != mid]
     assert all(f in stats2 for f in live_old)
 
@@ -470,11 +470,11 @@ def test_optimize_compacts_sorts_and_tightens_skipping(spark, tmp_path):
             ).coalesce(1)
         )
     before = {tuple(r) for r in t.read().collect()}
-    files_before, _, stats_before = t._snapshot_state(t.latest_version())
+    files_before, _, stats_before, _dvb = t._snapshot_state(t.latest_version())
     assert len(files_before) >= 6
 
     v = t.optimize(sort_by=["k"], target_files=3)
-    files_after, _, stats_after = t._snapshot_state(v)
+    files_after, _, stats_after, _dva = t._snapshot_state(v)
     assert len(files_after) == 3
     assert {tuple(r) for r in t.read().collect()} == before
     # ranges are disjoint after the range-sort...
@@ -495,7 +495,7 @@ def test_optimize_compacts_sorts_and_tightens_skipping(spark, tmp_path):
     # concurrency: a commit that lands between snapshot and commit forces
     # ConcurrentCommitError (read-set transaction)
     base = t.latest_version()
-    files, schema, _ = t._snapshot_state(base)
+    files, schema, _, _dvx = t._snapshot_state(base)
     t.append(_mk(spark, [(999, "race", 1)]).coalesce(1))
     import pytest as _pytest
 
@@ -522,7 +522,7 @@ def test_optimize_zorder_skips_on_both_columns(spark, tmp_path):
     before = {tuple(r) for r in t.read().collect()}
 
     def files_matching(version, col, val):
-        files, _, stats = t._snapshot_state(version)
+        files, _, stats, _dvv = t._snapshot_state(version)
         return [
             f for f in files if TxTable._range_may_match(stats[f].get(col), val, val)
         ], len(files)
@@ -807,3 +807,84 @@ def test_check_constraints_reject_and_roll_back(spark, tmp_path):
     upd = spark.createDataFrame([("a", -5.0, 9)], "k string, v double, ver int")
     with _pytest.raises(ConstraintViolationError, match="positive_v"):
         t.merge_by_key(upd, ["k"], "ver")
+
+
+def test_delete_mor_deletion_vectors_end_to_end(spark, tmp_path):
+    """Merge-on-read deletes: the DV commit rewrites NO data file; reads
+    (plain, pruned, point) suppress exactly the deleted positions;
+    rewrite paths never resurrect DV-deleted rows; OPTIMIZE materializes
+    and clears the vectors; vacuum keeps referenced DV files; changes()
+    refuses across a DV (honest gate)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k"], bloom_cols=["k"])
+    t.append(
+        spark.range(0, 1000)
+        .selectExpr("id AS k", "CAST(id % 7 AS DOUBLE) AS v")
+        .repartitionByRange(4, "k")
+    )
+    v1 = t.latest_version()
+    files_before = sorted(
+        f for f in _os.listdir(t.data_dir) if not f.endswith(".dv.parquet")
+    )
+
+    dead = spark.createDataFrame([(i,) for i in range(0, 1000, 10)], "k long")
+    v2 = t.delete_by_key_mor(dead, ["k"])
+    files_after = sorted(
+        f for f in _os.listdir(t.data_dir) if not f.endswith(".dv.parquet")
+    )
+    assert files_after == files_before, "MoR delete must not rewrite data files"
+    assert t.read().count() == 900
+    assert t.read(v1).count() == 1000  # time travel predates the DV
+    assert t.read().where("k % 10 = 0").count() == 0
+
+    # pruned + point reads apply the DV too
+    df, _tot, _scan = t.read_pruned({"k": (0, 99)})
+    assert df.count() == 90
+    pts, _tot2, _scan2 = t.read_points("k", [10, 11])
+    assert sorted(r["k"] for r in pts.collect()) == [11]
+
+    # rewrite path must not resurrect: merge an update for a LIVE key
+    # in a file that also contains DV-deleted rows
+    upd = spark.createDataFrame([(11, 99.0, 9)], "k long, v double, ver int")
+    t.merge_by_key(upd, ["k"], "ver")
+    assert t.read().count() == 900  # deleted rows stayed dead
+    assert t.read().where("k = 11").collect()[0]["v"] == 99.0
+    assert t.read().where("k % 10 = 0").count() == 0
+
+    # changes() across the DV refuses; across pure appends it still works
+    with _pytest.raises(NotImplementedError, match="merge-on-read"):
+        t.changes(v1)
+
+    # OPTIMIZE materializes: DVs cleared, row multiset preserved
+    t.optimize(sort_by=["k"], target_files=2)
+    assert t.read().count() == 900
+    assert t.read().where("k % 10 = 0").count() == 0
+    _f, _s, _st, dvs_now = t._snapshot_state(t.latest_version())
+    assert dvs_now == []
+    # once BOTH endpoints are DV-free, changes() works again
+    v_opt = t.latest_version()
+    t.append(spark.createDataFrame([(5000, 1.0)], "k long, v double"))
+    ch = t.changes(v_opt)
+    assert [(r["k"], r["_change_type"]) for r in ch.collect()] == [(5000, "insert")]
+
+    # vacuum with retention 0: old files + now-unreferenced DVs reclaimed,
+    # latest snapshot intact (900 survivors + the post-optimize append)
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    assert t.read().count() == 901
+    leftover_dvs = [f for f in _os.listdir(t.data_dir) if f.endswith(".dv.parquet")]
+    assert leftover_dvs == []
+
+
+def test_delete_mor_dv_files_survive_vacuum_while_referenced(spark, tmp_path):
+    import os as _os
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 100).selectExpr("id AS k"))
+    t.delete_by_key_mor(spark.createDataFrame([(5,)], "k long"), ["k"])
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    assert [f for f in _os.listdir(t.data_dir) if f.endswith(".dv.parquet")]
+    assert t.read().count() == 99
+    assert t.read().where("k = 5").count() == 0
