@@ -85,6 +85,54 @@ def _bloom_probe_str(value) -> str:
     )
 
 
+# Spark types whose CAST(col AS STRING) rendering a Python int/str/bool
+# probe can reproduce exactly. Anything else (double renders '7.0',
+# decimal '7.00', date '2024-01-01' vs datetime.date) would store Bloom
+# bits no supported probe can hit — a GUARANTEED false negative, i.e.
+# read_points would silently prune every file. Enforced at WRITE time so
+# the mismatch cannot be created in the first place (probe-side
+# validation alone cannot see the column's type).
+_BLOOM_SUPPORTED_SPARK_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "string", "boolean",
+)
+
+
+def _bloom_probe_bits(values) -> list[list[int]]:
+    """Bit positions each non-null probe value sets in the per-file Bloom
+    (k md5-derived hashes, matching the write side's _md5_mod). Raises
+    TypeError on probe types whose rendering cannot match Spark's."""
+    import hashlib
+
+    out: list[list[int]] = []
+    for value in values:
+        if value is None:
+            continue
+        rendered = _bloom_probe_str(value)
+        out.append(
+            [
+                int(
+                    hashlib.md5(f"{j}|{rendered}".encode()).hexdigest()[:15], 16
+                ) % _BLOOM_M
+                for j in range(_BLOOM_K)
+            ]
+        )
+    return out
+
+
+def _bloom_file_may_match(st: dict, col: str, probe_bits: list[list[int]]) -> bool:
+    """Can the file with per-file stats ``st`` contain any probed value of
+    ``col``? Files without a recorded Bloom are conservatively kept."""
+    import base64
+
+    b64 = st.get(f"bloom${col}")
+    if not b64:
+        return True
+    bm = base64.b64decode(b64)
+    return any(
+        all(bm[b >> 3] & (1 << (b & 7)) for b in bits) for bits in probe_bits
+    )
+
+
 class ConstraintViolationError(Exception):
     """A write contained rows that fail a table CHECK constraint; nothing
     was committed (any staged files are invisible without a log entry)."""
@@ -147,6 +195,9 @@ class TxTable:
         #: without a log entry are invisible to every reader (the
         #: torn-write guarantee doubles as constraint rollback).
         self.constraints = dict(constraints or {})
+        #: (files_total, files_scanned) of the last delete_by_key_mor
+        #: position-discovery scan — pruning telemetry for tests/ops.
+        self.last_mor_scan: tuple[int, int] | None = None
         self.log_dir = os.path.join(self.path, "_txlog")
         self.data_dir = os.path.join(self.path, "data")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -423,40 +474,24 @@ class TxTable:
         residual IN-filter runs on the survivors, so the result equals
         ``read()`` + filter regardless of false positives. Returns
         (DataFrame, n_files_total, n_files_scanned)."""
-        import base64
-        import hashlib
-
         v = self.latest_version() if version is None else version
         files, schema, stats, dvs = self._snapshot_state(v)
 
-        def bloom_bits_of(value) -> list[int]:
-            out = []
-            rendered = _bloom_probe_str(value)
-            for j in range(_BLOOM_K):
-                h = hashlib.md5(f"{j}|{rendered}".encode()).hexdigest()[:15]
-                out.append(int(h, 16) % _BLOOM_M)
-            return out
-
-        probe_bits = [bloom_bits_of(x) for x in values if x is not None]
+        probe_bits = _bloom_probe_bits(values)
         kept = []
         saturated: list[tuple[str, int]] = []
         for f in files:
             st = stats.get(f, {})
-            b64 = st.get(f"bloom${col}")
             rng = st.get(col)
             keep = True
             if rng and rng[0] is not None and rng[1] is not None:
                 if not any(rng[0] <= x <= rng[1] for x in values if x is not None):
                     keep = False
-            if keep and b64:
+            if keep and st.get(f"bloom${col}"):
                 nkeys = st.get(f"bloomn${col}")
                 if nkeys is not None and nkeys > _BLOOM_SATURATION_N:
                     saturated.append((f, nkeys))
-                bm = base64.b64decode(b64)
-                keep = any(
-                    all(bm[b >> 3] & (1 << (b & 7)) for b in bits)
-                    for bits in probe_bits
-                )
+                keep = _bloom_file_may_match(st, col, probe_bits)
             if keep:
                 kept.append(f)
         if saturated:
@@ -482,36 +517,108 @@ class TxTable:
 
     # -- writes ------------------------------------------------------------
 
-    def _check_constraints(self, df: DataFrame, op: str) -> None:
-        """One aggregation pass counting violations of every constraint
-        (map-side-combinable; no row data reaches the driver). Raises
-        ConstraintViolationError naming each violated constraint and its
-        row count."""
-        applicable = {
-            name: expr for name, expr in self.constraints.items()
-        }
-        if not applicable:
-            return
+    def _check_constraints(self, df: DataFrame, op: str) -> DataFrame:
+        """Validate every CHECK constraint against the EXACT rows that will
+        be written, returning the frame the caller must write.
+
+        The incoming frame is materialized once (lazy localCheckpoint —
+        the validation agg is its first and only computation) BEFORE the
+        check, so a non-deterministic input (rand(), a non-deterministic
+        UDF, a read of a concurrently-changing source) cannot pass
+        validation and then produce different, violating rows when the
+        write re-evaluates the plan (check-then-write TOCTOU). The check
+        itself is one aggregation pass counting violations of every
+        constraint (map-side-combinable; no row data reaches the driver).
+        Raises ConstraintViolationError naming each violated constraint
+        and its row count; nothing is committed (the checkpointed
+        partitions are executor-local scratch, invisible to readers)."""
+        if not self.constraints:
+            return df
+        df = df.localCheckpoint(eager=False)
         aggs = [
             F.sum(
                 F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
             ).alias(name)
-            for name, expr in applicable.items()
+            for name, expr in self.constraints.items()
         ]
         row = df.agg(*aggs).collect()[0]
-        bad = {name: int(row[name]) for name in applicable if row[name]}
+        bad = {name: int(row[name]) for name in self.constraints if row[name]}
         if bad:
             detail = ", ".join(
-                f"{name} ({n} rows: {applicable[name]!r})" for name, n in bad.items()
+                f"{name} ({n} rows: {self.constraints[name]!r})"
+                for name, n in bad.items()
             )
             raise ConstraintViolationError(
                 f"{op} rejected — CHECK constraint(s) violated: {detail}"
             )
+        return df
 
     def _write_files(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
         """Materialize df as new immutable data files; invisible until a
         log entry references them (torn writes cannot corrupt a reader).
-        Returns (file names, per-file min/max stats for ``stats_cols``)."""
+        Returns (file names, per-file min/max stats for ``stats_cols``).
+
+        Bloom columns must be integral/string/boolean (see
+        _BLOOM_SUPPORTED_SPARK_TYPES) — enforced HERE, at write time,
+        because a double/decimal/date bloom column would store bits for
+        Spark's rendering ('7.0', '7.00') that no accepted probe can ever
+        reproduce: every read_points lookup would silently return empty.
+
+        Saturation auto-split: when a staged file's distinct-key count for
+        a bloom column exceeds _BLOOM_SATURATION_N (the fp-rate cliff),
+        the stage is REWRITTEN once, hash-repartitioned on that column so
+        distinct keys spread disjointly across enough files to bring each
+        under half the threshold — closing the loop the read-side
+        saturation warning only reports. Costs one extra write of this
+        commit's rows, paid only when a write would otherwise produce a
+        dead filter."""
+        bloom_cols = [c for c in self.bloom_cols if c in df.columns]
+        for c in bloom_cols:
+            t = df.schema[c].dataType.simpleString()
+            if t not in _BLOOM_SUPPORTED_SPARK_TYPES:
+                raise TypeError(
+                    f"bloom_cols column {c!r} has Spark type {t}: the "
+                    "per-file Bloom hashes CAST(col AS STRING), whose "
+                    "rendering for this type no supported probe "
+                    "(int/string/boolean) can reproduce — every point "
+                    "lookup would be a guaranteed false negative. Use an "
+                    "integral/string/boolean column (e.g. cast or "
+                    "scale-encode first)."
+                )
+        tmp, part_stats = self._stage_files(df)
+        if bloom_cols:
+            worst_col, worst_total = None, 0
+            for c in bloom_cols:
+                counts = [st.get(f"bloomn${c}", 0) for st in part_stats.values()]
+                if counts and max(counts) > _BLOOM_SATURATION_N:
+                    total = sum(counts)  # upper bound on distinct keys
+                    if total > worst_total:
+                        worst_col, worst_total = c, total
+            if worst_col is not None:
+                shutil.rmtree(tmp, ignore_errors=True)
+                target = _BLOOM_SATURATION_N // 2
+                needed = max(2, -(-worst_total // target))
+                tmp, part_stats = self._stage_files(
+                    df.repartition(needed, F.col(worst_col))
+                )
+        names = []
+        file_stats: dict[str, dict] = {}
+        for part in sorted(os.listdir(tmp)):
+            if not part.endswith(".parquet"):
+                continue
+            name = f"{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(tmp, part), os.path.join(self.data_dir, name))
+            names.append(name)
+            if part in part_stats:
+                file_stats[name] = part_stats[part]
+        shutil.rmtree(tmp, ignore_errors=True)
+        return names, file_stats
+
+    def _stage_files(self, df: DataFrame) -> tuple[str, dict[str, dict]]:
+        """Write ``df`` to an invisible staging directory and compute the
+        per-staged-file stats (min/max for stats_cols, Bloom bitmap +
+        distinct-key count for bloom_cols). Returns (tmp dir, stats keyed
+        by staged part file name)."""
         tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         part_stats: dict[str, dict] = {}
@@ -575,24 +682,13 @@ class TxTable:
                 ):
                     part = os.path.basename(r["__f"].replace("file://", ""))
                     part_stats.setdefault(part, {})[f"bloomn${c}"] = int(r["__n"])
-        names = []
-        file_stats: dict[str, dict] = {}
-        for part in sorted(os.listdir(tmp)):
-            if not part.endswith(".parquet"):
-                continue
-            name = f"{uuid.uuid4().hex}.parquet"
-            os.rename(os.path.join(tmp, part), os.path.join(self.data_dir, name))
-            names.append(name)
-            if part in part_stats:
-                file_stats[name] = part_stats[part]
-        shutil.rmtree(tmp, ignore_errors=True)
-        return names, file_stats
+        return tmp, part_stats
 
     def append(self, df: DataFrame) -> int:
         """Blind append: no read-set, so it is commutative and auto-retries
         the version race (the already-written files are reused; only the
         log entry re-targets the new head). Returns the committed version."""
-        self._check_constraints(df, "append")
+        df = self._check_constraints(df, "append")
         adds, stats = self._write_files(df)
         entry = {
             "op": "append",
@@ -622,7 +718,7 @@ class TxTable:
         Incoming updates are CHECK-constraint-validated before any file
         is rewritten (rows already in the table were validated at their
         own commit)."""
-        self._check_constraints(updates, "merge")
+        updates = self._check_constraints(updates, "merge")
         base_version = self.latest_version()
         if base_version < 0:
             # empty table: MERGE degenerates to insert
@@ -704,6 +800,9 @@ class TxTable:
             "removes": sorted(touched),
             "schema": self._evolved_schema(base_version, updates.schema),
         }
+        entry.update(
+            self._dv_rewrite_entry(dvs, [f for f in files if f not in touched])
+        )
         self._commit(base_version + 1, entry)
         return base_version + 1
 
@@ -771,8 +870,47 @@ class TxTable:
             "removes": sorted(touched),
             "schema": schema.json() if schema is not None else None,
         }
+        entry.update(
+            self._dv_rewrite_entry(dvs, [f for f in files if f not in touched])
+        )
         self._commit(base_version + 1, entry)
         return base_version + 1
+
+    def _dv_rewrite_entry(
+        self, dvs: list[str], surviving_files: list[str]
+    ) -> dict:
+        """Commit-entry fields that rewrite the snapshot's deletion vectors
+        down to the positions still referencing a SURVIVING data file.
+
+        Rewrite commits (merge/delete copy-on-write) read their touched
+        files with DVs applied, so the rewritten output already excludes
+        every DV'd row — positions pointing at removed files are dead on
+        arrival. Without this cleanup the DV list grows monotonically:
+        every read pays an ever-growing anti-join over inert positions,
+        and ``changes()`` refuses forever even after every live file's
+        deletes have been materialized. Returns ``{}`` when the snapshot
+        carries no DVs (the common case costs nothing)."""
+        if not dvs:
+            return {}
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.data_dir, d) for d in dvs]
+        ).select("file", "row_index")
+        live = dv.where(F.col("file").isin(list(surviving_files)))
+        names: list[str] = []
+        if not live.isEmpty():
+            tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+            # DVs are positions of small deletes by design: one file
+            live.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for part in sorted(os.listdir(tmp)):
+                if not part.endswith(".parquet"):
+                    continue
+                name = f"{uuid.uuid4().hex}.dv.parquet"
+                os.rename(
+                    os.path.join(tmp, part), os.path.join(self.data_dir, name)
+                )
+                names.append(name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        return {"dv_clear": True, "dv_adds": names}
 
     @staticmethod
     def _range_may_match(rng: list | None, lo, hi) -> bool:
@@ -987,14 +1125,55 @@ class TxTable:
         immutable files; existing DVs are applied first so an
         already-suppressed row is never re-recorded. Raises
         ConcurrentCommitError if the table advanced between snapshot and
-        commit."""
+        commit.
+
+        The position-discovery scan is STATS-PRUNED like ``delete_by_key``'s
+        touched-file discovery: per-file min/max on the first key (when
+        recorded) and the per-file Bloom (when ``bloom_cols`` covers the
+        key and the probe set is small) exclude files that provably
+        contain no probed key — those files produce no positions by
+        construction. MoR exists precisely for small deletes on huge
+        tables; without pruning, every such delete would pay an O(table)
+        scan, inverting the feature's value. ``self.last_mor_scan`` records
+        (files_total, files_scanned) for tests/telemetry."""
         base_version = self.latest_version()
         if base_version < 0:
             raise ValueError("delete_by_key_mor on an empty table")
-        files, schema, _fstats, dvs = self._snapshot_state(base_version)
+        files, schema, fstats, dvs = self._snapshot_state(base_version)
+        scan_files = list(files)
+        if scan_files and self.stats_cols and keys[0] in self.stats_cols:
+            b = keys_df.agg(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).collect()[0]
+            lo, hi = b["lo"], b["hi"]
+            if lo is None:
+                scan_files = []  # no non-null probe keys: nothing can match
+            else:
+                scan_files = [
+                    f
+                    for f in scan_files
+                    if self._range_may_match(fstats.get(f, {}).get(keys[0]), lo, hi)
+                ]
+        if scan_files and keys[0] in self.bloom_cols:
+            # Bloom pruning needs the concrete probe values driver-side;
+            # bounded pull — a probe set past the cap falls back to the
+            # range-pruned scan (MoR's own use case is small deletes).
+            cap = 10_000
+            probes = [
+                r[0]
+                for r in keys_df.select(keys[0]).distinct().limit(cap + 1).collect()
+            ]
+            if len(probes) <= cap:
+                probe_bits = _bloom_probe_bits(probes)
+                scan_files = [
+                    f
+                    for f in scan_files
+                    if _bloom_file_may_match(fstats.get(f, {}), keys[0], probe_bits)
+                ]
+        self.last_mor_scan = (len(files), len(scan_files))
         names: list[str] = []
-        if files:
-            paths = [os.path.join(self.data_dir, f) for f in files]
+        if scan_files:
+            paths = [os.path.join(self.data_dir, f) for f in scan_files]
             reader = (
                 self.spark.read.schema(schema)
                 if schema is not None

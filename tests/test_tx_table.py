@@ -750,31 +750,71 @@ def test_bloom_probe_rendering_matches_spark_cast(spark, tmp_path):
         t.read_points("flag", [1.5])
 
 
-def test_bloom_saturation_warns(spark, tmp_path):
-    """Past ~40k distinct keys/file the 8 KiB Bloom's fp rate is near 1;
-    writes record the per-file distinct count (bloomn$) and read_points
-    surfaces the documented failure mode as a warning — while the
-    answer stays exact (residual IN-filter)."""
+def test_bloom_saturation_auto_splits_write(spark, tmp_path):
+    """A write whose staged file would saturate the 8 KiB Bloom (> ~40k
+    distinct keys) is auto-split: rewritten hash-partitioned on the bloom
+    column into enough files that each stays under threshold, so
+    read_points pruning keeps working instead of silently degrading —
+    and no saturation warning fires."""
     import warnings as _warnings
-
-    import pytest as _pytest
 
     t = TxTable(spark, str(tmp_path / "t"), bloom_cols=["k"])
     t.append(
         spark.range(0, 45_000).select(F.col("id").alias("k")).coalesce(1)
     )
+    files, _, stats, _dvs = t._snapshot_state(t.latest_version())
+    assert len(files) >= 2, "saturating write must land as multiple files"
+    from reflex_spark.sources.tx_table import _BLOOM_SATURATION_N
+
+    assert all(stats[f]["bloomn$k"] <= _BLOOM_SATURATION_N for f in files)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        res, total, scanned = t.read_points("k", [7])
+    assert scanned < total  # pruning is alive again
+    assert [r["k"] for r in res.collect()] == [7]
+
+    # an already-small write is left alone (no second staging pass)
+    t2 = TxTable(spark, str(tmp_path / "t2"), bloom_cols=["k"])
+    t2.append(spark.range(0, 1000).select(F.col("id").alias("k")).coalesce(1))
+    files2, _, _, _ = t2._snapshot_state(t2.latest_version())
+    assert len(files2) == 1
+
+
+def test_bloom_saturation_warns_on_legacy_files(spark, tmp_path, monkeypatch):
+    """Files written BEFORE auto-split existed (or past any threshold in
+    force at their write) still surface the documented failure mode as a
+    read-time warning — while the answer stays exact (residual
+    IN-filter)."""
+    import pytest as _pytest
+
+    from reflex_spark.sources import tx_table as _m
+
+    t = TxTable(spark, str(tmp_path / "t"), bloom_cols=["k"])
+    with monkeypatch.context() as m:
+        m.setattr(_m, "_BLOOM_SATURATION_N", 10**9)  # write-side: no split
+        t.append(
+            spark.range(0, 45_000).select(F.col("id").alias("k")).coalesce(1)
+        )
     with _pytest.warns(UserWarning, match="saturated"):
         res, total, scanned = t.read_points("k", [7])
     assert total == scanned == 1
     assert [r["k"] for r in res.collect()] == [7]
 
-    # an UNsaturated table warns nothing
-    t2 = TxTable(spark, str(tmp_path / "t2"), bloom_cols=["k"])
-    t2.append(spark.range(0, 1000).select(F.col("id").alias("k")).coalesce(1))
-    with _warnings.catch_warnings():
-        _warnings.simplefilter("error")
-        res2, _, _ = t2.read_points("k", [7])
-        assert [r["k"] for r in res2.collect()] == [7]
+
+def test_bloom_unsupported_column_type_rejected_at_write(spark, tmp_path):
+    """A bloom column typed double/decimal/date would store bits for
+    Spark's rendering ('7.0') that no accepted int/string/bool probe can
+    reproduce — a guaranteed Bloom FALSE NEGATIVE (read_points would
+    silently prune every file). The write side refuses the column type
+    up front instead."""
+    import pytest as _pytest
+
+    t = TxTable(spark, str(tmp_path / "t"), bloom_cols=["v"])
+    bad = spark.createDataFrame([(1, 7.0)], "k long, v double")
+    with _pytest.raises(TypeError, match="bloom_cols.*double"):
+        t.append(bad)
+    # nothing committed
+    assert t.latest_version() == -1
 
 
 def test_check_constraints_reject_and_roll_back(spark, tmp_path):
@@ -888,3 +928,116 @@ def test_delete_mor_dv_files_survive_vacuum_while_referenced(spark, tmp_path):
     assert [f for f in _os.listdir(t.data_dir) if f.endswith(".dv.parquet")]
     assert t.read().count() == 99
     assert t.read().where("k = 5").count() == 0
+
+
+def test_delete_mor_position_scan_prunes(spark, tmp_path):
+    """MoR's position-discovery scan is stats-pruned like delete_by_key's:
+    on a key-clustered table a small delete opens ONLY the files whose
+    min/max (and Bloom) can contain a probed key — the O(table)-scan
+    inversion of the feature's value proposition is gone. Output is
+    identical to the unpruned semantics."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k"], bloom_cols=["k"])
+    for lo in (0, 1000, 2000, 3000):
+        t.append(
+            spark.range(lo, lo + 100).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+        )
+    dead = spark.createDataFrame([(1005,), (1007,)], "k long")
+    t.delete_by_key_mor(dead, ["k"])
+    total, scanned = t.last_mor_scan
+    assert total == 4 and scanned == 1  # min/max prunes to the one file
+    assert t.read().count() == 398
+    assert t.read().where("k IN (1005, 1007)").count() == 0
+
+    # Bloom prunes when ranges interleave (min/max can't discriminate):
+    # two files covering the same range but DISJOINT key sets
+    t2 = TxTable(spark, str(tmp_path / "t2"), stats_cols=["k"], bloom_cols=["k"])
+    t2.append(
+        spark.range(0, 500).selectExpr("id * 2 AS k", "id AS v").coalesce(1)
+    )  # even keys 0..998
+    t2.append(
+        spark.range(0, 500).selectExpr("id * 2 + 1 AS k", "id AS v").coalesce(1)
+    )  # odd keys 1..999
+    t2.delete_by_key_mor(spark.createDataFrame([(4,), (10,)], "k long"), ["k"])
+    total2, scanned2 = t2.last_mor_scan
+    assert total2 == 2 and scanned2 == 1  # only the even-key file opened
+    assert t2.read().count() == 998
+    assert t2.read().where("k IN (4, 10)").count() == 0
+
+    # no-op delete of an absent key range opens nothing
+    t2.delete_by_key_mor(spark.createDataFrame([(10**7,)], "k long"), ["k"])
+    assert t2.last_mor_scan == (2, 0)
+    assert t2.read().count() == 998
+
+
+def test_rewrite_commits_drop_dead_deletion_vectors(spark, tmp_path):
+    """merge/delete copy-on-write commits rewrite the snapshot's DV list
+    down to positions referencing SURVIVING files (rewritten files carry
+    their DV'd rows already removed). The DV list therefore shrinks as
+    files rewrite instead of growing monotonically, and once no live
+    file has a DV, changes() works again without an OPTIMIZE."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k"])
+    t.append(spark.range(0, 100).selectExpr("id AS k", "id AS v", "CAST(1 AS LONG) AS ver").coalesce(1))
+    t.append(spark.range(1000, 1100).selectExpr("id AS k", "id AS v", "CAST(1 AS LONG) AS ver").coalesce(1))
+    # one MoR commit deleting rows in BOTH files
+    t.delete_by_key_mor(spark.createDataFrame([(5,), (1005,)], "k long"), ["k"])
+    _f, _s, _st, dvs = t._snapshot_state(t.latest_version())
+    assert dvs and t.read().count() == 198
+
+    # CoW delete touching only the FIRST file: its DV positions are dead;
+    # the second file's DV must survive
+    t.delete_by_key(spark.createDataFrame([(7,)], "k long"), ["k"])
+    files, _s, _st, dvs1 = t._snapshot_state(t.latest_version())
+    assert dvs1, "the untouched file's DV positions must survive"
+    assert t.read().count() == 197
+    assert t.read().where("k IN (5, 7, 1005)").count() == 0
+    # surviving DV references only live files
+    dv_rows = spark.read.parquet(
+        *[str(tmp_path / "t" / "data" / d) for d in dvs1]
+    ).collect()
+    assert {r["file"] for r in dv_rows} <= set(files)
+
+    # merge touching the SECOND file kills the last DV: list goes empty
+    upd = spark.createDataFrame([(1007, 9999, 2)], "k long, v long, ver long")
+    t.merge_by_key(upd, ["k"], "ver")
+    v_clean = t.latest_version()
+    _f2, _s2, _st2, dvs2 = t._snapshot_state(v_clean)
+    assert dvs2 == []
+    assert t.read().count() == 197
+    assert t.read().where("k = 1007").collect()[0]["v"] == 9999
+    assert t.read().where("k IN (5, 7, 1005)").count() == 0
+
+    # changes() works across the DV-free tail without an OPTIMIZE
+    t.append(spark.createDataFrame([(5000, 1, 1)], "k long, v long, ver long"))
+    ch = t.changes(v_clean)
+    assert [(r["k"], r["_change_type"]) for r in ch.collect()] == [(5000, "insert")]
+
+
+def test_check_constraints_validate_the_written_rows(spark, tmp_path):
+    """TOCTOU pin: the rows the constraint check sees are the EXACT rows
+    committed. A non-deterministic input that would produce different
+    rows on re-evaluation (pass the check, then materialize a violation)
+    cannot slip through — the frame is materialized once before
+    validation and the write reuses that materialization."""
+    from pyspark.sql.types import LongType
+
+    marker = str(tmp_path / "evals")
+
+    def flaky(x):
+        # first evaluation returns a valid value, every later one violates
+        import os as _os
+
+        p = f"{marker}-{x}"
+        if _os.path.exists(p):
+            return -1
+        with open(p, "w") as f:
+            f.write("1")
+        return 1
+
+    u = F.udf(flaky, LongType()).asNondeterministic()
+    t = TxTable(spark, str(tmp_path / "t"), constraints={"v_pos": "v > 0"})
+    df = spark.range(0, 3, 1, 1).select(F.col("id").alias("k"), u("id").alias("v"))
+    t.append(df)
+    vals = sorted(r["v"] for r in t.read().collect())
+    assert vals == [1, 1, 1], (
+        "committed rows differ from the validated rows — check/write TOCTOU"
+    )
