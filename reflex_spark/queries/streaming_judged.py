@@ -3370,6 +3370,9 @@ def stream_gapfill_recovery_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             .select([f.name for f in EVENT_SCHEMA.fields])
         )
         raw3.write.mode("append").parquet(log.path)
+        # out-of-band write: the handle's cached head is stale (explicit
+        # raw-writer contract, EventLog.invalidate_head_cache docstring)
+        log.invalidate_head_cache()
 
         fill_gaps(log, grace_seconds=0.2, recheck_interval=0.05)
 

@@ -143,6 +143,19 @@ class ReflexBlobWriter(DataSourceWriter):
       in-place rmtree; concurrent writers would additionally need a
       conditional-put on ``_SUCCESS`` (documented, out of scope for the
       local bucket).
+    - **single-writer is ENFORCED, not assumed**: ``<seq>`` is chosen
+      driver-side from a listing, so two concurrent write jobs could
+      pick the SAME seq and interleave partitions under one namespace
+      (and the later manifest union would legitimize both). The
+      constructor therefore takes an exclusive CLAIM on the bucket
+      (``_writer.claim`` via O_EXCL — atomic on POSIX) held until
+      commit/abort; a second writer constructing while the claim is held
+      refuses loudly instead of corrupting the key order. A claim left
+      by a CRASHED driver keeps refusing (honest — the reference's
+      buckets are single-producer too, rblob/doc.go) until an operator
+      confirms no writer is live and removes it; the error names the
+      file, holder, and age. On a real object store this would be a
+      conditional-put (if-none-match) on the same key.
 
     Doubles ride Python's shortest-round-trip repr, so a read-back is
     bit-exact."""
@@ -157,12 +170,48 @@ class ReflexBlobWriter(DataSourceWriter):
         if overwrite and os.path.isdir(self.root):
             shutil.rmtree(self.root)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        self._claim_path = os.path.join(self.root, "_writer.claim")
+        self._acquire_claim()
         # Driver-side: runs once per write job, before any task. After an
         # overwrite's rmtree this is empty, so the manifest union below is
         # unconditional. (At object-store scale the prior list would come
         # from the previous _SUCCESS manifest, not a directory listing.)
+        # Listed AFTER the claim, so the chosen seq cannot be stale: no
+        # other writer can publish between this listing and our commit.
         self.prior = self._existing_blobs()
         self.seq = self._next_seq(self.prior)
+
+    def _acquire_claim(self) -> None:
+        import time
+
+        try:
+            fd = os.open(
+                self._claim_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            try:
+                age = max(0.0, time.time() - os.path.getmtime(self._claim_path))
+                with open(self._claim_path, encoding="utf-8") as f:
+                    holder = f.read().strip()
+            except OSError:
+                age, holder = -1.0, "?"
+            raise ValueError(
+                f"another writer holds this bucket's claim "
+                f"({self._claim_path}, holder {holder!r}, age {age:.0f}s): "
+                "the blob sink is single-writer — a concurrent append "
+                "could pick the same w-<seq> namespace and break the "
+                "cursor-resume key ordering. If that writer crashed, "
+                "remove the claim file after confirming no write job is "
+                "live."
+            ) from None
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(f"pid={os.getpid()}")
+
+    def _release_claim(self) -> None:
+        try:
+            os.remove(self._claim_path)
+        except OSError:
+            pass
 
     def _existing_blobs(self) -> list[str]:
         data = os.path.join(self.root, "data")
@@ -242,6 +291,7 @@ class ReflexBlobWriter(DataSourceWriter):
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.root, "_SUCCESS"))
+        self._release_claim()
 
     def abort(self, messages) -> None:
         # Remove blobs published by completed attempts, then sweep this
@@ -262,6 +312,7 @@ class ReflexBlobWriter(DataSourceWriter):
                 os.remove(tmp)
             except OSError:
                 pass
+        self._release_claim()
 
 
 class ReflexBlobReader(DataSourceReader):

@@ -429,6 +429,7 @@ class EventLog:
         import shutil
 
         df = self.read()
+        head = self.head()  # stamp target for the rewrite (see below)
         if target_partitions is None:
             total_bytes = sum(
                 os.path.getsize(os.path.join(root, f))
@@ -442,6 +443,22 @@ class EventLog:
         if self.partitioned:
             writer = writer.partitionBy("event_date")
         writer.parquet(new_data)
+        # Stamp the rewrite into the LOGICAL mtime domain at the head it
+        # captured: parquet writes carry real-clock mtimes (~1.7e9), which
+        # sort AFTER every logical stamp (BASE + seq ≈ 1.0e9) — a stream
+        # started after compact+append would replay the newer appends
+        # BEFORE the compacted history, breaking the file-order==id-order
+        # contract run_stream's max-id-watermark consumers rely on. With
+        # BASE + head, appends after compaction (BASE + head + n) keep
+        # sorting strictly after the compacted files.
+        t = float(self._MTIME_BASE + head)
+        for root, _dirs, files in os.walk(new_data):
+            for f in files:
+                if f.startswith("part-"):
+                    try:
+                        os.utime(os.path.join(root, f), (t, t))
+                    except OSError:
+                        pass
         if os.path.islink(base):
             old_target = os.path.realpath(base)
             tmp_link = base + ".lnk"
@@ -456,6 +473,21 @@ class EventLog:
             os.rename(base, old)
             os.symlink(new_data, base)
             shutil.rmtree(old)
+        # ids are preserved, so the cached head is numerically still right —
+        # but stay defensive: a compact() racing an external state change
+        # must never leave a stale cache behind (ADVICE r12).
+        self.invalidate_head_cache()
+
+    def invalidate_head_cache(self) -> None:
+        """Force the next head() to re-read storage.
+
+        The in-instance head cache assumes this handle's own appends are
+        the only head movements (single-writer contract). Callers that
+        write to ``self.path`` OUT OF BAND — raw parquet writes into the
+        log directory (crash-injection fixtures do this), a second handle
+        on the same log, restore-from-backup — must call this before the
+        next append, or dense-id assignment would reuse ids."""
+        self._head_cache = None
 
     def read_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
         """Structured Streaming source over the log (reference

@@ -881,3 +881,35 @@ def test_stamp_commit_order_is_monotonic_across_appends(spark, tmp_path):
         seen |= fresh
         groups.append({os.path.getmtime(p) for p in fresh})
     assert max(groups[0]) < min(groups[1]) <= max(groups[1]) < min(groups[2])
+
+
+def test_compact_stamps_output_into_logical_mtime_domain(spark, tmp_path):
+    """compact() rewrites data files; without restamping they would carry
+    real-clock mtimes (~1.7e9) that sort AFTER every logical stamp
+    (BASE + seq ~ 1.0e9) — a file-source stream started after
+    compact + append would replay the newer appends FIRST, breaking the
+    file-order == id-order contract. The compacted output is stamped at
+    BASE + head-at-compaction, so post-compaction appends keep sorting
+    strictly after it; ids stay continuous; the head cache is
+    invalidated defensively."""
+    import os
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.sources.memory import make_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append(make_events(spark, [(1, f"a{i}") for i in range(4)]))
+    log.append(make_events(spark, [(1, f"b{i}") for i in range(4)]))
+    log.compact(target_partitions=1)
+    assert log._head_cache is None  # defensive invalidation
+    compacted = dict.fromkeys(log._data_files())
+    for p in compacted:
+        compacted[p] = os.path.getmtime(p)
+    assert all(m == float(EventLog._MTIME_BASE + 8) for m in compacted.values())
+
+    log.append(make_events(spark, [(1, f"c{i}") for i in range(4)]))
+    assert log.head() == 12  # ids continuous across compaction
+    newer = log._data_files() - set(compacted)
+    assert newer
+    # every post-compaction file sorts strictly AFTER the compacted set
+    assert min(os.path.getmtime(p) for p in newer) > max(compacted.values())

@@ -1019,3 +1019,51 @@ def test_blob_writer_next_seq_parses_legacy_and_new_keys():
         nxt(["data/w-garbage.jsonl"])
     with _pytest.raises(ValueError, match="exhausted"):
         nxt(["data/w-999999-part-00000.jsonl"])
+
+
+def test_blob_writer_refuses_concurrent_writer(spark, tmp_path):
+    """Single-writer is ENFORCED: two overlapping write jobs would choose
+    the same w-<seq> namespace from the same listing and interleave
+    partitions — the constructor takes an O_EXCL claim on the bucket,
+    held until commit/abort, and a second writer refuses loudly. A claim
+    left by a crashed driver keeps refusing (named in the error) until
+    an operator removes it."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from reflex_spark.sources.blob_datasource import ReflexBlobWriter, register
+
+    schema = StructType([StructField("k", LongType())])
+    bucket = str(tmp_path / "bucket")
+
+    a = ReflexBlobWriter({"path": bucket}, schema, overwrite=False)
+    with _pytest.raises(ValueError, match="claim"):
+        ReflexBlobWriter({"path": bucket}, schema, overwrite=False)
+    a.commit([])  # release on commit
+    b = ReflexBlobWriter({"path": bucket}, schema, overwrite=False)
+    b.abort([])  # release on abort too
+    ReflexBlobWriter({"path": bucket}, schema, overwrite=False).commit([])
+
+    # crashed writer: stale claim refuses and the error names the file
+    with open(_os.path.join(bucket, "_writer.claim"), "w") as f:
+        f.write("pid=99999")
+    with _pytest.raises(ValueError, match="_writer.claim"):
+        ReflexBlobWriter({"path": bucket}, schema, overwrite=False)
+    _os.remove(_os.path.join(bucket, "_writer.claim"))
+
+    # the real save path cycles the claim invisibly (sequential appends)
+    register(spark)
+    for lo in (0, 3):
+        spark.range(lo, lo + 3).selectExpr("id AS k").repartition(1).write.format(
+            "reflex_blob"
+        ).option("path", bucket).mode("append").save()
+    back = (
+        spark.read.format("reflex_blob")
+        .option("path", bucket)
+        .option("schema", "k long")
+        .load()
+    )
+    assert sorted(r["k"] for r in back.collect()) == [0, 1, 2, 3, 4, 5]
+    assert not _os.path.exists(_os.path.join(bucket, "_writer.claim"))
