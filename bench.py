@@ -228,6 +228,11 @@ HEADLINE = [
     # reads, the zero-rewrite delete path (copy-on-write delete is timed
     # via the CDC/SCD2 entries)
     "tx_delete_mor_rollup",
+    # round 13: write-behind cursor crash redelivery — the buffered
+    # cursor store's crash window driven end-to-end (interval flush,
+    # hard kill, durable-cursor resume, idempotent convergence); the
+    # poll path's at-least-once failure mode is not timed elsewhere
+    "stream_cursor_crash_redelivery_rollup",
 ]
 
 

@@ -53,68 +53,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver judges exactly the FIRST 50 names in ``all_queries()`` order
 # (verified round 10: CORRECTNESS_r10 keys == list(all_queries())[:50]).
 # Registration order alone would pin the same 50 early names forever, so
-# 115/197 queries would never receive a hard external correctness row.
+# most queries would never receive a hard external correctness row.
 # _WINDOW rotates the judged window explicitly: these names are emitted
 # first (in this order), then every other registered name in registration
-# order.  Round 12 window: 50 names never driver-judged in rounds 1-11
-# (verified against every CORRECTNESS_r*.json), every one oracle-checkable.
-# Priority follows VERDICT r11 Next #1: the round-11 additions (AQE skew,
-# tx time-travel/schema-evolution/bloom, watermark-bounded streaming, blob
-# sink, the statistics family, HITS/PCA/LPA, range join, recursive CTE)
-# plus this round's touched/new queries (stream_watermark_rollup re-pin,
-# prefix-filtered text_sparse_cosine_pairs, prefix_scan_running_revenue),
-# then never-judged relational/pipeline/multimodal/ANN names.
+# order.  Round 13 window (VERDICT r12 Next #1): the THREE r10 rows whose
+# fixes shipped later but were never re-judged (holt hash-fixed in r11;
+# the two sketches gained real oracles in r12) + 47 names never
+# driver-judged in rounds 1-12 (verified against every
+# CORRECTNESS_r*.json), every one oracle-checkable.  Priority: the r12
+# operational/surface newcomers, the heavy streaming/CDC/blob rollups,
+# this round's new buffered-cursor crash query, then never-judged
+# ANN-recall/text/multimodal/dedup names.  ~20 never-judged names remain
+# for round 14 (zero-never-judged is reachable then).
 _WINDOW: list[str] = [
-    "aqe_skew_join_rollup",
-    "tx_schema_evolution_rollup",
-    "tx_time_travel_rollup",
-    "tx_bloom_point_lookup",
-    "stream_dedup_within_watermark",
-    "stream_static_enrich_rollup",
-    "stream_dim_pinning_contrast",
-    "blob_sink_roundtrip_rollup",
-    "stream_watermark_rollup",
-    "events_acf_lags",
-    "events_cusum_changepoint",
-    "events_ks_two_sample",
-    "events_xcorr_purchase_click",
-    "ols_price_items_regression",
-    "stats_mutual_information",
-    "window_running_distinct_users",
-    "graph_hits_hubs_authorities",
-    "sim_pca_power_iteration",
-    "graph_label_propagation",
-    "range_join_binned_overlaps",
-    "recursive_cte_supplier_chain",
-    "prefix_scan_running_revenue",
-    "text_sparse_cosine_pairs",
-    "text_substring_span_dedup",
-    "text_naive_bayes_langid",
-    "text_perceptron_quality",
-    "multimodal_audio_resample",
-    "multimodal_audio_dft4_bins",
-    "events_seq_patterns_top",
-    "events_session_window_dynamic",
-    "events_user_mean_grouped_udaf",
-    "events_seasonal_profile",
-    "pipeline_winsorize_robust",
-    "sample_global_shuffle_manifest",
-    "pipeline_dsir_importance",
-    "pipeline_feature_normalize",
-    "orders_years_agg",
-    "nation_order_volume",
-    "zorder_skipping_rollup",
-    "hilbert_skipping_rollup",
-    "dedup_record_linkage",
-    "ivm_join_agg_maintenance",
-    "lateral_top2_orders_per_customer",
-    "dpp_partitioned_events_join",
-    "nullsafe_join_type_counts",
-    "observe_metrics_orders",
-    "source_csv_roundtrip_rollup",
-    "blob_sink_append_rollup",
-    "pipeline_group_split_leakage_free",
-    "cogroup_click_purchase_attribution",
+    # re-judges: stale non-green r10 rows, fixed locally since
+    "events_holt_trend_forecast",
+    "events_kll_quantiles",
+    "events_approx_distinct_users",
+    # r12 operational/surface newcomers
+    "tx_delete_mor_rollup",
+    "tx_constraint_enforcement_rollup",
+    "events_arrow_partial_agg_rollup",
+    "dedup_incremental_minhash_rollup",
+    "stream_compaction_cursor_rollup",
+    "stream_gapfill_recovery_rollup",
+    "blob_sink_stream_producer_rollup",
+    # heavy streaming / CDC / blob / tx rollups
+    "stream_cdc_scd2_history",
+    "stream_stream_left_join",
+    "stream_stream_full_join",
+    "cdc_rollup",
+    "stream_sharded_rollup",
+    "blob_stream_rollup",
+    "tx_merge_orders",
+    # round 13's new judged operational query
+    "stream_cursor_crash_redelivery_rollup",
+    # remaining never-judged streaming machinery
+    "stream_rollup_counts",
+    "stream_restart_rollup",
+    "stream_stateful_sessions",
+    "blob_source_rollup",
+    "stream_dedup_rollup",
+    "stream_stream_join_attribution",
+    # never-judged ANN / similarity family
+    "sim_ann_recall",
+    "sim_ann_ivf_recall",
+    "sim_ann_ivf_kmeans_topk",
+    "sim_ann_pq_recall",
+    "sim_ann_ivfpq_topk",
+    "sim_ann_ivfpq_recall",
+    "sim_scalar_quant_topk",
+    "embedding_label_norms",
+    # never-judged text / dedup / pipeline
+    "top_terms_per_lang",
+    "sample_cluster_balanced",
+    "text_bpe_token_stats",
+    "text_vocab_richness",
+    "dedup_ngram_containment",
+    "text_term_drift_chi2",
+    "text_pii_redact",
+    "text_decontaminate",
+    "text_repetition_removal",
+    "text_boilerplate_spans",
+    "text_unigram_logprob",
+    "text_bpe_train_merges",
+    "dedup_edit_distance_blocked",
+    "dedup_multi_signal",
+    # never-judged multimodal
+    "dedup_images_phash",
+    "multimodal_audio_stats",
+    "multimodal_audio_segments",
+    "multimodal_video_stats",
 ]
 
 

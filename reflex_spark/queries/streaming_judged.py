@@ -3622,3 +3622,169 @@ def tx_delete_mor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_cursor_crash_redelivery_rollup",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_cursor_crash_redelivery_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Judged crash-recovery of the WRITE-BEHIND cursor buffer (reference
+    async cursor flush, rsql/cursorstable.go:169-230: cursor writes
+    coalesce on a 5s timer, so a crash loses up to one interval of cursor
+    progress and the restarted consumer REDELIVERS that window —
+    at-least-once, converging on an idempotent sink).
+
+    Machinery exercised end-to-end: BufferedCursorStore over a durable
+    FileCursorStore; the poll run loop delivers fixture events into an
+    append-only parquet sink; mid-run, one interval flush fires (the 5s
+    timer, deterministically injected at a known batch), then the process
+    HARD-CRASHES two batches later — modeled by a store whose flush is
+    dead from that instant, because a killed process never runs its exit
+    flush. A fresh store + consumer (the restarted process) resumes from
+    the durable cursor and runs to head.
+
+    Pinned in-query: (a) redelivery actually happened — the sink holds
+    MORE rows than the log (the crash window's batches appear twice);
+    (b) delivery is complete — every event id reached the sink; (c) the
+    idempotent resolve (dedup by event id, then rollup) is bit-identical
+    to the one-shot oracle aggregate. A cursor store that flushed nothing
+    (restart from 0) would double-deliver EVERYTHING and fail (a); one
+    that flushed too much (cursor ahead of consumption) would lose rows
+    and fail (b)/(c)."""
+    import shutil
+
+    from reflex_spark.streaming import BufferedCursorStore, FileCursorStore
+
+    ev = load_tables(spark, sf_dir)["events"]
+    canonical, code_of = _canonical_events(ev)
+
+    from reflex_spark.sources.event_log import EventLog
+
+    base = tempfile.mkdtemp(prefix="stream_crash_")
+    sink = f"{base}/sink"
+    log = EventLog(spark, f"{base}/log")
+    durable = FileCursorStore(f"{base}/cursors")
+
+    class _Chaos(RuntimeError):
+        """Stands in for SIGKILL: unwinds the run loop without cleanup."""
+
+    class _CrashableBuffered(BufferedCursorStore):
+        """BufferedCursorStore whose process can 'die': from that moment
+        no code of this instance runs in the real world — flush becomes
+        a no-op (the exit flush of a killed process never executes) and
+        any further use raises."""
+
+        dead = False
+
+        def set_cursor(self, consumer: str, cursor) -> None:
+            if self.dead:
+                raise _Chaos("set_cursor on a dead process")
+            super().set_cursor(consumer, cursor)
+
+        def flush(self) -> None:
+            if self.dead:
+                return
+            super().flush()
+
+    FLUSH_AT, CRASH_AT = 2, 4
+
+    def make_consume(store):
+        def consume(batch: DataFrame, meta: dict) -> None:
+            if store is not None:  # first (crashing) incarnation
+                if meta["batch"] == FLUSH_AT:
+                    store.flush()  # the interval timer fires mid-run
+                if meta["batch"] == CRASH_AT:
+                    store.dead = True  # SIGKILL lands here
+                    raise _Chaos("process killed mid-consume")
+            batch.select("event_id", "event_type", "metadata").write.mode(
+                "append"
+            ).parquet(sink)
+
+        return consume
+
+    try:
+        n_total = canonical.count()
+        log.append(canonical.drop("__orig_id"))
+        limit = max(1, n_total // 8)  # ~8 poll batches
+
+        run1_store = _CrashableBuffered(durable, flush_interval=1e9)
+        spec1 = Spec(
+            log,
+            run1_store,
+            Consumer("crashy", make_consume(run1_store)),
+            StreamOptions(to_head=True, batch_limit=limit),
+        )
+        try:
+            run(spec1)
+            raise AssertionError("chaos crash never fired — fixture too small")
+        except Exception as exc:  # Consumer wraps the crash in ConsumerError
+            if not isinstance(exc, _Chaos) and not isinstance(
+                exc.__cause__, _Chaos
+            ):
+                raise
+
+        resumed_from = durable.get_cursor("crashy")
+        if not 0 < resumed_from < n_total:
+            raise AssertionError(
+                f"durable cursor {resumed_from} outside the crash window "
+                f"(0, {n_total}): the interval flush or the crash did not "
+                "land where injected"
+            )
+
+        # the restarted process: fresh buffer over the same durable store
+        spec2 = Spec(
+            log,
+            BufferedCursorStore(durable, flush_interval=1e9),
+            Consumer("crashy", make_consume(None)),
+            StreamOptions(to_head=True, batch_limit=limit),
+        )
+        try:
+            run(spec2)
+        except ErrHeadReached:
+            pass
+
+        delivered = spark.read.parquet(sink)
+        n_rows = delivered.count()
+        n_ids = delivered.select("event_id").distinct().count()
+        if n_rows <= n_total:
+            raise AssertionError(
+                f"no redelivery observed ({n_rows} sink rows for {n_total} "
+                "events): the buffered cursor survived a 'crash' it must not"
+            )
+        if n_ids != n_total:
+            raise AssertionError(
+                f"delivery incomplete: {n_ids}/{n_total} distinct event ids"
+            )
+
+        out = (
+            delivered.dropDuplicates(["event_id"])  # the idempotent sink
+            .select(
+                "event_type",
+                F.col("metadata").cast("string").cast("double").alias("value"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                _label_back(code_of).alias("event_type"),
+                F.col("n_events").cast("long").alias("n_events"),
+                "sum_value",
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

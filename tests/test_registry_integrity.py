@@ -150,3 +150,93 @@ def test_duckdb_list_reduce_struct_accumulator_is_unsafe():
         "if it now folds correctly (b=3), the engine bug is fixed — "
         "update this pin and the oracle-authoring guidance"
     )
+
+
+def test_no_new_unpartitioned_windows_in_queries():
+    """Registry-wide plan gate (VERDICT r12 #5): an unpartitioned
+    ``Window.orderBy`` funnels the whole frame through ONE task — the
+    100 TB failure mode ``operators/scan.bucketed_prefix_sum`` exists to
+    avoid. Every EXISTING site below runs over a bounded
+    post-aggregation series (hour/day/bin rollups or fixture-sized
+    control frames — each audited and documented in SCALE_NOTES); any
+    NEW running aggregate must use the two-phase bucketed operator from
+    day one, or consciously add itself here with the same bounded-series
+    justification. The gate parses source, so it covers every registered
+    query without executing the operational rollups.
+
+    Exactness both ways: a new site fails the gate (use
+    bucketed_prefix_sum or justify), and a removed site must leave the
+    allowlist (no dead entries masking future additions)."""
+    import ast
+    import glob
+    import os
+
+    qdir = os.path.join(
+        os.path.dirname(__file__), "..", "reflex_spark", "queries"
+    )
+    found: set[tuple[str, str]] = set()
+    for path in sorted(glob.glob(os.path.join(qdir, "*.py"))):
+        with open(path, encoding="utf-8") as f:
+            tree = ast.parse(f.read())
+        fname = os.path.basename(path)
+        # names bound to pyspark's Window in this module (any alias)
+        aliases = {
+            (a.asname or a.name)
+            for node in ast.walk(tree)
+            if isinstance(node, ast.ImportFrom)
+            and node.module in ("pyspark.sql", "pyspark.sql.window")
+            for a in node.names
+            if a.name == "Window"
+        }
+        funcs = [
+            (n.lineno, n.end_lineno or n.lineno, n.name)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+
+        def enclosing(ln: int) -> str:
+            best = None
+            for lo, hi, name in funcs:
+                if lo <= ln <= hi and (best is None or lo > best[0]):
+                    best = (lo, name)
+            return best[1] if best else "<module>"
+
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "orderBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id in aliases
+            ):
+                found.add((fname, enclosing(node.lineno)))
+
+    allowed = {
+        # hourly/daily/bin post-aggregation series (bounded by calendar)
+        ("events.py", "events_max_concurrent"),
+        ("events.py", "events_value_histogram_quantiles"),
+        ("events.py", "events_cusum_changepoint"),
+        ("events.py", "events_ks_two_sample"),
+        ("relational_ext.py", "ntile_percent_rank_orders"),
+        ("relational_ext.py", "prefix_scan_running_revenue"),  # the
+        # single-partition BIT-EQUALITY TWIN judged against the bucketed
+        # operator inside the same query — it exists to be compared away
+        ("relational_tpch.py", "monthly_revenue_trend"),
+        # bounded-sample / control-plane frames (ntile over a capped
+        # sample; reservoir over k<<n winners; per-batch fixture splits)
+        ("events.py", "events_sample_bottomk_quantiles"),
+        ("pipeline.py", "sample_weighted_reservoir"),
+        ("streaming_judged.py", "stream_watermark_rollup"),
+        ("streaming_judged.py", "stream_stateful_sessions"),
+        ("streaming_judged.py", "stream_gapfill_recovery_rollup"),
+    }
+    new = found - allowed
+    assert not new, (
+        f"NEW unpartitioned Window.orderBy site(s) {sorted(new)}: a global "
+        "running aggregate must use operators/scan.bucketed_prefix_sum "
+        "(range-bucketed partials + broadcast offsets) — or, if the frame "
+        "is provably bounded post-aggregation, add the site here with a "
+        "justification comment"
+    )
+    stale = allowed - found
+    assert not stale, f"stale allowlist entries (site removed): {sorted(stale)}"
