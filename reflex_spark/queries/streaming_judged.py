@@ -3788,3 +3788,117 @@ def stream_cursor_crash_redelivery_rollup(
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "tx_restore_rollup",
+    # RESTORE judged end-to-end: seed (v1) -> bad MERGE (v2) -> bad
+    # DELETE (v3) -> restore(v1) as commit v4.  The head rollup must
+    # equal the SEED recipe (a restore that left any of the damage
+    # behind, or replayed it wrong, hash-fails under the 'restored'
+    # tag), while the pre-restore head stays readable and mutated (a
+    # restore that destroyed history would fail the v3 recipe under
+    # 'pre_restore').
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                         o_totalprice AS price
+                  FROM orders),
+    v2 AS (SELECT k,
+                  CASE WHEN k % 7 = 0 THEN 'R' ELSE status END AS status,
+                  CASE WHEN k % 7 = 0 THEN price * CAST(2 AS DOUBLE)
+                       ELSE price END AS price
+           FROM base),
+    v3 AS (SELECT * FROM v2 WHERE k % 11 <> 0),
+    u AS (SELECT 'pre_restore' AS snapshot, status, price FROM v3
+          UNION ALL SELECT 'restored', status, price FROM base)
+    SELECT snapshot, status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('price', 'sum_price')}
+    FROM u GROUP BY snapshot, status
+    """,
+)
+def tx_restore_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged RESTORE on the transactional table — the mistake-undo
+    operator (Delta RESTORE parity): seed the orders fixture (v1), damage
+    it with a MERGE re-price (v2) and a DELETE (v3), then ``restore(v1)``
+    and roll up BOTH the restored head and the still-readable pre-restore
+    version side by side.
+
+    Pinned in-query: restore is METADATA-ONLY (the data directory's file
+    set is byte-identical across the restore commit — the rollback cost
+    is O(log), never O(table)); history is preserved (restore appears as
+    its own commit after append/merge/delete, and v3 still reads back
+    with the damage). The hash check then proves the restored snapshot
+    equals the seed recipe exactly while the pre-restore snapshot equals
+    the damaged recipe — reverted, not re-damaged, not over-reverted.
+
+    Scale posture: restore moves no data and reads no data file — it
+    commits the target version's file list (stats and deletion vectors
+    ride along, so data skipping and MoR semantics survive the
+    rollback). At 100 TB this is the difference between an operational
+    undo and a multi-hour table rewrite."""
+    import os as _os
+    import shutil
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("ver"),
+    )
+    bad_updates = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("R").alias("status"),
+        (F.col("o_totalprice") * 2.0).alias("price"),
+        F.lit(2).alias("ver"),
+    )
+    doomed = orders.where(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("k")
+    )
+    base_dir = tempfile.mkdtemp(prefix="tx_restore_")
+    try:
+        t = TxTable(spark, f"{base_dir}/orders")
+        v1 = t.append(seed)
+        t.merge_by_key(bad_updates, ["k"], "ver")
+        v3 = t.delete_by_key(doomed, ["k"])
+
+        disk_before = sorted(_os.listdir(t.data_dir))
+        v4 = t.restore(v1)
+        if sorted(_os.listdir(t.data_dir)) != disk_before:
+            raise AssertionError(
+                "restore wrote or removed data files — the rollback must "
+                "be metadata-only"
+            )
+        ops = [h["op"] for h in t.history()]
+        if ops != ["append", "merge", "delete", "restore"]:
+            raise AssertionError(f"unexpected commit history: {ops}")
+        if v4 != v3 + 1:
+            raise AssertionError(f"restore must be the next commit, got {v4}")
+
+        def roll(df: DataFrame, tag: str) -> DataFrame:
+            return (
+                df.groupBy("status")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("price").cast("decimal(18,6)"))
+                    .cast("double")
+                    .alias("sum_price"),
+                )
+                .select(
+                    F.lit(tag).alias("snapshot"),
+                    "status",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    "sum_price",
+                )
+            )
+
+        out = roll(t.read(version=v3), "pre_restore").unionByName(
+            roll(t.read(), "restored")
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out

@@ -1196,7 +1196,9 @@ class TxTable:
             ).select("file", "row_index")
             if not matches.isEmpty():
                 tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
-                matches.write.mode("overwrite").parquet(tmp)
+                # DVs are positions of SMALL deletes by design: one file
+                # (avoids committing an empty part per shuffle partition)
+                matches.coalesce(1).write.mode("overwrite").parquet(tmp)
                 for part in sorted(os.listdir(tmp)):
                     if not part.endswith(".parquet"):
                         continue
@@ -1214,6 +1216,70 @@ class TxTable:
         }
         self._commit(base_version + 1, entry)
         return base_version + 1
+
+    # -- rollback ------------------------------------------------------------
+
+    def history(self) -> list[dict]:
+        """Commit-log introspection (Delta DESCRIBE HISTORY analogue):
+        one dict per retained commit, oldest first. Reads only the tiny
+        JSON log entries — no data file is touched."""
+        out = []
+        for v in self._versions():
+            e = self._entry(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": e.get("op"),
+                    "n_adds": len(e.get("adds", [])),
+                    "n_removes": len(e.get("removes", [])),
+                    "n_dv_adds": len(e.get("dv_adds", [])),
+                    "dv_clear": bool(e.get("dv_clear")),
+                }
+            )
+        return out
+
+    def restore(self, version: int) -> int:
+        """RESTORE the table to an earlier ``version`` (Delta RESTORE):
+        commit a new entry whose snapshot EQUALS the target's — a pure
+        metadata rollback. No data file is read, written, or moved; the
+        operational mistake-undo is O(log), not O(table), because every
+        version's files are immutable and still on disk until vacuum.
+
+        History is preserved: restore is itself a commit, so the
+        mistaken versions stay time-travelable (until vacuumed) and
+        ``changes()`` across the restore reports exactly the reverted
+        rows. The target's files (and deletion vectors) must still
+        exist — restoring past a vacuum raises HistoryTruncatedError,
+        mirroring Delta's behavior. Raises ConcurrentCommitError if the
+        table advanced between snapshot and commit."""
+        base = self.latest_version()
+        if base < 0:
+            raise ValueError("restore on an empty table")
+        files_t, schema_t, stats_t, dvs_t = self._snapshot_state(version)
+        files_c = set(self._snapshot_state(base)[0])
+        gone = [
+            f
+            for f in list(files_t) + list(dvs_t)
+            if not os.path.exists(os.path.join(self.data_dir, f))
+        ]
+        if gone:
+            raise HistoryTruncatedError(
+                f"cannot restore to version {version}: {len(gone)} of its "
+                f"files were vacuumed (e.g. {gone[:3]})"
+            )
+        entry = {
+            "op": "restore",
+            "adds": [f for f in files_t if f not in files_c],
+            "stats": {f: stats_t[f] for f in files_t if f in stats_t},
+            "removes": sorted(f for f in files_c if f not in set(files_t)),
+            "schema": schema_t.json() if schema_t is not None else None,
+            # the target's DV set is restored verbatim (cleared first so
+            # post-target DVs don't leak through)
+            "dv_clear": True,
+            "dv_adds": list(dvs_t),
+        }
+        self._commit(base + 1, entry)
+        return base + 1
 
     # Default retention mirrors Delta's VACUUM default (168 h): a data file
     # younger than this is never deleted even if no retained snapshot

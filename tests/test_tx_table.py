@@ -1041,3 +1041,66 @@ def test_check_constraints_validate_the_written_rows(spark, tmp_path):
     assert vals == [1, 1, 1], (
         "committed rows differ from the validated rows — check/write TOCTOU"
     )
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    """RESTORE commits a snapshot equal to the target version without
+    touching any data file (O(log), not O(table)); history is preserved
+    (the mistaken versions stay time-travelable, restore appears as its
+    own commit), stats ride along so data skipping still works, and a
+    restore whose target files were vacuumed refuses loudly."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k"])
+    v1 = t.append(_mk(spark, [(1, "a", 1), (10, "b", 1)]).coalesce(1))
+    v2 = t.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")
+    v3 = t.delete_by_key(spark.createDataFrame([(10,)], "k long"), ["k"])
+    disk_before = sorted(os.listdir(t.data_dir))
+
+    v4 = t.restore(v1)
+    assert v4 == v3 + 1
+    assert sorted(os.listdir(t.data_dir)) == disk_before  # metadata-only
+    assert _rows(t.read()) == [(1, "a", 1), (10, "b", 1)]
+    # the mistaken versions remain readable (history preserved)
+    assert _rows(t.read(version=v2)) == [(1, "A", 2), (10, "b", 1)]
+    assert _rows(t.read(version=v3)) == [(1, "A", 2)]
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["append", "merge", "delete", "restore"]
+    # stats restored with the files: skipping still prunes post-restore
+    files, _, stats, _ = t._snapshot_state(v4)
+    assert all(f in stats and "k" in stats[f] for f in files)
+    # changes() across the restore reports exactly the reverted rows
+    ch = {(r["k"], r["v"], r["_change_type"]) for r in t.changes(v3, v4).collect()}
+    assert ch == {(1, "a", "insert"), (10, "b", "insert"), (1, "A", "delete")}
+
+    # a restored snapshot protects its files from vacuum
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    assert _rows(t.read()) == [(1, "a", 1), (10, "b", 1)]
+
+
+def test_restore_reinstates_deletion_vectors(spark, tmp_path):
+    """Restoring to a version that carried merge-on-read deletes brings
+    its DV set back verbatim — the suppressed rows stay suppressed —
+    and clears any DVs committed after the target."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 20).selectExpr("id AS k"))
+    v_dv = t.delete_by_key_mor(spark.createDataFrame([(3,)], "k long"), ["k"])
+    t.delete_by_key_mor(spark.createDataFrame([(7,)], "k long"), ["k"])
+    _f0, _s0, _st0, dvs_target = t._snapshot_state(v_dv)
+    v_r = t.restore(v_dv)
+    assert t.read().count() == 19
+    assert t.read().where("k = 3").count() == 0   # target DV active
+    assert t.read().where("k = 7").count() == 1   # post-target DV cleared
+    _f, _s, _st, dvs = t._snapshot_state(v_r)
+    assert sorted(dvs) == sorted(dvs_target)  # the target's DV set, verbatim
+
+
+def test_restore_past_vacuum_refuses(spark, tmp_path):
+    from reflex_spark.sources.tx_table import HistoryTruncatedError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1)]).coalesce(1))
+    t.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")  # rewrites v0's file
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    with pytest.raises(HistoryTruncatedError, match="vacuumed"):
+        t.restore(0)
+    # the table itself is untouched by the refused restore
+    assert _rows(t.read()) == [(1, "A", 2)]
