@@ -3902,3 +3902,117 @@ def tx_restore_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "tx_merge_tombstone_rollup",
+    # MERGE with tombstones judged: ONE commit carries upserts (k%7,
+    # re-price at ver 2), deletes (k%11, tombstones), and inserts (k%13
+    # shifted strictly past max k).  k%77 keys receive BOTH an upsert and a
+    # tombstone at the SAME version — the deterministic tie rule (the
+    # delete wins) is baked into the oracle, so a tie-break regression
+    # hash-fails.  The oracle recomputes the final state from the recipe.
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                         o_totalprice AS price
+                  FROM orders),
+    maxk AS (SELECT MAX(k) AS m FROM base),
+    final AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN 'R' ELSE status END AS status,
+             CASE WHEN k % 7 = 0 THEN price * CAST(2 AS DOUBLE)
+                  ELSE price END AS price
+      FROM base WHERE k % 11 <> 0
+      UNION ALL
+      SELECT k + m + 1, 'N', price / CAST(2 AS DOUBLE)
+      FROM base, maxk WHERE k % 13 = 0
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('price', 'sum_price')}
+    FROM final GROUP BY status
+    """,
+)
+def tx_merge_tombstone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged MERGE WITH TOMBSTONES (Delta's WHEN MATCHED ... THEN DELETE
+    parity): one transactional commit applies a change batch mixing
+    upserts, brand-new inserts, and deletes — the CDC-apply shape.
+    Without the tombstone clause this takes merge + delete as TWO
+    commits with a visible intermediate state (and double the touched-
+    file rewrites); with it, a change-data stream folds into the table
+    atomically.
+
+    Semantics pinned by the hash: version wins (a stale tombstone never
+    deletes), unmatched tombstones are no-ops, and at EQUAL version the
+    delete wins (k%77 keys carry both intents at ver 2 — the oracle
+    encodes delete-wins, so the deterministic tie-break is judged, not
+    just unit-tested). In-query pins: exactly ONE merge commit in the
+    history, and the stored schema never contains the tombstone column.
+
+    Scale posture: identical to merge_by_key — touched-file discovery is
+    stats-prunable, only files containing matched keys rewrite, and the
+    tombstone filter is one JVM predicate on the rewrite path."""
+    import shutil
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    maxk = orders.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    upserts = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("R").alias("status"),
+        (F.col("o_totalprice") * 2.0).alias("price"),
+        F.lit(2).cast("long").alias("ver"),
+        F.lit(False).alias("deleted"),
+    )
+    deletes = orders.where(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(2).cast("long").alias("ver"),
+        F.lit(True).alias("deleted"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + F.lit(maxk) + F.lit(1)).alias("k"),
+        F.lit("N").alias("status"),
+        (F.col("o_totalprice") / 2.0).alias("price"),
+        F.lit(2).cast("long").alias("ver"),
+        F.lit(False).alias("deleted"),
+    )
+    change_batch = upserts.unionByName(deletes).unionByName(inserts)
+    base_dir = tempfile.mkdtemp(prefix="tx_tombstone_")
+    try:
+        t = TxTable(spark, f"{base_dir}/orders")
+        t.append(seed)
+        t.merge_by_key(change_batch, ["k"], "ver", tombstone_col="deleted")
+        if [h["op"] for h in t.history()] != ["append", "merge"]:
+            raise AssertionError(
+                "the change batch must land as exactly ONE merge commit"
+            )
+        live = t.read()
+        if "deleted" in live.columns:
+            raise AssertionError("tombstone column leaked into the schema")
+        out = (
+            live.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .select(
+                "status",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                "sum_price",
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out

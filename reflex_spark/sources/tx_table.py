@@ -535,6 +535,11 @@ class TxTable:
         if not self.constraints:
             return df
         df = df.localCheckpoint(eager=False)
+        self._assert_constraints(df, op)
+        return df
+
+    def _assert_constraints(self, df: DataFrame, op: str) -> None:
+        """The validation agg alone (callers handle materialization)."""
         aggs = [
             F.sum(
                 F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
@@ -551,7 +556,6 @@ class TxTable:
             raise ConstraintViolationError(
                 f"{op} rejected — CHECK constraint(s) violated: {detail}"
             )
-        return df
 
     def _write_files(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
         """Materialize df as new immutable data files; invisible until a
@@ -707,7 +711,11 @@ class TxTable:
                 continue
 
     def merge_by_key(
-        self, updates: DataFrame, keys: list[str], version_col: str
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        version_col: str,
+        tombstone_col: str | None = None,
     ) -> int:
         """MERGE INTO semantics, file-level copy-on-write: matched rows are
         replaced when the update wins by ``version_col`` (ties broken
@@ -717,19 +725,69 @@ class TxTable:
         advanced between snapshot and commit — retry with a fresh call.
         Incoming updates are CHECK-constraint-validated before any file
         is rewritten (rows already in the table were validated at their
-        own commit)."""
-        updates = self._check_constraints(updates, "merge")
+        own commit).
+
+        ``tombstone_col`` (Delta's WHEN MATCHED ... THEN DELETE): a
+        boolean column on ``updates`` marking DELETE intents. A key whose
+        winning row (by ``version_col``) is a tombstone is dropped —
+        upserts and deletes land in ONE commit, the CDC-apply shape
+        (without it, applying a change stream needs merge + delete as two
+        commits with a visible intermediate state). At equal version a
+        tombstone beats an upsert (the deterministic desc tie-break —
+        deletes win ties). Tombstones for absent keys are no-ops; the
+        tombstone column itself is never stored and never evolves the
+        table schema; tombstone rows are exempt from CHECK constraints
+        (they carry no data that will land)."""
+        if tombstone_col is None:
+            updates = self._check_constraints(updates, "merge")
+        elif self.constraints:
+            # validate only the rows that will LAND (tombstones delete),
+            # against the same single materialization the write reuses
+            updates = updates.localCheckpoint(eager=False)
+            self._assert_constraints(
+                updates.where(
+                    ~F.coalesce(F.col(tombstone_col), F.lit(False))
+                ),
+                "merge",
+            )
+
+        def arrange(df: DataFrame) -> DataFrame:
+            # latest_by_key's deterministic tie-break walks the non-key,
+            # non-version columns in FRAME ORDER (all desc); putting the
+            # tombstone first makes "equal version → the delete wins"
+            # independent of what the other columns happen to contain
+            if tombstone_col is None:
+                return df
+            rest = [
+                c
+                for c in df.columns
+                if c not in (*keys, version_col, tombstone_col)
+            ]
+            return df.select(*keys, version_col, tombstone_col, *rest)
+
+        def finish(df: DataFrame) -> DataFrame:
+            if tombstone_col is None:
+                return df
+            return df.where(
+                ~F.coalesce(F.col(tombstone_col), F.lit(False))
+            ).drop(tombstone_col)
+
+        committed_schema = (
+            updates.drop(tombstone_col) if tombstone_col is not None else updates
+        ).schema
         base_version = self.latest_version()
         if base_version < 0:
             # empty table: MERGE degenerates to insert
-            adds, stats = self._write_files(latest_by_key(updates, keys, version_col))
+            adds, stats = self._write_files(
+                finish(latest_by_key(arrange(updates), keys, version_col))
+            )
             self._commit(
                 0,
                 {
                     "op": "merge",
                     "adds": adds,
                     "stats": stats,
-                    "schema": updates.schema.json(),
+                    "schema": committed_schema.json(),
                 },
             )
             return 0
@@ -785,20 +843,30 @@ class TxTable:
             # new file (which no DV references) — same class of bug as
             # the schema-inference one the judged query caught in r11
             touched_rows = self._read_files(sorted(touched), snap_schema, dvs)
+            if tombstone_col is not None:
+                # existing rows are live by definition; False loses the
+                # desc tie-break, so an equal-version tombstone wins
+                touched_rows = touched_rows.withColumn(
+                    tombstone_col, F.lit(False)
+                )
             merged = latest_by_key(
-                touched_rows.unionByName(updates, allowMissingColumns=True),
+                arrange(
+                    touched_rows.unionByName(updates, allowMissingColumns=True)
+                ),
                 keys,
                 version_col,
             )
-            adds, stats = self._write_files(merged)
+            adds, stats = self._write_files(finish(merged))
         else:
-            adds, stats = self._write_files(latest_by_key(updates, keys, version_col))
+            adds, stats = self._write_files(
+                finish(latest_by_key(arrange(updates), keys, version_col))
+            )
         entry = {
             "op": "merge",
             "adds": adds,
             "stats": stats,
             "removes": sorted(touched),
-            "schema": self._evolved_schema(base_version, updates.schema),
+            "schema": self._evolved_schema(base_version, committed_schema),
         }
         entry.update(
             self._dv_rewrite_entry(dvs, [f for f in files if f not in touched])

@@ -1104,3 +1104,74 @@ def test_restore_past_vacuum_refuses(spark, tmp_path):
         t.restore(0)
     # the table itself is untouched by the refused restore
     assert _rows(t.read()) == [(1, "A", 2)]
+
+
+def test_merge_tombstones_upsert_and_delete_in_one_commit(spark, tmp_path):
+    """tombstone_col (Delta's WHEN MATCHED ... THEN DELETE): upserts,
+    inserts, and deletes land in ONE commit — the CDC-apply shape. A key
+    whose winning row by version is a tombstone is dropped; stale
+    tombstones lose to newer upserts; tombstones for absent keys are
+    no-ops; at EQUAL version the delete wins regardless of the other
+    columns' values; the tombstone column is never stored and never
+    evolves the schema."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        _mk(spark, [(1, "a", 5), (2, "b", 5), (3, "c", 5), (4, "d", 5)])
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "A", 6, False),   # upsert wins (newer)
+            (2, None, 6, True),   # delete wins (newer)
+            (3, "zzz", 4, True),  # stale delete loses ('zzz' would win a
+                                  # column tie-break — version must decide)
+            (4, "aaa", 5, True),  # EQUAL version: delete wins even though
+                                  # 'aaa' < 'd' in the column tie-break
+            (9, "new", 1, False), # unmatched upsert inserts
+            (8, None, 1, True),   # unmatched delete is a no-op
+        ],
+        "k long, v string, ver long, deleted boolean",
+    )
+    t.merge_by_key(changes, ["k"], "ver", tombstone_col="deleted")
+    assert _rows(t.read()) == [(1, "A", 6), (3, "c", 5), (9, "new", 1)]
+    assert t.read().columns == ["k", "v", "ver"]  # tombstone col not stored
+    # one commit only
+    assert [h["op"] for h in t.history()] == ["append", "merge"]
+    # the deletes surface in the change feed
+    ch = {(r["k"], r["_change_type"]) for r in t.changes(0).collect()}
+    assert (2, "delete") in ch and (4, "delete") in ch
+
+
+def test_merge_tombstones_skip_check_constraints(spark, tmp_path):
+    """Tombstone rows carry no data that will land — they are exempt
+    from CHECK constraints (a delete of a row whose payload fields are
+    null/garbage must not be rejected); non-tombstone rows in the same
+    commit are still validated."""
+    import pytest as _pytest
+
+    from reflex_spark.sources.tx_table import ConstraintViolationError
+
+    t = TxTable(
+        spark, str(tmp_path / "t"), constraints={"v_known": "v IS NOT NULL"}
+    )
+    t.append(spark.createDataFrame([(1, "a", 1)], "k long, v string, ver long"))
+    # a tombstone with a constraint-violating payload passes
+    t.merge_by_key(
+        spark.createDataFrame(
+            [(1, None, 2, True)], "k long, v string, ver long, deleted boolean"
+        ),
+        ["k"],
+        "ver",
+        tombstone_col="deleted",
+    )
+    assert t.read().count() == 0
+    # a violating UPSERT in a tombstone merge is still rejected
+    with _pytest.raises(ConstraintViolationError):
+        t.merge_by_key(
+            spark.createDataFrame(
+                [(5, None, 3, False)],
+                "k long, v string, ver long, deleted boolean",
+            ),
+            ["k"],
+            "ver",
+            tombstone_col="deleted",
+        )
