@@ -233,6 +233,11 @@ HEADLINE = [
     # hard kill, durable-cursor resume, idempotent convergence); the
     # poll path's at-least-once failure mode is not timed elsewhere
     "stream_cursor_crash_redelivery_rollup",
+    # round 13: the persisted-IVF-index lifecycle — index-build job
+    # (partitionBy-list parquet write) + a separate partition-pruned
+    # probe job; the index write/read-back cost shape (fit-and-probe
+    # in one plan is timed via sim_ann_ivf_topk)
+    "sim_ann_ivf_persisted_index_rollup",
 ]
 
 

@@ -2046,3 +2046,177 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         F.col("j").cast("long").alias("dim"), F.round("v", 6).alias("loading")
     )
+
+
+@query(
+    "sim_ann_ivf_persisted_index_rollup",
+    # The persisted-index OPERATIONAL shape (the ANN twin of
+    # dedup_incremental_minhash_rollup): an index-build job fits the
+    # seeded coarse quantizer, assigns every vector to a list, and
+    # PERSISTS the index to storage partitioned BY LIST; a separate
+    # probe job reads back only the centroids (KBs) plus the probed
+    # list partitions — partition pruning is asserted on the plan — and
+    # answers a 3-query batch. The quantizer recipe is the closed form
+    # sim_ann_ivf_topk pinned, so DuckDB replays build + probe + in-list
+    # scoring bit-for-bit from the raw fixture.
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_IVF_LISTS}
+    ),
+    lists AS (
+      SELECT vec_id, embedding, cid AS ivf_list FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_D2}, c.cid) AS rnk
+        FROM embeddings e, cent c)
+      WHERE rnk = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN (0, 1, 2)),
+    qprobe AS (
+      SELECT q_id, qv, cid AS ivf_list FROM (
+        SELECT q.q_id, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {_IVF_QD2}, c.cid) AS rnk
+        FROM q, cent c)
+      WHERE rnk <= {_IVF_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, l.vec_id, {sql_cosine('l.embedding', 'p.qv')} AS cos_sim
+      FROM lists l JOIN qprobe p USING (ivf_list)
+      WHERE l.vec_id <> p.q_id)
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT q_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 10
+    """,
+)
+def sim_ann_ivf_persisted_index_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF with a PERSISTED index, probed by a separate job — how ANN
+    actually runs at 100 TB: the expensive part (quantizer fit + corpus
+    assignment) happens once in an index-build job that writes
+    ``centroids.parquet`` + the corpus repartitioned and PARTITIONED BY
+    ``ivf_list`` on disk; every probe job afterwards reads back the
+    centroids (kilobytes, broadcast) and ONLY the probed list
+    partitions. The fit-and-probe-in-one-plan twins (sim_ann_ivf_*)
+    judge the math; this entry judges the index lifecycle.
+
+    Pinned in-query: (a) the probe scan's physical plan carries a
+    PartitionFilter on ivf_list — the probed-list restriction is
+    resolved at PLANNING time against the partition directories, never
+    by scanning the corpus and filtering rows; (b) every file the probe
+    read lives under a probed ``ivf_list=`` directory; (c) the persisted
+    index is complete (its row count equals the corpus). The hash check
+    then proves the disk round-trip + pruned probe return bit-identical
+    results to the closed-form oracle.
+
+    Scale: probe cost is O(lists probed), independent of corpus size;
+    the index layout is exactly the bucketed-by-list parquet a
+    1000-executor probe fleet wants (no shuffle at probe time — the
+    scan itself is the list lookup)."""
+    import shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import Window
+
+    from reflex_spark.operators.similarity import sqdist
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n_corpus = emb.count()
+    base = _tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        # ---- index-build job -------------------------------------------
+        cent = emb.where(F.col("vec_id") < _IVF_LISTS).select(
+            F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cv")
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy("__d", "__cid")
+        assigned = (
+            emb.select("vec_id", "embedding")
+            .join(F.broadcast(cent))
+            .withColumn("__d", sqdist(F.col("embedding"), F.col("__cv")))
+            .withColumn("__rnk", F.row_number().over(w_assign))
+            .where(F.col("__rnk") == 1)
+            .select("vec_id", "embedding", F.col("__cid").alias("ivf_list"))
+        )
+        cent.write.mode("overwrite").parquet(f"{base}/centroids")
+        assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
+            f"{base}/lists"
+        )
+
+        # ---- probe job (touches history only through the index) --------
+        cent_back = spark.read.parquet(f"{base}/centroids")
+        queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        w_probe = Window.partitionBy("q_id").orderBy("__d", "__cid")
+        qprobe = (
+            queries.join(F.broadcast(cent_back))
+            .withColumn("__d", sqdist(F.col("qv"), F.col("__cv")))
+            .withColumn("__rnk", F.row_number().over(w_probe))
+            .where(F.col("__rnk") <= _IVF_PROBE)
+            .select("q_id", "qv", F.col("__cid").alias("ivf_list"))
+        )
+        probed_lists = sorted(
+            {r["ivf_list"] for r in qprobe.select("ivf_list").distinct().collect()}
+        )
+        pruned = spark.read.parquet(f"{base}/lists").where(
+            F.col("ivf_list").isin(probed_lists)
+        )
+        plan = pruned._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        if not pf or "ivf_list" not in pf[0]:
+            raise AssertionError(
+                f"probe scan is not partition-pruned: {pf or 'no filter line'}"
+            )
+        touched_dirs = {
+            r[0]
+            for r in pruned.select(
+                F.regexp_extract(F.input_file_name(), r"ivf_list=(\d+)/", 1)
+            )
+            .distinct()
+            .collect()
+        }
+        if not touched_dirs <= {str(v) for v in probed_lists}:
+            raise AssertionError(
+                f"probe read outside its lists: {touched_dirs} vs {probed_lists}"
+            )
+        n_indexed = spark.read.parquet(f"{base}/lists").count()
+        if n_indexed != n_corpus:
+            raise AssertionError(
+                f"index incomplete: {n_indexed}/{n_corpus} vectors"
+            )
+
+        scored = (
+            pruned.join(F.broadcast(qprobe), "ivf_list")
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+            )
+        )
+        w_top = Window.partitionBy("q_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id")
+        )
+        out = (
+            scored.withColumn("__rnk", F.row_number().over(w_top))
+            .where(F.col("__rnk") <= 10)
+            .select(
+                F.col("q_id").cast("long").alias("q_id"),
+                F.col("vec_id").cast("long").alias("vec_id"),
+                "cos_sim",
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
