@@ -1175,3 +1175,117 @@ def test_merge_tombstones_skip_check_constraints(spark, tmp_path):
             "ver",
             tombstone_col="deleted",
         )
+
+
+def test_randomized_commit_sequence_matches_model(spark, tmp_path):
+    """Model-based integration pin: a seeded random sequence of every
+    commit kind (append, merge, tombstone merge, copy-on-write delete,
+    merge-on-read delete, optimize, restore) is replayed against a plain
+    Python dict model, then EVERY retained version is read back and must
+    equal the model's snapshot at that version. The sequence crosses the
+    CHECKPOINT_INTERVAL boundary, so checkpoint state (files, stats,
+    DVs) is exercised under mixed entry kinds — interactions the
+    per-feature tests cannot see. Merges use strictly increasing
+    versions so the model's 'newer wins' rule is unambiguous (tie
+    semantics are pinned separately)."""
+    import random
+
+    rng = random.Random(13)
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k"])
+    model: dict[int, tuple] = {}
+    snapshots: dict[int, frozenset] = {}
+    next_key, next_ver = 0, 1
+
+    def mk3(rows):
+        return spark.createDataFrame(rows, "k long, v string, ver long")
+
+    def snap(committed: int) -> None:
+        snapshots[committed] = frozenset((k, *model[k]) for k in model)
+
+    rows = [(i, f"s{i}", 0) for i in range(8)]
+    next_key = 8
+    for k, v, vr in rows:
+        model[k] = (v, vr)
+    snap(t.append(mk3(rows)))
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "merge", "tombstone", "delete", "mor", "optimize", "restore"]
+        )
+        if op == "append":
+            rows = [(next_key + i, f"a{step}_{i}", 0) for i in range(rng.randint(1, 4))]
+            next_key += len(rows)
+            for k, v, vr in rows:
+                model[k] = (v, vr)
+            snap(t.append(mk3(rows)))
+        elif op == "merge":
+            keys = rng.sample(sorted(model), min(len(model), rng.randint(1, 4)))
+            new = [next_key + i for i in range(rng.randint(0, 2))]
+            next_key += len(new)
+            if not keys and not new:
+                continue
+            ver = next_ver
+            next_ver += 1
+            ups = [(k, f"m{step}_{k}", ver) for k in keys + new]
+            for k, v, vr in ups:
+                model[k] = (v, vr)
+            snap(t.merge_by_key(mk3(ups), ["k"], "ver"))
+        elif op == "tombstone":
+            keys = rng.sample(sorted(model), min(len(model), rng.randint(1, 4)))
+            new = [next_key + i for i in range(rng.randint(0, 2))]
+            next_key += len(new)
+            if not keys and not new:
+                continue
+            ver = next_ver
+            next_ver += 1
+            dead = set(rng.sample(keys, len(keys) // 2)) if keys else set()
+            rows4 = [
+                (k, None if k in dead else f"t{step}_{k}", ver, k in dead)
+                for k in keys + new
+            ]
+            for k, v, vr, d in rows4:
+                if d:
+                    model.pop(k, None)
+                else:
+                    model[k] = (v, vr)
+            df = spark.createDataFrame(
+                rows4, "k long, v string, ver long, deleted boolean"
+            )
+            snap(t.merge_by_key(df, ["k"], "ver", tombstone_col="deleted"))
+        elif op == "delete":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(len(model), rng.randint(1, 3)))
+            for k in keys:
+                model.pop(k, None)
+            snap(
+                t.delete_by_key(
+                    spark.createDataFrame([(k,) for k in keys], "k long"), ["k"]
+                )
+            )
+        elif op == "mor":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(len(model), rng.randint(1, 3)))
+            for k in keys:
+                model.pop(k, None)
+            snap(
+                t.delete_by_key_mor(
+                    spark.createDataFrame([(k,) for k in keys], "k long"), ["k"]
+                )
+            )
+        elif op == "optimize":
+            if not model:
+                continue
+            snap(t.optimize(target_files=2))
+        elif op == "restore":
+            target = rng.choice(sorted(snapshots))
+            model = {k: (v, vr) for (k, v, vr) in snapshots[target]}
+            snap(t.restore(target))
+
+    assert len(snapshots) >= 12  # crossed the checkpoint interval
+    for ver, expect in sorted(snapshots.items()):
+        got = frozenset(
+            tuple(r) for r in t.read(version=ver).select("k", "v", "ver").collect()
+        )
+        assert got == expect, f"version {ver}: {got ^ expect}"
