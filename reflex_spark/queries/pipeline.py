@@ -944,3 +944,70 @@ def cogroup_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> Data
             attribute, "user_id long, n_purchases long, n_attributed long"
         )
     )
+
+
+def _dq_expectations():
+    """The shared expectation lists for the data-quality judged query —
+    built once so the Spark plan and the generated oracle SQL cannot
+    drift (operators/validate.sql_validate renders the SQL twin from the
+    SAME objects)."""
+    from reflex_spark.operators import validate as V
+
+    orders_exps = [
+        V.is_complete("o_custkey"),
+        V.is_unique("o_orderkey"),
+        V.has_min("o_totalprice", lo=0.0),
+        V.has_mean("o_totalprice", lo=1000.0, hi=500000.0),
+        V.in_set_ratio("o_orderstatus", ["F", "O", "P"], at_least=1.0),
+        V.has_size(lo=1.0),
+    ]
+    docs_exps = [
+        V.is_complete("text"),
+        V.is_unique("doc_id"),
+        # intentionally failing check: the fixture also contains zh/es —
+        # pins that the report records failures instead of being
+        # vacuously green
+        V.in_set_ratio("lang", ["en", "de", "fr"], at_least=1.0),
+        V.matches_ratio("source", "^src[0-9]+$", at_least=1.0),
+        V.has_mean("n_chars", lo=1.0),
+    ]
+    return orders_exps, docs_exps
+
+
+def _dq_oracle() -> str:
+    from reflex_spark.operators.validate import sql_validate
+
+    o, d = _dq_expectations()
+    return f"""
+    SELECT 'orders' AS table_name, * FROM ({sql_validate('orders', o)})
+    UNION ALL
+    SELECT 'documents' AS table_name, * FROM ({sql_validate('documents', d)})
+    """
+
+
+@query("pipeline_data_quality_report", oracle=_dq_oracle())
+def pipeline_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data validation in ONE aggregation pass per
+    table (operators/validate): completeness, exact uniqueness, range,
+    decimal-mean, set-membership ratio, regex-conformance ratio, and size
+    expectations — each metric an algebraic aggregate whose partials
+    combine map-side, so the 11-expectation suite costs exactly two scans
+    (one per table), not eleven. One documents check (lang ⊆ {en,de,fr})
+    intentionally FAILS on the fixture, pinning that the report surfaces
+    failures. The oracle SQL is GENERATED from the same expectation
+    objects (sql_validate), so Spark plan and oracle cannot drift.
+
+    Reference scope: the reference validates events structurally at ingest
+    (typed payload decode); this extends that contract to table-level
+    expectations a training pipeline gates corpus releases on."""
+    from reflex_spark.operators.validate import validate
+
+    t = load_tables(spark, sf_dir)
+    o, d = _dq_expectations()
+    rep_o = validate(t["orders"], o).select(
+        F.lit("orders").alias("table_name"), "*"
+    )
+    rep_d = validate(t["documents"], d).select(
+        F.lit("documents").alias("table_name"), "*"
+    )
+    return rep_o.unionByName(rep_d)
