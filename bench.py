@@ -238,6 +238,11 @@ HEADLINE = [
     # probe job; the index write/read-back cost shape (fit-and-probe
     # in one plan is timed via sim_ann_ivf_topk)
     "sim_ann_ivf_persisted_index_rollup",
+    # round 13: the zero-copy clone lifecycle — hardlink branch creation
+    # + the full mutate-the-branch workload (merge/delete/append) with
+    # two-way isolation pins; the branch-and-experiment operational
+    # shape is not timed elsewhere
+    "tx_clone_rollup",
     # round 13: the single-pass expectation suite — a multi-distinct
     # validation aggregate (two Expand-backed exact-uniqueness metrics
     # sharing one scan with plain algebraic metrics) is a cost shape

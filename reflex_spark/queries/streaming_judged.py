@@ -4016,3 +4016,143 @@ def tx_merge_tombstone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "tx_clone_rollup",
+    # Shallow clone judged end-to-end: seed the source (v1), CLONE it,
+    # then damage ONLY the clone (merge re-price, delete, append). The
+    # rollup reads both tables side by side: 'source' must equal the seed
+    # recipe (any write leakage from the clone hash-fails it) and 'clone'
+    # must equal the mutated recipe (a clone that missed files, dropped
+    # DVs, or re-read the source head would diverge).
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                         o_totalprice AS price
+                  FROM orders),
+    m AS (SELECT k,
+                 CASE WHEN k % 7 = 0 THEN 'X' ELSE status END AS status,
+                 CASE WHEN k % 7 = 0 THEN price * CAST(2 AS DOUBLE)
+                      ELSE price END AS price
+          FROM base),
+    d AS (SELECT * FROM m WHERE k % 11 <> 0),
+    cl AS (SELECT * FROM d
+           UNION ALL
+           SELECT k + 1000000, 'N', CAST(100 AS DOUBLE)
+           FROM base WHERE k % 13 = 0),
+    u AS (SELECT 'source' AS table_tag, status, price FROM base
+          UNION ALL SELECT 'clone', status, price FROM cl)
+    SELECT table_tag, status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('price', 'sum_price')}
+    FROM u GROUP BY table_tag, status
+    """,
+)
+def tx_clone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged ZERO-COPY shallow clone (Delta SHALLOW CLONE parity,
+    TxTable.clone): seed the source from orders, clone it without copying
+    a byte, then run the experiment-branch workload on the CLONE only —
+    a MERGE re-price (k%7 → status X, price ×2), a DELETE (k%11), and an
+    append of new promo rows (k%13, shifted keys) — and roll up both
+    tables side by side.
+
+    Pinned in-query: (a) the clone is physically zero-copy — every
+    cloned data file shares its inode with the source file (hardlink,
+    st_nlink >= 2); (b) two-way isolation — after all three clone
+    mutations the source's version AND data-directory listing are
+    byte-identical to the pre-clone state; (c) the clone's commit 0 is a
+    metadata-only 'clone' entry carrying the source's per-file stats.
+    The hash check then proves the source still equals the seed recipe
+    while the clone equals the mutated recipe exactly.
+
+    Scale posture: clone cost is O(files) hardlinks + one JSON log
+    entry — at 100 TB the experiment branch is created in metadata time,
+    and immutable data files + uuid naming make cross-table interference
+    impossible by construction (vacuum on either side only unlinks its
+    own directory entry; the inode lives until the last referrer drops
+    it — pinned in tests/test_tx_table.py)."""
+    import os as _os
+    import shutil
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("ver"),
+    )
+    base_dir = tempfile.mkdtemp(prefix="tx_clone_")
+    try:
+        src = TxTable(spark, f"{base_dir}/src")
+        src_v = src.append(seed)
+        src_disk = sorted(_os.listdir(src.data_dir))
+
+        cl = src.clone(f"{base_dir}/branch")
+        entry0 = cl._entry(0)
+        if entry0["op"] != "clone" or not entry0.get("adds"):
+            raise AssertionError(f"unexpected clone commit 0: {entry0}")
+        for fname in entry0["adds"]:
+            s_st = _os.stat(_os.path.join(src.data_dir, fname))
+            c_st = _os.stat(_os.path.join(cl.data_dir, fname))
+            if s_st.st_ino != c_st.st_ino or c_st.st_nlink < 2:
+                raise AssertionError(
+                    f"clone copied {fname} instead of hardlinking it"
+                )
+
+        cl.merge_by_key(
+            orders.where(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit("X").alias("status"),
+                (F.col("o_totalprice") * 2.0).alias("price"),
+                F.lit(2).alias("ver"),
+            ),
+            ["k"],
+            "ver",
+        )
+        cl.delete_by_key(
+            orders.where(F.col("o_orderkey") % 11 == 0).select(
+                F.col("o_orderkey").alias("k")
+            ),
+            ["k"],
+        )
+        cl.append(
+            orders.where(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 1000000).alias("k"),
+                F.lit("N").alias("status"),
+                F.lit(100.0).alias("price"),
+                F.lit(1).alias("ver"),
+            )
+        )
+
+        if src.latest_version() != src_v:
+            raise AssertionError("clone mutations advanced the SOURCE log")
+        if sorted(_os.listdir(src.data_dir)) != src_disk:
+            raise AssertionError(
+                "clone mutations touched the source data directory"
+            )
+
+        def roll(t: TxTable, tag: str) -> DataFrame:
+            return (
+                t.read()
+                .groupBy("status")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("price").cast("decimal(18,6)"))
+                    .cast("double")
+                    .alias("sum_price"),
+                )
+                .select(
+                    F.lit(tag).alias("table_tag"),
+                    "status",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    "sum_price",
+                )
+            )
+
+        out = roll(src, "source").unionByName(roll(cl, "clone"))
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out

@@ -1349,6 +1349,68 @@ class TxTable:
         self._commit(base + 1, entry)
         return base + 1
 
+    def clone(self, dest_path: str, version: int | None = None) -> "TxTable":
+        """ZERO-COPY shallow clone (Delta SHALLOW CLONE analogue): create an
+        independent table at ``dest_path`` whose version-0 snapshot equals
+        this table's snapshot at ``version`` (default: latest) — without
+        copying any data bytes. Every snapshot data file and deletion
+        vector is HARDLINKED into the clone's data dir (same inode, zero
+        bytes moved; cross-device destinations fall back to a real copy),
+        which is safe because BOTH tables treat data files as immutable —
+        writes only ever add new uuid-named files, and vacuum on either
+        side unlinks only its own directory entry, so the inode survives
+        until the last referrer drops it. At 100 TB this is the
+        experiment-branch primitive: clone the production table in O(files)
+        metadata time, mutate the clone (append/merge/delete/optimize)
+        freely, and the source is physically incapable of observing it.
+
+        Per-file stats, Bloom bitmaps, deletion vectors, and the
+        authoritative schema carry over verbatim, so data skipping,
+        ``read_points`` pruning, and merge-on-read state all work on the
+        clone from commit 0. The clone keeps this handle's runtime config
+        (stats_cols/bloom_cols/constraints). Raises if ``dest_path``
+        already holds a committed table.
+
+        Reference contract: the reference treats the event log as an
+        immutable shared substrate that many independent consumers branch
+        their state from (rsql/db.go's shared-table model); clone extends
+        that branch-without-copy economics to the transactional table."""
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            raise ValueError("clone of an empty table")
+        files, schema, stats, dvs = self._snapshot_state(v)
+        dst = TxTable(
+            self.spark,
+            dest_path,
+            stats_cols=self.stats_cols,
+            bloom_cols=self.bloom_cols,
+            constraints=self.constraints,
+        )
+        if dst.latest_version() >= 0:
+            raise ValueError(f"clone destination {dest_path} is not empty")
+        for f in list(files) + list(dvs):
+            src = os.path.join(self.data_dir, f)
+            d = os.path.join(dst.data_dir, f)
+            try:
+                os.link(src, d)
+            except FileExistsError:
+                raise ValueError(
+                    f"clone destination already holds data file {f}"
+                ) from None
+            except OSError:
+                shutil.copy2(src, d)  # cross-device: degrade to deep copy
+        entry = {
+            "op": "clone",
+            "source": self.path,
+            "source_version": v,
+            "adds": list(files),
+            "stats": dict(stats),
+            "dv_adds": list(dvs),
+            "schema": schema.json() if schema is not None else None,
+        }
+        dst._commit(0, entry)
+        return dst
+
     # Default retention mirrors Delta's VACUUM default (168 h): a data file
     # younger than this is never deleted even if no retained snapshot
     # references it, because it may belong to an in-flight commit — a writer

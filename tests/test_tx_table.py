@@ -1289,3 +1289,74 @@ def test_randomized_commit_sequence_matches_model(spark, tmp_path):
             tuple(r) for r in t.read(version=ver).select("k", "v", "ver").collect()
         )
         assert got == expect, f"version {ver}: {got ^ expect}"
+
+
+def test_clone_is_zero_copy_and_equal(spark, tmp_path):
+    """Shallow clone: snapshot-equal at clone time, zero data bytes copied
+    (hardlinks — same inode, link count 2)."""
+    t = TxTable(spark, str(tmp_path / "src"), stats_cols=["k"])
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    t.append(_mk(spark, [(3, "c", 1)]).coalesce(1))
+    c = t.clone(str(tmp_path / "dst"))
+    assert _rows(c.read()) == _rows(t.read())
+    files, _ = c._snapshot_files(c.latest_version())
+    for f in files:
+        src_st = os.stat(os.path.join(t.data_dir, f))
+        dst_st = os.stat(os.path.join(c.data_dir, f))
+        assert src_st.st_ino == dst_st.st_ino  # same inode: zero-copy
+        assert dst_st.st_nlink == 2
+    # stats carried over: the clone's data skipping works from commit 0
+    entry = c._entry(0)
+    assert entry["op"] == "clone" and entry["stats"]
+
+
+def test_clone_divergence_is_two_way_isolated(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "src"))
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+    c = t.clone(str(tmp_path / "dst"))
+    src_v = t.latest_version()
+    # mutate the clone: merge + delete + append
+    c.merge_by_key(_mk(spark, [(2, "B", 2)]), ["k"], "ver")
+    c.delete_by_key(spark.createDataFrame([(1,)], "k long"), ["k"])
+    c.append(_mk(spark, [(9, "z", 1)]))
+    assert _rows(c.read()) == [(2, "B", 2), (9, "z", 1)]
+    # source is untouched — same version, same rows
+    assert t.latest_version() == src_v
+    assert _rows(t.read()) == [(1, "a", 1), (2, "b", 1)]
+    # and mutating the source does not leak into the clone
+    t.append(_mk(spark, [(7, "q", 1)]))
+    assert (7, "q", 1) not in _rows(c.read())
+
+
+def test_clone_carries_deletion_vectors(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "src"))
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]))
+    t.delete_by_key_mor(spark.createDataFrame([(2,)], "k long"), ["k"])
+    c = t.clone(str(tmp_path / "dst"))
+    assert _rows(c.read()) == [(1, "a", 1), (3, "c", 1)]
+    assert c._snapshot_state(0)[3], "clone lost the deletion vectors"
+
+
+def test_clone_of_older_version_and_vacuum_independence(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "src"))
+    t.append(_mk(spark, [(1, "a", 1)]))
+    v1 = t.latest_version()
+    t.append(_mk(spark, [(2, "b", 1)]))
+    c = t.clone(str(tmp_path / "dst"), version=v1)
+    assert _rows(c.read()) == [(1, "a", 1)]
+    # source rewrites everything then vacuums with zero retention: its own
+    # old directory entries go away, but the clone's hardlinks keep the
+    # inodes alive — the clone still reads
+    t.merge_by_key(_mk(spark, [(1, "A", 2), (2, "B", 2)]), ["k"], "ver")
+    t.vacuum(keep_versions=1, retention_seconds=0.0)
+    assert _rows(c.read()) == [(1, "a", 1)]
+
+
+def test_clone_refuses_nonempty_destination(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "src"))
+    t.append(_mk(spark, [(1, "a", 1)]))
+    t.clone(str(tmp_path / "dst"))
+    with pytest.raises(ValueError, match="not empty"):
+        t.clone(str(tmp_path / "dst"))
+    with pytest.raises(ValueError, match="empty table"):
+        TxTable(spark, str(tmp_path / "never")).clone(str(tmp_path / "x"))
