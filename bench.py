@@ -238,6 +238,10 @@ HEADLINE = [
     # probe job; the index write/read-back cost shape (fit-and-probe
     # in one plan is timed via sim_ann_ivf_topk)
     "sim_ann_ivf_persisted_index_rollup",
+    # round 13: runtime Bloom join reduction — sketch build pass +
+    # codegen scan-side prefilter + exact join; the pre-shuffle
+    # fact-reduction path is not timed elsewhere
+    "bloom_runtime_filter_join",
     # round 13: the zero-copy clone lifecycle — hardlink branch creation
     # + the full mutate-the-branch workload (merge/delete/append) with
     # two-way isolation pins; the branch-and-experiment operational
