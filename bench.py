@@ -238,6 +238,10 @@ HEADLINE = [
     # probe job; the index write/read-back cost shape (fit-and-probe
     # in one plan is timed via sim_ann_ivf_topk)
     "sim_ann_ivf_persisted_index_rollup",
+    # round 13: write-audit-publish — staged write + one-pass audit of
+    # snapshot ∪ staged + rollback-on-failure + publish; the audited
+    # commit path is not timed elsewhere
+    "tx_wap_audit_rollup",
     # round 13: runtime Bloom join reduction — sketch build pass +
     # codegen scan-side prefilter + exact join; the pre-shuffle
     # fact-reduction path is not timed elsewhere

@@ -4156,3 +4156,107 @@ def tx_clone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "tx_wap_audit_rollup",
+    # WRITE-AUDIT-PUBLISH judged: batch 1 (k%3) publishes, batch 2 (k%5)
+    # is internally clean but collides with batch 1 on k%15 and must be
+    # REJECTED by the global-uniqueness audit (rolled back, invisible),
+    # batch 3 (k%5 minus the collisions) publishes. The head rollup must
+    # therefore equal batch1 ∪ batch3 exactly: a gate that let batch 2
+    # through double-counts k%15 rows and hash-fails; one that
+    # over-rejected loses k%5 rows and fails too.
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                         o_totalprice AS price
+                  FROM orders),
+    published AS (SELECT * FROM base WHERE k % 3 = 0
+                  UNION ALL
+                  SELECT * FROM base WHERE k % 5 = 0 AND k % 3 <> 0)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('price', 'sum_price')}
+    FROM published GROUP BY status
+    """,
+)
+def tx_wap_audit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged WRITE-AUDIT-PUBLISH (TxTable.append_audited + the
+    operators/validate expectation suite): every append stages its files,
+    audits the WOULD-BE post-commit table state — snapshot ∪ the exact
+    staged bytes, one validation aggregation — and publishes only if
+    every expectation passes.
+
+    The audited invariant here is GLOBAL key uniqueness, the canonical
+    table-level gate a per-row CHECK constraint cannot express: batch 2
+    contains no internal duplicates (a row-scoped validator would wave
+    it through) but collides with already-published keys on k%15; the
+    audit must reject it, roll the staged files back, and leave the log
+    and data directory byte-identical (pinned in-query). A disjoint
+    batch 3 must then publish normally — the gate rejects bad data, not
+    all data.
+
+    Scale posture: the audit costs ONE aggregation pass over snapshot ∪
+    staged regardless of how many expectations are attached (map-side
+    partials; exact uniqueness the one distinct-expand), and the staged
+    files are parquet already in place — publish is a JSON log entry.
+    The optimistic-retry loop re-audits when a concurrent commit wins
+    the version race, so the certified state is never stale."""
+    import os as _os
+    import shutil
+
+    from reflex_spark.operators import validate as V
+    from reflex_spark.sources.tx_table import AuditFailedError, TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+
+    def batch(pred) -> DataFrame:
+        return orders.where(pred).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+
+    gates = [V.is_unique("k"), V.is_complete("price")]
+    base_dir = tempfile.mkdtemp(prefix="tx_wap_")
+    try:
+        t = TxTable(spark, f"{base_dir}/t")
+        t.append_audited(batch(F.col("o_orderkey") % 3 == 0), gates)
+        v_pub = t.latest_version()
+        disk = sorted(_os.listdir(t.data_dir))
+
+        try:
+            t.append_audited(batch(F.col("o_orderkey") % 5 == 0), gates)
+            raise AssertionError(
+                "audit passed a batch that duplicates published keys"
+            )
+        except AuditFailedError as exc:
+            if "unique(k)" not in str(exc):
+                raise AssertionError(f"wrong audit failure: {exc}") from exc
+        if t.latest_version() != v_pub:
+            raise AssertionError("rejected batch advanced the log")
+        if sorted(_os.listdir(t.data_dir)) != disk:
+            raise AssertionError("rejected batch left staged files behind")
+
+        t.append_audited(
+            batch(
+                (F.col("o_orderkey") % 5 == 0)
+                & (F.col("o_orderkey") % 3 != 0)
+            ),
+            gates,
+        )
+
+        out = (
+            t.read()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out

@@ -138,6 +138,11 @@ class ConstraintViolationError(Exception):
     was committed (any staged files are invisible without a log entry)."""
 
 
+class AuditFailedError(Exception):
+    """append_audited: a table-level expectation failed post-staging; the
+    staged files were rolled back and nothing was committed."""
+
+
 class ConcurrentCommitError(Exception):
     """Another writer committed this version first — reread and retry."""
 
@@ -707,6 +712,75 @@ class TxTable:
                 entry["schema"] = self._evolved_schema(version - 1, df.schema)
                 self._commit(version, entry)
                 return version
+            except ConcurrentCommitError:
+                continue
+
+    def append_audited(self, df: DataFrame, expectations: list) -> int:
+        """WRITE-AUDIT-PUBLISH append: stage the files, AUDIT the would-be
+        post-commit TABLE STATE (current snapshot + the staged rows, read
+        back from the staged parquet — the exact bytes that would
+        publish, not the incoming plan), and only commit if every
+        expectation passes. On audit failure the staged files are deleted
+        and AuditFailedError carries the failing report rows; no log
+        entry is written, so readers never saw anything.
+
+        This is the table-level complement to CHECK constraints: a CHECK
+        validates each incoming ROW in isolation, but cannot express
+        cross-row/cross-commit invariants — global key uniqueness,
+        completeness ratios, size bounds. ``expectations`` is the
+        operators/validate suite (one aggregation pass over snapshot ∪
+        staged — all metrics map-side-combinable, exact uniqueness the
+        one distinct-expand), so the audit costs one validation job at
+        any table size, and the gate sees exactly what a post-commit
+        reader would."""
+        from reflex_spark.operators.validate import validate
+
+        df = self._check_constraints(df, "append")
+        adds, stats = self._write_files(df)
+        staged = (
+            self.spark.read.schema(df.schema).parquet(
+                *[os.path.join(self.data_dir, f) for f in adds]
+            )
+            if adds
+            else self.spark.createDataFrame([], df.schema)
+        )
+        entry = {"op": "append_audited", "adds": adds, "stats": stats}
+        while True:
+            # audit INSIDE the optimistic-retry loop: losing the version
+            # race means the table state the audit certified is stale —
+            # a concurrent commit may have introduced the very duplicate
+            # the expectation exists to block — so re-audit against the
+            # new head before retrying the commit.
+            v = self.latest_version()
+            files, schema, _st, dvs = (
+                self._snapshot_state(v) if v >= 0 else ([], None, {}, [])
+            )
+            would_be = (
+                self._read_files(files, schema, dvs).unionByName(
+                    staged, allowMissingColumns=True
+                )
+                if files
+                else staged
+            )
+            failures = [
+                (r["check_name"], r["metric_value"])
+                for r in validate(would_be, expectations).collect()
+                if not r["passed"]
+            ]
+            if failures:
+                for f in adds:
+                    try:
+                        os.remove(os.path.join(self.data_dir, f))
+                    except FileNotFoundError:
+                        pass
+                raise AuditFailedError(
+                    f"append audit failed {len(failures)} expectation(s): "
+                    + ", ".join(f"{n} = {m}" for n, m in failures)
+                )
+            try:
+                entry["schema"] = self._evolved_schema(v, df.schema)
+                self._commit(v + 1, entry)
+                return v + 1
             except ConcurrentCommitError:
                 continue
 

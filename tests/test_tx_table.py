@@ -1360,3 +1360,45 @@ def test_clone_refuses_nonempty_destination(spark, tmp_path):
         t.clone(str(tmp_path / "dst"))
     with pytest.raises(ValueError, match="empty table"):
         TxTable(spark, str(tmp_path / "never")).clone(str(tmp_path / "x"))
+
+
+def test_append_audited_publishes_when_expectations_pass(spark, tmp_path):
+    from reflex_spark.operators import validate as V
+    from reflex_spark.sources.tx_table import AuditFailedError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+    v = t.append_audited(
+        _mk(spark, [(3, "c", 1)]),
+        [V.is_unique("k"), V.is_complete("v"), V.has_size(hi=10.0)],
+    )
+    assert v == 1 and t._entry(v)["op"] == "append_audited"
+    assert _rows(t.read()) == [(1, "a", 1), (2, "b", 1), (3, "c", 1)]
+
+
+def test_append_audited_blocks_cross_commit_duplicate(spark, tmp_path):
+    """The audit sees snapshot ∪ staged: a batch that is internally clean
+    but duplicates an EXISTING key must fail — the invariant CHECK
+    constraints cannot express."""
+    from reflex_spark.operators import validate as V
+    from reflex_spark.sources.tx_table import AuditFailedError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+    import os as _os
+
+    disk_before = sorted(_os.listdir(t.data_dir))
+    with pytest.raises(AuditFailedError, match="unique"):
+        t.append_audited(_mk(spark, [(2, "dup", 2)]), [V.is_unique("k")])
+    # nothing committed, staged files rolled back
+    assert t.latest_version() == 0
+    assert sorted(_os.listdir(t.data_dir)) == disk_before
+    assert _rows(t.read()) == [(1, "a", 1), (2, "b", 1)]
+
+
+def test_append_audited_on_empty_table(spark, tmp_path):
+    from reflex_spark.operators import validate as V
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    v = t.append_audited(_mk(spark, [(1, "a", 1)]), [V.is_unique("k")])
+    assert v == 0 and _rows(t.read()) == [(1, "a", 1)]
