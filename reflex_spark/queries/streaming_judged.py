@@ -4260,3 +4260,145 @@ def tx_wap_audit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_quality_quarantine_rollup",
+    # Batch-level quality gate judged: ids are assigned in original-id
+    # order, so poll batch b (limit L = n/8) holds original ids
+    # [bL, (b+1)L). Poison rule: HALF of batch 2's rows (even ids in
+    # [2L, 3L)) lose their value -> completeness 0.5 < 0.99 -> the WHOLE
+    # batch (clean rows included) must be quarantined; batch 5 gets
+    # exactly ONE poisoned row (id 5L+7) -> completeness 1 - 1/L >= 0.99
+    # -> must PUBLISH, bad row included. The oracle hardcodes that
+    # expected routing; a gate that quarantines too much, too little, or
+    # rows instead of batches hash-fails.
+    oracle=f"""
+    WITH l AS (SELECT GREATEST(1, COUNT(*) // 8) AS lim FROM events),
+    e AS (SELECT event_type,
+                 CASE WHEN (event_id >= 2 * lim AND event_id < 3 * lim
+                            AND event_id % 2 = 0)
+                        OR event_id = 5 * lim + 7
+                      THEN NULL ELSE value END AS v,
+                 event_id // lim AS b
+          FROM events, l),
+    d AS (SELECT CASE WHEN b = 2 THEN 'quarantined' ELSE 'published' END
+                   AS disposition,
+                 event_type, v
+          FROM e)
+    SELECT disposition, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('v', 'sum_value')}
+    FROM d GROUP BY disposition, event_type
+    """,
+)
+def stream_quality_quarantine_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming BATCH-LEVEL quality gate with quarantine: every poll
+    batch is audited by the single-pass expectation suite
+    (operators/validate — here completeness(value) >= 0.99) and routed
+    WHOLESALE to the published or the quarantine sink. Batch granularity
+    is the operational point (the dead-letter pattern's table-level
+    sibling): a corrupted upstream window is held back as one reviewable
+    unit — including its clean rows — instead of leaking a
+    half-batch downstream, while a batch with an isolated bad row (below
+    the threshold) publishes unchanged. Both directions are pinned: the
+    half-poisoned batch must quarantine, the one-bad-row batch must
+    publish.
+
+    Mechanics under test: EventLog id assignment with an explicit
+    ``order_by`` (deterministic batch boundaries the oracle replays
+    exactly), the poll run loop's batch_limit windowing, a per-batch
+    validate() report driving control flow (one 1-row control-plane
+    collect per batch), and disposition-tagged parquet sinks.
+
+    Scale posture: the gate adds ONE map-side-combinable aggregation per
+    micro-batch (the expectation pass) — no extra shuffle, no Python in
+    the data path; quarantined batches cost a parquet append, not a
+    pipeline stall; thresholds are declarative Expectation objects shared
+    with the batch-side WAP gate (append_audited)."""
+    import shutil
+
+    from reflex_spark.operators import validate as V
+    from reflex_spark.sources.event_log import EventLog
+
+    ev = load_tables(spark, sf_dir)["events"]
+    canonical, code_of = _canonical_events(ev)
+
+    n_total = canonical.count()
+    limit = max(1, n_total // 8)
+    # poison AT THE SOURCE (the corrupt upstream the gate exists for):
+    # half of batch 2's rows, one row of batch 5 — by original id, which
+    # order_by below turns into the exact batch layout the oracle replays
+    oid = F.col("__orig_id")
+    poisoned = canonical.withColumn(
+        "metadata",
+        F.when(
+            ((oid >= 2 * limit) & (oid < 3 * limit) & (oid % 2 == 0))
+            | (oid == 5 * limit + 7),
+            F.lit(None).cast("binary"),
+        ).otherwise(F.col("metadata")),
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_quarantine_")
+    sink = f"{base}/sink"
+    gate = [V.is_complete("value", at_least=0.99)]
+    quarantined_batches: list[int] = []
+
+    def consume(batch: DataFrame, meta: dict) -> None:
+        parsed = batch.select(
+            "event_id",
+            "event_type",
+            F.col("metadata").cast("string").cast("double").alias("value"),
+        )
+        report = V.validate(parsed, gate).collect()  # 1 row, control-plane
+        ok = all(r["passed"] for r in report)
+        if not ok:
+            quarantined_batches.append(meta["batch"])
+        parsed.withColumn(
+            "disposition",
+            F.lit("published" if ok else "quarantined"),
+        ).write.mode("append").parquet(sink)
+
+    try:
+        log = EventLog(spark, f"{base}/log")
+        log.append(poisoned, order_by=["__orig_id"])
+        spec = Spec(
+            log,
+            MemCursorStore(),
+            Consumer("gatekeeper", consume),
+            StreamOptions(to_head=True, batch_limit=limit),
+        )
+        try:
+            run(spec)
+        except ErrHeadReached:
+            pass
+
+        if quarantined_batches != [2]:
+            raise AssertionError(
+                f"gate quarantined batches {quarantined_batches}, "
+                "expected exactly [2] (the half-poisoned batch; the "
+                "one-bad-row batch 5 must publish)"
+            )
+
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("disposition", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                "disposition",
+                _label_back(code_of).alias("event_type"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
