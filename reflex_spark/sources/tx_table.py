@@ -1380,6 +1380,41 @@ class TxTable:
             )
         return out
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg ``table.files`` analogue): one row per
+        LIVE data file of the snapshot — name, on-disk size, recorded
+        per-file skipping stats (min/max + Bloom presence + distinct-key
+        telemetry, JSON-rendered), and whether any deletion vector may
+        suppress rows from it. Pure control-plane: reads only the commit
+        log and file sizes, never a data byte — the ops surface for
+        answering "is this table small-files-bound / stats-covered /
+        DV-laden?" before paying for OPTIMIZE."""
+        v = self.latest_version() if version is None else version
+        fs, _schema, stats, dvs = self._snapshot_state(v)
+        dv_files: set[str] = set()
+        if dvs:
+            dv_files = {
+                r["file"]
+                for r in self.spark.read.parquet(
+                    *[os.path.join(self.data_dir, d) for d in dvs]
+                )
+                .select("file")
+                .distinct()
+                .collect()
+            }
+        rows = []
+        for f in fs:
+            p = os.path.join(self.data_dir, f)
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                size = -1  # referenced but missing: surfaced, not hidden
+            rows.append((f, size, json.dumps(stats.get(f, {})), f in dv_files))
+        return self.spark.createDataFrame(
+            rows,
+            "file string, size_bytes long, stats string, has_dv boolean",
+        )
+
     def restore(self, version: int) -> int:
         """RESTORE the table to an earlier ``version`` (Delta RESTORE):
         commit a new entry whose snapshot EQUALS the target's — a pure

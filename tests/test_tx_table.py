@@ -1402,3 +1402,24 @@ def test_append_audited_on_empty_table(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "t"))
     v = t.append_audited(_mk(spark, [(1, "a", 1)]), [V.is_unique("k")])
     assert v == 0 and _rows(t.read()) == [(1, "a", 1)]
+
+
+def test_files_metadata_table(spark, tmp_path):
+    import json as _json
+
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k"])
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    t.append(_mk(spark, [(9, "z", 1)]).coalesce(1))
+    t.delete_by_key_mor(spark.createDataFrame([(2,)], "k long"), ["k"])
+    meta = {r["file"]: r for r in t.files().collect()}
+    live, _ = t._snapshot_files(t.latest_version())
+    assert sorted(meta) == sorted(live)
+    for r in meta.values():
+        assert r["size_bytes"] > 0
+        st = _json.loads(r["stats"])
+        assert "k" in st  # min/max recorded for stats_cols
+    # exactly the file holding k=2 carries a deletion vector
+    dv_flags = [r["has_dv"] for r in meta.values()]
+    assert sum(dv_flags) == 1
+    # version pinning: the pre-delete snapshot shows no DVs
+    assert not any(r["has_dv"] for r in t.files(version=1).collect())
