@@ -115,7 +115,18 @@ def bloom_semi_join(
     """EXACT join with runtime Bloom reduction of the big side: build the
     sketch from ``small``'s keys, prefilter ``big`` at its scan, then run
     the real join. No false negatives → bit-identical to the plain join;
-    false positives are removed by the join itself."""
+    false positives are removed by the join itself.
+
+    Only inner/semi joins are accepted: an outer or anti join KEEPS
+    unmatched big-side rows, so pre-dropping true non-members (with
+    fp-dependent survivors) would corrupt the result instead of just
+    saving shuffle."""
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_semi_join supports inner/semi joins only, got {how!r}: "
+            "outer/anti joins keep unmatched big-side rows, which the "
+            "prefilter would drop fp-dependently"
+        )
     sk = small_key or big_key
     bm = bloom_build(small, sk, m_bits, k)
     pre = bloom_prefilter(big, big_key, bm, m_bits, k)

@@ -70,7 +70,12 @@ class Expectation:
 
 
 def _ratio(num: Column, den: Column) -> Column:
-    return num.cast("double") / den
+    # try_divide, not `/`: under Spark 4's default ANSI mode a plain
+    # division throws DIVIDE_BY_ZERO on an empty frame — the audit would
+    # crash on exactly the degenerate input it exists to judge. try_divide
+    # yields NULL there, which is also DuckDB's x/0 result (exact oracle
+    # parity), and _passed fails closed on a NULL metric.
+    return F.try_divide(num.cast("double"), den)
 
 
 def is_complete(col: str, at_least: float = 1.0) -> Expectation:
@@ -129,7 +134,9 @@ def has_mean(col: str, lo: float | None = None, hi: float | None = None) -> Expe
     """Decimal-summed mean (order-independent; bit-equal across engines)."""
     return Expectation(
         name=f"mean({col})",
-        metric=lambda: F.sum(F.col(col).cast(DEC)).cast("double") / F.count(F.col(col)),
+        metric=lambda: F.try_divide(
+            F.sum(F.col(col).cast(DEC)).cast("double"), F.count(F.col(col))
+        ),
         sql_metric=(
             f"CAST(SUM(CAST({col} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({col})"
         ),
@@ -186,12 +193,16 @@ def has_size(lo: float | None = None, hi: float | None = None) -> Expectation:
 
 
 def _passed(metric: Column, e: Expectation) -> Column:
+    if e.lo is None and e.hi is None:
+        return F.lit(True)  # profile-only expectation
     ok = F.lit(True)
     if e.lo is not None:
         ok = ok & (metric >= F.lit(float(e.lo)))
     if e.hi is not None:
         ok = ok & (metric <= F.lit(float(e.hi)))
-    return ok
+    # NULL metric (empty frame / all-NULL column) FAILS a bounded
+    # expectation — the gate fails closed on degenerate input
+    return F.coalesce(ok, F.lit(False))
 
 
 def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
@@ -237,7 +248,9 @@ def sql_validate(table: str, expectations: list[Expectation]) -> str:
             conds.append(f"__m{i} >= {float(e.lo)!r}")
         if e.hi is not None:
             conds.append(f"__m{i} <= {float(e.hi)!r}")
-        passed = " AND ".join(conds) if conds else "TRUE"
+        # COALESCE(..., FALSE): NULL metric fails a bounded expectation —
+        # mirrors _passed's fail-closed rule exactly
+        passed = f"COALESCE({' AND '.join(conds)}, FALSE)" if conds else "TRUE"
         arms.append(
             f"SELECT '{e.name}' AS check_name, __m{i} AS metric_value, "
             f"CAST({passed} AS BIGINT) AS passed FROM __vmetrics"

@@ -167,11 +167,24 @@ class ReflexBlobWriter(DataSourceWriter):
         self.fields = [f.name for f in schema.fields]
         import shutil
 
-        if overwrite and os.path.isdir(self.root):
-            shutil.rmtree(self.root)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         self._claim_path = os.path.join(self.root, "_writer.claim")
+        # Claim BEFORE any overwrite clearing: an overwrite that rmtree'd
+        # first would delete a LIVE writer's claim file and then "win" the
+        # claim itself — two writers interleaving, exactly what the claim
+        # exists to refuse. With the claim held, clearing keeps the claim
+        # file and removes everything else.
         self._acquire_claim()
+        if overwrite:
+            for name in os.listdir(self.root):
+                if name == "_writer.claim":
+                    continue
+                p = os.path.join(self.root, name)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                else:
+                    os.remove(p)
+            os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         # Driver-side: runs once per write job, before any task. After an
         # overwrite's rmtree this is empty, so the manifest union below is
         # unconditional. (At object-store scale the prior list would come

@@ -744,45 +744,54 @@ class TxTable:
             if adds
             else self.spark.createDataFrame([], df.schema)
         )
+        def _unstage() -> None:
+            for f in adds:
+                try:
+                    os.remove(os.path.join(self.data_dir, f))
+                except FileNotFoundError:
+                    pass
+
         entry = {"op": "append_audited", "adds": adds, "stats": stats}
-        while True:
-            # audit INSIDE the optimistic-retry loop: losing the version
-            # race means the table state the audit certified is stale —
-            # a concurrent commit may have introduced the very duplicate
-            # the expectation exists to block — so re-audit against the
-            # new head before retrying the commit.
-            v = self.latest_version()
-            files, schema, _st, dvs = (
-                self._snapshot_state(v) if v >= 0 else ([], None, {}, [])
-            )
-            would_be = (
-                self._read_files(files, schema, dvs).unionByName(
-                    staged, allowMissingColumns=True
+        try:
+            while True:
+                # audit INSIDE the optimistic-retry loop: losing the
+                # version race means the table state the audit certified
+                # is stale — a concurrent commit may have introduced the
+                # very duplicate the expectation exists to block — so
+                # re-audit against the new head before retrying the commit.
+                v = self.latest_version()
+                files, schema, _st, dvs = (
+                    self._snapshot_state(v) if v >= 0 else ([], None, {}, [])
                 )
-                if files
-                else staged
-            )
-            failures = [
-                (r["check_name"], r["metric_value"])
-                for r in validate(would_be, expectations).collect()
-                if not r["passed"]
-            ]
-            if failures:
-                for f in adds:
-                    try:
-                        os.remove(os.path.join(self.data_dir, f))
-                    except FileNotFoundError:
-                        pass
-                raise AuditFailedError(
-                    f"append audit failed {len(failures)} expectation(s): "
-                    + ", ".join(f"{n} = {m}" for n, m in failures)
+                would_be = (
+                    self._read_files(files, schema, dvs).unionByName(
+                        staged, allowMissingColumns=True
+                    )
+                    if files
+                    else staged
                 )
-            try:
+                failures = [
+                    (r["check_name"], r["metric_value"])
+                    for r in validate(would_be, expectations).collect()
+                    if not r["passed"]
+                ]
+                if failures:
+                    raise AuditFailedError(
+                        f"append audit failed {len(failures)} expectation(s): "
+                        + ", ".join(f"{n} = {m}" for n, m in failures)
+                    )
                 entry["schema"] = self._evolved_schema(v, df.schema)
-                self._commit(v + 1, entry)
-                return v + 1
-            except ConcurrentCommitError:
-                continue
+                try:
+                    self._commit(v + 1, entry)
+                    return v + 1
+                except ConcurrentCommitError:
+                    continue
+        except Exception:
+            # ANY pre-commit failure (audit verdict, a crashing audit
+            # job, schema-evolution refusal) unstages: staged files were
+            # never visible, but leaking them until vacuum is still waste
+            _unstage()
+            raise
 
     def merge_by_key(
         self,
@@ -871,7 +880,11 @@ class TxTable:
         # excluded from the touched-file discovery scan without opening
         # them. Files lacking stats are scanned conservatively.
         scan_files = files
-        if self.stats_cols and keys[0] in self.stats_cols:
+        if (
+            self.stats_cols
+            and keys[0] in self.stats_cols
+            and self._prune_types_match(snap_schema, updates, keys[0])
+        ):
             b = updates.agg(
                 F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
             ).collect()[0]
@@ -943,7 +956,9 @@ class TxTable:
             "schema": self._evolved_schema(base_version, committed_schema),
         }
         entry.update(
-            self._dv_rewrite_entry(dvs, [f for f in files if f not in touched])
+            self._dv_rewrite_entry(
+                dvs, [f for f in files if f not in touched], bool(touched)
+            )
         )
         self._commit(base_version + 1, entry)
         return base_version + 1
@@ -962,7 +977,11 @@ class TxTable:
             raise ValueError("delete_by_key on an empty table")
         files, schema, fstats, dvs = self._snapshot_state(base_version)
         scan_files = files
-        if self.stats_cols and keys[0] in self.stats_cols:
+        if (
+            self.stats_cols
+            and keys[0] in self.stats_cols
+            and self._prune_types_match(schema, keys_df, keys[0])
+        ):
             b = keys_df.agg(
                 F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
             ).collect()[0]
@@ -1013,13 +1032,15 @@ class TxTable:
             "schema": schema.json() if schema is not None else None,
         }
         entry.update(
-            self._dv_rewrite_entry(dvs, [f for f in files if f not in touched])
+            self._dv_rewrite_entry(
+                dvs, [f for f in files if f not in touched], bool(touched)
+            )
         )
         self._commit(base_version + 1, entry)
         return base_version + 1
 
     def _dv_rewrite_entry(
-        self, dvs: list[str], surviving_files: list[str]
+        self, dvs: list[str], surviving_files: list[str], removed_any: bool = True
     ) -> dict:
         """Commit-entry fields that rewrite the snapshot's deletion vectors
         down to the positions still referencing a SURVIVING data file.
@@ -1031,8 +1052,12 @@ class TxTable:
         every read pays an ever-growing anti-join over inert positions,
         and ``changes()`` refuses forever even after every live file's
         deletes have been materialized. Returns ``{}`` when the snapshot
-        carries no DVs (the common case costs nothing)."""
-        if not dvs:
+        carries no DVs or when NO file was removed (every position still
+        references a live file, so a rewrite would copy the DV set
+        verbatim — the no-op commit, e.g. an inserts-only merge or a
+        delete of absent keys, must not pay a DV read+write).
+        ``removed_any`` is the caller's removes set being non-empty."""
+        if not dvs or not removed_any:
             return {}
         dv = self.spark.read.parquet(
             *[os.path.join(self.data_dir, d) for d in dvs]
@@ -1053,6 +1078,25 @@ class TxTable:
                 names.append(name)
             shutil.rmtree(tmp, ignore_errors=True)
         return {"dv_clear": True, "dv_adds": names}
+
+    @staticmethod
+    def _prune_types_match(schema, probe_df: DataFrame, key: str) -> bool:
+        """Stats/Bloom file pruning is only sound when the probe column's
+        Spark type EQUALS the table column's type: the equi-joins all cast
+        across types (double probes match a bigint column; int 7 matches
+        string '007'), but recorded min/max compare driver-side in Python
+        (str-vs-int raises TypeError) and the Bloom hashes the column's
+        own rendering — a cross-type probe would either crash the
+        operation or silently prune files whose rows the join WOULD have
+        matched. Mismatches fall back to the full scan: slower, never
+        wrong."""
+        if schema is None:
+            return False
+        s_names = {f.name: f.dataType.simpleString() for f in schema.fields}
+        p_names = {
+            f.name: f.dataType.simpleString() for f in probe_df.schema.fields
+        }
+        return key in s_names and s_names[key] == p_names.get(key)
 
     @staticmethod
     def _range_may_match(rng: list | None, lo, hi) -> bool:
@@ -1283,7 +1327,13 @@ class TxTable:
             raise ValueError("delete_by_key_mor on an empty table")
         files, schema, fstats, dvs = self._snapshot_state(base_version)
         scan_files = list(files)
-        if scan_files and self.stats_cols and keys[0] in self.stats_cols:
+        types_match = self._prune_types_match(schema, keys_df, keys[0])
+        if (
+            scan_files
+            and types_match
+            and self.stats_cols
+            and keys[0] in self.stats_cols
+        ):
             b = keys_df.agg(
                 F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
             ).collect()[0]
@@ -1296,7 +1346,7 @@ class TxTable:
                     for f in scan_files
                     if self._range_may_match(fstats.get(f, {}).get(keys[0]), lo, hi)
                 ]
-        if scan_files and keys[0] in self.bloom_cols:
+        if scan_files and types_match and keys[0] in self.bloom_cols:
             # Bloom pruning needs the concrete probe values driver-side;
             # bounded pull — a probe set past the cap falls back to the
             # range-pruned scan (MoR's own use case is small deletes).
@@ -1306,12 +1356,18 @@ class TxTable:
                 for r in keys_df.select(keys[0]).distinct().limit(cap + 1).collect()
             ]
             if len(probes) <= cap:
-                probe_bits = _bloom_probe_bits(probes)
-                scan_files = [
-                    f
-                    for f in scan_files
-                    if _bloom_file_may_match(fstats.get(f, {}), keys[0], probe_bits)
-                ]
+                try:
+                    probe_bits = _bloom_probe_bits(probes)
+                except TypeError:
+                    probe_bits = None  # unrenderable probe: no bloom prune
+                if probe_bits is not None:
+                    scan_files = [
+                        f
+                        for f in scan_files
+                        if _bloom_file_may_match(
+                            fstats.get(f, {}), keys[0], probe_bits
+                        )
+                    ]
         self.last_mor_scan = (len(files), len(scan_files))
         names: list[str] = []
         if scan_files:
@@ -1444,11 +1500,12 @@ class TxTable:
                 f"cannot restore to version {version}: {len(gone)} of its "
                 f"files were vacuumed (e.g. {gone[:3]})"
             )
+        target_set = set(files_t)
         entry = {
             "op": "restore",
             "adds": [f for f in files_t if f not in files_c],
             "stats": {f: stats_t[f] for f in files_t if f in stats_t},
-            "removes": sorted(f for f in files_c if f not in set(files_t)),
+            "removes": sorted(f for f in files_c if f not in target_set),
             "schema": schema_t.json() if schema_t is not None else None,
             # the target's DV set is restored verbatim (cleared first so
             # post-target DVs don't leak through)

@@ -70,3 +70,12 @@ def test_probe_is_codegen_scan_side(spark):
 def test_m_bits_must_be_word_aligned(spark):
     with pytest.raises(ValueError):
         bloom_build(spark.range(1).select(F.col("id").alias("k")), "k", m_bits=100)
+
+
+def test_outer_and_anti_joins_refused(spark):
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloom_semi_join(big, small, "k", how="left")
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloom_semi_join(big, small, "k", how="left_anti")

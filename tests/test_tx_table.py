@@ -1423,3 +1423,49 @@ def test_files_metadata_table(spark, tmp_path):
     assert sum(dv_flags) == 1
     # version pinning: the pre-delete snapshot shows no DVs
     assert not any(r["has_dv"] for r in t.files(version=1).collect())
+
+
+def test_append_audited_all_null_metric_fails_closed(spark, tmp_path):
+    """An all-NULL audited column must raise AuditFailedError (NULL metric
+    fails a bounded expectation) and unstage — not crash with ANSI
+    DIVIDE_BY_ZERO and leak staged files."""
+    import os as _os
+
+    from reflex_spark.operators import validate as V
+    from reflex_spark.sources.tx_table import AuditFailedError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    bad = spark.createDataFrame([(1, None), (2, None)], "k long, v double")
+    with pytest.raises(AuditFailedError, match="mean"):
+        t.append_audited(bad, [V.has_mean("v", lo=0.0)])
+    assert t.latest_version() == -1
+    assert _os.listdir(t.data_dir) == []
+
+
+def test_mor_cross_type_probe_falls_back_to_full_scan(spark, tmp_path):
+    """A probe frame whose key type differs from the column's must DISABLE
+    pruning (full scan, correct delete) — never crash or silently skip
+    files the casting equi-join would have matched."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k"], bloom_cols=["k"])
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    t.append(_mk(spark, [(100, "z", 1)]).coalesce(1))
+    # double-typed probe against the bigint column
+    t.delete_by_key_mor(
+        spark.createDataFrame([(2.0,)], "k double"), ["k"]
+    )
+    assert _rows(t.read()) == [(1, "a", 1), (100, "z", 1)]
+    total, scanned = t.last_mor_scan
+    assert scanned == total  # pruning off, not wrong
+
+
+def test_dv_rewrite_skipped_when_no_file_removed(spark, tmp_path):
+    """A delete of absent keys on a DV-carrying table must not rewrite the
+    DV set (no file removed -> every position still live)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.delete_by_key_mor(spark.createDataFrame([(2,)], "k long"), ["k"])
+    dvs_before = t._snapshot_state(t.latest_version())[3]
+    t.delete_by_key(spark.createDataFrame([(999,)], "k long"), ["k"])
+    dvs_after = t._snapshot_state(t.latest_version())[3]
+    assert dvs_after == dvs_before  # verbatim carry, no rewrite
+    assert _rows(t.read()) == [(1, "a", 1)]

@@ -96,3 +96,34 @@ def test_sql_validate_matches_spark_on_fixture(spark):
         "validate_generated_oracle",
     )
     assert errs == []
+
+
+def test_validate_empty_and_all_null_fail_closed(spark):
+    """ANSI-mode regression: ratios/means on an empty frame or all-NULL
+    column must yield a NULL metric and passed=0 — never DIVIDE_BY_ZERO."""
+    empty = spark.createDataFrame([], "id long, v double")
+    rep = _report(spark, empty, [V.is_complete("v"), V.has_mean("v", lo=0.0)])
+    assert rep["complete(v)"] == (None, 0)
+    assert rep["mean(v)"] == (None, 0)
+    allnull = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+    rep = _report(spark, allnull, [V.has_mean("v", lo=0.0)])
+    assert rep["mean(v)"] == (None, 0)
+
+
+def test_sql_twin_matches_on_empty_selection(spark):
+    """DuckDB x/0 -> NULL == Spark try_divide -> NULL; COALESCE(...,FALSE)
+    keeps the passed bit identical too."""
+    from tests.conftest import SF_SMALL
+    from tests.oracle_harness import compare, run_oracle
+
+    exps = [V.is_complete("o_custkey"), V.has_mean("o_totalprice", lo=0.0)]
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet").where("o_orderkey < 0")
+    errs = compare(
+        V.validate(df, exps),
+        run_oracle(
+            V.sql_validate("(SELECT * FROM orders WHERE o_orderkey < 0)", exps),
+            SF_SMALL,
+        ),
+        "validate_empty_parity",
+    )
+    assert errs == []
