@@ -1935,7 +1935,10 @@ def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = t["lineitem"]
 
     bm = bloom_build(small, "o_orderkey")
-    pre = bloom_prefilter(fact, "l_orderkey", bm)
+    # cache the prefiltered fact: the in-query pins (count, completeness
+    # anti-join) and the final join would otherwise each re-evaluate the
+    # 4-hash md5 probe over the full fact scan — one probe pass, reused
+    pre = bloom_prefilter(fact, "l_orderkey", bm).cache()
 
     n_total = fact.count()
     n_pre = pre.count()
