@@ -799,6 +799,25 @@ class TxTable:
         keys: list[str],
         version_col: str,
         tombstone_col: str | None = None,
+        retries: int = 0,
+    ) -> int:
+        """See ``_merge_by_key_once`` for the MERGE semantics. ``retries``
+        re-executes the whole merge against the new head after losing the
+        optimistic version race (``_with_commit_retries``) — Delta-parity
+        writer behavior; 0 preserves the raise-on-race contract."""
+        return self._with_commit_retries(
+            lambda: self._merge_by_key_once(
+                updates, keys, version_col, tombstone_col
+            ),
+            retries,
+        )
+
+    def _merge_by_key_once(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        version_col: str,
+        tombstone_col: str | None = None,
     ) -> int:
         """MERGE INTO semantics, file-level copy-on-write: matched rows are
         replaced when the update wins by ``version_col`` (ties broken
@@ -960,10 +979,54 @@ class TxTable:
                 dvs, [f for f in files if f not in touched], bool(touched)
             )
         )
-        self._commit(base_version + 1, entry)
+        self._commit_rewrite(base_version + 1, entry)
         return base_version + 1
 
-    def delete_by_key(self, keys_df: DataFrame, keys: list[str]) -> int:
+    def _commit_rewrite(self, version: int, entry: dict) -> None:
+        """Commit a rewrite entry (merge/delete/MoR); on LOSING the version
+        race, unstage this attempt's files (adds + rewritten DVs) before
+        re-raising — the attempt's output was computed against a snapshot
+        that is no longer the head, so its files must not linger as
+        orphans until vacuum, and the caller's retry (``retries=``)
+        recomputes from the new head."""
+        try:
+            self._commit(version, entry)
+        except ConcurrentCommitError:
+            for f in entry.get("adds", []) + entry.get("dv_adds", []):
+                try:
+                    os.remove(os.path.join(self.data_dir, f))
+                except FileNotFoundError:
+                    pass
+            raise
+
+    @staticmethod
+    def _with_commit_retries(attempt_fn, retries: int) -> int:
+        """Optimistic-concurrency retry loop for the rewrite operations
+        (Delta-parity semantics: a writer losing the version race
+        re-executes against the new head instead of dying). Re-execution
+        is ALWAYS correct — each attempt recomputes from the then-latest
+        snapshot and the operations are deterministic functions of
+        (snapshot, input) — at the price of redoing the attempt's work;
+        callers with non-deterministic input frames should materialize
+        them first (cache/localCheckpoint), same caveat as append."""
+        attempt = 0
+        while True:
+            try:
+                return attempt_fn()
+            except ConcurrentCommitError:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+
+    def delete_by_key(
+        self, keys_df: DataFrame, keys: list[str], retries: int = 0
+    ) -> int:
+        """See ``_delete_by_key_once``; ``retries`` as in merge_by_key."""
+        return self._with_commit_retries(
+            lambda: self._delete_by_key_once(keys_df, keys), retries
+        )
+
+    def _delete_by_key_once(self, keys_df: DataFrame, keys: list[str]) -> int:
         """DELETE rows matching ``keys_df`` on ``keys`` — file-level
         copy-on-write like ``merge_by_key``: only data files containing a
         matched key are rewritten (minus the matched rows); untouched
@@ -1036,7 +1099,7 @@ class TxTable:
                 dvs, [f for f in files if f not in touched], bool(touched)
             )
         )
-        self._commit(base_version + 1, entry)
+        self._commit_rewrite(base_version + 1, entry)
         return base_version + 1
 
     def _dv_rewrite_entry(
@@ -1295,10 +1358,20 @@ class TxTable:
             "schema": schema.json() if schema is not None else None,
             "dv_clear": True,  # deletes are materialized into the rewrite
         }
-        self._commit(base_version + 1, entry)
+        self._commit_rewrite(base_version + 1, entry)
         return base_version + 1
 
-    def delete_by_key_mor(self, keys_df: DataFrame, keys: list[str]) -> int:
+    def delete_by_key_mor(
+        self, keys_df: DataFrame, keys: list[str], retries: int = 0
+    ) -> int:
+        """See ``_delete_by_key_mor_once``; ``retries`` as in merge_by_key."""
+        return self._with_commit_retries(
+            lambda: self._delete_by_key_mor_once(keys_df, keys), retries
+        )
+
+    def _delete_by_key_mor_once(
+        self, keys_df: DataFrame, keys: list[str]
+    ) -> int:
         """Merge-on-read DELETE: commit a DELETION VECTOR — the (file,
         row_index) positions of matched rows — instead of rewriting data
         files (``delete_by_key``'s copy-on-write). The write is O(matched
@@ -1412,7 +1485,7 @@ class TxTable:
             "dv_adds": names,
             "schema": schema.json() if schema is not None else None,
         }
-        self._commit(base_version + 1, entry)
+        self._commit_rewrite(base_version + 1, entry)
         return base_version + 1
 
     # -- rollback ------------------------------------------------------------

@@ -1469,3 +1469,52 @@ def test_dv_rewrite_skipped_when_no_file_removed(spark, tmp_path):
     dvs_after = t._snapshot_state(t.latest_version())[3]
     assert dvs_after == dvs_before  # verbatim carry, no rewrite
     assert _rows(t.read()) == [(1, "a", 1)]
+
+
+def test_merge_retries_after_lost_version_race(spark, tmp_path):
+    """Delta-parity writer behavior: losing the optimistic version race
+    with retries>0 re-executes against the new head; the losing attempt's
+    staged files are unstaged (no orphans)."""
+    import os as _os
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+
+    real_commit = t._commit
+    fails = {"n": 1}
+
+    def racy_commit(version, entry):
+        if entry.get("op") == "merge" and fails["n"]:
+            fails["n"] -= 1
+            # simulate a concurrent writer winning this version
+            real_commit(version, {"op": "append", "adds": [], "stats": {}})
+            raise ConcurrentCommitError(f"version {version} taken")
+        real_commit(version, entry)
+
+    t._commit = racy_commit
+    v = t.merge_by_key(_mk(spark, [(2, "B", 2)]), ["k"], "ver", retries=1)
+    assert v == t.latest_version()
+    assert _rows(t.read()) == [(1, "a", 1), (2, "B", 2)]
+    # every data file on disk is referenced by some retained version
+    referenced = set()
+    for ver in t._versions():
+        referenced |= set(t._entry(ver).get("adds", []))
+        referenced |= set(t._entry(ver).get("dv_adds", []))
+    on_disk = set(_os.listdir(t.data_dir))
+    assert on_disk <= referenced, f"orphans: {on_disk - referenced}"
+
+
+def test_merge_race_still_raises_without_retries(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1)]))
+    real_commit = t._commit
+
+    def racy_commit(version, entry):
+        if entry.get("op") == "merge":
+            real_commit(version, {"op": "append", "adds": [], "stats": {}})
+            raise ConcurrentCommitError(f"version {version} taken")
+        real_commit(version, entry)
+
+    t._commit = racy_commit
+    with pytest.raises(ConcurrentCommitError):
+        t.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")
