@@ -405,3 +405,22 @@ def test_bucketed_prefix_sum_main_window_is_partitioned(spark):
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert plan.count("SinglePartition") == 1, plan
+
+
+def test_tx_table_read_pushes_filters_and_prunes_columns(spark, tmp_path):
+    """TxTable.read() is a thin parquet plan: a downstream filter must
+    reach the scan as a PushedFilter and a 2-column projection must
+    shrink ReadSchema — the reason the table reads via spark.read.parquet
+    on the snapshot file list instead of any Python-side indirection."""
+    from reflex_spark.sources.tx_table import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(1000).selectExpr(
+            "id AS k", "cast(id % 7 AS string) AS tag", "id * 1.5 AS v"
+        )
+    )
+    df = t.read().where("k > 500").select("k", "tag")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,500)]" in plan
+    assert "ReadSchema: struct<k:bigint,tag:string>" in plan

@@ -127,3 +127,43 @@ def test_sql_twin_matches_on_empty_selection(spark):
         "validate_empty_parity",
     )
     assert errs == []
+
+
+def test_generated_oracle_parity_random_expectations(spark):
+    """Property: for RANDOM expectation suites over the orders fixture,
+    the Spark report and the generated DuckDB oracle agree bit-exactly —
+    the drift-proofing claim, tested beyond the hand-picked cases."""
+    import random
+
+    from tests.conftest import SF_SMALL
+    from tests.oracle_harness import compare, run_oracle
+
+    rng = random.Random(13)
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    makers = [
+        lambda r: V.is_complete("o_custkey", at_least=r.choice([0.5, 1.0])),
+        lambda r: V.is_unique("o_orderkey", at_least=r.choice([0.9, 1.0])),
+        lambda r: V.has_min("o_totalprice", lo=r.choice([None, 0.0, 2000.0])),
+        lambda r: V.has_max("o_totalprice", hi=r.choice([None, 1e5, 1e7])),
+        lambda r: V.has_mean(
+            "o_totalprice", lo=r.choice([None, 0.0]), hi=r.choice([None, 3e5])
+        ),
+        lambda r: V.in_set_ratio(
+            "o_orderstatus",
+            r.sample(["F", "O", "P"], r.randint(1, 3)),
+            at_least=r.choice([0.3, 1.0]),
+        ),
+        lambda r: V.matches_ratio(
+            "o_orderpriority", r.choice(["^[1-3]-", "URGENT$"]),
+            at_least=r.choice([0.1, 0.9]),
+        ),
+        lambda r: V.has_size(lo=r.choice([None, 1.0]), hi=r.choice([None, 1e9])),
+    ]
+    for trial in range(6):
+        exps = [m(rng) for m in rng.sample(makers, rng.randint(2, len(makers)))]
+        errs = compare(
+            V.validate(df, exps),
+            run_oracle(V.sql_validate("orders", exps), SF_SMALL),
+            f"validate_random_{trial}",
+        )
+        assert errs == [], errs
