@@ -330,3 +330,57 @@ def test_round8_queries_invariant_to_partitioning(spark):
             assert alt == base[n] and base[n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+@pytest.mark.slow
+def test_validate_single_pass_at_6m_rows(spark):
+    """The expectation suite's cost model at 100× the fixture: 6M rows,
+    6 metrics, ONE aggregation pass — and bit-identical results across
+    partitionings (the map-side-combinable claim, exercised)."""
+    from reflex_spark.operators import validate as V
+
+    li = load_tables(spark, "/root/testdata/sf0.01")["lineitem"]
+    big = li.crossJoin(spark.range(100))  # ~6M rows
+    exps = [
+        V.is_complete("l_extendedprice"),
+        V.has_min("l_quantity", lo=0.0),
+        V.has_max("l_discount", hi=1.0),
+        V.has_mean("l_extendedprice", lo=0.0),
+        V.in_set_ratio("l_returnflag", ["A", "N", "R"], at_least=1.0),
+        V.has_size(lo=1.0),
+    ]
+    rep64 = {
+        r["check_name"]: (r["metric_value"], r["passed"])
+        for r in V.validate(big.repartition(64), exps).collect()
+    }
+    rep7 = {
+        r["check_name"]: (r["metric_value"], r["passed"])
+        for r in V.validate(big.repartition(7), exps).collect()
+    }
+    assert rep64 == rep7  # layout-invariant: decimal sums + exact counts
+    assert all(p == 1 for _, p in rep64.values())
+
+
+@pytest.mark.slow
+def test_bloom_prefilter_at_6m_rows(spark):
+    """Runtime-filter economics at 100× the fixture: the 8 KiB sketch
+    built from 1k keys prunes a 6M-row fact side to ~the true match set,
+    with zero false negatives."""
+    from reflex_spark.operators.runtime_filter import bloom_build, bloom_prefilter
+
+    t = load_tables(spark, "/root/testdata/sf0.01")
+    small = t["orders"].where(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    fact = t["lineitem"].crossJoin(spark.range(100))  # ~6M rows
+    bm = bloom_build(small, "o_orderkey")
+    pre = bloom_prefilter(fact, "l_orderkey", bm)
+    n_pre = pre.count()
+    n_true = fact.join(
+        small.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    ).count()
+    assert n_true <= n_pre < 1.01 * n_true + 1000  # tiny fp margin
+    assert n_pre < 0.1 * (60000 * 100)
