@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -235,6 +236,7 @@ class TxTable:
             raise ConcurrentCommitError(
                 f"version {version} was committed by another writer"
             ) from None
+        entry = dict(entry, ts=time.time())  # commit wall time (AS OF)
         with os.fdopen(fd, "w") as f:
             json.dump(entry, f)
         if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
@@ -1501,6 +1503,7 @@ class TxTable:
                 {
                     "version": v,
                     "op": e.get("op"),
+                    "ts": self._entry_ts(v, e),
                     "n_adds": len(e.get("adds", [])),
                     "n_removes": len(e.get("removes", [])),
                     "n_dv_adds": len(e.get("dv_adds", [])),
@@ -1543,6 +1546,47 @@ class TxTable:
             rows,
             "file string, size_bytes long, stats string, has_dv boolean",
         )
+
+    def _entry_ts(self, version: int, entry: dict | None = None) -> float:
+        """Commit wall time: the entry's recorded ``ts`` (written since
+        round 13), falling back to the log file's mtime for entries
+        committed before the field existed — the same source Delta uses
+        (the log object's modification time)."""
+        e = self._entry(version) if entry is None else entry
+        if "ts" in e:
+            return float(e["ts"])
+        try:
+            return os.path.getmtime(
+                os.path.join(self.log_dir, f"{version:020d}.json")
+            )
+        except OSError:
+            return 0.0
+
+    def version_at(self, timestamp: float) -> int:
+        """TIMESTAMP AS OF resolution (Delta parity): the LATEST retained
+        version whose commit time is <= ``timestamp``. Raises if the
+        timestamp predates the oldest retained commit (like Delta's
+        'timestamp before earliest version' error). Reads only the tiny
+        log entries. NOTE commit times come from writer wall clocks —
+        monotonic per single writer, but skew between concurrent writers
+        makes version numbers the precise audit key; AS OF timestamp is
+        the operator-convenience form."""
+        best = None
+        for v in self._versions():
+            if self._entry_ts(v) <= timestamp:
+                best = v
+            else:
+                break  # versions are committed in increasing time order
+        if best is None:
+            raise ValueError(
+                f"timestamp {timestamp} predates the oldest retained "
+                f"commit (version {min(self._versions(), default=None)})"
+            )
+        return best
+
+    def read_as_of(self, timestamp: float) -> DataFrame:
+        """Snapshot read at a WALL-CLOCK time: ``read(version_at(ts))``."""
+        return self.read(self.version_at(timestamp))
 
     def restore(self, version: int) -> int:
         """RESTORE the table to an earlier ``version`` (Delta RESTORE):

@@ -1518,3 +1518,24 @@ def test_merge_race_still_raises_without_retries(spark, tmp_path):
     t._commit = racy_commit
     with pytest.raises(ConcurrentCommitError):
         t.merge_by_key(_mk(spark, [(1, "A", 2)]), ["k"], "ver")
+
+
+def test_timestamp_as_of_reads(spark, tmp_path):
+    """TIMESTAMP AS OF parity: version_at resolves the latest commit at or
+    before the wall time; read_as_of reproduces that snapshot; predating
+    timestamps refuse."""
+    import time as _time
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1)]))
+    ts_v0 = _time.time()
+    _time.sleep(0.05)
+    t.append(_mk(spark, [(2, "b", 1)]))
+    assert t.version_at(ts_v0) == 0
+    assert t.version_at(_time.time()) == 1
+    assert _rows(t.read_as_of(ts_v0)) == [(1, "a", 1)]
+    assert sorted(h["ts"] for h in t.history()) == [
+        h["ts"] for h in t.history()
+    ]  # history carries monotonic commit times
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at(ts_v0 - 10_000)
