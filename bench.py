@@ -238,6 +238,10 @@ HEADLINE = [
     # probe job; the index write/read-back cost shape (fit-and-probe
     # in one plan is timed via sim_ann_ivf_topk)
     "sim_ann_ivf_persisted_index_rollup",
+    # round 13: the pluggable blob decoder — gzip-CSV bucket write +
+    # codec-transparent decompress + native CSV decode; this decode
+    # path is not timed elsewhere
+    "blob_csv_gzip_rollup",
     # round 13: the streaming batch-level quality gate — per-batch
     # validation agg driving wholesale publish/quarantine routing; the
     # audited-stream path is not timed elsewhere

@@ -4402,3 +4402,73 @@ def stream_quality_quarantine_rollup(
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "blob_csv_gzip_rollup",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def blob_csv_gzip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable blob decoder judged (reference WithDecoder,
+    rblob/blob.go:38-42, default JSONDecoder): the bucket holds GZIPPED
+    CSV blobs — the Firehose-style layout — and BlobBucket(fmt="csv")
+    decodes them with Spark's native CSV reader (JVM-side, parallel; the
+    reference's per-blob Decoder hook re-expressed as a format
+    parameter), gzip handled transparently by the codec infrastructure
+    on every read path.
+
+    Pinned in-query: every blob in the bucket really is ``*.csv.gz``
+    (the decompress+decode path is load-bearing, not incidental).
+    Doubles survive the CSV round-trip bit-exactly (Spark writes
+    shortest-round-trip renderings and parses them back to the same
+    bits), so the decimal rollup hash-matches the oracle computed
+    directly on the fixture."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from reflex_spark.sources.blob import BlobBucket
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="blob_csvgz_")
+    try:
+        bucket = f"{base}/bucket"
+        ev.write.option("compression", "gzip").csv(bucket)
+
+        blobs = [
+            f
+            for f in _os.listdir(bucket)
+            if not f.startswith(("_", "."))
+        ]
+        if not blobs or not all(f.endswith(".csv.gz") for f in blobs):
+            raise AssertionError(
+                f"bucket is not gzipped CSV: {sorted(blobs)[:3]}"
+            )
+
+        schema = StructType.fromDDL(
+            "event_id long, event_type string, value double"
+        )
+        out = (
+            BlobBucket(spark, bucket, schema, fmt="csv")
+            .read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
