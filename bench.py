@@ -238,6 +238,10 @@ HEADLINE = [
     # probe job; the index write/read-back cost shape (fit-and-probe
     # in one plan is timed via sim_ann_ivf_topk)
     "sim_ann_ivf_persisted_index_rollup",
+    # round 13: the small-files lifecycle — 8 drip-fed commits,
+    # files() metadata detection, bin-packing OPTIMIZE; the
+    # detect-and-compact operational shape is not timed elsewhere
+    "tx_files_optimize_rollup",
     # round 13: the pluggable blob decoder — gzip-CSV bucket write +
     # codec-transparent decompress + native CSV decode; this decode
     # path is not timed elsewhere

@@ -4472,3 +4472,185 @@ def blob_csv_gzip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "tx_files_optimize_rollup",
+    # Compaction economics judged through the metadata table: the rollup
+    # carries (phase, file-count bucket, row stats) for the small-files
+    # state and the optimized state; the data itself must be bit-identical
+    # across the rewrite (same per-status decimal sums both phases).
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                         o_totalprice AS price
+                  FROM orders WHERE o_orderkey % 4 = 0),
+    r AS (SELECT status,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 {sql_dsum('price', 'sum_price')}
+          FROM base GROUP BY status)
+    SELECT 'small_files' AS phase, * FROM r
+    UNION ALL
+    SELECT 'optimized', * FROM r
+    """,
+)
+def tx_files_optimize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files lifecycle judged end-to-end through the files()
+    METADATA TABLE (Iceberg table.files analogue): 8 tiny appends create
+    a small-files-bound table — files() (control-plane: commit log +
+    sizes, zero data bytes read) shows >= 8 live files — then OPTIMIZE
+    bin-packs to 2, files() confirms exactly 2 with recorded min/max
+    stats on the sort key, and the rollup proves the rewrite was purely
+    physical: both phases' per-status decimal sums are pinned identical
+    by the oracle's duplicated recipe.
+
+    Scale posture: detecting the small-files state costs O(files)
+    metadata, never a scan — at 100 TB, 'should I OPTIMIZE' is answered
+    from the log; the compaction itself is the one full rewrite, after
+    which merge-side data skipping tightens (range-sorted output files
+    cover disjoint key ranges — the §skew/scale pytest pins the
+    pruning improvement)."""
+    import shutil
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    base_rows = orders.where(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    base_dir = tempfile.mkdtemp(prefix="tx_files_opt_")
+    try:
+        t = TxTable(spark, f"{base_dir}/t", stats_cols=["k"])
+        for i in range(8):  # a producer drip-feeding small commits
+            t.append(
+                base_rows.where(F.expr("(k div 4) % 8") == i).coalesce(1)
+            )
+        meta_small = t.files().collect()
+        if len(meta_small) < 8:
+            raise AssertionError(
+                f"expected >= 8 small files, files() shows {len(meta_small)}"
+            )
+
+        def roll(tag: str) -> DataFrame:
+            return (
+                t.read()
+                .groupBy("status")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(F.col("price").cast("decimal(18,6)"))
+                    .cast("double")
+                    .alias("sum_price"),
+                )
+                .select(F.lit(tag).alias("phase"), "*")
+            )
+
+        out_small = roll("small_files").localCheckpoint()
+
+        t.optimize(sort_by=["k"], target_files=2)
+        meta_opt = t.files().collect()
+        if len(meta_opt) != 2:
+            raise AssertionError(
+                f"optimize(target_files=2) left {len(meta_opt)} files"
+            )
+        import json as _json
+
+        for r in meta_opt:
+            st = _json.loads(r["stats"])
+            if "k" not in st:
+                raise AssertionError(
+                    "optimized file lacks min/max stats on the sort key"
+                )
+
+        out = out_small.unionByName(roll("optimized"))
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out
+
+
+@query(
+    "tx_timestamp_as_of_rollup",
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                         o_totalprice AS price
+                  FROM orders),
+    v1 AS (SELECT * FROM base WHERE k % 11 <> 0),
+    u AS (SELECT 'as_of_t0' AS snapshot, status, price FROM base
+          UNION ALL SELECT 'as_of_t1', status, price FROM v1)
+    SELECT snapshot, status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('price', 'sum_price')}
+    FROM u GROUP BY snapshot, status
+    """,
+)
+def tx_timestamp_as_of_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged TIMESTAMP AS OF (Delta parity): commits record wall time;
+    ``version_at(ts)`` resolves the latest commit at or before a time
+    and ``read_as_of(ts)`` reads that snapshot. The query captures two
+    wall timestamps in-flight — t0 after the seed commit, t1 after a
+    delete — and rolls both AS OF reads up side by side; the oracle
+    replays the seed and post-delete recipes, so a resolution that is
+    off by one commit in either direction hash-fails.
+
+    Pinned in-query: version_at(t0) < version_at(t1) (the timestamps
+    straddle the delete commit), and a timestamp predating the oldest
+    retained commit refuses with ValueError (Delta's 'before earliest
+    version' error). Writer-clock caveat from the implementation
+    applies: timestamps are the operator-convenience form, version
+    numbers remain the precise audit key — which is exactly why both
+    snapshots here are ALSO pinned by content through the hash."""
+    import shutil
+    import time as _time
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    base_dir = tempfile.mkdtemp(prefix="tx_asof_")
+    try:
+        t = TxTable(spark, f"{base_dir}/t")
+        t.append(seed)
+        t0 = _time.time()
+        _time.sleep(0.02)  # distinct wall times across the delete commit
+        t.delete_by_key(
+            orders.where(F.col("o_orderkey") % 11 == 0).select(
+                F.col("o_orderkey").alias("k")
+            ),
+            ["k"],
+        )
+        t1 = _time.time()
+
+        v0, v1 = t.version_at(t0), t.version_at(t1)
+        if not v0 < v1:
+            raise AssertionError(
+                f"timestamps did not straddle the delete: {v0} vs {v1}"
+            )
+        try:
+            t.version_at(t0 - 1e7)
+            raise AssertionError("pre-genesis timestamp did not refuse")
+        except ValueError:
+            pass
+
+        def roll(ts: float, tag: str) -> DataFrame:
+            return (
+                t.read_as_of(ts)
+                .groupBy("status")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(F.col("price").cast("decimal(18,6)"))
+                    .cast("double")
+                    .alias("sum_price"),
+                )
+                .select(F.lit(tag).alias("snapshot"), "*")
+            )
+
+        out = roll(t0, "as_of_t0").unionByName(roll(t1, "as_of_t1"))
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out
