@@ -10,12 +10,13 @@ Run:  python examples/governed_table_pipeline.py  [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
 from pyspark.sql import functions as F
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from reflex_spark.operators import validate as V
 from reflex_spark.operators.runtime_filter import bloom_semi_join

@@ -158,10 +158,19 @@ class BlobBucket:
         lines = self.spark.read.text(key)
         indexed = lines.rdd.zipWithIndex().map(lambda t: (t[0]["value"], t[1]))
         df = self.spark.createDataFrame(indexed, "value string, __idx long")
+        opts = dict(self.options)
+        if self.fmt == "csv" and str(opts.pop("header", "false")).lower() == "true":
+            # from_csv has no header concept: drop each blob's first line
+            # and re-base __idx so RECORD offsets match the batch/stream
+            # views — otherwise the header would arrive as a garbage
+            # record and every mid-blob cursor would be off by one.
+            df = df.where(F.col("__idx") > 0).select(
+                (F.col("__idx") - 1).alias("__idx"), "value"
+            )
         parse = (
             F.from_json("value", self.schema)
             if self.fmt == "json"
-            else F.from_csv("value", self._schema_ddl(), self.options)
+            else F.from_csv("value", self._schema_ddl(), opts)
         )
         return df.select(parse.alias("__r"), "__idx").select("__r.*", "__idx")
 

@@ -885,7 +885,9 @@ class TxTable:
             adds, stats = self._write_files(
                 finish(latest_by_key(arrange(updates), keys, version_col))
             )
-            self._commit(
+            # _commit_rewrite, not _commit: a raced version-0 merge must
+            # unstage its files like every other rewrite (no orphans)
+            self._commit_rewrite(
                 0,
                 {
                     "op": "merge",

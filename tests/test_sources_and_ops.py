@@ -979,3 +979,23 @@ def test_blob_bucket_gzip_json_poll_loop(spark, tmp_path):
     with pytest.raises(ErrHeadReached):
         run_blobs(bucket, MemCursorStore(), C(), records_per_batch=2)
     assert sorted(seen) == [1, 2, 3, 4, 5]
+
+
+def test_blob_csv_header_offsets_match_batch_view(spark, tmp_path):
+    """CSV blobs WITH headers: the mid-blob poll reader must drop each
+    blob's header line and re-base record indexes, so key|NN|offset
+    cursors agree with the batch/stream views (review finding: the
+    header arrived as a garbage record and shifted every offset)."""
+    root = str(tmp_path / "csvh")
+    os.makedirs(root, exist_ok=True)
+    with open(f"{root}/b-000001.csv", "w") as f:
+        f.write("id,kind\n1,a\n2,b\n")
+
+    bucket = BlobBucket(spark, root, BLOB_SCHEMA, fmt="csv",
+                        options={"header": "true"})
+    assert sorted(r["id"] for r in bucket.read().collect()) == [1, 2]
+    rows = sorted(
+        (r["__idx"], r["id"], r["kind"])
+        for r in bucket.read_blob_records(f"{root}/b-000001.csv").collect()
+    )
+    assert rows == [(0, 1, "a"), (1, 2, "b")]

@@ -1539,3 +1539,24 @@ def test_timestamp_as_of_reads(spark, tmp_path):
     ]  # history carries monotonic commit times
     with pytest.raises(ValueError, match="predates"):
         t.version_at(ts_v0 - 10_000)
+
+
+def test_empty_table_merge_race_leaves_no_orphans(spark, tmp_path):
+    """A raced version-0 merge must unstage its files like every other
+    rewrite (review finding: the empty-table degenerate path committed
+    via _commit and leaked its parquet on ConcurrentCommitError)."""
+    import os as _os
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    real_commit = t._commit
+
+    def racy_commit(version, entry):
+        if entry.get("op") == "merge":
+            real_commit(version, {"op": "append", "adds": [], "stats": {}})
+            raise ConcurrentCommitError(f"version {version} taken")
+        real_commit(version, entry)
+
+    t._commit = racy_commit
+    with pytest.raises(ConcurrentCommitError):
+        t.merge_by_key(_mk(spark, [(1, "a", 1)]), ["k"], "ver")
+    assert _os.listdir(t.data_dir) == []
