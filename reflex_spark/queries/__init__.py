@@ -56,75 +56,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # most queries would never receive a hard external correctness row.
 # _WINDOW rotates the judged window explicitly: these names are emitted
 # first (in this order), then every other registered name in registration
-# order.  Round 13 window (VERDICT r12 Next #1): the THREE r10 rows whose
-# fixes shipped later but were never re-judged (holt hash-fixed in r11;
-# the two sketches gained real oracles in r12) + 47 names never
-# driver-judged in rounds 1-12 (verified against every
-# CORRECTNESS_r*.json), every one oracle-checkable.  Priority: the r12
-# operational/surface newcomers, the heavy streaming/CDC/blob rollups,
-# this round's new buffered-cursor crash query, then never-judged
-# ANN-recall/text/multimodal/dedup names.  ~20 never-judged names remain
-# for round 14 (zero-never-judged is reachable then).
+# order.  Round 14 window (VERDICT r13 Next #1): the 31 names that have
+# NEVER had a driver row in rounds 1-13 (verified programmatically against
+# every CORRECTNESS_r*.json at round start) + the 19 STALEST green rows by
+# latest-judged round (r04 x5, r05 x11, r06 x3 -- every earlier vintage was
+# already re-confirmed by a later rotation), re-judged under the current
+# engine.  After this window, every one of the 260 registered queries has
+# had a hard driver row at least once and none is staler than r07.
 _WINDOW: list[str] = [
-    # re-judges: stale non-green r10 rows, fixed locally since
-    "events_holt_trend_forecast",
-    "events_kll_quantiles",
-    "events_approx_distinct_users",
-    # r12 operational/surface newcomers
-    "tx_delete_mor_rollup",
-    "tx_constraint_enforcement_rollup",
-    "events_arrow_partial_agg_rollup",
-    "dedup_incremental_minhash_rollup",
-    "stream_compaction_cursor_rollup",
-    "stream_gapfill_recovery_rollup",
-    "blob_sink_stream_producer_rollup",
-    # heavy streaming / CDC / blob / tx rollups
-    "stream_cdc_scd2_history",
-    "stream_stream_left_join",
-    "stream_stream_full_join",
-    "cdc_rollup",
-    "stream_sharded_rollup",
-    "blob_stream_rollup",
-    "tx_merge_orders",
-    # round 13's new judged operational query
-    "stream_cursor_crash_redelivery_rollup",
-    # remaining never-judged streaming machinery
-    "stream_rollup_counts",
-    "stream_restart_rollup",
-    "stream_stateful_sessions",
-    "blob_source_rollup",
-    "stream_dedup_rollup",
-    "stream_stream_join_attribution",
-    # never-judged ANN / similarity family
-    "sim_ann_recall",
-    "sim_ann_ivf_recall",
-    "sim_ann_ivf_kmeans_topk",
-    "sim_ann_pq_recall",
-    "sim_ann_ivfpq_topk",
-    "sim_ann_ivfpq_recall",
-    "sim_scalar_quant_topk",
-    "embedding_label_norms",
-    # never-judged text / dedup / pipeline
-    "top_terms_per_lang",
-    "sample_cluster_balanced",
-    "text_bpe_token_stats",
-    "text_vocab_richness",
-    "dedup_ngram_containment",
-    "text_term_drift_chi2",
-    "text_pii_redact",
-    "text_decontaminate",
-    "text_repetition_removal",
-    "text_boilerplate_spans",
-    "text_unigram_logprob",
-    "text_bpe_train_merges",
-    "dedup_edit_distance_blocked",
-    "dedup_multi_signal",
-    # never-judged multimodal
-    "dedup_images_phash",
-    "multimodal_audio_stats",
-    "multimodal_audio_segments",
-    "multimodal_video_stats",
+    # --- never judged: r13 TxTable / operational newcomers ---
+    "tx_restore_rollup",
+    "tx_merge_tombstone_rollup",
+    "tx_clone_rollup",
+    "tx_wap_audit_rollup",
+    "tx_files_optimize_rollup",
+    "tx_timestamp_as_of_rollup",
+    "stream_quality_quarantine_rollup",
+    "blob_csv_gzip_rollup",
+    "sim_ann_ivf_persisted_index_rollup",
+    "bloom_runtime_filter_join",
+    "pipeline_data_quality_report",
+    # --- never judged: streaming sketch rollups ---
+    "stream_bottomk_quantiles_rollup",
+    "stream_hll_distinct_rollup",
+    # --- never judged: ANN recall / similarity stragglers ---
+    "sim_ann_pq_sampled_topk",
+    "sim_ann_ivfpq_rerank_recall",
+    "sim_ann_pq_rerank_recall",
+    "sim_scalar_quant_recall",
+    "sim_mrl_truncated_recall",
+    "dedup_semantic_recall",
+    "dedup_images_clusters",
+    "dedup_clusters_best_quality",
+    "sample_negatives_contrastive",
+    # --- never judged: multimodal ---
+    "multimodal_gif_anim_stats",
+    "multimodal_video_framesample",
+    "multimodal_av_container_stats",
+    # --- never judged: text ---
+    "text_bpe_apply_tokenize",
+    "text_source_overlap_matrix",
+    "text_bigram_lm_logprob",
+    "text_shingle_udtf_stats",
+    "text_doc_keywords_topk",
+    "text_inverted_posting_stats",
+    # --- re-judges: stalest green rows (latest driver row r04) ---
+    "argmax_event_per_type",
+    "first_last_order_per_customer",
+    "having_active_event_types",
+    "ntile_percent_rank_orders",
+    "percentiles_order_value",
+    # --- re-judges: stalest green rows (latest driver row r05) ---
+    "asof_join_latest_order",
+    "correlated_above_segment_avg",
+    "cube_returnflag_linestatus",
+    "grouping_sets_brand_type",
+    "range_join_events_near_orders",
+    "rollup_status_priority",
+    "scalar_funcs_orders",
+    "theta_join_overpriced_lineitems",
+    "union_all_keys",
+    "window_order_gap_days",
+    "window_order_rank",
+    # --- re-judges: stalest green rows (latest driver row r06) ---
+    "join_anti_customers_without_orders",
+    "join_outer_order_counts",
+    "join_semi_customers_with_open_orders",
 ]
+
 
 
 def _windowed(d: dict) -> dict:
