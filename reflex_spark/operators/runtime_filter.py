@@ -128,8 +128,19 @@ def bloom_semi_join(
             "prefilter would drop fp-dependently"
         )
     sk = small_key or big_key
-    bm = bloom_build(small, sk, m_bits, k)
-    pre = bloom_prefilter(big, big_key, bm, m_bits, k)
+    # Bloom hashing is only join-equivalent when both sides hash the SAME
+    # rendering: _md5_mod hashes CAST(key AS STRING), so a cross-type key
+    # pair the equi-join would cast-and-match (bigint 7 vs string '007')
+    # hashes to different bits — a FALSE NEGATIVE that silently drops join
+    # rows. Same hazard TxTable._prune_types_match guards; on a type
+    # mismatch skip the prefilter and run the plain (still exact) join.
+    big_t = big.schema[big_key].dataType.simpleString()
+    small_t = small.schema[sk].dataType.simpleString()
+    if big_t == small_t:
+        bm = bloom_build(small, sk, m_bits, k)
+        pre = bloom_prefilter(big, big_key, bm, m_bits, k)
+    else:
+        pre = big
     if small_key and small_key != big_key:
         return pre.join(small, pre[big_key] == small[small_key], how)
     return pre.join(small, big_key, how)

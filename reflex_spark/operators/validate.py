@@ -149,6 +149,10 @@ def matches_ratio(col: str, pattern: str, at_least: float) -> Expectation:
     """Fraction of ALL rows whose ``col`` matches ``pattern`` (null = no
     match). Keep patterns inside the Java∩RE2 common dialect — character
     classes, anchors, quantifiers — so Spark and DuckDB agree."""
+    # The pattern is interpolated into the generated oracle as a SQL
+    # string literal; a single quote would break the oracle (or make it
+    # diverge from the safe Spark rlike side), so escape it SQL-style.
+    sql_pattern = pattern.replace("'", "''")
     return Expectation(
         name=f"matches({col})",
         metric=lambda: _ratio(
@@ -159,7 +163,7 @@ def matches_ratio(col: str, pattern: str, at_least: float) -> Expectation:
         ),
         sql_metric=(
             f"CAST(SUM(CASE WHEN regexp_matches(CAST({col} AS VARCHAR), "
-            f"'{pattern}') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"
+            f"'{sql_pattern}') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"
         ),
         lo=at_least,
     )
@@ -167,7 +171,9 @@ def matches_ratio(col: str, pattern: str, at_least: float) -> Expectation:
 
 def in_set_ratio(col: str, values: list[str], at_least: float) -> Expectation:
     """Fraction of ALL rows whose ``col`` is one of ``values``."""
-    quoted = ", ".join(f"'{v}'" for v in values)
+    # SQL-escape embedded quotes so the generated oracle stays parseable
+    # and equal to the Spark isin() side for values like "o'brien".
+    quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
     return Expectation(
         name=f"in_set({col})",
         metric=lambda: _ratio(

@@ -4326,7 +4326,30 @@ def stream_quality_quarantine_rollup(
     ev = load_tables(spark, sf_dir)["events"]
     canonical, code_of = _canonical_events(ev)
 
-    n_total = canonical.count()
+    # Fixture contract, asserted loudly up front (the poison layout and
+    # the oracle both key off raw event_id // L): ids must be 0-based and
+    # dense (so poll-batch b == id // L exactly), and L = n//8 >= 100 so
+    # one bad row keeps batch-5 completeness >= 0.99 and id 5L+7 lands
+    # inside batch 5. Other fixtures fail HERE with a clear message
+    # instead of as an opaque hash mismatch downstream.
+    bounds = canonical.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__orig_id").alias("lo"),
+        F.max("__orig_id").alias("hi"),
+    ).collect()[0]
+    n_total = bounds["n"]
+    if (
+        n_total < 800
+        or bounds["lo"] != 0
+        or bounds["hi"] != n_total - 1
+    ):
+        raise AssertionError(
+            "stream_quality_quarantine_rollup requires a fixture with "
+            ">= 800 events and 0-based dense event_id (got n="
+            f"{n_total}, min={bounds['lo']}, max={bounds['hi']}); the "
+            "poison layout and the DuckDB oracle both derive batch "
+            "membership as event_id // (n//8)"
+        )
     limit = max(1, n_total // 8)
     # poison AT THE SOURCE (the corrupt upstream the gate exists for):
     # half of batch 2's rows, one row of batch 5 — by original id, which

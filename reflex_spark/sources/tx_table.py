@@ -1571,14 +1571,19 @@ class TxTable:
         'timestamp before earliest version' error). Reads only the tiny
         log entries. NOTE commit times come from writer wall clocks —
         monotonic per single writer, but skew between concurrent writers
-        makes version numbers the precise audit key; AS OF timestamp is
-        the operator-convenience form."""
+        (or mixing recorded ``ts`` with mtime-fallback entries) can make
+        raw entry times NON-monotonic across versions — so, like Delta,
+        the scan monotonicizes while walking (ts' = max(prev_ts', ts))
+        instead of breaking at the first ts > timestamp, which under skew
+        would silently resolve to an older version than the latest commit
+        at <= timestamp. Version numbers stay the precise audit key; AS OF
+        timestamp is the operator-convenience form."""
         best = None
+        mono = float("-inf")
         for v in self._versions():
-            if self._entry_ts(v) <= timestamp:
+            mono = max(mono, self._entry_ts(v))
+            if mono <= timestamp:
                 best = v
-            else:
-                break  # versions are committed in increasing time order
         if best is None:
             raise ValueError(
                 f"timestamp {timestamp} predates the oldest retained "

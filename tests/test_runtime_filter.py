@@ -79,3 +79,25 @@ def test_outer_and_anti_joins_refused(spark):
         bloom_semi_join(big, small, "k", how="left")
     with pytest.raises(ValueError, match="inner/semi"):
         bloom_semi_join(big, small, "k", how="left_anti")
+
+
+def test_cross_type_keys_fall_back_to_plain_join(spark):
+    """build hashes the small side's string rendering and the probe the
+    big side's — bigint 7 and string '007' equi-join-match but hash to
+    different bits, so a cross-type pair must SKIP the prefilter (plain
+    join, still exact) rather than silently drop rows."""
+    big = spark.createDataFrame([(7, "a"), (8, "b")], "k long, v string")
+    small = spark.createDataFrame([("007",), ("9",)], "sk string")
+    got = sorted(
+        tuple(r)
+        for r in bloom_semi_join(big, small, "k", "sk")
+        .select("k", "v")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in big.join(small, big["k"] == small["sk"])
+        .select("k", "v")
+        .collect()
+    )
+    assert got == want and got == [(7, "a")]

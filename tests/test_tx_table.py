@@ -1560,3 +1560,32 @@ def test_empty_table_merge_race_leaves_no_orphans(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError):
         t.merge_by_key(_mk(spark, [(1, "a", 1)]), ["k"], "ver")
     assert _os.listdir(t.data_dir) == []
+
+
+def test_version_at_well_defined_under_writer_clock_skew(spark, tmp_path):
+    """Concurrent-writer clock skew can make recorded commit ts
+    NON-monotonic across versions; version_at must monotonicize while
+    scanning (Delta-style ts' = max(prev', ts)) so resolution is
+    well-defined instead of depending on where an early break lands."""
+    import json as _json
+    import os as _os
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a", 1)]))
+    t.append(_mk(spark, [(2, "b", 1)]))
+    t.append(_mk(spark, [(3, "c", 1)]))
+    # simulate skew: v1's writer clock ran 50s ahead of v2's
+    for v, ts in ((0, 100.0), (1, 300.0), (2, 250.0)):
+        p = _os.path.join(t.log_dir, f"{v:020d}.json")
+        e = _json.load(open(p))
+        e["ts"] = ts
+        with open(p, "w") as f:
+            _json.dump(e, f)
+    # adjusted times are 100, 300, 300: t=260 falls before v1's adjusted
+    # commit, so the prefix rule resolves to v0 — NOT v2, whose raw ts
+    # (250) predates its predecessor's
+    assert t.version_at(260.0) == 0
+    assert t.version_at(300.0) == 2  # latest version at the adjusted time
+    assert t.version_at(100.0) == 0
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at(50.0)

@@ -167,3 +167,31 @@ def test_generated_oracle_parity_random_expectations(spark):
             f"validate_random_{trial}",
         )
         assert errs == [], errs
+
+
+def test_quoted_values_and_patterns_survive_sql_generation(spark):
+    """in_set values / rlike patterns containing single quotes must be
+    SQL-escaped in the generated oracle, not break it or diverge from
+    the Spark side."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [("o'brien",), ("smith",), ("o'brien",), ("d'arcy",)], "name string"
+    )
+    exps = [
+        V.in_set_ratio("name", ["o'brien", "smith"], at_least=0.7),
+        V.matches_ratio("name", "^[a-z]+'?[a-z]+$", at_least=0.9),
+    ]
+    got = {
+        r["check_name"]: (r["metric_value"], r["passed"])
+        for r in V.validate(df, exps).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(V.sql_validate("t", exps)).fetchall()
+    }
+    assert got == oracle
+    assert got["in_set(name)"] == (0.75, 1)
+    assert got["matches(name)"] == (1.0, 1)
