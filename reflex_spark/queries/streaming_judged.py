@@ -4447,17 +4447,23 @@ def blob_csv_gzip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every read path.
 
     Pinned in-query: every blob in the bucket really is ``*.csv.gz``
-    (the decompress+decode path is load-bearing, not incidental).
-    Doubles survive the CSV round-trip bit-exactly (Spark writes
-    shortest-round-trip renderings and parses them back to the same
-    bits), so the decimal rollup hash-matches the oracle computed
-    directly on the fixture."""
+    (the decompress+decode path is load-bearing, not incidental), and the
+    SAME bucket read through the registered ``format("reflex_blob")``
+    DataSource with ``fmt="csv"`` — the surface with planning-time
+    ``after_key`` pruning and the streaming offset ledger — produces a
+    bit-identical rollup, so the decoder genuinely plugs into both scans
+    (the reference's Decoder plugs into THE stream, rblob/blob.go:21-42,
+    not one of several). Doubles survive the CSV round-trip bit-exactly
+    (Spark writes shortest-round-trip renderings and parses them back to
+    the same bits), so the decimal rollup hash-matches the oracle
+    computed directly on the fixture."""
     import os as _os
     import shutil
 
     from pyspark.sql.types import StructType
 
     from reflex_spark.sources.blob import BlobBucket
+    from reflex_spark.sources.blob_datasource import register as _register_ds
 
     ev = load_tables(spark, sf_dir)["events"].select(
         "event_id", "event_type", "value"
@@ -4480,18 +4486,39 @@ def blob_csv_gzip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = StructType.fromDDL(
             "event_id long, event_type string, value double"
         )
-        out = (
-            BlobBucket(spark, bucket, schema, fmt="csv")
-            .read()
-            .groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,6)"))
-                .cast("double")
-                .alias("sum_value"),
+
+        def rollup(df):
+            return (
+                df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,6)"))
+                    .cast("double")
+                    .alias("sum_value"),
+                )
             )
-        )
+
+        out = rollup(BlobBucket(spark, bucket, schema, fmt="csv").read())
         out = out.localCheckpoint()  # materialize before temp-dir cleanup
+
+        # same bucket through the registered DataSource's csv decoder:
+        # both read paths must agree bit-for-bit (3-row control-plane
+        # collects; value comparison is on the identical decimal sums)
+        _register_ds(spark)
+        via_ds = rollup(
+            spark.read.format("reflex_blob")
+            .option("path", bucket)
+            .option("schema", "event_id long, event_type string, value double")
+            .option("fmt", "csv")
+            .load()
+        )
+        a = sorted(tuple(r) for r in out.collect())
+        b = sorted(tuple(r) for r in via_ds.collect())
+        if a != b:
+            raise AssertionError(
+                f"file-source and reflex_blob DataSource csv decodes "
+                f"diverge: {a} vs {b}"
+            )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out

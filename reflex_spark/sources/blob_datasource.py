@@ -16,7 +16,7 @@ reference's consumer loop needs surfaced at the right layer:
   filter" (mid-blob offsets stay the streaming path's job,
   blob.py/BlobCursor).
 
-Per-record JSON decode runs in Python (this is the same per-record decode
+Per-record decode runs in Python (this is the same per-record decode
 the reference does in Go, rblob/json.go), but rows leave Python as
 **Arrow RecordBatches** when every schema field maps to an Arrow
 primitive — the Spark 4 Python DataSource accepts ``pyarrow.RecordBatch``
@@ -25,10 +25,23 @@ transfer per ~4k rows. Schemas with non-primitive fields fall back to
 row tuples. For bulk analytics the parquet event log remains the fast
 path — this format exists for bucket-consumer parity, registered lazily
 and only when used.
+
+The decoder is PLUGGABLE like the reference's (rblob/blob.go:21-42,
+``WithDecoder``; default JSONDecoder) and plugs into the one scan — the
+``fmt`` option ("json" default, "csv" with ``sep``/``header``) applies
+identically to the batch reader AND the streaming reader (which delegates
+record decode to it), and ``*.gz`` blobs decompress transparently on both,
+so a Firehose-style gzip-CSV bucket gets the planning-time ``after_key``
+pruning and the streaming offset ledger, not just the file-source wrapper
+in blob.py. The WRITE half stays JSON-lines: it is this format's producer
+serialization, not a decoder concern.
 """
 
 from __future__ import annotations
 
+import csv as _csv
+import gzip
+import io
 import json
 import os
 
@@ -79,7 +92,12 @@ class ReflexBlobDataSource(DataSource):
       ``key <= after_key`` are pruned at planning time;
     - ``day_from_dir`` (optional, "true"): blobs written as
       ``day=<v>/part-*`` get ``<v>`` surfaced as a ``day`` string column
-      (Hive-partition recovery for the bucket's date layout).
+      (Hive-partition recovery for the bucket's date layout);
+    - ``fmt`` (optional, "json" default | "csv"): the pluggable record
+      decoder (reference WithDecoder); csv takes ``sep`` (default ",")
+      and ``header`` ("true" skips each blob's first line). ``*.gz``
+      blobs decompress transparently under either fmt, on the batch and
+      the streaming reader alike.
     """
 
     @classmethod
@@ -328,6 +346,19 @@ class ReflexBlobWriter(DataSourceWriter):
         self._release_claim()
 
 
+# CSV string → typed value, matching Spark's CSV reader semantics on the
+# supported primitives (empty field = NULL for every type; booleans parse
+# case-insensitively).
+def _csv_converter(dtype):
+    if isinstance(dtype, (LongType, IntegerType)):
+        return int
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return float
+    if isinstance(dtype, BooleanType):
+        return lambda s: s.lower() == "true"
+    return lambda s: s  # StringType and any unlisted type ride as text
+
+
 class ReflexBlobReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.root = options.get("path")
@@ -335,7 +366,21 @@ class ReflexBlobReader(DataSourceReader):
             raise ValueError("reflex_blob requires a 'path' option")
         self.after_key = options.get("after_key") or ""
         self.day_from_dir = (options.get("day_from_dir") or "").lower() == "true"
+        self.fmt = (options.get("fmt") or "json").lower()
+        if self.fmt not in ("json", "csv"):
+            raise ValueError(
+                f"reflex_blob fmt must be 'json' or 'csv', got {self.fmt!r}"
+            )
+        self.sep = options.get("sep") or ","
+        self.header = (options.get("header") or "").lower() == "true"
         self.fields = [f.name for f in schema.fields]
+        # csv is positional: record column i = schema field i (minus the
+        # derived day column, which never comes from the blob bytes)
+        self.csv_fields = [
+            (f.name, _csv_converter(f.dataType))
+            for f in schema.fields
+            if not (self.day_from_dir and f.name == "day")
+        ]
         # Arrow fast path: only when EVERY field is a mapped primitive.
         types = [_ARROW_PRIMITIVES.get(type(f.dataType)) for f in schema.fields]
         self.arrow_schema = (
@@ -365,6 +410,51 @@ class ReflexBlobReader(DataSourceReader):
             if key > self.after_key
         ] or [_BlobPartition("", "")]
 
+    @staticmethod
+    def _open(path: str) -> io.TextIOBase:
+        """Transparent gzip: the codec is a property of the blob key, not
+        the decoder (Firehose-style ``*.gz`` layouts), so it sits below
+        the fmt dispatch."""
+        if path.endswith(".gz"):
+            return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8")
+        return open(path, encoding="utf-8")
+
+    def _iter_records(self, path: str, day):
+        """The decoder seam (reference rblob/blob.go:21-42): one stream of
+        per-record dicts regardless of fmt/codec — both the tuple path and
+        the Arrow path, batch and streaming, consume THIS."""
+        with self._open(path) as f:
+            if self.fmt == "csv":
+                if self.header:
+                    next(f, None)  # per-blob header line
+                # Spark/univocity CSV conventions: quote '"', escape '\'
+                rdr = _csv.reader(
+                    f,
+                    delimiter=self.sep,
+                    quotechar='"',
+                    escapechar="\\",
+                    doublequote=False,
+                )
+                for parts in rdr:
+                    if not parts:
+                        continue
+                    rec = {
+                        name: (conv(v) if v != "" else None)
+                        for (name, conv), v in zip(self.csv_fields, parts)
+                    }
+                    if day is not None:
+                        rec["day"] = day
+                    yield rec
+            else:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    if day is not None:
+                        rec["day"] = day
+                    yield rec
+
     def read(self, partition: _BlobPartition):
         if partition is None or not partition.path:  # empty-bucket sentinel
             return
@@ -377,37 +467,23 @@ class ReflexBlobReader(DataSourceReader):
         if self.arrow_schema is not None:
             yield from self._read_arrow(partition.path, day)
             return
-        with open(partition.path, encoding="utf-8") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                rec = json.loads(line)
-                if day is not None:
-                    rec["day"] = day
-                yield tuple(rec.get(name) for name in self.fields)
+        for rec in self._iter_records(partition.path, day):
+            yield tuple(rec.get(name) for name in self.fields)
 
     def _read_arrow(self, path: str, day):
-        """Decode JSON lines into columnar buffers and hand Spark whole
+        """Decode records into columnar buffers and hand Spark whole
         ``pyarrow.RecordBatch``es (~4k rows each) — one Arrow transfer
         per chunk instead of one pickled tuple per record."""
         cols: list[list] = [[] for _ in self.fields]
         n = 0
-        with open(path, encoding="utf-8") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                rec = json.loads(line)
-                if day is not None:
-                    rec["day"] = day
-                for i, name in enumerate(self.fields):
-                    cols[i].append(rec.get(name))
-                n += 1
-                if n >= _ARROW_BATCH_ROWS:
-                    yield self._batch(cols)
-                    cols = [[] for _ in self.fields]
-                    n = 0
+        for rec in self._iter_records(path, day):
+            for i, name in enumerate(self.fields):
+                cols[i].append(rec.get(name))
+            n += 1
+            if n >= _ARROW_BATCH_ROWS:
+                yield self._batch(cols)
+                cols = [[] for _ in self.fields]
+                n = 0
         if n:
             yield self._batch(cols)
 
