@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reflex_spark.operators.relational import top_k
@@ -1384,3 +1384,325 @@ def scalar_quant_reconstruct(
             lambda s: s["__xr"],
         ).alias("__rv")
     )
+
+
+class IvfIndex:
+    """Persisted IVF index directory with INCREMENTAL maintenance — the
+    ANN twin of the incremental MinHash band index (dedup.py): real
+    pipelines append vectors continuously, and refitting + reassigning
+    the whole corpus per batch is the O(corpus) ingest this class
+    removes.
+
+    Layout under ``path``:
+
+    - ``centroids/``  parquet ``(list_id int, centroid array)`` — KBs,
+      broadcast at probe time;
+    - ``lists/``      the corpus parquet PARTITIONED BY ``ivf_list`` —
+      a probe reads only its probed partitions (planning-time pruning);
+    - ``_meta.json``  per-list row counts + the next free list id —
+      the control-plane growth ledger (O(n_lists) bytes, atomic
+      tmp+replace writes).
+
+    Lifecycle and costs:
+
+    - ``build``   — one full assignment pass over the seed corpus;
+    - ``append``  — assigns ONLY the batch against the existing
+      centroids (no refit) and appends new files to the affected
+      partitions: O(|batch| x n_lists) compute, O(|batch|) write, and
+      EXISTING partition files are never rewritten (pinned by the
+      judged query);
+    - ``maybe_split`` — any list past ``threshold`` re-splits: two
+      deterministic seed vectors (smallest ids in the list), one
+      assignment pass, each side's mean becomes a centroid — the old
+      list id keeps side A, side B gets a fresh id from the ledger.
+      Cost is O(|that list|), never O(corpus); growth stays bounded so
+      probe cost stays O(corpus / n_lists) per probed list;
+    - ``probe``   — broadcast centroids, partition-pruned scan of the
+      probed lists, in-list cosine top-k: O(lists probed), independent
+      of corpus size.
+
+    Assignment recipe (broadcast centroids + sqdist + row_number with
+    the (distance, list_id) tie-break) is IDENTICAL to the judged
+    closed-form queries, so a DuckDB oracle can replay index contents
+    bit-for-bit.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # -- control plane ----------------------------------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_meta.json")
+
+    def _read_meta(self) -> dict:
+        import json
+
+        with open(self._meta_path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        import json
+        import os
+
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._meta_path)
+
+    def list_counts(self) -> dict[int, int]:
+        return {int(k): v for k, v in self._read_meta()["counts"].items()}
+
+    # -- data plane ---------------------------------------------------------
+
+    def _centroids(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/centroids").select(
+            F.col("list_id").alias("__cid"), F.col("centroid").alias("__cv")
+        )
+
+    def _assign(self, batch: DataFrame, cent: DataFrame) -> DataFrame:
+        """Nearest-centroid assignment, pure JVM: broadcast the (tiny)
+        centroid set, squared distance, deterministic (distance, list)
+        tie-break."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.id_col).orderBy("__d", "__cid")
+        return (
+            batch.select(self.id_col, self.vec_col)
+            .join(F.broadcast(cent))
+            .withColumn("__d", sqdist(F.col(self.vec_col), F.col("__cv")))
+            .withColumn("__rnk", F.row_number().over(w))
+            .where(F.col("__rnk") == 1)
+            .select(
+                self.id_col, self.vec_col, F.col("__cid").alias("ivf_list")
+            )
+        )
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame,
+        centroids: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        """Index-build job: persist the quantizer and the corpus
+        partitioned by list. ``centroids`` is ``(list_id, centroid)`` —
+        the caller owns the fit (seeded k-means, a sample fit, …); the
+        index only promises assignment/probe consistency with it."""
+        idx = cls(spark, path, id_col, vec_col)
+        centroids.select("list_id", "centroid").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/centroids")
+        assigned = idx._assign(corpus, idx._centroids())
+        assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
+            f"{path}/lists"
+        )
+        counts = {
+            str(r["ivf_list"]): r["n"]
+            for r in assigned.groupBy("ivf_list")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per list
+        }
+        next_id = (
+            max(r["list_id"] for r in idx._centroids().select(F.col("__cid").alias("list_id")).collect())
+            + 1
+        )
+        idx._write_meta({"counts": counts, "next_list_id": next_id})
+        return idx
+
+    def append(
+        self, batch: DataFrame, split_threshold: int | None = None
+    ) -> dict[int, int]:
+        """Incremental ingest: assign ONLY ``batch`` to the existing
+        lists (no refit, no touch of existing files), append, update the
+        growth ledger, optionally re-split overgrown lists. Returns the
+        per-list counts ADDED by this batch."""
+        assigned = self._assign(batch, self._centroids())
+        assigned.write.mode("append").partitionBy("ivf_list").parquet(
+            f"{self.path}/lists"
+        )
+        added = {
+            int(r["ivf_list"]): r["n"]
+            for r in assigned.groupBy("ivf_list")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per touched list
+        }
+        meta = self._read_meta()
+        for lid, n in added.items():
+            meta["counts"][str(lid)] = meta["counts"].get(str(lid), 0) + n
+        self._write_meta(meta)
+        if split_threshold is not None:
+            self.maybe_split(split_threshold)
+        return added
+
+    def maybe_split(self, threshold: int) -> list[int]:
+        """Re-split every list whose ledger count exceeds ``threshold``.
+        Returns the list ids that were split. Only the overgrown
+        partitions are read or rewritten — O(sum of split list sizes)."""
+        meta = self._read_meta()
+        over = [
+            int(k) for k, v in meta["counts"].items() if v > threshold
+        ]
+        for lid in sorted(over):
+            self._split(lid)
+        return sorted(over)
+
+    def _split(self, list_id: int) -> None:
+        """One list → two: deterministic seeds (the two smallest-id
+        vectors in the list), a single assignment pass, means become the
+        two new centroids; side A keeps ``list_id``, side B takes the
+        ledger's next id. Partition dirs are staged then swapped so a
+        reader never sees a half-split list."""
+        import os
+        import shutil
+
+        from pyspark.sql import Window
+
+        part_dir = f"{self.path}/lists/ivf_list={list_id}"
+        rows = self.spark.read.parquet(part_dir)
+        seeds = (
+            rows.orderBy(self.id_col)
+            .limit(2)
+            .select(
+                F.col(self.id_col).alias("__sid"),
+                F.col(self.vec_col).alias("__sv"),
+            )
+        )
+        if seeds.count() < 2:
+            return  # a 0/1-vector list cannot split
+        w = Window.partitionBy(self.id_col).orderBy("__d", "__sid")
+        sided = (
+            rows.join(F.broadcast(seeds))
+            .withColumn("__d", sqdist(F.col(self.vec_col), F.col("__sv")))
+            .withColumn("__rnk", F.row_number().over(w))
+            .where(F.col("__rnk") == 1)
+            .select(self.id_col, self.vec_col, F.col("__sid").alias("__seed"))
+        ).localCheckpoint()
+        seed_ids = sorted(r["__sid"] for r in seeds.collect())
+        meta = self._read_meta()
+        new_id = meta["next_list_id"]
+        dim_idx = F.explode(
+            F.sequence(
+                F.lit(0),
+                F.size(F.col(self.vec_col)) - 1,
+            )
+        )
+
+        def mean_centroid(side_df: DataFrame) -> list[float]:
+            per = side_df.select(
+                dim_idx.alias("__dim"), F.col(self.vec_col).alias("__v")
+            ).select(
+                "__dim",
+                F.element_at(F.col("__v"), F.col("__dim") + 1)
+                .cast("double")
+                .alias("__x"),
+            )
+            agg = (
+                per.groupBy("__dim")
+                .agg(
+                    (
+                        F.sum(F.col("__x").cast("decimal(38,18)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("__m")
+                )
+                .orderBy("__dim")
+                .collect()  # bounded: one row per dimension
+            )
+            return [r["__m"] for r in agg]
+
+        side_a = sided.where(F.col("__seed") == seed_ids[0]).drop("__seed")
+        side_b = sided.where(F.col("__seed") == seed_ids[1]).drop("__seed")
+        cent_a, cent_b = mean_centroid(side_a), mean_centroid(side_b)
+
+        # stage both halves, then swap the partition dirs atomically-ish
+        stage = f"{self.path}/.split-{list_id}.tmp"
+        shutil.rmtree(stage, ignore_errors=True)
+        side_a.write.parquet(f"{stage}/ivf_list={list_id}")
+        side_b.write.parquet(f"{stage}/ivf_list={new_id}")
+        shutil.rmtree(part_dir)
+        os.replace(f"{stage}/ivf_list={list_id}", part_dir)
+        os.replace(
+            f"{stage}/ivf_list={new_id}",
+            f"{self.path}/lists/ivf_list={new_id}",
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+
+        cents = [
+            r
+            for r in self.spark.read.parquet(f"{self.path}/centroids").collect()
+            if r["list_id"] != list_id
+        ]
+        new_rows = [(list_id, cent_a), (new_id, cent_b)]
+        self.spark.createDataFrame(
+            [(r["list_id"], r["centroid"]) for r in cents] + new_rows,
+            self.spark.read.parquet(f"{self.path}/centroids").schema,
+        ).write.mode("overwrite").parquet(f"{self.path}/centroids.new")
+        # swap the centroid dir (readers re-open per call)
+        shutil.rmtree(f"{self.path}/centroids")
+        os.replace(f"{self.path}/centroids.new", f"{self.path}/centroids")
+
+        n_a = side_a.count()
+        n_b = side_b.count()
+        meta["counts"][str(list_id)] = n_a
+        meta["counts"][str(new_id)] = n_b
+        meta["next_list_id"] = new_id + 1
+        self._write_meta(meta)
+
+    def probe(self, queries: DataFrame, n_probe: int, k: int) -> DataFrame:
+        """Probe job: broadcast centroids, prune to the probed list
+        partitions, cosine top-k within them. ``queries`` is
+        ``(q_id, qv)``; returns ``(q_id, vec_id-as-id_col, cos_sim)``."""
+        from pyspark.sql import Window
+
+        cent = self._centroids()
+        wq = Window.partitionBy("q_id").orderBy("__d", "__cid")
+        qprobe = (
+            queries.join(F.broadcast(cent))
+            .withColumn("__d", sqdist(F.col("qv"), F.col("__cv")))
+            .withColumn("__rnk", F.row_number().over(wq))
+            .where(F.col("__rnk") <= n_probe)
+            .select("q_id", "qv", F.col("__cid").alias("ivf_list"))
+        )
+        probed = sorted(
+            {
+                r["ivf_list"]
+                for r in qprobe.select("ivf_list").distinct().collect()
+            }
+        )  # bounded: <= |queries| x n_probe
+        pruned = self.spark.read.parquet(f"{self.path}/lists").where(
+            F.col("ivf_list").isin(probed)
+        )
+        scored = (
+            pruned.join(F.broadcast(qprobe), "ivf_list")
+            .where(F.col(self.id_col) != F.col("q_id"))
+            .select(
+                "q_id",
+                self.id_col,
+                cosine(F.col(self.vec_col), F.col("qv")).alias("cos_sim"),
+            )
+        )
+        wt = Window.partitionBy("q_id").orderBy(
+            F.col("cos_sim").desc(), F.col(self.id_col)
+        )
+        return (
+            scored.withColumn("__rnk", F.row_number().over(wt))
+            .where(F.col("__rnk") <= k)
+            .drop("__rnk")
+        )

@@ -2220,3 +2220,156 @@ def sim_ann_ivf_persisted_index_rollup(
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "sim_ann_ivf_append_rollup",
+    # Incremental index MAINTENANCE judged (the ANN twin of
+    # dedup_incremental_minhash_rollup's ingest): the index is built on
+    # half the corpus, the other half arrives as an APPEND batch
+    # (assigned against the existing centroids, no refit, existing
+    # partition files untouched), and the probe must be bit-identical to
+    # a from-scratch index at the same centroids — which is exactly the
+    # closed-form recipe DuckDB replays over the full fixture.
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_IVF_LISTS}
+    ),
+    lists AS (
+      SELECT vec_id, embedding, cid AS ivf_list FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_D2}, c.cid) AS rnk
+        FROM embeddings e, cent c)
+      WHERE rnk = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN (0, 1, 2)),
+    qprobe AS (
+      SELECT q_id, qv, cid AS ivf_list FROM (
+        SELECT q.q_id, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {_IVF_QD2}, c.cid) AS rnk
+        FROM q, cent c)
+      WHERE rnk <= {_IVF_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, l.vec_id, {sql_cosine('l.embedding', 'p.qv')} AS cos_sim
+      FROM lists l JOIN qprobe p USING (ivf_list)
+      WHERE l.vec_id <> p.q_id)
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT q_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 10
+    """,
+)
+def sim_ann_ivf_append_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance judged end-to-end
+    (operators/similarity.IvfIndex — VERDICT r13 Next #5): real
+    pipelines append vectors continuously, so the index-build job runs
+    ONCE and every subsequent batch is an ``append`` — assigned against
+    the EXISTING centroids (no refit), written as new files under the
+    affected list partitions, tracked in the per-list growth ledger.
+
+    The corpus arrives in two halves: even vec_ids seed the index
+    build, odd vec_ids land via ``append``. Pinned in-query: (a) the
+    append touched no pre-existing partition file (size+mtime identical
+    — ingest cost is O(batch), never O(corpus)); (b) the growth ledger
+    equals the physical per-list counts and totals the corpus; (c) the
+    probe over the incrementally-built index returns EXACTLY the same
+    rows as a from-scratch index built at the same centroids — the
+    verdict's hash-equality contract, which also makes the closed-form
+    DuckDB oracle (full-corpus assignment + probe) the shared truth.
+
+    Scale posture: per-batch ingest is O(|batch| x n_lists) compute and
+    O(|batch|) write; probes stay O(lists probed) regardless of how many
+    appends accumulated; overgrown lists re-split locally
+    (IvfIndex.maybe_split, pytest-pinned) so per-list probe cost stays
+    bounded without ever refitting the quantizer globally."""
+    import os as _os
+    import shutil
+    import tempfile as _tempfile
+
+    from reflex_spark.operators.similarity import IvfIndex
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n_corpus = emb.count()
+    cent = emb.where(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    base = _tempfile.mkdtemp(prefix="ivf_append_")
+    try:
+        idx = IvfIndex.build(
+            spark, f"{base}/inc", emb.where(F.col("vec_id") % 2 == 0), cent
+        )
+
+        def file_state(root: str) -> dict:
+            out = {}
+            for dirpath, _dirs, files in _os.walk(root):
+                for fn in files:
+                    if fn.startswith(("_", ".")):
+                        continue
+                    p = _os.path.join(dirpath, fn)
+                    out[_os.path.relpath(p, root)] = (
+                        _os.path.getsize(p),
+                        _os.stat(p).st_mtime_ns,
+                    )
+            return out
+
+        before = file_state(f"{base}/inc/lists")
+        idx.append(emb.where(F.col("vec_id") % 2 == 1))
+        after = file_state(f"{base}/inc/lists")
+        touched = {k for k in before if after.get(k) != before[k]}
+        if touched:
+            raise AssertionError(
+                f"append rewrote pre-existing index files: {sorted(touched)[:3]}"
+            )
+        physical = {
+            r["ivf_list"]: r["n"]
+            for r in spark.read.parquet(f"{base}/inc/lists")
+            .groupBy("ivf_list")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per list
+        }
+        if idx.list_counts() != physical or sum(physical.values()) != n_corpus:
+            raise AssertionError(
+                f"growth ledger diverged: {idx.list_counts()} vs {physical} "
+                f"(corpus {n_corpus})"
+            )
+
+        queries_df = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        out = idx.probe(queries_df, n_probe=_IVF_PROBE, k=10).select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cos_sim",
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+
+        # from-scratch index at the SAME centroids: probes must agree
+        # row-for-row (two bounded 30-row collects)
+        scratch = IvfIndex.build(spark, f"{base}/scratch", emb, cent)
+        a = sorted(tuple(r) for r in out.collect())
+        b = sorted(
+            tuple(r)
+            for r in scratch.probe(queries_df, n_probe=_IVF_PROBE, k=10)
+            .select(
+                F.col("q_id").cast("long"),
+                F.col("vec_id").cast("long"),
+                "cos_sim",
+            )
+            .collect()
+        )
+        if a != b:
+            raise AssertionError(
+                "incremental and from-scratch probes diverged: "
+                f"{a[:3]} vs {b[:3]}"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -4704,3 +4704,138 @@ def tx_timestamp_as_of_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "tx_concurrent_retry_rollup",
+    # Two writers race on one table: writer B's DELETE (k % 11 = 0) wins
+    # the version for which writer A's MERGE (k % 7 = 0 -> status 'X',
+    # price x2, ver 2) first tried to commit; A re-executes with
+    # retries=1 against the post-delete head. The oracle replays the
+    # SERIAL delete-then-merge order the race resolved to — a retry that
+    # replayed A's stale pre-delete snapshot would resurrect deleted
+    # rows (k % 77 = 0 keys only come back as 'X' inserts) and hash-fail.
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                         o_totalprice AS price, 1 AS ver
+                  FROM orders),
+    after_del AS (SELECT * FROM base WHERE k % 11 <> 0),
+    upd AS (SELECT o_orderkey AS k, 'X' AS status,
+                   o_totalprice * CAST(2 AS DOUBLE) AS price, 2 AS ver
+            FROM orders WHERE o_orderkey % 7 = 0),
+    merged AS (SELECT COALESCE(u.k, d.k) AS k,
+                      COALESCE(u.status, d.status) AS status,
+                      COALESCE(u.price, d.price) AS price,
+                      COALESCE(u.ver, d.ver) AS ver
+               FROM after_del d FULL OUTER JOIN upd u ON d.k = u.k)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           {sql_dsum('price', 'sum_price')}
+    FROM merged GROUP BY status
+    """,
+)
+def tx_concurrent_retry_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimistic-concurrency retry path judged end-to-end (Delta
+    writer-conflict parity; SCALE_NOTES §46): TWO TxTable handles on one
+    table path race a MERGE against a DELETE. Writer B's delete commits
+    — through the real commit protocol — at the exact version writer A's
+    merge first tries to take, so A's attempt genuinely loses the
+    O_EXCL version race, unstages its staged files, and ``retries=1``
+    re-executes the whole merge against the post-delete head.
+
+    Pinned in-query: (a) the race really happened — A's merge needed
+    exactly TWO commit attempts; (b) the final history is the serial
+    order the race resolved to (append, delete, merge — three commits,
+    no lost or duplicated version); (c) NO ORPHANS — every parquet file
+    on disk is referenced by some retained version, i.e. the losing
+    attempt's output was unstaged, not leaked until vacuum. The hash
+    check then proves the retried merge recomputed from the NEW head:
+    deleted keys stay deleted unless the merge legitimately re-inserts
+    them (k % 77 = 0), and re-inserted rows carry the update's values.
+
+    Scale posture: conflict cost is O(one attempt's work), not O(table)
+    — the loser re-derives its file-level rewrite plan from the new
+    snapshot (stats-pruned like any merge) and the commit itself stays
+    an O(1) atomic rename; nothing global locks, and the unstaging
+    keeps storage debt bounded by live versions rather than by failed
+    attempts."""
+    import os as _os
+    import shutil
+
+    from reflex_spark.sources.tx_table import TxTable
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("ver"),
+    )
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") * 2.0).alias("price"),
+        F.lit(2).alias("ver"),
+    )
+    doomed = orders.where(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("k")
+    )
+    base_dir = tempfile.mkdtemp(prefix="tx_retry_race_")
+    try:
+        path = f"{base_dir}/orders"
+        t_a = TxTable(spark, path)
+        t_a.append(seed)
+        t_b = TxTable(spark, path)
+
+        # deterministic interleave injection: at the instant A's merge
+        # first reaches the commit protocol, B's delete commits FOR REAL
+        # through its own handle — then A's original commit hits the
+        # already-taken version file (the genuine O_EXCL race loss)
+        orig_commit = t_a._commit
+        attempts = {"merge": 0}
+
+        def interleaved_commit(version: int, entry: dict) -> None:
+            if entry.get("op") == "merge":
+                attempts["merge"] += 1
+                if attempts["merge"] == 1:
+                    t_b.delete_by_key(doomed, ["k"])
+            orig_commit(version, entry)
+
+        t_a._commit = interleaved_commit
+        t_a.merge_by_key(updates, ["k"], "ver", retries=1)
+
+        if attempts["merge"] != 2:
+            raise AssertionError(
+                f"expected the merge to lose once and retry once "
+                f"(2 commit attempts), saw {attempts['merge']}"
+            )
+        ops = [h["op"] for h in t_a.history()]
+        if ops != ["append", "delete", "merge"]:
+            raise AssertionError(f"unexpected commit history: {ops}")
+        referenced: set[str] = set()
+        for ver in t_a._versions():
+            e = t_a._entry(ver)
+            referenced |= set(e.get("adds", []))
+            referenced |= set(e.get("dv_adds", []))
+        on_disk = set(_os.listdir(t_a.data_dir))
+        if not on_disk <= referenced:
+            raise AssertionError(
+                f"losing attempt leaked orphan files: {on_disk - referenced}"
+            )
+
+        out = (
+            t_a.read()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("ver").cast("long").alias("sum_ver"),
+                F.sum(F.col("price").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out

@@ -148,16 +148,62 @@ class BlobBucket:
             out.append((st.getPath().toUri().getPath(), int(st.getLen())))
         return sorted(out)
 
-    def read_blob_records(self, key: str) -> DataFrame:
-        """One blob's records with a stable in-file record index ``__idx``
-        (zipWithIndex orders by partition then in-partition position =
-        file order), parsed against the bucket schema. The per-blob scan is
-        the unit of work here by design: the poll path consumes blob by
-        blob like the reference's sequential decoder; read_stream is the
-        all-blobs-parallel scale path."""
-        lines = self.spark.read.text(key)
-        indexed = lines.rdd.zipWithIndex().map(lambda t: (t[0]["value"], t[1]))
-        df = self.spark.createDataFrame(indexed, "value string, __idx long")
+    # Blobs up to this size take the JVM-side wholetext index route on
+    # the poll path; larger ones fall back to the Python-RDD hop (see
+    # read_blob_records). 128 MiB of text in one task row is comfortably
+    # inside executor memory at the suite's settings.
+    POLL_WHOLETEXT_CAP = 128 * 1024 * 1024
+
+    def read_blob_records(self, key: str, size: int | None = None) -> DataFrame:
+        """One blob's records with a stable in-file record index ``__idx``,
+        parsed against the bucket schema. The per-blob scan is the unit of
+        work here by design: the poll path consumes blob by blob like the
+        reference's sequential decoder; read_stream is the
+        all-blobs-parallel scale path.
+
+        Text sources have no native row index, so the index is derived
+        one of two ways: blobs under ``POLL_WHOLETEXT_CAP`` read as ONE
+        ``wholetext`` row and split JVM-side (``posexplode`` supplies the
+        in-file position — no Python in the path, at the documented cost
+        of holding the blob in one task's memory); larger blobs fall back
+        to the RDD ``zipWithIndex`` hop (a full Python serialization pass
+        — acceptable only because oversized blobs on the POLL path are
+        off-design: read_stream with its per-file ledger is where a 1 GB+
+        blob belongs). ``size`` (bytes) routes the choice; when omitted
+        it is fetched from the filesystem."""
+        if size is None:
+            sizes = dict(self.list_blobs())
+            size = sizes.get(key)
+        # the cap compares ON-DISK bytes; gzip decompresses into the one
+        # wholetext row, so gz keys get a conservative 8x-expansion guard
+        cap = (
+            self.POLL_WHOLETEXT_CAP // 8
+            if key.endswith(".gz")
+            else self.POLL_WHOLETEXT_CAP
+        )
+        if size is not None and size <= cap:
+            # NB: wholetext must be the .text() kwarg — the method's own
+            # default overrides a reader-level .option("wholetext", ...)
+            whole = self.spark.read.text(key, wholetext=True)
+            # split to lines; drop ONLY the artifact empty element a
+            # trailing newline leaves (interior empty lines keep their
+            # index, exactly like the line-reader route)
+            trimmed = F.expr(
+                "slice(__l, 1, size(__l) - IF(element_at(__l, -1) = '', 1, 0))"
+            )
+            df = (
+                whole.select(F.split(F.col("value"), "\n").alias("__l"))
+                .select(trimmed.alias("__l"))
+                .select(F.posexplode(F.col("__l")).alias("__idx", "value"))
+                .select(F.col("__idx").cast("long").alias("__idx"), "value")
+            )
+        else:
+            indexed = (
+                self.spark.read.text(key)
+                .rdd.zipWithIndex()
+                .map(lambda t: (t[0]["value"], t[1]))
+            )
+            df = self.spark.createDataFrame(indexed, "value string, __idx long")
         opts = dict(self.options)
         if self.fmt == "csv" and str(opts.pop("header", "false")).lower() == "true":
             # from_csv has no header concept: drop each blob's first line
@@ -208,7 +254,7 @@ def run_blobs(
             if key < cur.key or (key == cur.key and cur.eof):
                 continue
             start = cur.offset if key == cur.key else 0
-            recs = bucket.read_blob_records(key).cache()
+            recs = bucket.read_blob_records(key, size=size).cache()
             try:
                 total = recs.count()
                 if start > total:
