@@ -268,6 +268,16 @@ HEADLINE = [
     # sharing one scan with plain algebraic metrics) is a cost shape
     # not timed elsewhere
     "pipeline_data_quality_report",
+    # round 14: the optimistic-concurrency conflict path — a raced MERGE
+    # losing the version O_EXCL, unstaging its files, and re-executing
+    # against the new head; the writer-conflict retry cost shape is not
+    # timed elsewhere
+    "tx_concurrent_retry_rollup",
+    # round 14: incremental IVF index maintenance — batch assignment
+    # against persisted centroids + partition-append + growth ledger +
+    # dual probe; the index APPEND composition (vs the build-once
+    # persisted-index entry) is not timed elsewhere
+    "sim_ann_ivf_append_rollup",
 ]
 
 
