@@ -278,6 +278,15 @@ HEADLINE = [
     # dual probe; the index APPEND composition (vs the build-once
     # persisted-index entry) is not timed elsewhere
     "sim_ann_ivf_append_rollup",
+    # round 14: the run_blobs poll loop with a mid-blob crash — the
+    # composite key|NN|offset cursor path (chunked per-blob consumption,
+    # JVM wholetext indexing, bounded redelivery) was pytest-only; no
+    # other entry times the poll loop
+    "blob_poll_midblob_rollup",
+    # round 14: the IVF list re-split — overgrown-partition read +
+    # two-seed assignment + decimal-mean centroids + staged partition
+    # swap; the index-maintenance rewrite shape is not timed elsewhere
+    "sim_ann_ivf_split_rollup",
 ]
 
 

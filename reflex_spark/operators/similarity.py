@@ -1507,9 +1507,15 @@ class IvfIndex:
         the caller owns the fit (seeded k-means, a sample fit, …); the
         index only promises assignment/probe consistency with it."""
         idx = cls(spark, path, id_col, vec_col)
-        centroids.select("list_id", "centroid").write.mode(
-            "overwrite"
-        ).parquet(f"{path}/centroids")
+        # store centroids as array<double>: float seeds widen exactly, and
+        # re-split means (decimal-sum / count doubles) then keep their full
+        # precision instead of being silently narrowed by the seed schema
+        centroids.select(
+            "list_id",
+            F.transform(F.col("centroid"), lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
         assigned = idx._assign(corpus, idx._centroids())
         assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
             f"{path}/lists"
@@ -1552,13 +1558,19 @@ class IvfIndex:
             self.maybe_split(split_threshold)
         return added
 
-    def maybe_split(self, threshold: int) -> list[int]:
-        """Re-split every list whose ledger count exceeds ``threshold``.
-        Returns the list ids that were split. Only the overgrown
-        partitions are read or rewritten — O(sum of split list sizes)."""
+    def maybe_split(
+        self, threshold: int, lists: list[int] | None = None
+    ) -> list[int]:
+        """Re-split every list whose ledger count exceeds ``threshold``
+        (optionally restricted to ``lists`` — the operational "split THIS
+        list" form, like OPTIMIZE with a predicate). Returns the list ids
+        that were split. Only the overgrown partitions are read or
+        rewritten — O(sum of split list sizes)."""
         meta = self._read_meta()
         over = [
-            int(k) for k, v in meta["counts"].items() if v > threshold
+            int(k)
+            for k, v in meta["counts"].items()
+            if v > threshold and (lists is None or int(k) in lists)
         ]
         for lid in sorted(over):
             self._split(lid)

@@ -2373,3 +2373,148 @@ def sim_ann_ivf_append_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+_SPLIT_D2 = sql_sqdist("m.embedding", "s.sv")
+
+
+@query(
+    "sim_ann_ivf_split_rollup",
+    # The re-split is fully deterministic (seed vectors = the two
+    # smallest ids in the overgrown list; one sqdist assignment pass
+    # with the (distance, seed) tie-break; decimal-sum per-dim means
+    # become the two centroids), so DuckDB replays it from the raw
+    # fixture: full assignment -> the largest list (min-id tie-break)
+    # -> seeds -> sides -> per-side counts, id sums, and the first two
+    # centroid components.
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_IVF_LISTS}
+    ),
+    lists AS (
+      SELECT vec_id, embedding, cid AS ivf_list FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_D2}, c.cid) AS rnk
+        FROM embeddings e, cent c)
+      WHERE rnk = 1
+    ),
+    tgt AS (SELECT ivf_list AS t FROM (
+              SELECT ivf_list, COUNT(*) AS n FROM lists GROUP BY ivf_list)
+            ORDER BY n DESC, ivf_list LIMIT 1),
+    mem AS (SELECT l.vec_id, l.embedding FROM lists l, tgt
+            WHERE l.ivf_list = tgt.t),
+    seeds AS (SELECT vec_id AS sid, embedding AS sv FROM mem
+              ORDER BY vec_id LIMIT 2),
+    sided AS (
+      SELECT vec_id, embedding, sid FROM (
+        SELECT m.vec_id, m.embedding, s.sid,
+               ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                 ORDER BY {_SPLIT_D2}, s.sid) AS rnk
+        FROM mem m, seeds s)
+      WHERE rnk = 1),
+    grp AS (
+      SELECT CASE WHEN sid = (SELECT MIN(sid) FROM seeds)
+                  THEN (SELECT t FROM tgt) ELSE {_IVF_LISTS} END AS list_id,
+             vec_id, embedding
+      FROM sided),
+    m AS (
+      SELECT list_id, di,
+             CAST(SUM(CAST(CAST(embedding[di] AS DOUBLE)
+                           AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*) AS mv
+      FROM grp, generate_series(1, 2) AS g(di)
+      GROUP BY list_id, di),
+    agg AS (SELECT list_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                   CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+            FROM grp GROUP BY list_id),
+    cdim AS (SELECT list_id,
+                    ROUND(MAX(CASE WHEN di = 1 THEN mv END), 6) AS c1,
+                    ROUND(MAX(CASE WHEN di = 2 THEN mv END), 6) AS c2
+             FROM m GROUP BY list_id)
+    SELECT a.list_id, a.n_vectors, a.sum_vec_id, c.c1, c.c2
+    FROM agg a JOIN cdim c USING (list_id)
+    """,
+)
+def sim_ann_ivf_split_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF list RE-SPLIT judged end-to-end (IvfIndex.maybe_split —
+    the maintenance step that keeps per-list probe cost bounded as
+    appends accumulate): build the persisted index, pick the largest
+    list (min-id tie-break), split it, and emit the two resulting
+    lists' membership (count + id sum) and the first two components of
+    their new decimal-mean centroids — all hash-checked against the
+    oracle's replay of the whole deterministic split recipe.
+
+    Pinned in-query: exactly the targeted list split (maybe_split's
+    ``lists=`` restriction — the operational 'split THIS list' form);
+    the quantizer grew by one (17 centroids); the growth ledger equals
+    the physical per-list counts afterward; total membership is
+    preserved (a split moves vectors, never drops or duplicates).
+
+    Scale posture: the split reads and rewrites ONLY the overgrown
+    partition — O(|that list|) while the corpus is arbitrarily large —
+    and the staged partition-dir swap means a concurrent probe never
+    sees a half-split list."""
+    import shutil
+    import tempfile as _tempfile
+
+    from reflex_spark.operators.similarity import IvfIndex
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n_corpus = emb.count()
+    cent = emb.where(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    base = _tempfile.mkdtemp(prefix="ivf_split_")
+    try:
+        idx = IvfIndex.build(spark, f"{base}/idx", emb, cent)
+        counts = idx.list_counts()
+        target = min(
+            (lid for lid in counts), key=lambda lid: (-counts[lid], lid)
+        )
+        split_ids = idx.maybe_split(
+            threshold=counts[target] - 1, lists=[target]
+        )
+        if split_ids != [target]:
+            raise AssertionError(
+                f"expected exactly list {target} to split, got {split_ids}"
+            )
+        new_id = _IVF_LISTS  # the ledger's next id after a 0..15 build
+        cents = spark.read.parquet(f"{base}/idx/centroids")
+        if cents.count() != _IVF_LISTS + 1:
+            raise AssertionError("quantizer did not grow by exactly one")
+        physical = {
+            r["ivf_list"]: r["n"]
+            for r in spark.read.parquet(f"{base}/idx/lists")
+            .groupBy("ivf_list")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per list
+        }
+        if idx.list_counts() != physical or sum(physical.values()) != n_corpus:
+            raise AssertionError(
+                f"ledger/physical divergence after split: "
+                f"{idx.list_counts()} vs {physical} (corpus {n_corpus})"
+            )
+
+        two = spark.read.parquet(f"{base}/idx/lists").where(
+            F.col("ivf_list").isin([target, new_id])
+        )
+        agg = two.groupBy(F.col("ivf_list").alias("list_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        )
+        cdim = cents.where(F.col("list_id").isin([target, new_id])).select(
+            F.col("list_id").cast("int").alias("list_id"),
+            F.round(F.element_at("centroid", 1), 6).alias("c1"),
+            F.round(F.element_at("centroid", 2), 6).alias("c2"),
+        )
+        out = agg.withColumn("list_id", F.col("list_id").cast("int")).join(
+            cdim, "list_id"
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

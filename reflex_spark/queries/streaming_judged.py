@@ -4839,3 +4839,164 @@ def tx_concurrent_retry_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "blob_poll_midblob_rollup",
+    # The mid-blob cursor contract judged: after the dedup-resolve, the
+    # sink must equal the plain fixture rollup — redelivery (pinned
+    # in-query to EXACTLY the crashed chunk, never the whole blob) is
+    # absorbed by idempotent resolution, so any cursor bug (whole-blob
+    # redelivery, skipped suffix, double-committed chunk) breaks either
+    # an in-query pin or this hash.
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def blob_poll_midblob_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The run_blobs POLL LOOP with a MID-BLOB crash judged end-to-end
+    (reference rblob/blob.go:367-416 — the composite ``key|NN|offset``
+    cursor whose whole point is that a consumer dying inside a large
+    blob redelivers one CHUNK, not the blob): events land as 4
+    lexicographically ordered JSON blobs; a consumer with
+    records_per_batch = ~third-of-a-blob crashes AFTER sinking (before
+    acking) the second chunk of the SECOND blob; the resumed consumer
+    finishes the bucket.
+
+    Pinned in-query: (a) the committed cursor at the crash parses as the
+    mid-blob ``key|NN|offset`` form with 0 < offset < that blob's record
+    count; (b) redelivery amplitude is EXACTLY the crashed chunk —
+    sink rows = n + |chunk| (a file-granularity cursor would redeliver
+    the whole blob prefix and overshoot); (c) every event id arrived
+    (at-least-once completeness); (d) the per-blob record indexing runs
+    JVM-side — no ExistingRDD (Python-RDD) scan in the poll reader's
+    plan for in-cap blobs (the round-14 wholetext + posexplode route).
+    The dedup-resolved rollup is then hash-checked against the direct
+    fixture oracle.
+
+    Scale posture: redelivery amplitude bounds crash cost by the CHUNK
+    size regardless of blob size (the reference's resume contract); the
+    per-blob index derivation is whole-stage-codegen under the
+    documented 128 MiB cap, and cursor commits are O(1) strings — the
+    loop's only per-chunk driver work."""
+    import shutil
+
+    from reflex_spark.sources.blob import BlobBucket, BlobCursor, run_blobs
+    from reflex_spark.streaming.cursors import MemCursorStore as _Mem
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "event_type", "value"
+    )
+    n_total = ev.count()
+    q_size = -(-n_total // 4)  # ceil: 4 ordered quartile blobs
+    ev4 = ev.withColumn("q", (F.col("event_id") / q_size).cast("int"))
+    base = tempfile.mkdtemp(prefix="blob_poll_")
+    try:
+        bucket_dir = f"{base}/bucket"
+        ev4.repartition("q").write.partitionBy("q").json(bucket_dir)
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(
+            "event_id long, event_type string, value double"
+        )
+        bucket = BlobBucket(spark, bucket_dir, schema)
+        keys = [k for k, _sz in bucket.list_blobs()]
+        if len(keys) != 4:
+            raise AssertionError(f"expected 4 blobs, found {len(keys)}")
+        blob2 = keys[1]
+        total2 = ev4.where(F.col("q") == 1).count()
+        chunk = max(2, -(-total2 // 3))  # ~3 chunks per blob
+        if total2 <= chunk:
+            raise AssertionError(
+                f"fixture too small for a mid-blob crash: blob2 has "
+                f"{total2} records <= chunk {chunk}"
+            )
+        # pin (d): the poll reader's index derivation is JVM-side
+        plan = (
+            bucket.read_blob_records(blob2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "ExistingRDD" in plan:
+            raise AssertionError(
+                "poll-path record indexing fell back to the Python-RDD "
+                "hop for an in-cap blob"
+            )
+
+        sink = f"{base}/sink"
+        store = _Mem()
+        crashed = {"done": False}
+
+        def crashing(df: DataFrame, meta: dict) -> None:
+            df.write.mode("append").parquet(sink)  # sink BEFORE the ack
+            if (
+                not crashed["done"]
+                and meta["key"] == blob2
+                and meta["offset"] > 0
+            ):
+                crashed["done"] = True
+                raise RuntimeError("crash after sink, before cursor commit")
+
+        try:
+            run_blobs(
+                bucket, store, Consumer("poll", crashing),
+                records_per_batch=chunk,
+            )
+            raise AssertionError("consumer was expected to crash mid-blob")
+        except RuntimeError:
+            pass
+        cur = BlobCursor.decode(store.get_cursor("poll"))
+        if not (cur.key == blob2 and not cur.eof and 0 < cur.offset < total2):
+            raise AssertionError(
+                f"crash cursor is not mid-blob: {cur.encode()!r} "
+                f"(blob2 {blob2!r}, {total2} records)"
+            )
+        crashed_chunk = min(chunk, total2 - cur.offset)
+
+        def ok(df: DataFrame, meta: dict) -> None:
+            df.write.mode("append").parquet(sink)
+
+        try:
+            run_blobs(
+                bucket, store, Consumer("poll", ok), records_per_batch=chunk
+            )
+        except ErrHeadReached:
+            pass
+
+        sunk = spark.read.parquet(sink)
+        n_sunk = sunk.count()
+        if n_sunk != n_total + crashed_chunk:
+            raise AssertionError(
+                f"redelivery amplitude wrong: {n_sunk} sink rows vs "
+                f"{n_total} events + crashed chunk {crashed_chunk} — a "
+                "file-granularity cursor would redeliver the whole blob"
+            )
+        n_ids = sunk.select("event_id").distinct().count()
+        if n_ids != n_total:
+            raise AssertionError(
+                f"at-least-once completeness broken: {n_ids}/{n_total} ids"
+            )
+        out = (
+            sunk.groupBy("event_id")  # idempotent resolve: rows identical
+            .agg(
+                F.max("event_type").alias("event_type"),
+                F.max("value").alias("value"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -15,6 +15,7 @@ share the exact file-source semantics.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -145,7 +146,13 @@ class BlobBucket:
         out = []
         while it.hasNext():
             st = it.next()
-            out.append((st.getPath().toUri().getPath(), int(st.getLen())))
+            p = st.getPath().toUri().getPath()
+            # skip job markers / hidden temps (_SUCCESS, .crc, dot-temps)
+            # — the batch/stream file sources ignore them, and the poll
+            # loop must see the same bucket contents they do
+            if os.path.basename(p).startswith(("_", ".")):
+                continue
+            out.append((p, int(st.getLen())))
         return sorted(out)
 
     # Blobs up to this size take the JVM-side wholetext index route on
