@@ -1467,6 +1467,45 @@ class IvfIndex:
     def list_counts(self) -> dict[int, int]:
         return {int(k): v for k, v in self._read_meta()["counts"].items()}
 
+    def _claim(self):
+        """Exclusive single-writer claim for the MAINTENANCE ops (append /
+        split): the ledger is a read-modify-write file and a split swaps
+        partition dirs from a snapshot listing, so two concurrent writers
+        would lose counts or drop a racing append's files. Same O_EXCL
+        discipline as the blob sink's ``_writer.claim``; probes stay
+        lock-free (they read immutable files + an atomic-replaced
+        ledger). A claim left by a crashed writer refuses loudly until an
+        operator removes it — the error names the file."""
+        import contextlib
+        import os
+
+        path = os.path.join(self.path, "_writer.claim")
+
+        @contextlib.contextmanager
+        def held():
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ValueError(
+                    f"another writer holds this index's claim ({path}): "
+                    "IvfIndex maintenance (append/split) is single-writer "
+                    "— a concurrent append would lose ledger counts, and "
+                    "a racing split could drop its files. If that writer "
+                    "crashed, remove the claim file after confirming no "
+                    "maintenance job is live."
+                ) from None
+            try:
+                with os.fdopen(fd, "w", encoding="utf-8") as f:
+                    f.write(f"pid={os.getpid()}")
+                yield
+            finally:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+
+        return held()
+
     # -- data plane ---------------------------------------------------------
 
     def _centroids(self) -> DataFrame:
@@ -1540,22 +1579,23 @@ class IvfIndex:
         lists (no refit, no touch of existing files), append, update the
         growth ledger, optionally re-split overgrown lists. Returns the
         per-list counts ADDED by this batch."""
-        assigned = self._assign(batch, self._centroids())
-        assigned.write.mode("append").partitionBy("ivf_list").parquet(
-            f"{self.path}/lists"
-        )
-        added = {
-            int(r["ivf_list"]): r["n"]
-            for r in assigned.groupBy("ivf_list")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()  # bounded: one row per touched list
-        }
-        meta = self._read_meta()
-        for lid, n in added.items():
-            meta["counts"][str(lid)] = meta["counts"].get(str(lid), 0) + n
-        self._write_meta(meta)
-        if split_threshold is not None:
-            self.maybe_split(split_threshold)
+        with self._claim():
+            assigned = self._assign(batch, self._centroids())
+            assigned.write.mode("append").partitionBy("ivf_list").parquet(
+                f"{self.path}/lists"
+            )
+            added = {
+                int(r["ivf_list"]): r["n"]
+                for r in assigned.groupBy("ivf_list")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # bounded: one row per touched list
+            }
+            meta = self._read_meta()
+            for lid, n in added.items():
+                meta["counts"][str(lid)] = meta["counts"].get(str(lid), 0) + n
+            self._write_meta(meta)
+            if split_threshold is not None:
+                self._maybe_split_held(split_threshold, None)
         return added
 
     def maybe_split(
@@ -1566,6 +1606,12 @@ class IvfIndex:
         list" form, like OPTIMIZE with a predicate). Returns the list ids
         that were split. Only the overgrown partitions are read or
         rewritten — O(sum of split list sizes)."""
+        with self._claim():
+            return self._maybe_split_held(threshold, lists)
+
+    def _maybe_split_held(
+        self, threshold: int, lists: list[int] | None
+    ) -> list[int]:
         meta = self._read_meta()
         over = [
             int(k)

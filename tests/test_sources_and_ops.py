@@ -1128,3 +1128,35 @@ def test_poll_path_blob_index_is_jvm_side_under_cap(spark, tmp_path):
         (0, 3, "a"),
         (1, 4, "b"),
     ]
+
+
+def test_ivf_index_maintenance_is_single_writer(spark, tmp_path):
+    """append/maybe_split take an exclusive O_EXCL claim: the ledger is
+    read-modify-write and a split swaps partition dirs from a snapshot
+    listing, so a second concurrent maintainer must refuse loudly (and a
+    crashed writer's stale claim keeps refusing until removed)."""
+    import os
+
+    from reflex_spark.operators.similarity import IvfIndex
+    from reflex_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "idx"), emb.where(F.col("vec_id") < 100), cent
+    )
+    claim = str(tmp_path / "idx" / "_writer.claim")
+    with open(claim, "w") as f:
+        f.write("pid=999999")  # a crashed maintainer's leftover
+    batch = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    with pytest.raises(ValueError, match="single-writer"):
+        idx.append(batch)
+    with pytest.raises(ValueError, match="single-writer"):
+        idx.maybe_split(1)
+    os.remove(claim)
+    idx.append(batch)  # claim released by the crashed-writer cleanup
+    assert not os.path.exists(claim)  # released after a successful append
+    assert sum(idx.list_counts().values()) == 120
