@@ -1416,7 +1416,12 @@ class IvfIndex:
       assignment pass, each side's mean becomes a centroid — the old
       list id keeps side A, side B gets a fresh id from the ledger.
       Cost is O(|that list|), never O(corpus); growth stays bounded so
-      probe cost stays O(corpus / n_lists) per probed list;
+      probe cost stays O(corpus / n_lists) per probed list. The swap is
+      renames-only with the ledger write as the commit point, so a
+      crashed split never loses a vector (``_recover_splits``); a probe
+      RACING a split may transiently miss the splitting list (its dirs
+      move through the stage) — probes are fully lock-free against
+      appends, split-concurrent probes should be avoided or retried;
     - ``probe``   — broadcast centroids, partition-pruned scan of the
       probed lists, in-list cosine top-k: O(lists probed), independent
       of corpus size.
@@ -1472,10 +1477,12 @@ class IvfIndex:
         split): the ledger is a read-modify-write file and a split swaps
         partition dirs from a snapshot listing, so two concurrent writers
         would lose counts or drop a racing append's files. Same O_EXCL
-        discipline as the blob sink's ``_writer.claim``; probes stay
-        lock-free (they read immutable files + an atomic-replaced
-        ledger). A claim left by a crashed writer refuses loudly until an
-        operator removes it — the error names the file."""
+        discipline as the blob sink's ``_writer.claim``; probes take no
+        lock (data files are immutable and the ledger is atomically
+        replaced) — but see the class docstring for the one caveat: a
+        probe racing a SPLIT can transiently miss the splitting list. A
+        claim left by a crashed writer refuses loudly until an operator
+        removes it — the error names the file."""
         import contextlib
         import os
 
@@ -1555,7 +1562,8 @@ class IvfIndex:
                 "centroid"
             ),
         ).write.mode("overwrite").parquet(f"{path}/centroids")
-        assigned = idx._assign(corpus, idx._centroids())
+        # one materialized assignment feeds both the write and the ledger
+        assigned = idx._assign(corpus, idx._centroids()).localCheckpoint()
         assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
             f"{path}/lists"
         )
@@ -1580,7 +1588,12 @@ class IvfIndex:
         growth ledger, optionally re-split overgrown lists. Returns the
         per-list counts ADDED by this batch."""
         with self._claim():
-            assigned = self._assign(batch, self._centroids())
+            self._recover_splits()
+            # materialize the assignment ONCE: the parquet write and the
+            # ledger count below must see the SAME rows (a recomputation
+            # of a non-deterministic batch could diverge), and the
+            # O(|batch| x n_lists) join shouldn't run twice anyway
+            assigned = self._assign(batch, self._centroids()).localCheckpoint()
             assigned.write.mode("append").partitionBy("ivf_list").parquet(
                 f"{self.path}/lists"
             )
@@ -1612,28 +1625,89 @@ class IvfIndex:
     def _maybe_split_held(
         self, threshold: int, lists: list[int] | None
     ) -> list[int]:
+        self._recover_splits()
         meta = self._read_meta()
         over = [
             int(k)
             for k, v in meta["counts"].items()
             if v > threshold and (lists is None or int(k) in lists)
         ]
-        for lid in sorted(over):
-            self._split(lid)
-        return sorted(over)
+        return [lid for lid in sorted(over) if self._split(lid)]
 
-    def _split(self, list_id: int) -> None:
+    def _recover_splits(self) -> None:
+        """CRASH RECOVERY, run under the writer claim before ANY
+        maintenance. The ledger write is the COMMIT POINT of a split; a
+        ``.split-<id>.tmp`` stage left behind means a prior attempt
+        crashed either before it (roll the rename-swap back — the
+        original list is preserved under stage/old, never deleted) or
+        after it (the split landed fully; only the stage cleanup was
+        lost). ``stage/claimed_id`` records which new list id that
+        attempt minted, so the two cases are distinguishable from the
+        ledger. Recovering EVERY stage up front matters: a later split
+        could otherwise mint the same id and confuse the discriminator.
+        A naive rmtree of the stage would destroy the only surviving
+        copy of the list in the rollback case."""
+        import os
+        import re
+        import shutil
+
+        if not os.path.isdir(self.path):
+            return
+        meta = self._read_meta()
+        for name in sorted(os.listdir(self.path)):
+            m = re.fullmatch(r"\.split-(\d+)\.tmp", name)
+            if not m:
+                continue
+            list_id = int(m.group(1))
+            stage = os.path.join(self.path, name)
+            part_dir = f"{self.path}/lists/ivf_list={list_id}"
+            old_dir = f"{stage}/old"
+            cent_old = f"{stage}/centroids.old"
+            claim_file = f"{stage}/claimed_id"
+            claimed = None
+            if os.path.exists(claim_file):
+                with open(claim_file, encoding="utf-8") as f:
+                    claimed = int(f.read().strip())
+            committed = claimed is not None and str(claimed) in meta["counts"]
+            if not committed:
+                # roll back: drop whatever half-state the swap created,
+                # restore the original partition and quantizer wholesale
+                if claimed is not None:
+                    shutil.rmtree(
+                        f"{self.path}/lists/ivf_list={claimed}",
+                        ignore_errors=True,
+                    )
+                if os.path.isdir(old_dir):
+                    shutil.rmtree(part_dir, ignore_errors=True)
+                    os.replace(old_dir, part_dir)
+                if os.path.isdir(cent_old):
+                    shutil.rmtree(
+                        f"{self.path}/centroids", ignore_errors=True
+                    )
+                    os.replace(cent_old, f"{self.path}/centroids")
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def _split(self, list_id: int) -> bool:
         """One list → two: deterministic seeds (the two smallest-id
         vectors in the list), a single assignment pass, means become the
         two new centroids; side A keeps ``list_id``, side B takes the
-        ledger's next id. Partition dirs are staged then swapped so a
-        reader never sees a half-split list."""
+        ledger's next id. Returns True iff the list actually split
+        (0/1-vector and degenerate all-one-side lists refuse). The swap
+        is RENAMES ONLY with the ledger write as the commit point —
+        crash-recoverable via ``_recover_splits``."""
         import os
         import shutil
 
         from pyspark.sql import Window
 
         part_dir = f"{self.path}/lists/ivf_list={list_id}"
+        stage = f"{self.path}/.split-{list_id}.tmp"
+        old_dir = f"{stage}/old"
+        cent_old = f"{stage}/centroids.old"
+        claim_file = f"{stage}/claimed_id"
+        meta = self._read_meta()
+        new_id = meta["next_list_id"]
+
         rows = self.spark.read.parquet(part_dir)
         seeds = (
             rows.orderBy(self.id_col)
@@ -1644,7 +1718,7 @@ class IvfIndex:
             )
         )
         if seeds.count() < 2:
-            return  # a 0/1-vector list cannot split
+            return False  # a 0/1-vector list cannot split
         w = Window.partitionBy(self.id_col).orderBy("__d", "__sid")
         sided = (
             rows.join(F.broadcast(seeds))
@@ -1654,8 +1728,6 @@ class IvfIndex:
             .select(self.id_col, self.vec_col, F.col("__sid").alias("__seed"))
         ).localCheckpoint()
         seed_ids = sorted(r["__sid"] for r in seeds.collect())
-        meta = self._read_meta()
-        new_id = meta["next_list_id"]
         dim_idx = F.explode(
             F.sequence(
                 F.lit(0),
@@ -1687,20 +1759,31 @@ class IvfIndex:
 
         side_a = sided.where(F.col("__seed") == seed_ids[0]).drop("__seed")
         side_b = sided.where(F.col("__seed") == seed_ids[1]).drop("__seed")
+        n_a, n_b = side_a.count(), side_b.count()
+        if n_a == 0 or n_b == 0:
+            # degenerate list (e.g. the two seed vectors are identical so
+            # every member ties to the first seed): no useful split
+            # exists, and an EMPTY side would mint a zero-length centroid
+            # whose NULL sqdist sorts FIRST and swallows all future
+            # assignments — refuse instead
+            return False
         cent_a, cent_b = mean_centroid(side_a), mean_centroid(side_b)
 
-        # stage both halves, then swap the partition dirs atomically-ish
-        stage = f"{self.path}/.split-{list_id}.tmp"
-        shutil.rmtree(stage, ignore_errors=True)
+        # stage both halves, then swap via RENAMES ONLY: the original
+        # partition dir is moved to stage/old (atomic, preserved until
+        # the very end), never rmtree'd — a crash at any point leaves
+        # every vector on disk and the recovery preamble restores it
+        os.makedirs(stage, exist_ok=True)
+        with open(claim_file, "w", encoding="utf-8") as f:
+            f.write(str(new_id))  # lets recovery identify this attempt
         side_a.write.parquet(f"{stage}/ivf_list={list_id}")
         side_b.write.parquet(f"{stage}/ivf_list={new_id}")
-        shutil.rmtree(part_dir)
+        os.replace(part_dir, old_dir)
         os.replace(f"{stage}/ivf_list={list_id}", part_dir)
         os.replace(
             f"{stage}/ivf_list={new_id}",
             f"{self.path}/lists/ivf_list={new_id}",
         )
-        shutil.rmtree(stage, ignore_errors=True)
 
         cents = [
             r
@@ -1712,16 +1795,18 @@ class IvfIndex:
             [(r["list_id"], r["centroid"]) for r in cents] + new_rows,
             self.spark.read.parquet(f"{self.path}/centroids").schema,
         ).write.mode("overwrite").parquet(f"{self.path}/centroids.new")
-        # swap the centroid dir (readers re-open per call)
-        shutil.rmtree(f"{self.path}/centroids")
+        # swap the centroid dir with renames too: the old quantizer parks
+        # in the stage (restored by recovery if the next rename is lost)
+        os.replace(f"{self.path}/centroids", cent_old)
         os.replace(f"{self.path}/centroids.new", f"{self.path}/centroids")
 
-        n_a = side_a.count()
-        n_b = side_b.count()
         meta["counts"][str(list_id)] = n_a
         meta["counts"][str(new_id)] = n_b
         meta["next_list_id"] = new_id + 1
         self._write_meta(meta)
+        # only now is the pre-split copy dropped
+        shutil.rmtree(stage, ignore_errors=True)
+        return True
 
     def probe(self, queries: DataFrame, n_probe: int, k: int) -> DataFrame:
         """Probe job: broadcast centroids, prune to the probed list

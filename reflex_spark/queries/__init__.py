@@ -61,8 +61,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # every CORRECTNESS_r*.json at round start) + the 19 STALEST green rows by
 # latest-judged round (r04 x5, r05 x11, r06 x3 -- every earlier vintage was
 # already re-confirmed by a later rotation), re-judged under the current
-# engine.  After this window, every one of the 260 registered queries has
-# had a hard driver row at least once and none is staler than r07.
+# engine.  After this window, every query registered THROUGH ROUND 13
+# has had a hard driver row at least once and none is staler than r07;
+# the queries ADDED in round 14 (appended after slot 50, per the
+# append-after-window contract) are the only never-judged names left
+# and belong at the front of the round-15 window.
 _WINDOW: list[str] = [
     # --- never judged: r13 TxTable / operational newcomers ---
     "tx_restore_rollup",

@@ -181,25 +181,35 @@ class BlobBucket:
         if size is None:
             sizes = dict(self.list_blobs())
             size = sizes.get(key)
-        # the cap compares ON-DISK bytes; gzip decompresses into the one
-        # wholetext row, so gz keys get a conservative 8x-expansion guard
-        cap = (
-            self.POLL_WHOLETEXT_CAP // 8
-            if key.endswith(".gz")
-            else self.POLL_WHOLETEXT_CAP
-        )
-        if size is not None and size <= cap:
+        # the cap bounds the DECOMPRESSED text held in the one wholetext
+        # row. For local gzip blobs the exact size comes from the ISIZE
+        # footer (last 4 LE bytes, size mod 2^32 — exact below 4 GiB);
+        # where the footer can't be read (remote stores), assume a 32x
+        # ratio — text routinely compresses 10-30x, so 8x would NOT be
+        # conservative.
+        if size is not None and key.endswith(".gz"):
+            try:
+                with open(key, "rb") as f:
+                    f.seek(-4, 2)
+                    size = int.from_bytes(f.read(4), "little")
+            except OSError:
+                size = size * 32
+        if size is not None and size <= self.POLL_WHOLETEXT_CAP:
             # NB: wholetext must be the .text() kwarg — the method's own
             # default overrides a reader-level .option("wholetext", ...)
             whole = self.spark.read.text(key, wholetext=True)
-            # split to lines; drop ONLY the artifact empty element a
-            # trailing newline leaves (interior empty lines keep their
-            # index, exactly like the line-reader route)
+            # split on the SAME terminators Hadoop's LineRecordReader
+            # recognizes (\r\n, \r, \n) so records and indices are
+            # identical to the >cap line-reader fallback; drop ONLY the
+            # artifact empty element a trailing terminator leaves
+            # (interior empty lines keep their index)
             trimmed = F.expr(
                 "slice(__l, 1, size(__l) - IF(element_at(__l, -1) = '', 1, 0))"
             )
             df = (
-                whole.select(F.split(F.col("value"), "\n").alias("__l"))
+                whole.select(
+                    F.split(F.col("value"), "\r\n|\r|\n").alias("__l")
+                )
                 .select(trimmed.alias("__l"))
                 .select(F.posexplode(F.col("__l")).alias("__idx", "value"))
                 .select(F.col("__idx").cast("long").alias("__idx"), "value")

@@ -346,16 +346,32 @@ class ReflexBlobWriter(DataSourceWriter):
         self._release_claim()
 
 
-# CSV string → typed value, matching Spark's CSV reader semantics on the
-# supported primitives (empty field = NULL for every type; booleans parse
-# case-insensitively).
+# CSV string → typed value, matching Spark's PERMISSIVE-mode CSV reader
+# semantics on the supported primitives: empty field = NULL for every
+# type, and a MALFORMED field becomes NULL rather than crashing the scan
+# (the blob.py from_csv path behaves the same way — the two read paths
+# must not diverge on a dirty row).
+def _permissive(parse):
+    def conv(s):
+        try:
+            return parse(s)
+        except ValueError:
+            return None
+
+    return conv
+
+
 def _csv_converter(dtype):
     if isinstance(dtype, (LongType, IntegerType)):
-        return int
+        return _permissive(int)
     if isinstance(dtype, (DoubleType, FloatType)):
-        return float
+        return _permissive(float)
     if isinstance(dtype, BooleanType):
-        return lambda s: s.lower() == "true"
+        return lambda s: (
+            True
+            if s.lower() == "true"
+            else False if s.lower() == "false" else None
+        )
     return lambda s: s  # StringType and any unlisted type ride as text
 
 

@@ -1160,3 +1160,118 @@ def test_ivf_index_maintenance_is_single_writer(spark, tmp_path):
     idx.append(batch)  # claim released by the crashed-writer cleanup
     assert not os.path.exists(claim)  # released after a successful append
     assert sum(idx.list_counts().values()) == 120
+
+
+def test_poll_path_crlf_and_gzip_size_routing(spark, tmp_path):
+    """Review fixes pinned: (a) the wholetext route splits on the same
+    terminators as Hadoop's line reader (CRLF blobs parse identically on
+    both routes); (b) gzip routing uses the DECOMPRESSED size (ISIZE
+    footer) — a small .gz hiding a large text takes the RDD fallback."""
+    import gzip
+
+    from reflex_spark.sources.blob import BlobBucket
+
+    root = str(tmp_path / "bucket")
+    os.makedirs(root, exist_ok=True)
+    with open(f"{root}/crlf.jsonl", "wb") as f:
+        f.write(b'{"id": 1, "kind": "x"}\r\n{"id": 2, "kind": "y"}\r\n')
+
+    bucket = BlobBucket(spark, root, BLOB_SCHEMA)
+    jvm_rows = sorted(
+        (r["__idx"], r["id"], r["kind"])
+        for r in bucket.read_blob_records(f"{root}/crlf.jsonl").collect()
+    )
+    rdd_rows = sorted(
+        (r["__idx"], r["id"], r["kind"])
+        for r in bucket.read_blob_records(
+            f"{root}/crlf.jsonl", size=10**12
+        ).collect()
+    )
+    assert jvm_rows == rdd_rows == [(0, 1, "x"), (1, 2, "y")]
+
+    # 200 KB of repetitive JSON → a tiny .gz; with a 100 KB cap the
+    # DECOMPRESSED size must route it to the RDD fallback
+    big = ('{"id": 7, "kind": "zzzzzzzzzzzzzzzz"}\n' * 6000).encode()
+    with open(f"{root}/big.jsonl.gz", "wb") as f:
+        f.write(gzip.compress(big))
+    assert os.path.getsize(f"{root}/big.jsonl.gz") < 100_000 < len(big)
+    bucket.POLL_WHOLETEXT_CAP = 100_000
+    df = bucket.read_blob_records(f"{root}/big.jsonl.gz")
+    assert "ExistingRDD" in df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 6000
+
+
+def test_ivf_split_refuses_degenerate_and_recovers_from_crash(spark, tmp_path):
+    """Review fixes pinned: (a) a list whose members all tie to one seed
+    refuses to split (an empty side would mint a zero-length centroid
+    whose NULL distance sorts first and swallows every future
+    assignment) and is NOT reported as split; (b) a split interrupted
+    mid-swap (original list parked under the stage, ledger not yet
+    written) is rolled back losslessly by the next maintenance op."""
+    import os
+    import shutil
+
+    from reflex_spark.operators.similarity import IvfIndex
+
+    rows = [(i, [1.0, 1.0]) for i in range(10)] + [
+        (100 + i, [float(i), 9.0]) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [3.0, 9.0])],
+        "list_id int, centroid array<double>",
+    )
+    idx = IvfIndex.build(spark, str(tmp_path / "idx"), df, cent)
+    counts0 = idx.list_counts()
+    # list 0 holds the 10 IDENTICAL vectors: over-threshold but
+    # unsplittable — maybe_split must return [] and change nothing
+    assert idx.maybe_split(threshold=counts0[0] - 1, lists=[0]) == []
+    assert idx.list_counts() == counts0
+    assert spark.read.parquet(str(tmp_path / "idx" / "centroids")).count() == 2
+
+    # simulate a crash mid-swap of list 1: the original partition dir is
+    # parked under the stage (claimed_id written, ledger NOT updated)
+    lists_dir = str(tmp_path / "idx" / "lists")
+    stage = str(tmp_path / "idx" / ".split-1.tmp")
+    os.makedirs(stage)
+    with open(f"{stage}/claimed_id", "w") as f:
+        f.write("2")
+    shutil.move(f"{lists_dir}/ivf_list=1", f"{stage}/old")
+    assert not os.path.isdir(f"{lists_dir}/ivf_list=1")
+    # next maintenance op must FIRST restore the parked list, then split
+    split = idx.maybe_split(threshold=counts0[1] - 1, lists=[1])
+    assert split == [1]
+    assert not os.path.isdir(stage)
+    new_counts = idx.list_counts()
+    assert sum(new_counts.values()) == 16  # nothing lost, nothing doubled
+    ids = [
+        r[0]
+        for r in spark.read.parquet(lists_dir).select("vec_id").collect()
+    ]
+    assert sorted(ids) == sorted(r[0] for r in rows)
+
+
+def test_blob_datasource_csv_malformed_fields_become_null(spark, tmp_path):
+    """Permissive-mode parity: a malformed numeric/boolean csv field
+    yields NULL through the reflex_blob DataSource — the same row-level
+    behavior as the blob.py from_csv path — instead of crashing the
+    scan."""
+    from reflex_spark.sources.blob_datasource import register
+
+    root = tmp_path / "bucket"
+    root.mkdir()
+    (root / "a.csv").write_text("1,ok,2.5,true\nxx,bad,abc,maybe\n")
+    register(spark)
+    got = sorted(
+        (
+            (r["k"], r["name"], r["v"], r["flag"])
+            for r in spark.read.format("reflex_blob")
+            .option("path", str(root))
+            .option("schema", "k long, name string, v double, flag boolean")
+            .option("fmt", "csv")
+            .load()
+            .collect()
+        ),
+        key=lambda t: t[1],
+    )
+    assert got == [(None, "bad", None, None), (1, "ok", 2.5, True)]
