@@ -1275,3 +1275,45 @@ def test_blob_datasource_csv_malformed_fields_become_null(spark, tmp_path):
         key=lambda t: t[1],
     )
     assert got == [(None, "bad", None, None), (1, "ok", 2.5, True)]
+
+
+def test_ivf_split_recovery_keeps_committed_split(spark, tmp_path):
+    """The other recovery branch: a stage left behind AFTER the ledger
+    commit (only the cleanup was lost) must be garbage-collected WITHOUT
+    rolling the committed split back — the parked pre-split copy would
+    otherwise resurrect and double every vector."""
+    import os
+    import shutil
+
+    from reflex_spark.operators.similarity import IvfIndex
+
+    rows = [(i, [float(i % 7), float(i % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [6.0, 4.0])],
+        "list_id int, centroid array<double>",
+    )
+    idx = IvfIndex.build(spark, str(tmp_path / "idx"), df, cent)
+    counts = idx.list_counts()
+    big = max(counts, key=lambda k: counts[k])
+    assert idx.maybe_split(threshold=counts[big] - 1, lists=[big]) == [big]
+    after = idx.list_counts()
+
+    # simulate the lost cleanup: stage reappears with the committed
+    # claimed_id (2) and a STALE pre-split copy parked under old/
+    lists_dir = str(tmp_path / "idx" / "lists")
+    stage = str(tmp_path / "idx" / f".split-{big}.tmp")
+    os.makedirs(stage)
+    with open(f"{stage}/claimed_id", "w") as f:
+        f.write("2")  # minted by the committed split above
+    shutil.copytree(f"{lists_dir}/ivf_list={big}", f"{stage}/old")
+
+    # any maintenance op must sweep the stage WITHOUT touching data
+    idx.maybe_split(threshold=10**9)
+    assert not os.path.isdir(stage)
+    assert idx.list_counts() == after
+    ids = [
+        r[0]
+        for r in spark.read.parquet(lists_dir).select("vec_id").collect()
+    ]
+    assert sorted(ids) == list(range(40))  # nothing doubled, nothing lost
