@@ -77,16 +77,11 @@ def bloom_build(
     return bm
 
 
-def bloom_prefilter(
-    df: DataFrame,
-    key: str,
-    words: list[int],
-    m_bits: int = _DEFAULT_M,
-    k: int = _DEFAULT_K,
-) -> DataFrame:
-    """Keep only rows whose ``key`` MIGHT be in the built set — a pure
-    JVM whole-stage-codegen predicate (array-literal lookup + shift +
-    mask per hash). Guaranteed superset of the true members."""
+def _bloom_cond(df: DataFrame, key: str, words: list[int], m_bits: int, k: int):
+    """Internal: (df-with-temp-columns, membership condition, temp names).
+    Temp columns exist because pyspark's shiftright takes only a literal
+    shift — the per-hash bit offset must be a named column inside an
+    F.expr."""
     bm = F.lit(words)
     cond = None
     probe = df
@@ -100,7 +95,31 @@ def bloom_prefilter(
         bit = F.expr(f"shiftright({wcol}, {bcol}) & 1") == 1
         cond = bit if cond is None else (cond & bit)
         drop_cols += [wcol, bcol]
+    return probe, cond, drop_cols
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key: str,
+    words: list[int],
+    m_bits: int = _DEFAULT_M,
+    k: int = _DEFAULT_K,
+) -> DataFrame:
+    """Keep only rows whose ``key`` MIGHT be in the built set — a pure
+    JVM whole-stage-codegen predicate (array-literal lookup + shift +
+    mask per hash). Guaranteed superset of the true members."""
+    probe, cond, drop_cols = _bloom_cond(df, key, words, m_bits, k)
     return probe.where(cond).drop(*drop_cols)
+
+
+# NOTE a "bloom_flagged" variant (unfiltered frame + boolean pass column,
+# pins via one conditional aggregate, no cache) was built and MEASURED
+# slower at sf0.1: without the cache every downstream consumer (the
+# completeness anti-join, the final join) re-evaluates the 4-hash md5
+# probe over the full fact — 3 probe passes ≈ 3x the cached plan's cost,
+# and caching the flagged frame instead would pin the FULL fact rather
+# than the ~6.7% survivor set. The cached bloom_prefilter + explicit
+# unpersist in the caller is the measured optimum (SCALE_NOTES §53).
 
 
 def bloom_semi_join(

@@ -1921,7 +1921,11 @@ def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's shuffle instead of |fact| — the sketch is broadcast-trivial
     (8 KiB regardless of build-side size), the probe is codegen'd into
     the scan stage, and build cost is one pass over the SMALL side plus a
-    <= 1024-row control-plane collect."""
+    <= 1024-row control-plane collect. The prefiltered frame is cached
+    for the QUERY's lifetime only (the pins and the final join reuse one
+    probe pass — measured: without it the 4-hash md5 probe re-runs for
+    every consumer, tripling the cost) and unpersisted before return, so
+    nothing stays pinned in executor storage afterward."""
     from reflex_spark.operators.runtime_filter import (
         bloom_build,
         bloom_prefilter,
