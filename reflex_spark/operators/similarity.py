@@ -1562,17 +1562,21 @@ class IvfIndex:
                 "centroid"
             ),
         ).write.mode("overwrite").parquet(f"{path}/centroids")
-        # one materialized assignment feeds both the write and the ledger
-        assigned = idx._assign(corpus, idx._centroids()).localCheckpoint()
-        assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
-            f"{path}/lists"
-        )
-        counts = {
-            str(r["ivf_list"]): r["n"]
-            for r in assigned.groupBy("ivf_list")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()  # bounded: one row per list
-        }
+        # ONE materialized assignment feeds both the write and the ledger
+        # (cache + explicit unpersist — no blocks left pinned afterwards)
+        assigned = idx._assign(corpus, idx._centroids()).cache()
+        try:
+            assigned.write.mode("overwrite").partitionBy(
+                "ivf_list"
+            ).parquet(f"{path}/lists")
+            counts = {
+                str(r["ivf_list"]): r["n"]
+                for r in assigned.groupBy("ivf_list")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # bounded: one row per list
+            }
+        finally:
+            assigned.unpersist()
         next_id = (
             max(r["list_id"] for r in idx._centroids().select(F.col("__cid").alias("list_id")).collect())
             + 1
@@ -1592,20 +1596,31 @@ class IvfIndex:
             # materialize the assignment ONCE: the parquet write and the
             # ledger count below must see the SAME rows (a recomputation
             # of a non-deterministic batch could diverge), and the
-            # O(|batch| x n_lists) join shouldn't run twice anyway
-            assigned = self._assign(batch, self._centroids()).localCheckpoint()
-            assigned.write.mode("append").partitionBy("ivf_list").parquet(
-                f"{self.path}/lists"
-            )
-            added = {
-                int(r["ivf_list"]): r["n"]
-                for r in assigned.groupBy("ivf_list")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()  # bounded: one row per touched list
-            }
+            # O(|batch| x n_lists) join shouldn't run twice anyway —
+            # cache + explicit unpersist, nothing left pinned afterwards
+            assigned = self._assign(batch, self._centroids()).cache()
+            try:
+                assigned.write.mode("append").partitionBy(
+                    "ivf_list"
+                ).parquet(f"{self.path}/lists")
+                added = {
+                    int(r["ivf_list"]): r["n"]
+                    for r in assigned.groupBy("ivf_list")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()  # bounded: one row per touched list
+                }
+            finally:
+                assigned.unpersist()
             meta = self._read_meta()
             for lid, n in added.items():
                 meta["counts"][str(lid)] = meta["counts"].get(str(lid), 0) + n
+            # new rows can make a previously-unsplittable list splittable
+            # again: clear its sticky refusal mark
+            stale = set(meta.get("no_split", [])) & set(added)
+            if stale:
+                meta["no_split"] = sorted(
+                    set(meta.get("no_split", [])) - stale
+                )
             self._write_meta(meta)
             if split_threshold is not None:
                 self._maybe_split_held(split_threshold, None)
@@ -1627,12 +1642,28 @@ class IvfIndex:
     ) -> list[int]:
         self._recover_splits()
         meta = self._read_meta()
+        # sticky refusals: a list that proved unsplittable (degenerate)
+        # is skipped until an append touches it again — otherwise every
+        # maintenance pass would re-pay the full O(|list|) attempt just
+        # to refuse again
+        skip = set(meta.get("no_split", []))
         over = [
             int(k)
             for k, v in meta["counts"].items()
-            if v > threshold and (lists is None or int(k) in lists)
+            if v > threshold
+            and int(k) not in skip
+            and (lists is None or int(k) in lists)
         ]
-        return [lid for lid in sorted(over) if self._split(lid)]
+        done, refused = [], []
+        for lid in sorted(over):
+            (done if self._split(lid) else refused).append(lid)
+        if refused:
+            meta = self._read_meta()  # _split rewrote it for done ids
+            meta["no_split"] = sorted(
+                set(meta.get("no_split", [])) | set(refused)
+            )
+            self._write_meta(meta)
+        return done
 
     def _recover_splits(self) -> None:
         """CRASH RECOVERY, run under the writer claim before ANY
@@ -1666,17 +1697,26 @@ class IvfIndex:
             claim_file = f"{stage}/claimed_id"
             claimed = None
             if os.path.exists(claim_file):
-                with open(claim_file, encoding="utf-8") as f:
-                    claimed = int(f.read().strip())
+                try:
+                    with open(claim_file, encoding="utf-8") as f:
+                        claimed = int(f.read().strip())
+                except ValueError:
+                    # torn/empty claim (the write is atomic-replaced, but
+                    # stay robust): the attempt died at claim creation,
+                    # before any rename — treat as uncommitted, unknown id
+                    claimed = None
             committed = claimed is not None and str(claimed) in meta["counts"]
             if not committed:
                 # roll back: drop whatever half-state the swap created,
-                # restore the original partition and quantizer wholesale
-                if claimed is not None:
-                    shutil.rmtree(
-                        f"{self.path}/lists/ivf_list={claimed}",
-                        ignore_errors=True,
-                    )
+                # restore the original partition and quantizer wholesale.
+                # The minted id is claimed when readable, else the
+                # ledger's next_list_id (an uncommitted attempt cannot
+                # have advanced it).
+                minted = claimed if claimed is not None else meta["next_list_id"]
+                shutil.rmtree(
+                    f"{self.path}/lists/ivf_list={minted}",
+                    ignore_errors=True,
+                )
                 if os.path.isdir(old_dir):
                     shutil.rmtree(part_dir, ignore_errors=True)
                     os.replace(old_dir, part_dir)
@@ -1685,6 +1725,10 @@ class IvfIndex:
                         f"{self.path}/centroids", ignore_errors=True
                     )
                     os.replace(cent_old, f"{self.path}/centroids")
+                # a crashed attempt may also leave its staged quantizer
+                shutil.rmtree(
+                    f"{self.path}/centroids.new", ignore_errors=True
+                )
             shutil.rmtree(stage, ignore_errors=True)
 
     def _split(self, list_id: int) -> bool:
@@ -1774,8 +1818,14 @@ class IvfIndex:
         # the very end), never rmtree'd — a crash at any point leaves
         # every vector on disk and the recovery preamble restores it
         os.makedirs(stage, exist_ok=True)
-        with open(claim_file, "w", encoding="utf-8") as f:
-            f.write(str(new_id))  # lets recovery identify this attempt
+        # the claim identifies this attempt for recovery — written with
+        # the same tmp+fsync+replace discipline as the ledger so a kill
+        # mid-write can never leave a torn discriminator
+        with open(f"{claim_file}.tmp", "w", encoding="utf-8") as f:
+            f.write(str(new_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(f"{claim_file}.tmp", claim_file)
         side_a.write.parquet(f"{stage}/ivf_list={list_id}")
         side_b.write.parquet(f"{stage}/ivf_list={new_id}")
         os.replace(part_dir, old_dir)

@@ -182,16 +182,28 @@ class BlobBucket:
             sizes = dict(self.list_blobs())
             size = sizes.get(key)
         # the cap bounds the DECOMPRESSED text held in the one wholetext
-        # row. For local gzip blobs the exact size comes from the ISIZE
-        # footer (last 4 LE bytes, size mod 2^32 — exact below 4 GiB);
-        # where the footer can't be read (remote stores), assume a 32x
-        # ratio — text routinely compresses 10-30x, so 8x would NOT be
-        # conservative.
+        # row. The gzip ISIZE footer cannot be trusted for routing (it
+        # records only the LAST member's size mod 2^32, so Firehose-style
+        # concatenated blobs and >=4 GiB members under-report), so local
+        # gzip blobs are sized by BOUNDED stream-decompression: read at
+        # most cap+1 decompressed bytes — exact below the cap, and "over"
+        # is all the router needs above it. Cost is O(min(size, cap))
+        # decompress once per polled blob; the wholetext read pays the
+        # same decompress anyway. Where the blob isn't locally openable
+        # (remote stores), assume a 32x ratio — text routinely
+        # compresses 10-30x.
         if size is not None and key.endswith(".gz"):
+            import gzip as _gzip
+
             try:
-                with open(key, "rb") as f:
-                    f.seek(-4, 2)
-                    size = int.from_bytes(f.read(4), "little")
+                n = 0
+                with _gzip.open(key, "rb") as g:
+                    while n <= self.POLL_WHOLETEXT_CAP:
+                        chunk = g.read(1 << 20)
+                        if not chunk:
+                            break
+                        n += len(chunk)
+                size = n
             except OSError:
                 size = size * 32
         if size is not None and size <= self.POLL_WHOLETEXT_CAP:

@@ -44,6 +44,7 @@ import gzip
 import io
 import json
 import os
+import re
 
 import pyarrow as pa
 
@@ -351,8 +352,17 @@ class ReflexBlobWriter(DataSourceWriter):
 # type, and a MALFORMED field becomes NULL rather than crashing the scan
 # (the blob.py from_csv path behaves the same way — the two read paths
 # must not diverge on a dirty row).
-def _permissive(parse):
+_INT_RE = re.compile(r"[+-]?[0-9]+")
+_FLOAT_RE = re.compile(r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?")
+
+
+def _permissive(parse, pattern):
+    # pre-validate with an ASCII regex: Python's int()/float() accept
+    # forms Spark's CSV reader rejects (underscore separators, unicode
+    # digits) — those must become NULL here too, not silently parse
     def conv(s):
+        if not pattern.fullmatch(s):
+            return None
         try:
             return parse(s)
         except ValueError:
@@ -363,9 +373,9 @@ def _permissive(parse):
 
 def _csv_converter(dtype):
     if isinstance(dtype, (LongType, IntegerType)):
-        return _permissive(int)
+        return _permissive(int, _INT_RE)
     if isinstance(dtype, (DoubleType, FloatType)):
-        return _permissive(float)
+        return _permissive(float, _FLOAT_RE)
     if isinstance(dtype, BooleanType):
         return lambda s: (
             True

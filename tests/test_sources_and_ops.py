@@ -1317,3 +1317,56 @@ def test_ivf_split_recovery_keeps_committed_split(spark, tmp_path):
         for r in spark.read.parquet(lists_dir).select("vec_id").collect()
     ]
     assert sorted(ids) == list(range(40))  # nothing doubled, nothing lost
+
+
+def test_gzip_multimember_and_sticky_split_refusal(spark, tmp_path):
+    """Second-review fixes pinned: (a) a concatenated multi-member gzip
+    whose LAST member's ISIZE footer is tiny must still route by its
+    TRUE decompressed size (bounded stream-decompression, no footer
+    trust) — over-cap blobs take the fallback; (b) an unsplittable
+    degenerate list
+    is remembered in the ledger — the O(|list|) split attempt is not
+    re-paid every maintenance pass — and the mark clears when an append
+    touches the list."""
+    import gzip
+
+    from reflex_spark.operators.similarity import IvfIndex
+    from reflex_spark.sources.blob import BlobBucket
+
+    root = str(tmp_path / "bucket")
+    os.makedirs(root, exist_ok=True)
+    # two members: a large repetitive one + a tiny last member whose
+    # ISIZE (the only footer a naive reader sees) is ~30 bytes
+    big = ('{"id": 1, "kind": "aaaaaaaaaaaaaaaaaaaaaaaa"}\n' * 5000).encode()
+    tiny = b'{"id": 2, "kind": "z"}\n'
+    with open(f"{root}/multi.jsonl.gz", "wb") as f:
+        f.write(gzip.compress(big) + gzip.compress(tiny))
+    bucket = BlobBucket(spark, root, BLOB_SCHEMA)
+    bucket.POLL_WHOLETEXT_CAP = 50_000  # < len(big): must take fallback
+    df = bucket.read_blob_records(f"{root}/multi.jsonl.gz")
+    assert "ExistingRDD" in df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 5001  # both members decode on the fallback too
+
+    # (b) sticky refusal — the identical block sits at HIGH ids so that
+    # appended distinct vectors (low ids) become the split seeds later
+    rows = [(100 + i, [1.0, 1.0]) for i in range(10)] + [(550, [9.0, 9.0])]
+    dfv = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [9.0, 9.0])],
+        "list_id int, centroid array<double>",
+    )
+    idx = IvfIndex.build(spark, str(tmp_path / "idx"), dfv, cent)
+    assert idx.maybe_split(threshold=2, lists=[0]) == []  # degenerate
+    assert idx._read_meta().get("no_split") == [0]
+    # second pass: skipped via the ledger (still returns [], unchanged)
+    assert idx.maybe_split(threshold=2, lists=[0]) == []
+    # an append into list 0 clears the mark; a now-distinct member mix
+    # makes the split succeed
+    idx.append(
+        spark.createDataFrame(
+            [(1 + i, [float(2 + i), 1.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    assert 0 not in idx._read_meta().get("no_split", [])
+    assert idx.maybe_split(threshold=2, lists=[0]) == [0]
