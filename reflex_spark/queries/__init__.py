@@ -56,75 +56,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # most queries would never receive a hard external correctness row.
 # _WINDOW rotates the judged window explicitly: these names are emitted
 # first (in this order), then every other registered name in registration
-# order.  Round 14 window (VERDICT r13 Next #1): the 31 names that have
-# NEVER had a driver row in rounds 1-13 (verified programmatically against
-# every CORRECTNESS_r*.json at round start) + the 19 STALEST green rows by
-# latest-judged round (r04 x5, r05 x11, r06 x3 -- every earlier vintage was
-# already re-confirmed by a later rotation), re-judged under the current
-# engine.  After this window, every query registered THROUGH ROUND 13
-# has had a hard driver row at least once and none is staler than r07;
-# the queries ADDED in round 14 (appended after slot 50, per the
-# append-after-window contract) are the only never-judged names left
-# and belong at the front of the round-15 window.
+# order.  Round 15 window (VERDICT r14 Next #1): the 4 round-14 additions
+# (the only registered names without a driver row; the r14 judge verified
+# all 4 bit-green at sf0.001+sf0.01 at the driver surface) + the 46
+# stalest green rows by latest-judged round, computed programmatically
+# against every CORRECTNESS_r*.json at round start: r06 x2, r07 x6,
+# r08 x5, and the 33 oldest r10 rows (file order within the vintage).
+# After this window, every registered query has a hard driver row and
+# none is staler than r10.  Queries ADDED in round 15 are appended after
+# slot 50, per the append-after-window contract.
 _WINDOW: list[str] = [
-    # --- never judged: r13 TxTable / operational newcomers ---
-    "tx_restore_rollup",
-    "tx_merge_tombstone_rollup",
-    "tx_clone_rollup",
-    "tx_wap_audit_rollup",
-    "tx_files_optimize_rollup",
-    "tx_timestamp_as_of_rollup",
-    "stream_quality_quarantine_rollup",
-    "blob_csv_gzip_rollup",
-    "sim_ann_ivf_persisted_index_rollup",
-    "bloom_runtime_filter_join",
-    "pipeline_data_quality_report",
-    # --- never judged: streaming sketch rollups ---
-    "stream_bottomk_quantiles_rollup",
-    "stream_hll_distinct_rollup",
-    # --- never judged: ANN recall / similarity stragglers ---
-    "sim_ann_pq_sampled_topk",
-    "sim_ann_ivfpq_rerank_recall",
-    "sim_ann_pq_rerank_recall",
-    "sim_scalar_quant_recall",
-    "sim_mrl_truncated_recall",
-    "dedup_semantic_recall",
-    "dedup_images_clusters",
-    "dedup_clusters_best_quality",
-    "sample_negatives_contrastive",
-    # --- never judged: multimodal ---
-    "multimodal_gif_anim_stats",
-    "multimodal_video_framesample",
-    "multimodal_av_container_stats",
-    # --- never judged: text ---
-    "text_bpe_apply_tokenize",
-    "text_source_overlap_matrix",
-    "text_bigram_lm_logprob",
-    "text_shingle_udtf_stats",
-    "text_doc_keywords_topk",
-    "text_inverted_posting_stats",
-    # --- re-judges: stalest green rows (latest driver row r04) ---
-    "argmax_event_per_type",
-    "first_last_order_per_customer",
-    "having_active_event_types",
-    "ntile_percent_rank_orders",
-    "percentiles_order_value",
-    # --- re-judges: stalest green rows (latest driver row r05) ---
-    "asof_join_latest_order",
-    "correlated_above_segment_avg",
-    "cube_returnflag_linestatus",
-    "grouping_sets_brand_type",
-    "range_join_events_near_orders",
-    "rollup_status_priority",
-    "scalar_funcs_orders",
-    "theta_join_overpriced_lineitems",
-    "union_all_keys",
-    "window_order_gap_days",
-    "window_order_rank",
+    # --- never judged: the 4 round-14 additions ---
+    "tx_concurrent_retry_rollup",
+    "sim_ann_ivf_append_rollup",
+    "sim_ann_ivf_split_rollup",
+    "blob_poll_midblob_rollup",
     # --- re-judges: stalest green rows (latest driver row r06) ---
-    "join_anti_customers_without_orders",
-    "join_outer_order_counts",
-    "join_semi_customers_with_open_orders",
+    "q5_region_revenue",
+    "topk_orders",
+    # --- re-judges: stalest green rows (latest driver row r07) ---
+    "skew_salted_rollup",
+    "sample_temperature_mixture",
+    "skew_salted_join_revenue",
+    "sample_train_val_test_split",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    # --- re-judges: stalest green rows (latest driver row r08) ---
+    "map_functions_events",
+    "events_user_summary_pandas",
+    "conditional_expressions_customers",
+    "sample_token_budget",
+    "text_sequence_packing",
+    # --- re-judges: the 33 oldest r10-vintage rows ---
+    "funnel_signup_to_purchase",
+    "retention_weekly",
+    "event_type_cooccurrence",
+    "events_first_touch_attribution",
+    "events_funnel_3step_ordered",
+    "events_cohort_retention_matrix",
+    "events_transition_matrix",
+    "events_per_type_day",
+    "events_type_filter",
+    "events_lag_filter",
+    "events_tumbling_hourly",
+    "events_sliding_window",
+    "events_session_count",
+    "events_distinct_users",
+    "setop_intersect_purchasers_clickers",
+    "setop_except_signups_no_purchase",
+    "setop_except_all_purchases",
+    "setop_intersect_all_purchases",
+    "events_json_props",
+    "events_running_value",
+    "events_sessionized",
+    "events_value_histogram",
+    "events_trailing_hour_sum",
+    "union_distinct_user_ids",
+    "events_pivot_type_counts",
+    "events_max_concurrent",
+    "events_session_window_native",
+    "events_gapfill_interpolate",
+    "events_variant_props",
+    "events_hll_distinct_users",
+    "events_hll_merged_daily",
+    "events_value_histogram_quantiles",
+    "events_hll_daily_series",
 ]
 
 
