@@ -1385,7 +1385,6 @@ def scalar_quant_reconstruct(
         ).alias("__rv")
     )
 
-
 class IvfIndex:
     """Persisted IVF index directory with INCREMENTAL maintenance — the
     ANN twin of the incremental MinHash band index (dedup.py): real
@@ -1395,36 +1394,55 @@ class IvfIndex:
 
     Layout under ``path``:
 
-    - ``centroids/``  parquet ``(list_id int, centroid array)`` — KBs,
-      broadcast at probe time;
-    - ``lists/``      the corpus parquet PARTITIONED BY ``ivf_list`` —
-      a probe reads only its probed partitions (planning-time pruning);
-    - ``_meta.json``  per-list row counts + the next free list id —
-      the control-plane growth ledger (O(n_lists) bytes, atomic
-      tmp+replace writes).
+    - ``centroids-<gen>/``  parquet ``(list_id int, centroid array)``
+      quantizer GENERATIONS — KBs each, broadcast at probe time. The
+      ledger names the live generation; a superseded one parks in the
+      garbage list until the next maintenance op sweeps it (deferred
+      vacuum), so a probe that snapshotted the previous ledger still
+      finds its quantizer on disk.
+    - ``lists/``      the corpus parquet PARTITIONED BY ``ivf_list``.
+      Files the ledger references are IMMUTABLE: an append only ADDS
+      files, and a split writes its two sides under two FRESH list ids
+      (copy-on-write), parking the old partition dir in the garbage
+      list instead of renaming anything into or out of place.
+    - ``_meta.json``  the LEDGER and the snapshot root: per-list row
+      counts AND per-list data-file names, the next free list id, the
+      live centroid generation, and the garbage awaiting vacuum. Its
+      atomic tmp+fsync+replace write is the COMMIT POINT of every
+      maintenance op — a reader resolving through one ledger read sees
+      the pre- or post-commit index, never a half-state.
 
     Lifecycle and costs:
 
     - ``build``   — one full assignment pass over the seed corpus;
+      takes the writer claim and clears every prior generation's state
+      at the path first (a rebuild makes it all stale, and a crashed
+      split's leftovers must never be replayed over the fresh index);
     - ``append``  — assigns ONLY the batch against the existing
       centroids (no refit) and appends new files to the affected
       partitions: O(|batch| x n_lists) compute, O(|batch|) write, and
       EXISTING partition files are never rewritten (pinned by the
-      judged query);
+      judged query). The ledger update is O(touched partitions): a
+      dir-mtime scan bounded by the write start selects the partitions
+      the batch landed in, their name-listings diff against the
+      ledger's file set, and only the NEW files' footers are read for
+      the count delta (``last_append_readback`` telemetry,
+      pytest-pinned) — never the whole index;
     - ``maybe_split`` — any list past ``threshold`` re-splits: two
       deterministic seed vectors (smallest ids in the list), one
-      assignment pass, each side's mean becomes a centroid — the old
-      list id keeps side A, side B gets a fresh id from the ledger.
-      Cost is O(|that list|), never O(corpus); growth stays bounded so
-      probe cost stays O(corpus / n_lists) per probed list. The swap is
-      renames-only with the ledger write as the commit point, so a
-      crashed split never loses a vector (``_recover_splits``); a probe
-      RACING a split may transiently miss the splitting list (its dirs
-      move through the stage) — probes are fully lock-free against
-      appends, split-concurrent probes should be avoided or retried;
-    - ``probe``   — broadcast centroids, partition-pruned scan of the
-      probed lists, in-list cosine top-k: O(lists probed), independent
-      of corpus size.
+      assignment pass, each side's mean becomes a centroid — both
+      sides take FRESH ids from the ledger. Cost is O(|that list|),
+      never O(corpus); growth stays bounded so probe cost stays
+      O(corpus / n_lists) per probed list;
+    - ``probe``   — lock-free SNAPSHOT read: one committed ledger read
+      resolves the quantizer generation AND the probed lists' exact
+      file set, so a probe racing any maintenance op sees pre- or
+      post-commit state, never neither. O(lists probed), independent
+      of corpus size;
+    - ``vacuum`` / ``repair`` — the deferred sweep run implicitly at
+      the start of every maintenance op (or explicitly), and the full
+      O(index) fsck for the one failure the cheap sweep cannot see
+      (a crashed append's uncommitted files inside live partitions).
 
     Assignment recipe (broadcast centroids + sqdist + row_number with
     the (distance, list_id) tie-break) is IDENTICAL to the judged
@@ -1443,6 +1461,16 @@ class IvfIndex:
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
+        # telemetry: what the last append's ledger update actually read
+        # back — dirs_stat (one os.stat per partition dir), dirs_listed
+        # (touched dirs whose names were listed), files_read (new files
+        # whose footers Spark read). Pinned O(touched) by pytest.
+        self.last_append_readback: dict[str, int] | None = None
+        # test-only injection seam, called with the op name ("append" /
+        # "split") immediately before the ledger commit — crash and
+        # probe-race tests hook here instead of monkey-patching
+        # internals (same pattern as TxTable's commit seam)
+        self._inject_before_commit = None
 
     # -- control plane ----------------------------------------------------
 
@@ -1473,16 +1501,16 @@ class IvfIndex:
         return {int(k): v for k, v in self._read_meta()["counts"].items()}
 
     def _claim(self):
-        """Exclusive single-writer claim for the MAINTENANCE ops (append /
-        split): the ledger is a read-modify-write file and a split swaps
-        partition dirs from a snapshot listing, so two concurrent writers
-        would lose counts or drop a racing append's files. Same O_EXCL
-        discipline as the blob sink's ``_writer.claim``; probes take no
-        lock (data files are immutable and the ledger is atomically
-        replaced) — but see the class docstring for the one caveat: a
-        probe racing a SPLIT can transiently miss the splitting list. A
-        claim left by a crashed writer refuses loudly until an operator
-        removes it — the error names the file."""
+        """Exclusive single-writer claim for the MAINTENANCE ops (build /
+        append / split / vacuum / repair): the ledger is a
+        read-modify-write file, so two concurrent writers would lose
+        counts or sweep each other's uncommitted output. Same O_EXCL
+        discipline as the blob sink's ``_writer.claim``. Probes take no
+        lock — they resolve everything through ONE committed ledger
+        snapshot, whose files survive at least until the next
+        maintenance op's deferred vacuum. A claim left by a crashed
+        writer refuses loudly until an operator removes it — the error
+        names the file."""
         import contextlib
         import os
 
@@ -1495,11 +1523,11 @@ class IvfIndex:
             except FileExistsError:
                 raise ValueError(
                     f"another writer holds this index's claim ({path}): "
-                    "IvfIndex maintenance (append/split) is single-writer "
-                    "— a concurrent append would lose ledger counts, and "
-                    "a racing split could drop its files. If that writer "
-                    "crashed, remove the claim file after confirming no "
-                    "maintenance job is live."
+                    "IvfIndex maintenance (build/append/split/vacuum) is "
+                    "single-writer — a concurrent writer would lose "
+                    "ledger counts or sweep uncommitted output. If that "
+                    "writer crashed, remove the claim file after "
+                    "confirming no maintenance job is live."
                 ) from None
             try:
                 with os.fdopen(fd, "w", encoding="utf-8") as f:
@@ -1513,16 +1541,179 @@ class IvfIndex:
 
         return held()
 
+    def _vacuum_held(self, meta: dict) -> dict:
+        """Deferred sweep, under the claim: (a) garbage parked by
+        committed splits (superseded partition dirs + quantizer
+        generations); (b) whole partition dirs and centroid generations
+        a CRASHED op left unreferenced (a split that died before its
+        ledger commit — its fresh dirs are invisible to every reader
+        and must go before their ids are re-minted); (c) a crashed
+        Spark append job's ``_temporary`` scratch. Deletion is deferred
+        to the NEXT op on purpose: a lock-free probe that pinned the
+        previous committed snapshot keeps finding its files on disk for
+        at least one full maintenance interval. O(n_lists) dir entries
+        — never a file-footer read."""
+        import os
+        import re
+        import shutil
+
+        root_norm = os.path.normpath(self.path)
+        for rel in meta.get("garbage", []):
+            tgt = os.path.normpath(os.path.join(self.path, rel))
+            if tgt.startswith(root_norm + os.sep):  # never escape the index
+                shutil.rmtree(tgt, ignore_errors=True)
+        meta = {**meta, "garbage": []}
+        live = {int(k) for k in meta["counts"]}
+        lists_root = os.path.join(self.path, "lists")
+        if os.path.isdir(lists_root):
+            for name in os.listdir(lists_root):
+                m = re.fullmatch(r"ivf_list=(\d+)", name)
+                if m and int(m.group(1)) not in live:
+                    shutil.rmtree(
+                        os.path.join(lists_root, name), ignore_errors=True
+                    )
+            shutil.rmtree(
+                os.path.join(lists_root, "_temporary"), ignore_errors=True
+            )
+        gen = meta["centroid_gen"]
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"centroids-(\d+)", name)
+            if m and int(m.group(1)) != gen:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        self._write_meta(meta)
+        return meta
+
+    def vacuum(self) -> None:
+        """Sweep superseded snapshot state NOW instead of at the next
+        maintenance op (the operational form, like a governed table's
+        VACUUM). Lock-free probes that pinned an older snapshot may
+        lose their files — run it when none are in flight."""
+        with self._claim():
+            self._vacuum_held(self._read_meta())
+
+    def repair(self) -> dict:
+        """Full fsck — the explicit recovery path after a CRASHED
+        append, the one failure the cheap per-op sweep cannot see:
+        files inside live partitions whose ledger commit never happened
+        are invisible to pinned probes but hold disk. They are DELETED
+        (transactional semantics — the failed append never happened, so
+        the caller re-runs the batch; adopting them could commit a
+        PARTIAL job), then the ledger's counts are re-derived from the
+        referenced files. O(index) listing + footer reads, by design —
+        run it after a crash, not per batch."""
+        import os
+
+        with self._claim():
+            meta = self._vacuum_held(self._read_meta())
+            dropped = 0
+            physical = self._scan_files()
+            for lid_s, names in physical.items():
+                known = set(meta["files"].get(lid_s, []))
+                for n in names:
+                    if n not in known:
+                        os.remove(
+                            f"{self.path}/lists/ivf_list={lid_s}/{n}"
+                        )
+                        dropped += 1
+            for lid_s, names in meta["files"].items():
+                have = set(physical.get(lid_s, []))
+                missing = [n for n in names if n not in have]
+                if missing:
+                    raise ValueError(
+                        "index corrupt: ledger references missing files "
+                        f"{missing[:3]} in list {lid_s}"
+                    )
+            meta["counts"] = {
+                str(k): v for k, v in self._physical_counts().items()
+            }
+            self._write_meta(meta)
+            return {"orphan_files_dropped": dropped}
+
     # -- data plane ---------------------------------------------------------
 
-    def _centroids(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/centroids").select(
+    def _centroid_dir(self, meta: dict | None = None) -> str:
+        meta = self._read_meta() if meta is None else meta
+        return f"{self.path}/centroids-{meta['centroid_gen']}"
+
+    def centroids(self) -> DataFrame:
+        """The live quantizer ``(list_id, centroid)``."""
+        return self.spark.read.parquet(self._centroid_dir())
+
+    def _centroids(self, meta: dict | None = None) -> DataFrame:
+        return self.spark.read.parquet(self._centroid_dir(meta)).select(
             F.col("list_id").alias("__cid"), F.col("centroid").alias("__cv")
         )
 
+    def _list_files(self, list_id: int, names: list[str]) -> list[str]:
+        return [
+            f"{self.path}/lists/ivf_list={list_id}/{n}" for n in names
+        ]
+
+    def _scan_files(self, lids: set[int] | None = None) -> dict[str, list[str]]:
+        """Name-listing of (a subset of) the lists tree — directory
+        entries only, no file opens or footer reads."""
+        import os
+        import re
+
+        out: dict[str, list[str]] = {}
+        root = f"{self.path}/lists"
+        if not os.path.isdir(root):
+            return out
+        for name in sorted(os.listdir(root)):
+            m = re.fullmatch(r"ivf_list=(\d+)", name)
+            if not m:
+                continue
+            lid = int(m.group(1))
+            if lids is not None and lid not in lids:
+                continue
+            out[str(lid)] = sorted(
+                fn
+                for fn in os.listdir(os.path.join(root, name))
+                if not fn.startswith(("_", "."))
+            )
+        return out
+
+    def _pinned_lists(
+        self, meta: dict, lids: set[int] | None = None
+    ) -> DataFrame:
+        """Snapshot scan: EXACTLY the files the committed ledger
+        references (optionally restricted to ``lids``) — files written
+        by an uncommitted maintenance op are invisible, and garbage
+        still awaiting vacuum is ignored."""
+        files = [
+            p
+            for lid_s, names in meta["files"].items()
+            if lids is None or int(lid_s) in lids
+            for p in self._list_files(int(lid_s), names)
+        ]
+        base = f"{self.path}/lists"
+        if files:
+            return self.spark.read.option("basePath", base).parquet(*files)
+        # empty selection: borrow any referenced file for the schema
+        any_file = next(
+            (
+                p
+                for lid_s, names in meta["files"].items()
+                for p in self._list_files(int(lid_s), names)
+            ),
+            None,
+        )
+        if any_file is None:
+            raise ValueError("IvfIndex is empty: no files in the ledger")
+        return (
+            self.spark.read.option("basePath", base)
+            .parquet(any_file)
+            .where(F.lit(False))
+        )
+
+    def read_lists(self) -> DataFrame:
+        """The whole corpus as one ledger-pinned snapshot read."""
+        return self._pinned_lists(self._read_meta())
+
     def _physical_counts(self) -> dict[int, int]:
-        """Per-list row counts from the WRITTEN index — ivf_list is the
-        partition column, so the scan reads no data columns."""
+        """Per-list row counts from the WHOLE written tree — ivf_list is
+        the partition column, so the scan reads no data columns, but it
+        touches every file's footer: build/repair only, never per batch."""
         return {
             int(r["ivf_list"]): r["n"]
             for r in self.spark.read.parquet(f"{self.path}/lists")
@@ -1562,32 +1753,69 @@ class IvfIndex:
         """Index-build job: persist the quantizer and the corpus
         partitioned by list. ``centroids`` is ``(list_id, centroid)`` —
         the caller owns the fit (seeded k-means, a sample fit, …); the
-        index only promises assignment/probe consistency with it."""
+        index only promises assignment/probe consistency with it.
+
+        Runs under the writer claim (an unclaimed rebuild could race a
+        live maintainer) and SWEEPS every prior generation's state at
+        the path first: the overwrite makes old lists, quantizer
+        generations, ledger, and any crashed op's leftovers stale, and
+        recovery must never replay a previous generation's parked
+        partition over the fresh index."""
+        import os
+        import shutil
+
         idx = cls(spark, path, id_col, vec_col)
-        # store centroids as array<double>: float seeds widen exactly, and
-        # re-split means (decimal-sum / count doubles) then keep their full
-        # precision instead of being silently narrowed by the seed schema
-        centroids.select(
-            "list_id",
-            F.transform(F.col("centroid"), lambda x: x.cast("double")).alias(
-                "centroid"
-            ),
-        ).write.mode("overwrite").parquet(f"{path}/centroids")
-        # the assignment computes ONCE (inside the write); the ledger is
-        # then derived from the WRITTEN FILES — a partition-column-only
-        # read-back — so it cannot diverge from the physical truth and
-        # nothing is cached or checkpointed (measured: caching the
-        # assignment slowed the dynamic-partition write 4-5x, and
-        # localCheckpoint blocks linger until GC)
-        idx._assign(corpus, idx._centroids()).write.mode(
-            "overwrite"
-        ).partitionBy("ivf_list").parquet(f"{path}/lists")
-        counts = {str(k): v for k, v in idx._physical_counts().items()}
-        next_id = (
-            max(r["list_id"] for r in idx._centroids().select(F.col("__cid").alias("list_id")).collect())
-            + 1
-        )
-        idx._write_meta({"counts": counts, "next_list_id": next_id})
+        os.makedirs(path, exist_ok=True)
+        with idx._claim():
+            for name in os.listdir(path):
+                if name == "_writer.claim":
+                    continue
+                tgt = os.path.join(path, name)
+                if os.path.isdir(tgt):
+                    shutil.rmtree(tgt, ignore_errors=True)
+                else:
+                    os.remove(tgt)
+            # store centroids as array<double>: float seeds widen
+            # exactly, and re-split means (decimal-sum / count doubles)
+            # then keep their full precision instead of being silently
+            # narrowed by the seed schema
+            centroids.select(
+                "list_id",
+                F.transform(
+                    F.col("centroid"), lambda x: x.cast("double")
+                ).alias("centroid"),
+            ).write.parquet(f"{path}/centroids-0")
+            boot = {"centroid_gen": 0}
+            # the assignment computes ONCE (inside the write); the
+            # ledger is then derived from the WRITTEN FILES — a
+            # partition-column-only read-back plus a name listing — so
+            # it cannot diverge from the physical truth and nothing is
+            # cached or checkpointed (measured: caching the assignment
+            # slowed the dynamic-partition write 4-5x)
+            idx._assign(corpus, idx._centroids(boot)).write.mode(
+                "overwrite"
+            ).partitionBy("ivf_list").parquet(f"{path}/lists")
+            counts = {
+                str(k): v for k, v in idx._physical_counts().items()
+            }
+            next_id = (
+                max(
+                    r["list_id"]
+                    for r in spark.read.parquet(idx._centroid_dir(boot))
+                    .select("list_id")
+                    .collect()
+                )
+                + 1
+            )
+            idx._write_meta(
+                {
+                    "counts": counts,
+                    "files": idx._scan_files(),
+                    "next_list_id": next_id,
+                    "centroid_gen": 0,
+                    "garbage": [],
+                }
+            )
         return idx
 
     def append(
@@ -1596,35 +1824,85 @@ class IvfIndex:
         """Incremental ingest: assign ONLY ``batch`` to the existing
         lists (no refit, no touch of existing files), append, update the
         growth ledger, optionally re-split overgrown lists. Returns the
-        per-list counts ADDED by this batch."""
+        per-list counts ADDED by this batch.
+
+        The ledger update is O(touched partitions), never O(index): the
+        write start time bounds a dir-mtime scan (POSIX — creating a
+        file updates its parent dir's mtime; 2s slack for coarse-mtime
+        filesystems, and over-inclusion is harmless because an
+        untouched dir's name-diff is empty), only the touched dirs'
+        names are listed, and only files NOT already in the ledger have
+        their footers read for the count delta. A batch whose ledger
+        commit crashed leaves unreferenced files inside live
+        partitions; they stay invisible to pinned probes — run
+        ``repair()`` before retrying the batch (a later append into the
+        same partitions would otherwise adopt the partial output)."""
+        import os
+        import time
+
         with self._claim():
-            self._recover_splits()
-            # the assignment computes ONCE, inside the write; the ledger
-            # update is then the DIFF of the read-back per-list counts
-            # (partition-column-only scan) against the prior ledger —
-            # files are the source of truth, so even a non-deterministic
-            # batch cannot make the ledger diverge from disk, and nothing
-            # is cached (measured: a cached assignment slows the
-            # dynamic-partition write 4-5x)
-            meta = self._read_meta()
+            meta = self._vacuum_held(self._read_meta())
             before = {int(k): v for k, v in meta["counts"].items()}
-            self._assign(batch, self._centroids()).write.mode(
+            t0 = time.time()
+            self._assign(batch, self._centroids(meta)).write.mode(
                 "append"
             ).partitionBy("ivf_list").parquet(f"{self.path}/lists")
-            physical = self._physical_counts()
-            added = {
-                lid: n - before.get(lid, 0)
-                for lid, n in physical.items()
-                if n != before.get(lid, 0)
+            root = f"{self.path}/lists"
+            dirs = [
+                n for n in os.listdir(root) if n.startswith("ivf_list=")
+            ]
+            touched = [
+                int(n.split("=", 1)[1])
+                for n in dirs
+                if os.stat(os.path.join(root, n)).st_mtime >= t0 - 2.0
+            ]
+            new_files: dict[int, list[str]] = {}
+            for lid in touched:
+                known = set(meta["files"].get(str(lid), []))
+                fresh = [
+                    fn
+                    for fn in sorted(
+                        os.listdir(f"{root}/ivf_list={lid}")
+                    )
+                    if not fn.startswith(("_", ".")) and fn not in known
+                ]
+                if fresh:
+                    new_files[lid] = fresh
+            paths = [
+                p
+                for lid, names in new_files.items()
+                for p in self._list_files(lid, names)
+            ]
+            self.last_append_readback = {
+                "dirs_stat": len(dirs),
+                "dirs_listed": len(touched),
+                "files_read": len(paths),
             }
-            meta["counts"] = {str(k): v for k, v in physical.items()}
-            # new rows can make a previously-unsplittable list splittable
-            # again: clear its sticky refusal mark
+            added: dict[int, int] = {}
+            if paths:
+                added = {
+                    int(r["ivf_list"]): r["n"]
+                    for r in self.spark.read.option("basePath", root)
+                    .parquet(*paths)
+                    .groupBy("ivf_list")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()  # bounded: one row per touched list
+                }
+            for lid, names in new_files.items():
+                meta["files"][str(lid)] = (
+                    meta["files"].get(str(lid), []) + names
+                )
+            for lid, n in added.items():
+                meta["counts"][str(lid)] = before.get(lid, 0) + n
+            # new rows can make a previously-unsplittable list
+            # splittable again: clear its sticky refusal mark
             stale = set(meta.get("no_split", [])) & set(added)
             if stale:
                 meta["no_split"] = sorted(
                     set(meta.get("no_split", [])) - stale
                 )
+            if self._inject_before_commit is not None:
+                self._inject_before_commit("append")
             self._write_meta(meta)
             if split_threshold is not None:
                 self._maybe_split_held(split_threshold, None)
@@ -1639,12 +1917,12 @@ class IvfIndex:
         that were split. Only the overgrown partitions are read or
         rewritten — O(sum of split list sizes)."""
         with self._claim():
+            self._vacuum_held(self._read_meta())
             return self._maybe_split_held(threshold, lists)
 
     def _maybe_split_held(
         self, threshold: int, lists: list[int] | None
     ) -> list[int]:
-        self._recover_splits()
         meta = self._read_meta()
         # sticky refusals: a list that proved unsplittable (degenerate)
         # is skipped until an append touches it again — otherwise every
@@ -1669,94 +1947,25 @@ class IvfIndex:
             self._write_meta(meta)
         return done
 
-    def _recover_splits(self) -> None:
-        """CRASH RECOVERY, run under the writer claim before ANY
-        maintenance. The ledger write is the COMMIT POINT of a split; a
-        ``.split-<id>.tmp`` stage left behind means a prior attempt
-        crashed either before it (roll the rename-swap back — the
-        original list is preserved under stage/old, never deleted) or
-        after it (the split landed fully; only the stage cleanup was
-        lost). ``stage/claimed_id`` records which new list id that
-        attempt minted, so the two cases are distinguishable from the
-        ledger. Recovering EVERY stage up front matters: a later split
-        could otherwise mint the same id and confuse the discriminator.
-        A naive rmtree of the stage would destroy the only surviving
-        copy of the list in the rollback case."""
-        import os
-        import re
-        import shutil
-
-        if not os.path.isdir(self.path):
-            return
-        meta = self._read_meta()
-        for name in sorted(os.listdir(self.path)):
-            m = re.fullmatch(r"\.split-(\d+)\.tmp", name)
-            if not m:
-                continue
-            list_id = int(m.group(1))
-            stage = os.path.join(self.path, name)
-            part_dir = f"{self.path}/lists/ivf_list={list_id}"
-            old_dir = f"{stage}/old"
-            cent_old = f"{stage}/centroids.old"
-            claim_file = f"{stage}/claimed_id"
-            claimed = None
-            if os.path.exists(claim_file):
-                try:
-                    with open(claim_file, encoding="utf-8") as f:
-                        claimed = int(f.read().strip())
-                except ValueError:
-                    # torn/empty claim (the write is atomic-replaced, but
-                    # stay robust): the attempt died at claim creation,
-                    # before any rename — treat as uncommitted, unknown id
-                    claimed = None
-            committed = claimed is not None and str(claimed) in meta["counts"]
-            if not committed:
-                # roll back: drop whatever half-state the swap created,
-                # restore the original partition and quantizer wholesale.
-                # The minted id is claimed when readable, else the
-                # ledger's next_list_id (an uncommitted attempt cannot
-                # have advanced it).
-                minted = claimed if claimed is not None else meta["next_list_id"]
-                shutil.rmtree(
-                    f"{self.path}/lists/ivf_list={minted}",
-                    ignore_errors=True,
-                )
-                if os.path.isdir(old_dir):
-                    shutil.rmtree(part_dir, ignore_errors=True)
-                    os.replace(old_dir, part_dir)
-                if os.path.isdir(cent_old):
-                    shutil.rmtree(
-                        f"{self.path}/centroids", ignore_errors=True
-                    )
-                    os.replace(cent_old, f"{self.path}/centroids")
-                # a crashed attempt may also leave its staged quantizer
-                shutil.rmtree(
-                    f"{self.path}/centroids.new", ignore_errors=True
-                )
-            shutil.rmtree(stage, ignore_errors=True)
-
     def _split(self, list_id: int) -> bool:
-        """One list → two: deterministic seeds (the two smallest-id
-        vectors in the list), a single assignment pass, means become the
-        two new centroids; side A keeps ``list_id``, side B takes the
-        ledger's next id. Returns True iff the list actually split
-        (0/1-vector and degenerate all-one-side lists refuse). The swap
-        is RENAMES ONLY with the ledger write as the commit point —
-        crash-recoverable via ``_recover_splits``."""
-        import os
-        import shutil
-
+        """One list → two FRESH list ids (copy-on-write): deterministic
+        seeds (the two smallest-id vectors in the list), a single
+        assignment pass, means become the two new centroids. Returns
+        True iff the list actually split (0/1-vector and degenerate
+        all-one-side lists refuse). Nothing is renamed or rewritten in
+        place — both sides land under ids no committed reader knows,
+        the next quantizer generation is written beside the live one,
+        and the ledger write is the COMMIT POINT: a crash before it
+        leaves only unreferenced dirs (swept by the next op's vacuum),
+        a crash after it leaves only garbage entries (same sweep). A
+        probe racing the split therefore sees the pre- or post-split
+        snapshot, never a half-state (pytest-pinned via the
+        ``_inject_before_commit`` seam)."""
         from pyspark.sql import Window
 
-        part_dir = f"{self.path}/lists/ivf_list={list_id}"
-        stage = f"{self.path}/.split-{list_id}.tmp"
-        old_dir = f"{stage}/old"
-        cent_old = f"{stage}/centroids.old"
-        claim_file = f"{stage}/claimed_id"
         meta = self._read_meta()
-        new_id = meta["next_list_id"]
-
-        rows = self.spark.read.parquet(part_dir)
+        id_a, id_b = meta["next_list_id"], meta["next_list_id"] + 1
+        rows = self._pinned_lists(meta, lids={list_id}).drop("ivf_list")
         seeds = (
             rows.orderBy(self.id_col)
             .limit(2)
@@ -1768,138 +1977,176 @@ class IvfIndex:
         if seeds.count() < 2:
             return False  # a 0/1-vector list cannot split
         w = Window.partitionBy(self.id_col).orderBy("__d", "__sid")
+        # persist (NOT localCheckpoint): sided feeds the seed collect,
+        # both side counts, both centroid means, and both writes — and
+        # persist is explicitly releasable in the finally below, so no
+        # executor blocks linger after the split returns
         sided = (
             rows.join(F.broadcast(seeds))
             .withColumn("__d", sqdist(F.col(self.vec_col), F.col("__sv")))
             .withColumn("__rnk", F.row_number().over(w))
             .where(F.col("__rnk") == 1)
-            .select(self.id_col, self.vec_col, F.col("__sid").alias("__seed"))
-        ).localCheckpoint()
-        seed_ids = sorted(r["__sid"] for r in seeds.collect())
-        dim_idx = F.explode(
-            F.sequence(
-                F.lit(0),
-                F.size(F.col(self.vec_col)) - 1,
+            .select(
+                self.id_col, self.vec_col, F.col("__sid").alias("__seed")
             )
-        )
-
-        def mean_centroid(side_df: DataFrame) -> list[float]:
-            per = side_df.select(
-                dim_idx.alias("__dim"), F.col(self.vec_col).alias("__v")
-            ).select(
-                "__dim",
-                F.element_at(F.col("__v"), F.col("__dim") + 1)
-                .cast("double")
-                .alias("__x"),
-            )
-            agg = (
-                per.groupBy("__dim")
-                .agg(
-                    (
-                        F.sum(F.col("__x").cast("decimal(38,18)")).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("__m")
+        ).persist()
+        try:
+            seed_ids = sorted(r["__sid"] for r in seeds.collect())
+            dim_idx = F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.size(F.col(self.vec_col)) - 1,
                 )
-                .orderBy("__dim")
-                .collect()  # bounded: one row per dimension
             )
-            return [r["__m"] for r in agg]
 
-        side_a = sided.where(F.col("__seed") == seed_ids[0]).drop("__seed")
-        side_b = sided.where(F.col("__seed") == seed_ids[1]).drop("__seed")
-        n_a, n_b = side_a.count(), side_b.count()
-        if n_a == 0 or n_b == 0:
-            # degenerate list (e.g. the two seed vectors are identical so
-            # every member ties to the first seed): no useful split
-            # exists, and an EMPTY side would mint a zero-length centroid
-            # whose NULL sqdist sorts FIRST and swallows all future
-            # assignments — refuse instead
-            return False
-        cent_a, cent_b = mean_centroid(side_a), mean_centroid(side_b)
+            def mean_centroid(side_df: DataFrame) -> list[float]:
+                per = side_df.select(
+                    dim_idx.alias("__dim"),
+                    F.col(self.vec_col).alias("__v"),
+                ).select(
+                    "__dim",
+                    F.element_at(F.col("__v"), F.col("__dim") + 1)
+                    .cast("double")
+                    .alias("__x"),
+                )
+                agg = (
+                    per.groupBy("__dim")
+                    .agg(
+                        (
+                            F.sum(
+                                F.col("__x").cast("decimal(38,18)")
+                            ).cast("double")
+                            / F.count(F.lit(1))
+                        ).alias("__m")
+                    )
+                    .orderBy("__dim")
+                    .collect()  # bounded: one row per dimension
+                )
+                return [r["__m"] for r in agg]
 
-        # stage both halves, then swap via RENAMES ONLY: the original
-        # partition dir is moved to stage/old (atomic, preserved until
-        # the very end), never rmtree'd — a crash at any point leaves
-        # every vector on disk and the recovery preamble restores it
-        os.makedirs(stage, exist_ok=True)
-        # the claim identifies this attempt for recovery — written with
-        # the same tmp+fsync+replace discipline as the ledger so a kill
-        # mid-write can never leave a torn discriminator
-        with open(f"{claim_file}.tmp", "w", encoding="utf-8") as f:
-            f.write(str(new_id))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(f"{claim_file}.tmp", claim_file)
-        side_a.write.parquet(f"{stage}/ivf_list={list_id}")
-        side_b.write.parquet(f"{stage}/ivf_list={new_id}")
-        os.replace(part_dir, old_dir)
-        os.replace(f"{stage}/ivf_list={list_id}", part_dir)
-        os.replace(
-            f"{stage}/ivf_list={new_id}",
-            f"{self.path}/lists/ivf_list={new_id}",
-        )
+            side_a = sided.where(F.col("__seed") == seed_ids[0]).drop(
+                "__seed"
+            )
+            side_b = sided.where(F.col("__seed") == seed_ids[1]).drop(
+                "__seed"
+            )
+            n_a, n_b = side_a.count(), side_b.count()
+            if n_a == 0 or n_b == 0:
+                # degenerate list (e.g. the two seed vectors are
+                # identical so every member ties to the first seed): no
+                # useful split exists, and an EMPTY side would mint a
+                # zero-length centroid whose NULL sqdist sorts FIRST
+                # and swallows all future assignments — refuse instead
+                return False
+            cent_a, cent_b = mean_centroid(side_a), mean_centroid(side_b)
+            # copy-on-write: both sides land at their FINAL location
+            # under fresh ids — invisible to every snapshot reader
+            # until the ledger commit below
+            side_a.write.parquet(f"{self.path}/lists/ivf_list={id_a}")
+            side_b.write.parquet(f"{self.path}/lists/ivf_list={id_b}")
+        finally:
+            sided.unpersist()
 
-        cents = [
-            r
-            for r in self.spark.read.parquet(f"{self.path}/centroids").collect()
-            if r["list_id"] != list_id
-        ]
-        new_rows = [(list_id, cent_a), (new_id, cent_b)]
+        gen = meta["centroid_gen"]
+        cent_df = self.spark.read.parquet(self._centroid_dir(meta))
+        keep = [r for r in cent_df.collect() if r["list_id"] != list_id]
         self.spark.createDataFrame(
-            [(r["list_id"], r["centroid"]) for r in cents] + new_rows,
-            self.spark.read.parquet(f"{self.path}/centroids").schema,
-        ).write.mode("overwrite").parquet(f"{self.path}/centroids.new")
-        # swap the centroid dir with renames too: the old quantizer parks
-        # in the stage (restored by recovery if the next rename is lost)
-        os.replace(f"{self.path}/centroids", cent_old)
-        os.replace(f"{self.path}/centroids.new", f"{self.path}/centroids")
+            [(r["list_id"], r["centroid"]) for r in keep]
+            + [(id_a, cent_a), (id_b, cent_b)],
+            cent_df.schema,
+        ).write.parquet(f"{self.path}/centroids-{gen + 1}")
 
-        meta["counts"][str(list_id)] = n_a
-        meta["counts"][str(new_id)] = n_b
-        meta["next_list_id"] = new_id + 1
-        self._write_meta(meta)
-        # only now is the pre-split copy dropped
-        shutil.rmtree(stage, ignore_errors=True)
+        written = self._scan_files(lids={id_a, id_b})
+        meta["counts"].pop(str(list_id))
+        meta["counts"][str(id_a)] = n_a
+        meta["counts"][str(id_b)] = n_b
+        meta["files"].pop(str(list_id), None)
+        meta["files"][str(id_a)] = written.get(str(id_a), [])
+        meta["files"][str(id_b)] = written.get(str(id_b), [])
+        meta["next_list_id"] = id_b + 1
+        meta["centroid_gen"] = gen + 1
+        meta["garbage"] = meta.get("garbage", []) + [
+            f"lists/ivf_list={list_id}",
+            f"centroids-{gen}",
+        ]
+        if self._inject_before_commit is not None:
+            self._inject_before_commit("split")
+        self._write_meta(meta)  # COMMIT POINT
         return True
 
-    def probe(self, queries: DataFrame, n_probe: int, k: int) -> DataFrame:
-        """Probe job: broadcast centroids, prune to the probed list
-        partitions, cosine top-k within them. ``queries`` is
-        ``(q_id, qv)``; returns ``(q_id, vec_id-as-id_col, cos_sim)``."""
-        from pyspark.sql import Window
+    def probe(
+        self, queries: DataFrame, n_probe: int, k: int, retries: int = 2
+    ) -> DataFrame:
+        """Probe job: broadcast centroids, read EXACTLY the probed
+        lists' ledger-pinned files, cosine top-k within them.
+        ``queries`` is ``(q_id, qv)``; returns
+        ``(q_id, vec_id-as-id_col, cos_sim)``.
 
-        cent = self._centroids()
-        wq = Window.partitionBy("q_id").orderBy("__d", "__cid")
-        qprobe = (
-            queries.join(F.broadcast(cent))
-            .withColumn("__d", sqdist(F.col("qv"), F.col("__cv")))
-            .withColumn("__rnk", F.row_number().over(wq))
-            .where(F.col("__rnk") <= n_probe)
-            .select("q_id", "qv", F.col("__cid").alias("ivf_list"))
-        )
-        probed = sorted(
-            {
-                r["ivf_list"]
-                for r in qprobe.select("ivf_list").distinct().collect()
-            }
-        )  # bounded: <= |queries| x n_probe
-        pruned = self.spark.read.parquet(f"{self.path}/lists").where(
-            F.col("ivf_list").isin(probed)
-        )
-        scored = (
-            pruned.join(F.broadcast(qprobe), "ivf_list")
-            .where(F.col(self.id_col) != F.col("q_id"))
-            .select(
-                "q_id",
-                self.id_col,
-                cosine(F.col(self.vec_col), F.col("qv")).alias("cos_sim"),
+        Lock-free and snapshot-consistent: centroids and file set both
+        resolve through ONE committed ledger read, so a probe racing
+        any maintenance op sees the pre- or post-commit index, never a
+        half-state. Pinned files survive at least one full maintenance
+        interval (deferred vacuum); if an explicit ``vacuum()`` swept
+        the snapshot mid-resolve, the eager existence check notices and
+        the probe retries on a fresh snapshot."""
+        import os
+
+        from pyspark.sql import Window
+        from pyspark.sql.utils import AnalysisException
+
+        last_err: Exception | None = None
+        for _ in range(max(1, retries)):
+            meta = self._read_meta()
+            try:
+                cent = self._centroids(meta)
+                wq = Window.partitionBy("q_id").orderBy("__d", "__cid")
+                qprobe = (
+                    queries.join(F.broadcast(cent))
+                    .withColumn(
+                        "__d", sqdist(F.col("qv"), F.col("__cv"))
+                    )
+                    .withColumn("__rnk", F.row_number().over(wq))
+                    .where(F.col("__rnk") <= n_probe)
+                    .select(
+                        "q_id", "qv", F.col("__cid").alias("ivf_list")
+                    )
+                )
+                probed = {
+                    r["ivf_list"]
+                    for r in qprobe.select("ivf_list")
+                    .distinct()
+                    .collect()
+                }  # bounded: <= |queries| x n_probe
+                pinned = [
+                    p
+                    for lid_s, names in meta["files"].items()
+                    if int(lid_s) in probed
+                    for p in self._list_files(int(lid_s), names)
+                ]
+                gone = [p for p in pinned if not os.path.exists(p)]
+                if gone:
+                    raise FileNotFoundError(gone[0])
+                pruned = self._pinned_lists(meta, lids=probed)
+            except (AnalysisException, FileNotFoundError) as e:
+                last_err = e  # snapshot swept mid-resolve: retry fresh
+                continue
+            scored = (
+                pruned.join(F.broadcast(qprobe), "ivf_list")
+                .where(F.col(self.id_col) != F.col("q_id"))
+                .select(
+                    "q_id",
+                    self.id_col,
+                    cosine(F.col(self.vec_col), F.col("qv")).alias(
+                        "cos_sim"
+                    ),
+                )
             )
-        )
-        wt = Window.partitionBy("q_id").orderBy(
-            F.col("cos_sim").desc(), F.col(self.id_col)
-        )
-        return (
-            scored.withColumn("__rnk", F.row_number().over(wt))
-            .where(F.col("__rnk") <= k)
-            .drop("__rnk")
-        )
+            wt = Window.partitionBy("q_id").orderBy(
+                F.col("cos_sim").desc(), F.col(self.id_col)
+            )
+            return (
+                scored.withColumn("__rnk", F.row_number().over(wt))
+                .where(F.col("__rnk") <= k)
+                .drop("__rnk")
+            )
+        raise last_err  # type: ignore[misc]

@@ -2285,10 +2285,13 @@ def sim_ann_ivf_append_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle (full-corpus assignment + probe) the shared truth.
 
     Scale posture: per-batch ingest is O(|batch| x n_lists) compute and
-    O(|batch|) write; probes stay O(lists probed) regardless of how many
-    appends accumulated; overgrown lists re-split locally
-    (IvfIndex.maybe_split, pytest-pinned) so per-list probe cost stays
-    bounded without ever refitting the quantizer globally."""
+    O(|batch|) write, and the ledger update reads back ONLY the touched
+    partitions' new files (dir-mtime bounded; telemetry pytest-pinned)
+    — never the whole index, so ingest cost stays O(batch) across
+    thousands of accumulated appends; probes stay O(lists probed)
+    regardless; overgrown lists re-split locally (IvfIndex.maybe_split,
+    pytest-pinned) so per-list probe cost stays bounded without ever
+    refitting the quantizer globally."""
     import os as _os
     import shutil
     import tempfile as _tempfile
@@ -2383,10 +2386,12 @@ _SPLIT_D2 = sql_sqdist("m.embedding", "s.sv")
     # The re-split is fully deterministic (seed vectors = the two
     # smallest ids in the overgrown list; one sqdist assignment pass
     # with the (distance, seed) tie-break; decimal-sum per-dim means
-    # become the two centroids), so DuckDB replays it from the raw
-    # fixture: full assignment -> the largest list (min-id tie-break)
-    # -> seeds -> sides -> per-side counts, id sums, and the first two
-    # centroid components.
+    # become the two centroids; BOTH sides take fresh ledger ids —
+    # copy-on-write, so the minted ids are 16 and 17 after a 0..15
+    # build), so DuckDB replays it from the raw fixture: full
+    # assignment -> the largest list (min-id tie-break) -> seeds ->
+    # sides -> per-side counts, id sums, and the first two centroid
+    # components.
     oracle=f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding AS cv FROM embeddings
@@ -2416,7 +2421,7 @@ _SPLIT_D2 = sql_sqdist("m.embedding", "s.sv")
       WHERE rnk = 1),
     grp AS (
       SELECT CASE WHEN sid = (SELECT MIN(sid) FROM seeds)
-                  THEN (SELECT t FROM tgt) ELSE {_IVF_LISTS} END AS list_id,
+                  THEN {_IVF_LISTS} ELSE {_IVF_LISTS + 1} END AS list_id,
              vec_id, embedding
       FROM sided),
     m AS (
@@ -2449,14 +2454,19 @@ def sim_ann_ivf_split_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pinned in-query: exactly the targeted list split (maybe_split's
     ``lists=`` restriction — the operational 'split THIS list' form);
-    the quantizer grew by one (17 centroids); the growth ledger equals
-    the physical per-list counts afterward; total membership is
-    preserved (a split moves vectors, never drops or duplicates).
+    both sides took FRESH ledger ids (copy-on-write — nothing is
+    renamed into or out of place, so a ledger-pinned probe racing the
+    split sees pre- or post-commit state, never a half-state); the
+    quantizer grew by one net (17 centroids — old list retired, two
+    minted); the growth ledger equals the physical per-list counts
+    after the deferred vacuum; total membership is preserved (a split
+    moves vectors, never drops or duplicates).
 
     Scale posture: the split reads and rewrites ONLY the overgrown
     partition — O(|that list|) while the corpus is arbitrarily large —
-    and the staged partition-dir swap means a concurrent probe never
-    sees a half-split list."""
+    and the superseded partition stays on disk until the next
+    maintenance op's vacuum, so lock-free snapshot probes never lose
+    their files mid-flight."""
     import shutil
     import tempfile as _tempfile
 
@@ -2482,10 +2492,18 @@ def sim_ann_ivf_split_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"expected exactly list {target} to split, got {split_ids}"
             )
-        new_id = _IVF_LISTS  # the ledger's next id after a 0..15 build
-        cents = spark.read.parquet(f"{base}/idx/centroids")
+        # copy-on-write: both sides took fresh ids from the ledger
+        id_a, id_b = _IVF_LISTS, _IVF_LISTS + 1
+        cents = idx.centroids()
         if cents.count() != _IVF_LISTS + 1:
             raise AssertionError("quantizer did not grow by exactly one")
+        if target in idx.list_counts():
+            raise AssertionError(
+                f"split left the retired list {target} in the ledger"
+            )
+        # after the deferred vacuum the physical tree IS the snapshot:
+        # ledger == raw dir scan, and the superseded partition is gone
+        idx.vacuum()
         physical = {
             r["ivf_list"]: r["n"]
             for r in spark.read.parquet(f"{base}/idx/lists")
@@ -2500,13 +2518,13 @@ def sim_ann_ivf_split_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         two = spark.read.parquet(f"{base}/idx/lists").where(
-            F.col("ivf_list").isin([target, new_id])
+            F.col("ivf_list").isin([id_a, id_b])
         )
         agg = two.groupBy(F.col("ivf_list").alias("list_id")).agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
             F.sum("vec_id").cast("long").alias("sum_vec_id"),
         )
-        cdim = cents.where(F.col("list_id").isin([target, new_id])).select(
+        cdim = cents.where(F.col("list_id").isin([id_a, id_b])).select(
             F.col("list_id").cast("int").alias("list_id"),
             F.round(F.element_at("centroid", 1), 6).alias("c1"),
             F.round(F.element_at("centroid", 2), 6).alias("c2"),

@@ -1036,12 +1036,22 @@ def test_ivf_index_incremental_append_and_split(spark, tmp_path):
                 )
         return out
 
+    import time
+
+    time.sleep(3)  # clear the 2s dir-mtime slack: build dirs ≠ touched
     before = file_state(str(tmp_path / "inc" / "lists"))
     added = idx.append(half_b)
     after = file_state(str(tmp_path / "inc" / "lists"))
     # no pre-existing file rewritten: append is O(batch), not O(corpus)
     assert all(after[k] == v for k, v in before.items())
     assert sum(added.values()) == half_b.count()
+    # the ledger update read back ONLY the touched partitions (VERDICT
+    # r14 Next #2): every partition dir is stat'ed once, but names are
+    # listed only for dirs the batch landed in, and Spark read footers
+    # only for the batch's NEW files — never the whole index
+    rb = idx.last_append_readback
+    assert rb["dirs_listed"] == len(added) <= rb["dirs_stat"]
+    assert rb["files_read"] == len(after) - len(before)
     # ledger == physical truth
     physical = {
         r["ivf_list"]: r["n"]
@@ -1069,18 +1079,24 @@ def test_ivf_index_incremental_append_and_split(spark, tmp_path):
     assert big in split_ids
     new_counts = idx.list_counts()
     assert len(new_counts) == len(counts) + len(split_ids)
+    assert big not in new_counts  # copy-on-write: both sides take fresh ids
     assert sum(new_counts.values()) == n_total
-    # every vector still present exactly once
-    ids = [
+    # every vector still present exactly once — through the snapshot
+    # read (the superseded pre-split partition is garbage awaiting the
+    # deferred vacuum, so a raw dir scan would double-count)
+    ids = [r[0] for r in idx.read_lists().select("vec_id").collect()]
+    assert len(ids) == n_total and len(set(ids)) == n_total
+    # after an explicit vacuum the physical tree IS the snapshot
+    idx.vacuum()
+    raw_ids = [
         r[0]
         for r in spark.read.parquet(str(tmp_path / "inc" / "lists"))
         .select("vec_id")
         .collect()
     ]
-    assert len(ids) == n_total and len(set(ids)) == n_total
+    assert sorted(raw_ids) == sorted(ids)
     # centroids grew with the split and probe still works end-to-end
-    n_cent = spark.read.parquet(str(tmp_path / "inc" / "centroids")).count()
-    assert n_cent == 8 + len(split_ids)
+    assert idx.centroids().count() == 8 + len(split_ids)
     assert idx.probe(q, n_probe=3, k=10).count() == 20
 
 
@@ -1156,6 +1172,12 @@ def test_ivf_index_maintenance_is_single_writer(spark, tmp_path):
         idx.append(batch)
     with pytest.raises(ValueError, match="single-writer"):
         idx.maybe_split(1)
+    # a REBUILD at the same path must refuse too (ADVICE r14: an
+    # unclaimed rebuild could race a live maintainer)
+    with pytest.raises(ValueError, match="single-writer"):
+        IvfIndex.build(
+            spark, str(tmp_path / "idx"), emb.where(F.col("vec_id") < 10), cent
+        )
     os.remove(claim)
     idx.append(batch)  # claim released by the crashed-writer cleanup
     assert not os.path.exists(claim)  # released after a successful append
@@ -1202,14 +1224,14 @@ def test_poll_path_crlf_and_gzip_size_routing(spark, tmp_path):
 
 
 def test_ivf_split_refuses_degenerate_and_recovers_from_crash(spark, tmp_path):
-    """Review fixes pinned: (a) a list whose members all tie to one seed
-    refuses to split (an empty side would mint a zero-length centroid
-    whose NULL distance sorts first and swallows every future
-    assignment) and is NOT reported as split; (b) a split interrupted
-    mid-swap (original list parked under the stage, ledger not yet
-    written) is rolled back losslessly by the next maintenance op."""
+    """Pinned: (a) a list whose members all tie to one seed refuses to
+    split (an empty side would mint a zero-length centroid whose NULL
+    distance sorts first and swallows every future assignment) and is
+    NOT reported as split; (b) a split crashed at the REAL commit point
+    (via the _inject_before_commit seam) leaves the committed snapshot
+    untouched — its freshly written dirs are unreferenced and the next
+    maintenance op sweeps them before re-minting their ids."""
     import os
-    import shutil
 
     from reflex_spark.operators.similarity import IvfIndex
 
@@ -1227,23 +1249,31 @@ def test_ivf_split_refuses_degenerate_and_recovers_from_crash(spark, tmp_path):
     # unsplittable — maybe_split must return [] and change nothing
     assert idx.maybe_split(threshold=counts0[0] - 1, lists=[0]) == []
     assert idx.list_counts() == counts0
-    assert spark.read.parquet(str(tmp_path / "idx" / "centroids")).count() == 2
+    assert idx.centroids().count() == 2
 
-    # simulate a crash mid-swap of list 1: the original partition dir is
-    # parked under the stage (claimed_id written, ledger NOT updated)
+    # crash list 1's split at the commit point: both side dirs and the
+    # next quantizer generation are already on disk, the ledger is not
+    def boom(op):
+        raise RuntimeError("injected crash before commit")
+
+    idx._inject_before_commit = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.maybe_split(threshold=counts0[1] - 1, lists=[1])
+    idx._inject_before_commit = None
     lists_dir = str(tmp_path / "idx" / "lists")
-    stage = str(tmp_path / "idx" / ".split-1.tmp")
-    os.makedirs(stage)
-    with open(f"{stage}/claimed_id", "w") as f:
-        f.write("2")
-    shutil.move(f"{lists_dir}/ivf_list=1", f"{stage}/old")
-    assert not os.path.isdir(f"{lists_dir}/ivf_list=1")
-    # next maintenance op must FIRST restore the parked list, then split
+    assert os.path.isdir(f"{lists_dir}/ivf_list=2")  # uncommitted side A
+    assert idx.list_counts() == counts0  # ledger never moved
+    # the committed snapshot is intact: reads and probes see list 1 whole
+    ids = [r[0] for r in idx.read_lists().select("vec_id").collect()]
+    assert sorted(ids) == sorted(r[0] for r in rows)
+
+    # next maintenance op sweeps the orphans, then the split succeeds
     split = idx.maybe_split(threshold=counts0[1] - 1, lists=[1])
     assert split == [1]
-    assert not os.path.isdir(stage)
     new_counts = idx.list_counts()
+    assert set(new_counts) == {0, 2, 3}  # fresh ids, old list 1 retired
     assert sum(new_counts.values()) == 16  # nothing lost, nothing doubled
+    idx.vacuum()
     ids = [
         r[0]
         for r in spark.read.parquet(lists_dir).select("vec_id").collect()
@@ -1278,12 +1308,13 @@ def test_blob_datasource_csv_malformed_fields_become_null(spark, tmp_path):
 
 
 def test_ivf_split_recovery_keeps_committed_split(spark, tmp_path):
-    """The other recovery branch: a stage left behind AFTER the ledger
-    commit (only the cleanup was lost) must be garbage-collected WITHOUT
-    rolling the committed split back — the parked pre-split copy would
-    otherwise resurrect and double every vector."""
+    """The other crash branch: the ledger commit LANDED but the process
+    died before the next op's sweep — the superseded pre-split
+    partition and quantizer generation sit in the garbage list. The
+    snapshot read must ignore them, and the next maintenance op must
+    sweep them WITHOUT rolling the committed split back (the parked
+    pre-split copy would otherwise resurrect and double every vector)."""
     import os
-    import shutil
 
     from reflex_spark.operators.similarity import IvfIndex
 
@@ -1299,24 +1330,116 @@ def test_ivf_split_recovery_keeps_committed_split(spark, tmp_path):
     assert idx.maybe_split(threshold=counts[big] - 1, lists=[big]) == [big]
     after = idx.list_counts()
 
-    # simulate the lost cleanup: stage reappears with the committed
-    # claimed_id (2) and a STALE pre-split copy parked under old/
+    # the deferred-vacuum state IS the post-commit-crash state: the
+    # pre-split partition and centroids-0 are still on disk, parked in
+    # the garbage list
     lists_dir = str(tmp_path / "idx" / "lists")
-    stage = str(tmp_path / "idx" / f".split-{big}.tmp")
-    os.makedirs(stage)
-    with open(f"{stage}/claimed_id", "w") as f:
-        f.write("2")  # minted by the committed split above
-    shutil.copytree(f"{lists_dir}/ivf_list={big}", f"{stage}/old")
+    assert os.path.isdir(f"{lists_dir}/ivf_list={big}")
+    assert idx._read_meta()["garbage"] == [
+        f"lists/ivf_list={big}",
+        "centroids-0",
+    ]
+    # the snapshot read ignores the garbage: nothing doubled
+    ids = [r[0] for r in idx.read_lists().select("vec_id").collect()]
+    assert sorted(ids) == list(range(40))
 
-    # any maintenance op must sweep the stage WITHOUT touching data
+    # any maintenance op sweeps the garbage WITHOUT touching live data
     idx.maybe_split(threshold=10**9)
-    assert not os.path.isdir(stage)
+    assert not os.path.isdir(f"{lists_dir}/ivf_list={big}")
+    assert not os.path.isdir(str(tmp_path / "idx" / "centroids-0"))
+    assert idx._read_meta()["garbage"] == []
     assert idx.list_counts() == after
     ids = [
         r[0]
         for r in spark.read.parquet(lists_dir).select("vec_id").collect()
     ]
     assert sorted(ids) == list(range(40))  # nothing doubled, nothing lost
+
+
+def test_ivf_probe_is_snapshot_consistent_under_maintenance(spark, tmp_path):
+    """VERDICT r14 Next #3: a probe RACING a split (injected at the real
+    commit point via the seam) must return exactly the serial pre-split
+    result — it resolves centroids and list files through one committed
+    ledger read, and the superseded state is still on disk (deferred
+    vacuum). Same for a probe racing an append: the half-written batch
+    is invisible until the ledger commit."""
+    from reflex_spark.operators.similarity import IvfIndex
+    from reflex_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "idx"), emb.where(F.col("vec_id") % 2 == 0), cent
+    )
+    q = emb.where(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    serial = snap(idx.probe(q, n_probe=3, k=10))
+    racing = {}
+
+    def probe_mid_commit(op):
+        racing[op] = snap(idx.probe(q, n_probe=3, k=10))
+
+    # race an APPEND: new files are on disk, ledger not yet committed
+    idx._inject_before_commit = probe_mid_commit
+    idx.append(emb.where(F.col("vec_id") % 2 == 1))
+    assert racing.pop("append") == serial
+
+    # race a SPLIT of the biggest list at its commit point
+    serial2 = snap(idx.probe(q, n_probe=3, k=10))
+    counts = idx.list_counts()
+    big = max(counts, key=lambda k: counts[k])
+    idx.maybe_split(threshold=counts[big] - 1, lists=[big])
+    idx._inject_before_commit = None
+    assert racing.pop("split") == serial2
+    # and the post-split probe still returns a full result set
+    assert idx.probe(q, n_probe=3, k=10).count() == 20
+
+
+def test_ivf_repair_drops_crashed_append_orphans(spark, tmp_path):
+    """A batch whose ledger commit crashed leaves uncommitted files
+    INSIDE live partitions — invisible to pinned probes (transactional:
+    the append never happened) and reclaimed by repair(), after which
+    the caller re-runs the batch without doubling anything."""
+    from reflex_spark.operators.similarity import IvfIndex
+    from reflex_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    seed = emb.where(F.col("vec_id") < 100)
+    batch = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 140))
+    idx = IvfIndex.build(spark, str(tmp_path / "idx"), seed, cent)
+
+    def boom(op):
+        raise RuntimeError("injected crash before commit")
+
+    idx._inject_before_commit = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.append(batch)
+    idx._inject_before_commit = None
+    # the crashed batch's files are on disk but unreferenced: the
+    # snapshot read and the ledger both still show only the seed corpus
+    assert sum(idx.list_counts().values()) == 100
+    assert idx.read_lists().count() == 100
+    dropped = idx.repair()
+    assert dropped["orphan_files_dropped"] > 0
+    assert sum(idx.list_counts().values()) == 100
+    # re-running the batch lands it exactly once
+    idx.append(batch)
+    assert sum(idx.list_counts().values()) == 140
+    assert idx.read_lists().count() == 140
+    got = idx.read_lists().select("vec_id").distinct().count()
+    assert got == 140
 
 
 def test_gzip_multimember_and_sticky_split_refusal(spark, tmp_path):
