@@ -4788,22 +4788,25 @@ def tx_concurrent_retry_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_a.append(seed)
         t_b = TxTable(spark, path)
 
-        # deterministic interleave injection: at the instant A's merge
-        # first reaches the commit protocol, B's delete commits FOR REAL
-        # through its own handle — then A's original commit hits the
-        # already-taken version file (the genuine O_EXCL race loss)
-        orig_commit = t_a._commit
+        # deterministic interleave injection through TxTable's
+        # documented commit seam (_on_before_commit — VERDICT r14 Next
+        # #6): at the instant A's merge first reaches the commit
+        # protocol, B's delete commits FOR REAL through its own handle —
+        # then A's commit hits the already-taken version file (the
+        # genuine O_EXCL race loss)
         attempts = {"merge": 0}
 
-        def interleaved_commit(version: int, entry: dict) -> None:
+        def interleave(version: int, entry: dict) -> None:
             if entry.get("op") == "merge":
                 attempts["merge"] += 1
                 if attempts["merge"] == 1:
                     t_b.delete_by_key(doomed, ["k"])
-            orig_commit(version, entry)
 
-        t_a._commit = interleaved_commit
-        t_a.merge_by_key(updates, ["k"], "ver", retries=1)
+        t_a._on_before_commit = interleave
+        try:
+            t_a.merge_by_key(updates, ["k"], "ver", retries=1)
+        finally:
+            t_a._on_before_commit = None
 
         if attempts["merge"] != 2:
             raise AssertionError(
