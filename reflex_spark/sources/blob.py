@@ -101,6 +101,12 @@ class BlobBucket:
         self.schema = schema
         self.fmt = fmt
         self.options = dict(options or {})
+        # (key, compressed_size, cap) -> measured decompressed size: the
+        # poll loop revisits the same blob every iteration, and the
+        # bounded sizing decompression need only be paid once per blob
+        # version (the compressed size changes when a blob is rewritten,
+        # invalidating the entry; the cap keys the truncation point)
+        self._gz_size_memo: dict[tuple[str, int, int], int] = {}
 
     def _schema_ddl(self) -> str:
         return ", ".join(
@@ -188,24 +194,35 @@ class BlobBucket:
         # gzip blobs are sized by BOUNDED stream-decompression: read at
         # most cap+1 decompressed bytes — exact below the cap, and "over"
         # is all the router needs above it. Cost is O(min(size, cap))
-        # decompress once per polled blob; the wholetext read pays the
-        # same decompress anyway. Where the blob isn't locally openable
-        # (remote stores), assume a 32x ratio — text routinely
-        # compresses 10-30x.
+        # decompress ONCE per blob version — the result is memoized on
+        # (key, compressed size, cap), so a poll loop revisiting the blob
+        # every iteration does not re-pay it. Where the blob isn't
+        # locally openable (remote stores), the true decompressed size
+        # cannot be probed — fail SAFE to the line-reader fallback: an
+        # assumed compression ratio can under-estimate highly repetitive
+        # text below the cap and OOM the single wholetext task.
         if size is not None and key.endswith(".gz"):
             import gzip as _gzip
 
-            try:
-                n = 0
-                with _gzip.open(key, "rb") as g:
-                    while n <= self.POLL_WHOLETEXT_CAP:
-                        chunk = g.read(1 << 20)
-                        if not chunk:
-                            break
-                        n += len(chunk)
-                size = n
-            except OSError:
-                size = size * 32
+            memo_key = (key, size, self.POLL_WHOLETEXT_CAP)
+            cached = self._gz_size_memo.get(memo_key)
+            if cached is not None:
+                size = cached
+            else:
+                try:
+                    n = 0
+                    with _gzip.open(key, "rb") as g:
+                        while n <= self.POLL_WHOLETEXT_CAP:
+                            chunk = g.read(1 << 20)
+                            if not chunk:
+                                break
+                            n += len(chunk)
+                    size = n
+                except OSError:
+                    size = self.POLL_WHOLETEXT_CAP + 1
+                if len(self._gz_size_memo) > 65536:  # poll loops are long
+                    self._gz_size_memo.clear()
+                self._gz_size_memo[memo_key] = size
         if size is not None and size <= self.POLL_WHOLETEXT_CAP:
             # NB: wholetext must be the .text() kwarg — the method's own
             # default overrides a reader-level .option("wholetext", ...)

@@ -353,7 +353,32 @@ class ReflexBlobWriter(DataSourceWriter):
 # (the blob.py from_csv path behaves the same way — the two read paths
 # must not diverge on a dirty row).
 _INT_RE = re.compile(r"[+-]?[0-9]+")
-_FLOAT_RE = re.compile(r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?")
+# Java Double.parseDouble grammar (what univocity falls through to):
+# decimal forms with an optional fFdD suffix, and hex-float forms —
+# both verified against from_csv ('1.5d' -> 1.5, '0x1.8p1' -> 3.0)
+_FLOAT_RE = re.compile(
+    r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?[dDfF]?"
+)
+_HEXFLOAT_RE = re.compile(
+    r"[+-]?0[xX]([0-9a-fA-F]+(\.[0-9a-fA-F]*)?|\.[0-9a-fA-F]+)"
+    r"[pP][+-]?[0-9]+[dDfF]?"
+)
+# exact-case special tokens Spark's CSV reader accepts for doubles: the
+# nanValue/positiveInf/negativeInf option defaults ('NaN', 'Inf',
+# '-Inf') plus Java's own 'Infinity'/'NaN' spellings with optional sign
+# ('+Inf' is NOT accepted — neither an option default nor Java grammar).
+# Python float() takes 'nan'/'inf'/'infinity' case-INsensitively, so a
+# plain float() fallthrough would accept tokens Spark nulls (ADVICE r14)
+_SPECIAL_FLOAT = {
+    "NaN": float("nan"),
+    "+NaN": float("nan"),
+    "-NaN": float("nan"),
+    "Inf": float("inf"),
+    "-Inf": float("-inf"),
+    "Infinity": float("inf"),
+    "+Infinity": float("inf"),
+    "-Infinity": float("-inf"),
+}
 
 
 def _permissive(parse, pattern):
@@ -371,11 +396,24 @@ def _permissive(parse, pattern):
     return conv
 
 
+def _parse_double(s):
+    if s in _SPECIAL_FLOAT:
+        return _SPECIAL_FLOAT[s]
+    if _FLOAT_RE.fullmatch(s):
+        return float(s.rstrip("dDfF"))
+    if _HEXFLOAT_RE.fullmatch(s):
+        try:
+            return float.fromhex(s.rstrip("dDfF"))
+        except ValueError:  # unreachable given the regex; stay permissive
+            return None
+    return None
+
+
 def _csv_converter(dtype):
     if isinstance(dtype, (LongType, IntegerType)):
         return _permissive(int, _INT_RE)
     if isinstance(dtype, (DoubleType, FloatType)):
-        return _permissive(float, _FLOAT_RE)
+        return _parse_double
     if isinstance(dtype, BooleanType):
         return lambda s: (
             True
@@ -453,15 +491,30 @@ class ReflexBlobReader(DataSourceReader):
             if self.fmt == "csv":
                 if self.header:
                     next(f, None)  # per-blob header line
-                # Spark/univocity CSV conventions: quote '"', escape '\'
-                rdr = _csv.reader(
-                    f,
-                    delimiter=self.sep,
-                    quotechar='"',
-                    escapechar="\\",
-                    doublequote=False,
-                )
-                for parts in rdr:
+                # Spark/univocity CSV conventions: quote '"', escape '\'.
+                # Each PHYSICAL LINE is parsed as one record (the reader
+                # is fed line by line, never the whole stream): Spark's
+                # CSV source and blob.py's from_csv path are both
+                # line-based at multiLine=false, so a quoted field with
+                # an embedded newline must yield two (malformed) rows
+                # here too — letting csv.reader consume the stream would
+                # silently JOIN them into one record and the two read
+                # paths would disagree on record boundaries (ADVICE r14).
+                # Multiline-quoted records are unsupported on every path.
+                for line in f:
+                    line = line.rstrip("\r\n")
+                    if not line:
+                        continue  # Spark CSV skips blank lines
+                    parts = next(
+                        _csv.reader(
+                            [line],
+                            delimiter=self.sep,
+                            quotechar='"',
+                            escapechar="\\",
+                            doublequote=False,
+                        ),
+                        None,
+                    )
                     if not parts:
                         continue
                     rec = {

@@ -1307,6 +1307,44 @@ def test_blob_datasource_csv_malformed_fields_become_null(spark, tmp_path):
     assert got == [(None, "bad", None, None), (1, "ok", 2.5, True)]
 
 
+def test_blob_datasource_csv_parity_special_floats_and_multiline(
+    spark, tmp_path
+):
+    """ADVICE r14: the DataSource's permissive CSV converters must not
+    diverge from Spark's own CSV reader on (a) Java special float
+    tokens — exact-case NaN/Inf/-Inf/±Infinity parse, lowercase
+    'nan' and underscore separators NULL (Python float() would accept
+    them), suffixed '1.5d' and hex '0x1.8p1' parse; (b) record
+    BOUNDARIES — a quoted field with an embedded newline yields two
+    malformed rows on both line-based paths, never one joined record."""
+    from reflex_spark.sources.blob_datasource import register
+
+    root = tmp_path / "bucket"
+    root.mkdir()
+    (root / "a.csv").write_text(
+        "NaN,a\nnan,b\nInf,c\n-Inf,d\n+Inf,e\nInfinity,f\n"
+        '1.5d,g\n0x1.8p1,h\n1_000,i\n"j1\nj2",k\n'
+    )
+    fs = spark.read.schema("v double, name string").csv(str(root))
+    register(spark)
+    ds = (
+        spark.read.format("reflex_blob")
+        .option("path", str(root))
+        .option("schema", "v double, name string")
+        .option("fmt", "csv")
+        .load()
+    )
+
+    def canon(df):
+        return sorted(
+            (repr(r["v"]), repr(r["name"])) for r in df.collect()
+        )
+
+    got_fs, got_ds = canon(fs), canon(ds)
+    assert got_fs == got_ds
+    assert len(got_fs) == 11  # the quoted-newline record split in two
+
+
 def test_ivf_split_recovery_keeps_committed_split(spark, tmp_path):
     """The other crash branch: the ledger commit LANDED but the process
     died before the next op's sweep — the superseded pre-split
@@ -1440,6 +1478,57 @@ def test_ivf_repair_drops_crashed_append_orphans(spark, tmp_path):
     assert idx.read_lists().count() == 140
     got = idx.read_lists().select("vec_id").distinct().count()
     assert got == 140
+
+
+def test_poll_gzip_sizing_memoized_and_remote_failsafe(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r14 Next #5 + ADVICE: (a) the bounded sizing
+    decompression is paid ONCE per blob version — a poll loop
+    revisiting the same .gz does not re-decompress it on every
+    iteration; (b) a .gz that cannot be opened locally (remote store)
+    routes to the line-reader fallback instead of trusting an assumed
+    compression ratio that repetitive text can beat (wholetext OOM)."""
+    import gzip
+
+    from reflex_spark.sources.blob import BlobBucket
+
+    root = str(tmp_path / "bucket")
+    os.makedirs(root, exist_ok=True)
+    with gzip.open(f"{root}/a.jsonl.gz", "wt") as f:
+        f.write('{"id": 1, "kind": "x"}\n{"id": 2, "kind": "y"}\n')
+
+    bucket = BlobBucket(spark, root, BLOB_SCHEMA)
+    first = bucket.read_blob_records(f"{root}/a.jsonl.gz")
+    assert first.count() == 2
+    assert len(bucket._gz_size_memo) == 1
+
+    calls = {"n": 0}
+    real_open = gzip.open
+
+    def counting_open(*a, **kw):
+        calls["n"] += 1
+        return real_open(*a, **kw)
+
+    monkeypatch.setattr(gzip, "open", counting_open)
+    again = bucket.read_blob_records(f"{root}/a.jsonl.gz")
+    plan = again._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan  # still the JVM wholetext route
+    assert again.count() == 2
+    assert calls["n"] == 0  # sizing served from the memo
+
+    # (b) not locally openable → fail safe to the RDD fallback
+    def remote_open(*a, **kw):
+        raise OSError("not a local path")
+
+    monkeypatch.setattr(gzip, "open", remote_open)
+    fresh = BlobBucket(spark, root, BLOB_SCHEMA)
+    routed = fresh.read_blob_records(f"{root}/a.jsonl.gz")
+    assert "ExistingRDD" in routed._jdf.queryExecution().executedPlan().toString()
+    assert sorted((r["id"], r["kind"]) for r in routed.collect()) == [
+        (1, "x"),
+        (2, "y"),
+    ]
 
 
 def test_gzip_multimember_and_sticky_split_refusal(spark, tmp_path):
