@@ -284,9 +284,16 @@ HEADLINE = [
     # other entry times the poll loop
     "blob_poll_midblob_rollup",
     # round 14: the IVF list re-split — overgrown-partition read +
-    # two-seed assignment + decimal-mean centroids + staged partition
-    # swap; the index-maintenance rewrite shape is not timed elsewhere
+    # two-seed assignment + decimal-mean centroids + copy-on-write swap;
+    # the index-maintenance rewrite shape is not timed elsewhere
     "sim_ann_ivf_split_rollup",
+    # round 15: the COMPLETE corpus build — all seven pipeline stages
+    # (exact dedup, MinHash cluster dedup, quality gate + validate
+    # audit, decontamination, token budget, temperature mixture,
+    # sequence packing) chained with per-stage ledger aggregation over
+    # persisted stage survivors; no other entry times the full
+    # composition (the two half-pipelines stay in --full)
+    "pipeline_corpus_end_to_end",
 ]
 
 

@@ -3419,3 +3419,372 @@ def dedup_incremental_minhash_rollup(spark: SparkSession, sf_dir: str) -> DataFr
         "batch long, n_docs long, n_accepted long, n_dropped_vs_index long, "
         "n_dropped_within long",
     )
+
+
+def _sql_sig40(expr: str) -> str:
+    """Order-independent membership signature: SUM of the first 40 md5
+    bits per id — the distributed, collect-free way to pin an exact
+    surviving doc set in a ledger row (2^40 x corpus size stays far
+    inside BIGINT; at true 100 TB scale the same sum runs mod 2^62)."""
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 10))::BIGINT"
+
+
+_E2E_LEDGER = """
+    SELECT {o} AS stage_ord, '{n}' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM({sig}) AS BIGINT) AS id_sig
+    FROM {src}
+"""
+
+
+_E2E_ORACLE_TMPL = """\
+
+    WITH RECURSIVE
+    base AS (SELECT doc_id, source, text,
+                    CAST({TC} AS BIGINT) AS n_tokens
+             FROM documents),
+    s1 AS (SELECT b.* FROM base b
+           JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) k
+           USING (doc_id)),
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s1),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      FROM w),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    jac AS (
+      SELECT id_a, id_b,
+             round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b),
+    sig AS (SELECT doc_id, {MH} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id,
+             unnest([0, 1, 2, 3]) AS band_idx,
+             unnest([{BK}]) AS band_key
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    dup AS (
+      SELECT j.id_a, j.id_b
+      FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.8),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dup
+      UNION SELECT id_b, id_a FROM dup),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    losers AS (
+      SELECT a AS doc_id FROM reach GROUP BY a
+      HAVING a <> LEAST(a, MIN(b))),
+    s2 AS (SELECT * FROM s1
+           WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+    s3 AS (SELECT * FROM s2
+           WHERE ({TC} BETWEEN 30 AND 100000)
+             AND ({AWL} BETWEEN 2.5 AND 8.0)
+             AND (CAST({SW} AS DOUBLE) / {TC} >= 0.01)
+             AND (CAST({DG} AS DOUBLE) / {TC} <= 0.2)),
+    wall AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shall AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS shl
+      FROM wall),
+    ev AS (SELECT DISTINCT unnest(shl) AS s FROM shall WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT e.doc_id FROM (SELECT doc_id, unnest(shl) AS s FROM shall) e
+      JOIN ev USING (s) GROUP BY e.doc_id HAVING COUNT(*) >= 2),
+    s4 AS (SELECT * FROM s3
+           WHERE doc_id % 97 <> 0
+             AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    cums AS (
+      SELECT s4.*,
+             300 + 200 * (CAST(substr(source, 4) AS INT) % 3) AS budget,
+             SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s4),
+    s5 AS (SELECT doc_id, source, n_tokens FROM cums
+           WHERE cum - n_tokens < budget),
+    nsrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM s5 GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,18)))
+                        AS DOUBLE) AS z
+            FROM nsrc),
+    thr AS (
+      SELECT source,
+             CAST(floor(
+               LEAST(CAST(1.0 AS DOUBLE),
+                     (CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE))
+                       * (sqrt(CAST(n AS DOUBLE)) / z) / CAST(n AS DOUBLE))
+               * 65536) AS BIGINT) AS bucket_threshold
+      FROM nsrc, tot),
+    s6 AS (SELECT s5.doc_id, s5.n_tokens FROM s5 JOIN thr USING (source)
+           WHERE {BKT} < thr.bucket_threshold),
+    packs AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST((SUM(n_tokens) OVER (
+                PARTITION BY shard
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens) // 256 AS BIGINT) AS pack_id
+      FROM (SELECT doc_id, n_tokens, {BKT} % 8 AS shard FROM s6))
+    {L0} UNION ALL {L1} UNION ALL {L2} UNION ALL {L3}
+    UNION ALL {L4} UNION ALL {L5} UNION ALL {L6}
+    UNION ALL
+    SELECT 7 AS stage_ord, 'sequence_packing' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM((shard * 4096 + pack_id + 1) * {BKT}) AS BIGINT) AS id_sig
+    FROM packs
+"""
+
+from reflex_spark.operators.sampling import sql_bucket as _sql_bucket  # noqa: E402
+
+_E2E_ORACLE = _E2E_ORACLE_TMPL.format(
+    TC=T.sql_token_count("text"),
+    AWL=T.sql_avg_word_len("text"),
+    SW=T.sql_stopword_count("text"),
+    DG=T.sql_digit_token_count("text"),
+    MH=_SQL_MINHASH_SIG,
+    BK=_SQL_BAND_KEYS,
+    BKT=_sql_bucket("doc_id"),
+    **{
+        f"L{i}": _E2E_LEDGER.format(
+            o=i, n=name, sig=_sql_sig40("doc_id"), src=src
+        )
+        for i, (name, src) in enumerate(
+            [
+                ("input", "base"),
+                ("exact_dedup", "s1"),
+                ("neardup_dedup", "s2"),
+                ("quality_gate", "s3"),
+                ("decontaminate", "s4"),
+                ("token_budget", "s5"),
+                ("temperature_mixture", "s6"),
+            ]
+        )
+    },
+)
+
+
+@query(
+    "pipeline_corpus_end_to_end",
+    # THE full pre-training corpus build as ONE judged query (VERDICT
+    # r14 Next #4): every stage the engine ships individually — exact
+    # dedup, MinHash-LSH cluster dedup, Gopher quality gate,
+    # benchmark decontamination, per-source token-budget fill,
+    # temperature-mixture sampling, sequence packing — chained the way
+    # a real 100 TB ingest runs them, with the judged OUTPUT being the
+    # per-stage LEDGER itself: (n_docs, n_tokens, 40-bit-md5-sum
+    # membership signature) after every stage, so a drift anywhere in
+    # the chain (a wrong dedup keeper, a gate off-by-one, a mixture
+    # threshold, a pack boundary) changes a pinned row. The oracle
+    # replays all seven stages as one CTE chain.
+    oracle=_E2E_ORACLE,
+)
+def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pre-training corpus build, judged as one query
+    (VERDICT r14 Next #4 — the north-star integration artifact): the
+    seven stages a real 100 TB ingest chains, each through the SAME
+    operator the engine ships individually, with the per-stage ledger
+    (doc count, token sum, order-independent 40-bit-md5-sum membership
+    signature) as the judged output — every stage's in/out counts are
+    thereby pinned by the oracle hash, not just asserted in-query.
+
+    Stages: (0) input → (1) exact dedup (operators/dedup.exact_dedup,
+    keep min doc_id per text) → (2) near-dup cluster dedup
+    (minhash_lsh_pairs 16 hashes/4 bands + connected_components_star,
+    keep min id per cluster) → (3) Gopher quality gate (token count,
+    mean word length, stopword ratio, digit ratio), AUDITED by a
+    declarative operators/validate expectation suite before the
+    pipeline proceeds (the WAP pattern: a failed audit raises instead
+    of publishing) → (4) benchmark decontamination
+    (contamination_overlap: drop docs sharing >= 2 word-3-grams with
+    the doc_id%97 eval set; eval docs excluded) → (5) per-source
+    token-budget fill (greedy_token_budget, content-hash order,
+    budgets 300/500/700 by source number) → (6) temperature-mixture
+    sampling (alpha=0.5, half the surviving corpus, md5-bucket
+    thresholds) → (7) fixed-256-token sequence packing
+    (pack_sequences, 8 content-hash shards; its ledger row's signature
+    weights every doc by its pack assignment, so a pack-boundary shift
+    is a hash miss).
+
+    Scale posture: one text-key shuffle (exact dedup), one banded
+    candidate join + O(log^2 n) star rounds (near-dup), scan-fused JVM
+    expressions for the gate, one broadcast membership join
+    (decontamination), per-source/per-shard windows (budget+packing —
+    embarrassingly parallel across strata), one broadcast rate table
+    (mixture). Stage survivors persist while the ledger aggregates
+    read them (explicitly unpersisted after materialization); the
+    membership signature is a distributed SUM — no collect_list of
+    doc ids anywhere."""
+    from reflex_spark.operators import validate as V
+    from reflex_spark.operators.sampling import (
+        _BUCKETS,
+        _bucket,
+        greedy_token_budget,
+        pack_sequences,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        T.token_count("text").cast("long").alias("n_tokens"),
+    )
+
+    def sig40(c):
+        return F.conv(
+            F.substring(F.md5(c.cast("string")), 1, 10), 16, 10
+        ).cast("long")
+
+    def ledger(df: DataFrame, ord_: int, name: str, sig=None) -> DataFrame:
+        sig = sig40(F.col("doc_id")) if sig is None else sig
+        return (
+            df.groupBy()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.sum(sig).cast("long").alias("id_sig"),
+            )
+            .select(
+                F.lit(ord_).cast("int").alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+                "n_tokens",
+                "id_sig",
+            )
+        )
+
+    pinned = []
+    try:
+        # 1. exact dedup
+        keep = exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+        s1 = base.join(keep, "doc_id", "left_semi")
+        # 2. near-dup cluster dedup on the exact survivors
+        pairs = minhash_lsh_pairs(
+            s1.select("doc_id", "text"),
+            "doc_id",
+            "text",
+            n=3,
+            num_hashes=16,
+            bands=4,
+            threshold=0.8,
+        ).select("id_a", "id_b")
+        cc, _rounds = connected_components_star(pairs)
+        losers = cc.where(F.col("node") != F.col("label")).select(
+            F.col("node").alias("doc_id")
+        )
+        s2 = s1.join(losers, "doc_id", "left_anti").persist()
+        pinned.append(s2)
+        # 3. Gopher gate + declarative audit before proceeding
+        n = T.token_count("text")
+        awl = T.avg_word_len("text")
+        s3 = s2.where(
+            (n >= 30) & (n <= 100000)
+            & (awl >= 2.5) & (awl <= 8.0)
+            & (T.stopword_count("text").cast("double") / n.cast("double") >= 0.01)
+            & (T.digit_token_count("text").cast("double") / n.cast("double") <= 0.2)
+        ).persist()
+        pinned.append(s3)
+        audit = [
+            V.has_size(lo=1),
+            V.is_complete("text"),
+            V.has_min("n_tokens", lo=30.0),
+            V.has_max("n_tokens", hi=100000.0),
+        ]
+        report = V.validate(s3, audit).collect()  # control-plane rows
+        bad = [r["check_name"] for r in report if not r["passed"]]
+        if bad:
+            raise AssertionError(f"quality audit failed, not publishing: {bad}")
+        # 4. benchmark decontamination
+        ev = docs.where(F.col("doc_id") % 97 == 0)
+        nev = s3.where(F.col("doc_id") % 97 != 0)
+        flags = contamination_overlap(
+            nev.select("doc_id", "text"), ev, "doc_id", "text", n=3, min_overlap=2
+        )
+        s4 = nev.join(
+            flags.where(F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).persist()
+        pinned.append(s4)
+        # 5. per-source token-budget fill
+        budget = (
+            F.lit(300)
+            + F.lit(200) * (F.expr("CAST(substring(source, 4) AS INT)") % 3)
+        ).cast("long")
+        s5 = (
+            greedy_token_budget(
+                s4.withColumn("budget", budget),
+                "doc_id",
+                F.col("n_tokens"),
+                F.col("budget"),
+                "source",
+            )
+            .select("doc_id", "source", "n_tokens")
+            .persist()
+        )
+        pinned.append(s5)
+        # 6. temperature-mixture sampling (alpha=0.5, half the corpus)
+        nsrc = s5.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        tot = nsrc.agg(
+            F.sum("n").alias("total"),
+            F.sum(F.sqrt(F.col("n").cast("double")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("z"),
+        )
+        rate = F.least(
+            F.lit(1.0),
+            (F.lit(0.5) * F.col("total").cast("double"))
+            * (F.sqrt(F.col("n").cast("double")) / F.col("z"))
+            / F.col("n").cast("double"),
+        )
+        thr = nsrc.crossJoin(F.broadcast(tot)).select(
+            "source",
+            F.floor(rate * _BUCKETS).cast("long").alias("bucket_threshold"),
+        )
+        s6 = (
+            s5.join(F.broadcast(thr), "source")
+            .where(_bucket(F.col("doc_id")) < F.col("bucket_threshold"))
+            .select("doc_id", "n_tokens")
+            .persist()
+        )
+        pinned.append(s6)
+        # 7. sequence packing (8 shards x 256-token packs)
+        packs = pack_sequences(
+            s6, "doc_id", F.col("n_tokens"), seq_len=256, shards=8
+        )
+        pack_sig = (
+            F.col("shard").cast("long") * 4096 + F.col("pack_id") + 1
+        ) * _bucket(F.col("doc_id"))
+        out = (
+            ledger(base, 0, "input")
+            .unionByName(ledger(s1, 1, "exact_dedup"))
+            .unionByName(ledger(s2, 2, "neardup_dedup"))
+            .unionByName(ledger(s3, 3, "quality_gate"))
+            .unionByName(ledger(s4, 4, "decontaminate"))
+            .unionByName(ledger(s5, 5, "token_budget"))
+            .unionByName(ledger(s6, 6, "temperature_mixture"))
+            .unionByName(ledger(packs, 7, "sequence_packing", sig=pack_sig))
+        )
+        out = out.localCheckpoint()  # materialize before the unpersists
+    finally:
+        for df in pinned:
+            df.unpersist()
+    return out
