@@ -1,0 +1,109 @@
+"""IVF index MAINTENANCE at scale: 6M synthetic vectors (VERDICT r14
+Next #7) — measures what the round-15 ledger rework changed:
+
+- ``append`` over a large established index must cost O(batch), and its
+  ledger read-back must be O(touched partitions), NOT O(index): the
+  probe prints ``last_append_readback`` (dirs stat'ed / dirs listed /
+  files whose footers were read) next to the wall time so the
+  metadata-cost claim is a measurement, not a docstring.
+- ``maybe_split`` of one overgrown list must cost O(|that list|) while
+  the other lists hold millions of vectors.
+- a snapshot ``probe`` against the post-maintenance index must stay
+  O(lists probed).
+
+Vectors are synthesized JVM-side (deterministic trig of the id — no
+Python row generation) in 8 dims so 6M rows build in seconds and the
+timings isolate the maintenance machinery rather than vector math.
+
+Run:  python examples/ivf_maintenance_scale.py  [n_vectors]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reflex_spark.operators.similarity import IvfIndex
+from reflex_spark.session import get_spark
+
+DIMS = 8
+N_LISTS = 64
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
+    spark = get_spark(app_name="ivf_maintenance_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def vecs(lo: int, hi: int):
+        base = spark.range(lo, hi).select(F.col("id").alias("vec_id"))
+        # vec_id+1 in the trig: id 0 would otherwise be the all-zero
+        # vector, whose cosine is undefined (ANSI divide-by-zero)
+        comps = [
+            F.round(F.sin((F.col("vec_id") + 1) * F.lit(0.1 * (d + 1))), 6)
+            for d in range(DIMS)
+        ]
+        return base.select("vec_id", F.array(*comps).alias("embedding"))
+
+    # centroids: the first N_LISTS vectors' embeddings (caller owns the fit)
+    cent = vecs(0, N_LISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+
+    with tempfile.TemporaryDirectory(prefix="ivf_scale_") as base:
+        path = f"{base}/idx"
+        seed_n = n * 9 // 10
+        t0 = time.time()
+        idx = IvfIndex.build(spark, path, vecs(0, seed_n), cent)
+        t_build = time.time() - t0
+        n_files = sum(len(v) for v in idx._read_meta()["files"].values())
+        print(
+            f"build: {seed_n:,} vectors -> {len(idx.list_counts())} lists, "
+            f"{n_files} files, {t_build:.1f}s"
+        )
+
+        # --- append: O(batch) work, O(touched partitions) ledger update
+        t0 = time.time()
+        added = idx.append(vecs(seed_n, n))
+        t_append = time.time() - t0
+        rb = idx.last_append_readback
+        print(
+            f"append: +{sum(added.values()):,} vectors into "
+            f"{len(added)} lists, {t_append:.1f}s | ledger read-back: "
+            f"stat {rb['dirs_stat']} dirs, listed {rb['dirs_listed']}, "
+            f"read footers of {rb['files_read']} files "
+            f"(index holds {n_files + rb['files_read']}+)"
+        )
+
+        # --- split: O(|one list|) while the index holds millions
+        counts = idx.list_counts()
+        big = max(counts, key=lambda k: counts[k])
+        t0 = time.time()
+        split = idx.maybe_split(threshold=counts[big] - 1, lists=[big])
+        t_split = time.time() - t0
+        print(
+            f"split: list {big} ({counts[big]:,} vectors) -> {split}, "
+            f"{t_split:.1f}s (corpus {n:,})"
+        )
+
+        # --- probe: O(lists probed) regardless of index size
+        q = vecs(0, 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        t0 = time.time()
+        got = idx.probe(q, n_probe=4, k=10).count()
+        t_probe = time.time() - t0
+        print(f"probe: 8 queries x 4 lists -> {got} rows, {t_probe:.1f}s")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1673,6 +1673,20 @@ class IvfIndex:
             )
         return out
 
+    def _ledger_files(
+        self, meta: dict, lids: set[int] | None = None
+    ) -> list[str]:
+        """Full paths of the data files the committed ledger references
+        (optionally restricted to ``lids``) — the ONE place the
+        snapshot's file set is derived, shared by probe and the pinned
+        scans so the two views cannot drift."""
+        return [
+            p
+            for lid_s, names in meta["files"].items()
+            if lids is None or int(lid_s) in lids
+            for p in self._list_files(int(lid_s), names)
+        ]
+
     def _pinned_lists(
         self, meta: dict, lids: set[int] | None = None
     ) -> DataFrame:
@@ -1680,24 +1694,12 @@ class IvfIndex:
         references (optionally restricted to ``lids``) — files written
         by an uncommitted maintenance op are invisible, and garbage
         still awaiting vacuum is ignored."""
-        files = [
-            p
-            for lid_s, names in meta["files"].items()
-            if lids is None or int(lid_s) in lids
-            for p in self._list_files(int(lid_s), names)
-        ]
+        files = self._ledger_files(meta, lids)
         base = f"{self.path}/lists"
         if files:
             return self.spark.read.option("basePath", base).parquet(*files)
         # empty selection: borrow any referenced file for the schema
-        any_file = next(
-            (
-                p
-                for lid_s, names in meta["files"].items()
-                for p in self._list_files(int(lid_s), names)
-            ),
-            None,
-        )
+        any_file = next(iter(self._ledger_files(meta)), None)
         if any_file is None:
             raise ValueError("IvfIndex is empty: no files in the ledger")
         return (
@@ -1827,47 +1829,75 @@ class IvfIndex:
         per-list counts ADDED by this batch.
 
         The ledger update is O(touched partitions), never O(index): the
-        write start time bounds a dir-mtime scan (POSIX — creating a
-        file updates its parent dir's mtime; 2s slack for coarse-mtime
-        filesystems, and over-inclusion is harmless because an
-        untouched dir's name-diff is empty), only the touched dirs'
-        names are listed, and only files NOT already in the ledger have
-        their footers read for the count delta. A batch whose ledger
-        commit crashed leaves unreferenced files inside live
-        partitions; they stay invisible to pinned probes — run
-        ``repair()`` before retrying the batch (a later append into the
-        same partitions would otherwise adopt the partial output)."""
+        batch repartitions on ``ivf_list`` before the write (ONE file
+        per touched list per batch, so the ledger grows by at most
+        n_lists entries per append instead of n_lists x
+        shuffle-partitions), touched partitions are detected by
+        dir-mtime change against a pre-write snapshot, only their names
+        are listed, and only files NOT already in the ledger have their
+        footers read for the count delta. Every timestamp compare uses
+        the STORAGE's own clock (a marker file stat'ed after creation),
+        so driver-vs-storage clock skew cannot silently drop a
+        partition from the ledger. Unreferenced files that PREDATE this
+        append (a previous batch crashed before its ledger commit) make
+        the append refuse loudly instead of silently adopting the
+        partial output — run ``repair()`` (which also reclaims this
+        attempt's files) and re-run the batch."""
         import os
-        import time
 
+        root = f"{self.path}/lists"
         with self._claim():
             meta = self._vacuum_held(self._read_meta())
             before = {int(k): v for k, v in meta["counts"].items()}
-            t0 = time.time()
-            self._assign(batch, self._centroids(meta)).write.mode(
-                "append"
-            ).partitionBy("ivf_list").parquet(f"{self.path}/lists")
-            root = f"{self.path}/lists"
+            # storage-clock reference: both sides of every timestamp
+            # compare below come from the same filesystem clock
+            marker = os.path.join(self.path, ".append-marker")
+            with open(marker, "w", encoding="utf-8") as mf:
+                mf.write(str(os.getpid()))
+            t0_ns = os.stat(marker).st_mtime_ns
+            slack_ns = 2_000_000_000  # coarse-mtime filesystems
+            pre_dirs = {
+                n: os.stat(os.path.join(root, n)).st_mtime_ns
+                for n in os.listdir(root)
+                if n.startswith("ivf_list=")
+            }
+            self._assign(batch, self._centroids(meta)).repartition(
+                F.col("ivf_list")
+            ).write.mode("append").partitionBy("ivf_list").parquet(root)
             dirs = [
                 n for n in os.listdir(root) if n.startswith("ivf_list=")
             ]
             touched = [
                 int(n.split("=", 1)[1])
                 for n in dirs
-                if os.stat(os.path.join(root, n)).st_mtime >= t0 - 2.0
+                if n not in pre_dirs
+                or os.stat(os.path.join(root, n)).st_mtime_ns
+                != pre_dirs[n]
+                or os.stat(os.path.join(root, n)).st_mtime_ns
+                >= t0_ns - slack_ns
             ]
+            listed = self._scan_files(lids=set(touched))
             new_files: dict[int, list[str]] = {}
+            orphans: list[str] = []
             for lid in touched:
                 known = set(meta["files"].get(str(lid), []))
-                fresh = [
-                    fn
-                    for fn in sorted(
-                        os.listdir(f"{root}/ivf_list={lid}")
-                    )
-                    if not fn.startswith(("_", ".")) and fn not in known
-                ]
-                if fresh:
-                    new_files[lid] = fresh
+                for fn in listed.get(str(lid), []):
+                    if fn in known:
+                        continue
+                    fpath = f"{root}/ivf_list={lid}/{fn}"
+                    if os.stat(fpath).st_mtime_ns < t0_ns - slack_ns:
+                        orphans.append(fpath)  # predates this append
+                    else:
+                        new_files.setdefault(lid, []).append(fn)
+            if orphans:
+                raise ValueError(
+                    "unreferenced files predate this append (e.g. "
+                    f"{orphans[0]}): a previous append crashed before "
+                    "its ledger commit, and adopting its files could "
+                    "commit a PARTIAL batch. Run repair() to reclaim "
+                    "them (this attempt's own files are reclaimed with "
+                    "them), then re-run the batch."
+                )
             paths = [
                 p
                 for lid, names in new_files.items()
@@ -1904,6 +1934,10 @@ class IvfIndex:
             if self._inject_before_commit is not None:
                 self._inject_before_commit("append")
             self._write_meta(meta)
+            try:
+                os.remove(marker)
+            except OSError:
+                pass  # a leftover dot-file is inert
             if split_threshold is not None:
                 self._maybe_split_held(split_threshold, None)
         return added
@@ -2082,13 +2116,17 @@ class IvfIndex:
         ``queries`` is ``(q_id, qv)``; returns
         ``(q_id, vec_id-as-id_col, cos_sim)``.
 
-        Lock-free and snapshot-consistent: centroids and file set both
-        resolve through ONE committed ledger read, so a probe racing
-        any maintenance op sees the pre- or post-commit index, never a
+        Lock-free and snapshot-consistent against every LEDGER-COMMITTING
+        maintenance op (append / split / vacuum / repair): centroids and
+        file set both resolve through ONE committed ledger read, so a
+        probe racing those sees the pre- or post-commit index, never a
         half-state. Pinned files survive at least one full maintenance
         interval (deferred vacuum); if an explicit ``vacuum()`` swept
         the snapshot mid-resolve, the eager existence check notices and
-        the probe retries on a fresh snapshot."""
+        the probe retries on a fresh snapshot. ``build`` is the one op
+        OUTSIDE the guarantee — it replaces the table wholesale (ledger
+        included), so a probe racing a rebuild fails cleanly after its
+        retries rather than returning partial data."""
         import os
 
         from pyspark.sql import Window
@@ -2096,8 +2134,8 @@ class IvfIndex:
 
         last_err: Exception | None = None
         for _ in range(max(1, retries)):
-            meta = self._read_meta()
             try:
+                meta = self._read_meta()
                 cent = self._centroids(meta)
                 wq = Window.partitionBy("q_id").orderBy("__d", "__cid")
                 qprobe = (
@@ -2117,12 +2155,7 @@ class IvfIndex:
                     .distinct()
                     .collect()
                 }  # bounded: <= |queries| x n_probe
-                pinned = [
-                    p
-                    for lid_s, names in meta["files"].items()
-                    if int(lid_s) in probed
-                    for p in self._list_files(int(lid_s), names)
-                ]
+                pinned = self._ledger_files(meta, lids=probed)
                 gone = [p for p in pinned if not os.path.exists(p)]
                 if gone:
                     raise FileNotFoundError(gone[0])

@@ -101,12 +101,15 @@ class BlobBucket:
         self.schema = schema
         self.fmt = fmt
         self.options = dict(options or {})
-        # (key, compressed_size, cap) -> measured decompressed size: the
-        # poll loop revisits the same blob every iteration, and the
-        # bounded sizing decompression need only be paid once per blob
-        # version (the compressed size changes when a blob is rewritten,
-        # invalidating the entry; the cap keys the truncation point)
-        self._gz_size_memo: dict[tuple[str, int, int], int] = {}
+        # (key, compressed_size, mtime_ns, cap) -> measured decompressed
+        # size: the poll loop revisits the same blob every iteration, and
+        # the bounded sizing decompression need only be paid once per
+        # blob VERSION — mtime in the key means a rewrite with an
+        # identical compressed byte count still re-measures (same-size
+        # different-content collision), and the cap keys the truncation
+        # point. Only MEASURED sizes are memoized: a transient open
+        # error must not stick the blob on the fallback route forever
+        self._gz_size_memo: dict[tuple[str, int, int, int], int] = {}
 
     def _schema_ddl(self) -> str:
         return ", ".join(
@@ -204,8 +207,14 @@ class BlobBucket:
         if size is not None and key.endswith(".gz"):
             import gzip as _gzip
 
-            memo_key = (key, size, self.POLL_WHOLETEXT_CAP)
-            cached = self._gz_size_memo.get(memo_key)
+            try:
+                mtime_ns = os.stat(key).st_mtime_ns
+                memo_key = (key, size, mtime_ns, self.POLL_WHOLETEXT_CAP)
+            except OSError:
+                memo_key = None  # not locally statable: never memoize
+            cached = (
+                self._gz_size_memo.get(memo_key) if memo_key else None
+            )
             if cached is not None:
                 size = cached
             else:
@@ -218,11 +227,14 @@ class BlobBucket:
                                 break
                             n += len(chunk)
                     size = n
+                    if memo_key is not None:
+                        if len(self._gz_size_memo) > 65536:
+                            self._gz_size_memo.clear()
+                        self._gz_size_memo[memo_key] = n
                 except OSError:
+                    # not openable (remote store / transient error):
+                    # fail safe to the line-reader fallback, UNCACHED
                     size = self.POLL_WHOLETEXT_CAP + 1
-                if len(self._gz_size_memo) > 65536:  # poll loops are long
-                    self._gz_size_memo.clear()
-                self._gz_size_memo[memo_key] = size
         if size is not None and size <= self.POLL_WHOLETEXT_CAP:
             # NB: wholetext must be the .text() kwarg — the method's own
             # default overrides a reader-level .option("wholetext", ...)

@@ -396,7 +396,16 @@ def _permissive(parse, pattern):
     return conv
 
 
+# Java Double.parseDouble trims chars <= U+0020 before parsing (so
+# ' 1.5' parses where Python's regex fullmatch would NULL it), but NOT
+# unicode whitespace like U+00A0 (which Python's bare str.strip() would
+# remove) — trim exactly Java's set to keep the padded-field behavior
+# bit-identical to Spark's CSV reader
+_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
+
+
 def _parse_double(s):
+    s = s.strip(_JAVA_TRIM)
     if s in _SPECIAL_FLOAT:
         return _SPECIAL_FLOAT[s]
     if _FLOAT_RE.fullmatch(s):

@@ -1324,6 +1324,9 @@ def test_blob_datasource_csv_parity_special_floats_and_multiline(
     (root / "a.csv").write_text(
         "NaN,a\nnan,b\nInf,c\n-Inf,d\n+Inf,e\nInfinity,f\n"
         '1.5d,g\n0x1.8p1,h\n1_000,i\n"j1\nj2",k\n'
+        # Java parseDouble TRIMS chars <= U+0020 (' 1.5' parses) but not
+        # unicode whitespace (NBSP-padded stays malformed -> NULL)
+        " 1.5,p\n2.5 ,q\n\t3.5,r\n NaN,s\n 4.5,u\n"
     )
     fs = spark.read.schema("v double, name string").csv(str(root))
     register(spark)
@@ -1342,7 +1345,7 @@ def test_blob_datasource_csv_parity_special_floats_and_multiline(
 
     got_fs, got_ds = canon(fs), canon(ds)
     assert got_fs == got_ds
-    assert len(got_fs) == 11  # the quoted-newline record split in two
+    assert len(got_fs) == 16  # incl. the quoted-newline record split in two
 
 
 def test_ivf_split_recovery_keeps_committed_split(spark, tmp_path):
@@ -1469,6 +1472,16 @@ def test_ivf_repair_drops_crashed_append_orphans(spark, tmp_path):
     # snapshot read and the ledger both still show only the seed corpus
     assert sum(idx.list_counts().values()) == 100
     assert idx.read_lists().count() == 100
+    # re-running the batch WITHOUT repair refuses loudly — silently
+    # adopting the crashed attempt's files would commit a partial batch
+    # AND double-write this one (second-review finding, r15). The 3s
+    # sleep clears the storage-clock slack that separates "this
+    # attempt's files" from "a previous attempt's orphans".
+    import time
+
+    time.sleep(3)
+    with pytest.raises(ValueError, match="repair"):
+        idx.append(batch)
     dropped = idx.repair()
     assert dropped["orphan_files_dropped"] > 0
     assert sum(idx.list_counts().values()) == 100
