@@ -2536,3 +2536,256 @@ def sim_ann_ivf_split_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# The closed-form IVF probe both engines share: full-corpus assignment
+# at the seeded quantizer, probed-list routing, in-list cosine top-10 —
+# the oracle for every lifecycle query whose final answer must equal
+# "the index, probed" regardless of which maintenance history built it.
+_SQL_IVF_CLOSED_PROBE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_IVF_LISTS}
+    ),
+    lists AS (
+      SELECT vec_id, embedding, cid AS ivf_list FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_D2}, c.cid) AS rnk
+        FROM embeddings e, cent c)
+      WHERE rnk = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN (0, 1, 2)),
+    qprobe AS (
+      SELECT q_id, qv, cid AS ivf_list FROM (
+        SELECT q.q_id, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {_IVF_QD2}, c.cid) AS rnk
+        FROM q, cent c)
+      WHERE rnk <= {_IVF_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, l.vec_id, {sql_cosine('l.embedding', 'p.qv')} AS cos_sim
+      FROM lists l JOIN qprobe p USING (ivf_list)
+      WHERE l.vec_id <> p.q_id)
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT q_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 10
+    """
+
+
+@query(
+    "sim_ann_ivf_snapshot_probe_rollup",
+    # The judged rows ARE the racing probe's output: a probe injected at
+    # the split's REAL commit point must return exactly the committed
+    # pre-split snapshot's answer — which is the closed-form full-corpus
+    # probe DuckDB replays. Any half-state read (missing list, torn
+    # quantizer, short top-k) changes rows and hash-fails.
+    oracle=_SQL_IVF_CLOSED_PROBE,
+)
+def sim_ann_ivf_snapshot_probe_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The snapshot-consistency guarantee driver-judged (VERDICT r14
+    Next #3 operationalized): a lock-free probe RACING a list re-split
+    — injected at the split's actual commit point through the
+    maintenance seam, i.e. after both sides and the next quantizer
+    generation are on disk but before the ledger commit — must return
+    bit-exactly the committed pre-split snapshot's answer, because it
+    resolves centroids and list files through one committed ledger
+    read and the superseded state is still on disk (deferred vacuum).
+
+    Pinned in-query: the serial pre-split probe, the mid-commit racing
+    probe, and the judged output are all the SAME rows (the oracle's
+    closed-form replay); the split genuinely happened (ledger retired
+    the target list); the post-split probe still serves full top-k from
+    the new snapshot. The old staged-rename design could transiently
+    miss the splitting list or crash on a half-swapped quantizer here —
+    this query exists so that regression would be a driver-visible
+    hash failure, not a pytest-only one.
+
+    Scale posture: the probe is O(lists probed) and takes no lock;
+    the race window costs nothing to readers because commit is one
+    atomic ledger write and vacuum is deferred a full maintenance
+    interval."""
+    import shutil
+    import tempfile as _tempfile
+
+    from reflex_spark.operators.similarity import IvfIndex
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cent = emb.where(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    queries_df = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    base = _tempfile.mkdtemp(prefix="ivf_snapprobe_")
+    try:
+        idx = IvfIndex.build(spark, f"{base}/idx", emb, cent)
+
+        def probe_rows():
+            return sorted(
+                tuple(r)
+                for r in idx.probe(queries_df, n_probe=_IVF_PROBE, k=10)
+                .select(
+                    F.col("q_id").cast("long"),
+                    F.col("vec_id").cast("long"),
+                    "cos_sim",
+                )
+                .collect()  # bounded: 30 rows
+            )
+
+        serial = probe_rows()
+        racing: dict[str, list] = {}
+
+        def probe_mid_commit(op: str) -> None:
+            racing[op] = probe_rows()
+
+        counts = idx.list_counts()
+        target = min(
+            (lid for lid in counts), key=lambda lid: (-counts[lid], lid)
+        )
+        idx._inject_before_commit = probe_mid_commit
+        try:
+            split_ids = idx.maybe_split(
+                threshold=counts[target] - 1, lists=[target]
+            )
+        finally:
+            idx._inject_before_commit = None
+        if split_ids != [target]:
+            raise AssertionError(
+                f"expected list {target} to split, got {split_ids}"
+            )
+        if target in idx.list_counts():
+            raise AssertionError("split committed but target still live")
+        if racing.get("split") != serial:
+            raise AssertionError(
+                "probe racing the split diverged from the committed "
+                f"pre-split snapshot: {racing.get('split')!r:.120s} vs "
+                f"{serial!r:.120s}"
+            )
+        post = idx.probe(queries_df, n_probe=_IVF_PROBE, k=10)
+        if post.count() != 30:
+            raise AssertionError("post-split probe lost top-k rows")
+
+        out = spark.createDataFrame(
+            serial, "q_id long, vec_id long, cos_sim double"
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@query(
+    "sim_ann_ivf_repair_rollup",
+    # The crashed-append lifecycle judged end-to-end: after crash ->
+    # refused retry -> repair -> re-run, the index must hold the corpus
+    # EXACTLY ONCE, so its probe equals the closed-form full-corpus
+    # replay — a silently adopted partial batch or a double-written
+    # retry changes cos_sim rows and hash-fails.
+    oracle=_SQL_IVF_CLOSED_PROBE,
+)
+def sim_ann_ivf_repair_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crashed-append RECOVERY path driver-judged (the r15 second
+    review's double-write finding, operationalized): an append dies at
+    the real commit point (seam injection — its files are on disk,
+    the ledger never moved), after which (a) the snapshot still shows
+    only the seed half, (b) a naive RETRY REFUSES loudly — adopting the
+    crashed attempt's files would commit a partial batch and
+    double-write this one, (c) ``repair()`` reclaims every
+    unreferenced file (transactional: the failed append never
+    happened), and (d) the re-run lands the batch exactly once — pinned
+    by the probe hashing bit-equal to the closed-form full-corpus
+    oracle, which a duplicate or dropped vector cannot survive.
+
+    Scale posture: repair is the EXPLICIT O(index-listing) fsck, run
+    after a crash rather than per batch; the refused retry costs one
+    batch write (reclaimed by the same repair), and the happy path
+    keeps its O(batch)-compute / O(touched-partition)-metadata ingest.
+
+    The 3-second pause between the crash and the retry mirrors any
+    real restart and clears the storage-clock slack that separates
+    this-attempt files from a previous attempt's orphans."""
+    import shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from reflex_spark.operators.similarity import IvfIndex
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n_corpus = emb.count()
+    cent = emb.where(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    n_seed = seed.count()
+    base = _tempfile.mkdtemp(prefix="ivf_repair_")
+    try:
+        idx = IvfIndex.build(spark, f"{base}/idx", seed, cent)
+
+        def crash(op: str) -> None:
+            raise RuntimeError("injected crash before ledger commit")
+
+        idx._inject_before_commit = crash
+        crashed = False
+        try:
+            idx.append(batch)
+        except RuntimeError:
+            crashed = True
+        finally:
+            idx._inject_before_commit = None
+        if not crashed:
+            raise AssertionError("injected crash did not fire")
+        if sum(idx.list_counts().values()) != n_seed:
+            raise AssertionError("crashed append moved the ledger")
+        if idx.read_lists().count() != n_seed:
+            raise AssertionError(
+                "snapshot read sees the uncommitted batch"
+            )
+
+        _time.sleep(3)  # a real restart; clears the storage-clock slack
+        refused = False
+        try:
+            idx.append(batch)
+        except ValueError as e:
+            refused = "repair" in str(e)
+        if not refused:
+            raise AssertionError(
+                "retry over crashed-append orphans did not refuse"
+            )
+        dropped = idx.repair()
+        if dropped["orphan_files_dropped"] <= 0:
+            raise AssertionError("repair reclaimed nothing")
+        if sum(idx.list_counts().values()) != n_seed:
+            raise AssertionError("repair changed the committed corpus")
+
+        added = idx.append(batch)  # exactly-once landing
+        if sum(idx.list_counts().values()) != n_corpus:
+            raise AssertionError(
+                f"post-repair corpus {sum(idx.list_counts().values())} "
+                f"!= {n_corpus}"
+            )
+        if sum(added.values()) != n_corpus - n_seed:
+            raise AssertionError("re-run batch count drifted")
+
+        queries_df = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        out = idx.probe(queries_df, n_probe=_IVF_PROBE, k=10).select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cos_sim",
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
