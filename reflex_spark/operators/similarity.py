@@ -1422,12 +1422,12 @@ class IvfIndex:
       centroids (no refit) and appends new files to the affected
       partitions: O(|batch| x n_lists) compute, O(|batch|) write, and
       EXISTING partition files are never rewritten (pinned by the
-      judged query). The ledger update is O(touched partitions): a
-      dir-mtime scan bounded by the write start selects the partitions
-      the batch landed in, their name-listings diff against the
-      ledger's file set, and only the NEW files' footers are read for
-      the count delta (``last_append_readback`` telemetry,
-      pytest-pinned) — never the whole index;
+      judged query). The ledger update is O(touched partitions) and
+      clock-free: the batch stages to a private dir and its files MOVE
+      into the live partitions, so the batch's file identity is the
+      exact moved set, and only those files' footers are read for the
+      count delta (``last_append_readback`` telemetry, pytest-pinned)
+      — never the whole index;
     - ``maybe_split`` — any list past ``threshold`` re-splits: two
       deterministic seed vectors (smallest ids in the list), one
       assignment pass, each side's mean becomes a centroid — both
@@ -1575,6 +1575,9 @@ class IvfIndex:
             shutil.rmtree(
                 os.path.join(lists_root, "_temporary"), ignore_errors=True
             )
+        for name in os.listdir(self.path):
+            if name.startswith(".append-stage-"):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         gen = meta["centroid_gen"]
         for name in os.listdir(self.path):
             m = re.fullmatch(r"centroids-(\d+)", name)
@@ -1828,75 +1831,69 @@ class IvfIndex:
         growth ledger, optionally re-split overgrown lists. Returns the
         per-list counts ADDED by this batch.
 
-        The ledger update is O(touched partitions), never O(index): the
-        batch repartitions on ``ivf_list`` before the write (ONE file
-        per touched list per batch, so the ledger grows by at most
-        n_lists entries per append instead of n_lists x
-        shuffle-partitions), touched partitions are detected by
-        dir-mtime change against a pre-write snapshot, only their names
-        are listed, and only files NOT already in the ledger have their
-        footers read for the count delta. Every timestamp compare uses
-        the STORAGE's own clock (a marker file stat'ed after creation),
-        so driver-vs-storage clock skew cannot silently drop a
-        partition from the ledger. Unreferenced files that PREDATE this
-        append (a previous batch crashed before its ledger commit) make
-        the append refuse loudly instead of silently adopting the
-        partial output — run ``repair()`` (which also reclaims this
-        attempt's files) and re-run the batch."""
+        The ledger update is O(touched partitions), never O(index), and
+        involves NO clocks: the batch repartitions on ``ivf_list`` and
+        writes to a private staging dir (ONE file per touched list per
+        batch, so the ledger grows by at most n_lists entries per
+        append instead of n_lists x shuffle-partitions), then each
+        staged file is MOVED into its final partition — so "this
+        batch's files" is the exact moved set, not a timestamp
+        heuristic, and a retry seconds after a crash cannot be confused
+        with the crashed attempt. Only the moved files' footers are
+        read for the count delta. Unreferenced files already present in
+        a touched partition (a previous batch crashed before its ledger
+        commit) make the append refuse loudly instead of silently
+        adopting the partial output — run ``repair()`` (which also
+        reclaims this attempt's files) and re-run the batch."""
         import os
+        import re
+        import shutil
 
         root = f"{self.path}/lists"
         with self._claim():
             meta = self._vacuum_held(self._read_meta())
             before = {int(k): v for k, v in meta["counts"].items()}
-            # storage-clock reference: both sides of every timestamp
-            # compare below come from the same filesystem clock
-            marker = os.path.join(self.path, ".append-marker")
-            with open(marker, "w", encoding="utf-8") as mf:
-                mf.write(str(os.getpid()))
-            t0_ns = os.stat(marker).st_mtime_ns
-            slack_ns = 2_000_000_000  # coarse-mtime filesystems
-            pre_dirs = {
-                n: os.stat(os.path.join(root, n)).st_mtime_ns
-                for n in os.listdir(root)
-                if n.startswith("ivf_list=")
-            }
+            # stage-then-move: Spark part names carry the write job's
+            # uuid, so moving them into the live partitions cannot
+            # collide, and the moved set IS this batch's file identity
+            stage = os.path.join(self.path, f".append-stage-{os.getpid()}")
             self._assign(batch, self._centroids(meta)).repartition(
                 F.col("ivf_list")
-            ).write.mode("append").partitionBy("ivf_list").parquet(root)
-            dirs = [
-                n for n in os.listdir(root) if n.startswith("ivf_list=")
-            ]
-            touched = [
-                int(n.split("=", 1)[1])
-                for n in dirs
-                if n not in pre_dirs
-                or os.stat(os.path.join(root, n)).st_mtime_ns
-                != pre_dirs[n]
-                or os.stat(os.path.join(root, n)).st_mtime_ns
-                >= t0_ns - slack_ns
-            ]
-            listed = self._scan_files(lids=set(touched))
+            ).write.mode("overwrite").partitionBy("ivf_list").parquet(stage)
             new_files: dict[int, list[str]] = {}
-            orphans: list[str] = []
-            for lid in touched:
-                known = set(meta["files"].get(str(lid), []))
-                for fn in listed.get(str(lid), []):
-                    if fn in known:
+            for name in sorted(os.listdir(stage)):
+                m = re.fullmatch(r"ivf_list=(\d+)", name)
+                if not m:
+                    continue
+                lid = int(m.group(1))
+                dst = f"{root}/ivf_list={lid}"
+                os.makedirs(dst, exist_ok=True)
+                for fn in sorted(os.listdir(os.path.join(stage, name))):
+                    if fn.startswith(("_", ".")):
                         continue
-                    fpath = f"{root}/ivf_list={lid}/{fn}"
-                    if os.stat(fpath).st_mtime_ns < t0_ns - slack_ns:
-                        orphans.append(fpath)  # predates this append
-                    else:
-                        new_files.setdefault(lid, []).append(fn)
+                    os.replace(
+                        os.path.join(stage, name, fn),
+                        os.path.join(dst, fn),
+                    )
+                    new_files.setdefault(lid, []).append(fn)
+            shutil.rmtree(stage, ignore_errors=True)
+            listed = self._scan_files(lids=set(new_files))
+            orphans = [
+                f"{root}/ivf_list={lid}/{fn}"
+                for lid in new_files
+                for fn in listed.get(str(lid), [])
+                if fn not in set(meta["files"].get(str(lid), []))
+                and fn not in set(new_files[lid])
+            ]
             if orphans:
                 raise ValueError(
-                    "unreferenced files predate this append (e.g. "
-                    f"{orphans[0]}): a previous append crashed before "
-                    "its ledger commit, and adopting its files could "
-                    "commit a PARTIAL batch. Run repair() to reclaim "
-                    "them (this attempt's own files are reclaimed with "
-                    "them), then re-run the batch."
+                    "touched partitions hold unreferenced files this "
+                    f"append did not write (e.g. {orphans[0]}): a "
+                    "previous append crashed before its ledger commit, "
+                    "and adopting its files could commit a PARTIAL "
+                    "batch. Run repair() to reclaim them (this "
+                    "attempt's own files are reclaimed with them), "
+                    "then re-run the batch."
                 )
             paths = [
                 p
@@ -1904,8 +1901,8 @@ class IvfIndex:
                 for p in self._list_files(lid, names)
             ]
             self.last_append_readback = {
-                "dirs_stat": len(dirs),
-                "dirs_listed": len(touched),
+                "dirs_stat": len(new_files),
+                "dirs_listed": len(new_files),
                 "files_read": len(paths),
             }
             added: dict[int, int] = {}
@@ -1934,10 +1931,6 @@ class IvfIndex:
             if self._inject_before_commit is not None:
                 self._inject_before_commit("append")
             self._write_meta(meta)
-            try:
-                os.remove(marker)
-            except OSError:
-                pass  # a leftover dot-file is inert
             if split_threshold is not None:
                 self._maybe_split_held(split_threshold, None)
         return added

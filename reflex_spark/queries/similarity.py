@@ -2709,13 +2709,10 @@ def sim_ann_ivf_repair_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     after a crash rather than per batch; the refused retry costs one
     batch write (reclaimed by the same repair), and the happy path
     keeps its O(batch)-compute / O(touched-partition)-metadata ingest.
-
-    The 3-second pause between the crash and the retry mirrors any
-    real restart and clears the storage-clock slack that separates
-    this-attempt files from a previous attempt's orphans."""
+    The refusal is clock-free (stage-and-move file identity), so it
+    fires however fast the retry follows the crash."""
     import shutil
     import tempfile as _tempfile
-    import time as _time
 
     from reflex_spark.operators.similarity import IvfIndex
 
@@ -2752,7 +2749,6 @@ def sim_ann_ivf_repair_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "snapshot read sees the uncommitted batch"
             )
 
-        _time.sleep(3)  # a real restart; clears the storage-clock slack
         refused = False
         try:
             idx.append(batch)

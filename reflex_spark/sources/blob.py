@@ -218,6 +218,8 @@ class BlobBucket:
             if cached is not None:
                 size = cached
             else:
+                import zlib as _zlib
+
                 try:
                     n = 0
                     with _gzip.open(key, "rb") as g:
@@ -231,9 +233,12 @@ class BlobBucket:
                         if len(self._gz_size_memo) > 65536:
                             self._gz_size_memo.clear()
                         self._gz_size_memo[memo_key] = n
-                except OSError:
-                    # not openable (remote store / transient error):
-                    # fail safe to the line-reader fallback, UNCACHED
+                except (OSError, EOFError, _zlib.error):
+                    # not openable (remote store / transient error) or
+                    # a truncated/corrupt stream (mid-upload blob —
+                    # gzip raises EOFError/zlib.error, NOT OSError):
+                    # fail safe to the line-reader fallback, UNCACHED,
+                    # so the completed blob re-measures next poll
                     size = self.POLL_WHOLETEXT_CAP + 1
         if size is not None and size <= self.POLL_WHOLETEXT_CAP:
             # NB: wholetext must be the .text() kwarg — the method's own

@@ -363,18 +363,24 @@ _HEXFLOAT_RE = re.compile(
     r"[+-]?0[xX]([0-9a-fA-F]+(\.[0-9a-fA-F]*)?|\.[0-9a-fA-F]+)"
     r"[pP][+-]?[0-9]+[dDfF]?"
 )
-# exact-case special tokens Spark's CSV reader accepts for doubles: the
-# nanValue/positiveInf/negativeInf option defaults ('NaN', 'Inf',
-# '-Inf') plus Java's own 'Infinity'/'NaN' spellings with optional sign
-# ('+Inf' is NOT accepted — neither an option default nor Java grammar).
+# Spark's CSV double parsing accepts two distinct special-token sets,
+# matched at different points: the nanValue/positiveInf/negativeInf
+# OPTION defaults ('NaN', 'Inf', '-Inf') compare against the RAW field
+# by exact equality (so ' Inf' does NOT match), and only then does the
+# datum fall through to Java Double.parseDouble, which TRIMS but only
+# knows the 'NaN'/'Infinity' spellings with optional sign ('+Inf' is
+# accepted by neither; ' Inf' trims to 'Inf' which Java rejects).
 # Python float() takes 'nan'/'inf'/'infinity' case-INsensitively, so a
 # plain float() fallthrough would accept tokens Spark nulls (ADVICE r14)
-_SPECIAL_FLOAT = {
+_SPECIAL_FLOAT_RAW = {
+    "NaN": float("nan"),
+    "Inf": float("inf"),
+    "-Inf": float("-inf"),
+}
+_SPECIAL_FLOAT_JAVA = {
     "NaN": float("nan"),
     "+NaN": float("nan"),
     "-NaN": float("nan"),
-    "Inf": float("inf"),
-    "-Inf": float("-inf"),
     "Infinity": float("inf"),
     "+Infinity": float("inf"),
     "-Infinity": float("-inf"),
@@ -405,9 +411,11 @@ _JAVA_TRIM = "".join(chr(c) for c in range(0x21))
 
 
 def _parse_double(s):
-    s = s.strip(_JAVA_TRIM)
-    if s in _SPECIAL_FLOAT:
-        return _SPECIAL_FLOAT[s]
+    if s in _SPECIAL_FLOAT_RAW:  # option defaults: RAW exact match
+        return _SPECIAL_FLOAT_RAW[s]
+    s = s.strip(_JAVA_TRIM)  # Java parseDouble trims before parsing
+    if s in _SPECIAL_FLOAT_JAVA:
+        return _SPECIAL_FLOAT_JAVA[s]
     if _FLOAT_RE.fullmatch(s):
         return float(s.rstrip("dDfF"))
     if _HEXFLOAT_RE.fullmatch(s):

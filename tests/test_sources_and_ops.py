@@ -1036,9 +1036,6 @@ def test_ivf_index_incremental_append_and_split(spark, tmp_path):
                 )
         return out
 
-    import time
-
-    time.sleep(3)  # clear the 2s dir-mtime slack: build dirs ≠ touched
     before = file_state(str(tmp_path / "inc" / "lists"))
     added = idx.append(half_b)
     after = file_state(str(tmp_path / "inc" / "lists"))
@@ -1046,11 +1043,11 @@ def test_ivf_index_incremental_append_and_split(spark, tmp_path):
     assert all(after[k] == v for k, v in before.items())
     assert sum(added.values()) == half_b.count()
     # the ledger update read back ONLY the touched partitions (VERDICT
-    # r14 Next #2): every partition dir is stat'ed once, but names are
-    # listed only for dirs the batch landed in, and Spark read footers
-    # only for the batch's NEW files — never the whole index
+    # r14 Next #2): the staged batch's moved file set IS the ledger
+    # delta, and Spark read footers only for those files — never the
+    # whole index
     rb = idx.last_append_readback
-    assert rb["dirs_listed"] == len(added) <= rb["dirs_stat"]
+    assert rb["dirs_listed"] == len(added)
     assert rb["files_read"] == len(after) - len(before)
     # ledger == physical truth
     physical = {
@@ -1325,8 +1322,11 @@ def test_blob_datasource_csv_parity_special_floats_and_multiline(
         "NaN,a\nnan,b\nInf,c\n-Inf,d\n+Inf,e\nInfinity,f\n"
         '1.5d,g\n0x1.8p1,h\n1_000,i\n"j1\nj2",k\n'
         # Java parseDouble TRIMS chars <= U+0020 (' 1.5' parses) but not
-        # unicode whitespace (NBSP-padded stays malformed -> NULL)
+        # unicode whitespace (NBSP-padded stays malformed -> NULL); the
+        # 'Inf' option token matches the RAW field only, so padded
+        # ' Inf' is NULL while padded ' Infinity' (Java grammar) parses
         " 1.5,p\n2.5 ,q\n\t3.5,r\n NaN,s\n 4.5,u\n"
+        " Inf,v\nInf ,w\n -Inf,x\n Infinity,y\n"
     )
     fs = spark.read.schema("v double, name string").csv(str(root))
     register(spark)
@@ -1345,7 +1345,7 @@ def test_blob_datasource_csv_parity_special_floats_and_multiline(
 
     got_fs, got_ds = canon(fs), canon(ds)
     assert got_fs == got_ds
-    assert len(got_fs) == 16  # incl. the quoted-newline record split in two
+    assert len(got_fs) == 20  # incl. the quoted-newline record split in two
 
 
 def test_ivf_split_recovery_keeps_committed_split(spark, tmp_path):
@@ -1474,12 +1474,9 @@ def test_ivf_repair_drops_crashed_append_orphans(spark, tmp_path):
     assert idx.read_lists().count() == 100
     # re-running the batch WITHOUT repair refuses loudly — silently
     # adopting the crashed attempt's files would commit a partial batch
-    # AND double-write this one (second-review finding, r15). The 3s
-    # sleep clears the storage-clock slack that separates "this
-    # attempt's files" from "a previous attempt's orphans".
-    import time
-
-    time.sleep(3)
+    # AND double-write this one (second-review finding, r15). The
+    # stage-and-move design makes the refusal IMMEDIATE: the crashed
+    # files are not in the retry's moved set, however fast the retry.
     with pytest.raises(ValueError, match="repair"):
         idx.append(batch)
     dropped = idx.repair()
