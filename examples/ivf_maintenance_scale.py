@@ -77,8 +77,8 @@ def main() -> None:
         print(
             f"append: +{sum(added.values()):,} vectors into "
             f"{len(added)} lists, {t_append:.1f}s | ledger read-back: "
-            f"stat {rb['dirs_stat']} dirs, listed {rb['dirs_listed']}, "
-            f"read footers of {rb['files_read']} files "
+            f"listed {rb['dirs_listed']} touched dirs, read footers of "
+            f"{rb['files_read']} files "
             f"(index holds {n_files + rb['files_read']}+)"
         )
 

@@ -1462,9 +1462,10 @@ class IvfIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         # telemetry: what the last append's ledger update actually read
-        # back — dirs_stat (one os.stat per partition dir), dirs_listed
-        # (touched dirs whose names were listed), files_read (new files
-        # whose footers Spark read). Pinned O(touched) by pytest.
+        # back — dirs_listed (partitions the staged batch moved files
+        # into, the ONLY dirs whose names were listed), files_read (the
+        # moved files, the only footers Spark read). Pinned O(touched)
+        # by pytest.
         self.last_append_readback: dict[str, int] | None = None
         # test-only injection seam, called with the op name ("append" /
         # "split") immediately before the ledger commit — crash and
@@ -1844,7 +1845,14 @@ class IvfIndex:
         a touched partition (a previous batch crashed before its ledger
         commit) make the append refuse loudly instead of silently
         adopting the partial output — run ``repair()`` (which also
-        reclaims this attempt's files) and re-run the batch."""
+        reclaims this attempt's files) and re-run the batch. The
+        refusal is a BACKSTOP scoped to the partitions this attempt
+        touches: ``repair()`` after a crash remains the documented
+        recovery step, and crashed files in partitions no later append
+        lands in stay invisible to every pinned read (disk they hold is
+        reclaimed by the next ``repair()``; a later append that does
+        land there refuses conservatively — it cannot know whose
+        orphans they are)."""
         import os
         import re
         import shutil
@@ -1878,13 +1886,15 @@ class IvfIndex:
                     new_files.setdefault(lid, []).append(fn)
             shutil.rmtree(stage, ignore_errors=True)
             listed = self._scan_files(lids=set(new_files))
-            orphans = [
-                f"{root}/ivf_list={lid}/{fn}"
-                for lid in new_files
-                for fn in listed.get(str(lid), [])
-                if fn not in set(meta["files"].get(str(lid), []))
-                and fn not in set(new_files[lid])
-            ]
+            orphans: list[str] = []
+            for lid in new_files:
+                known = set(meta["files"].get(str(lid), []))
+                mine = set(new_files[lid])
+                orphans.extend(
+                    f"{root}/ivf_list={lid}/{fn}"
+                    for fn in listed.get(str(lid), [])
+                    if fn not in known and fn not in mine
+                )
             if orphans:
                 raise ValueError(
                     "touched partitions hold unreferenced files this "
@@ -1901,7 +1911,6 @@ class IvfIndex:
                 for p in self._list_files(lid, names)
             ]
             self.last_append_readback = {
-                "dirs_stat": len(new_files),
                 "dirs_listed": len(new_files),
                 "files_read": len(paths),
             }

@@ -29,6 +29,13 @@ class BlobChangedError(RuntimeError):
     (reference rblob/doc.go contract)."""
 
 
+class BlobTruncatedError(RuntimeError):
+    """A gzip blob's stream is provably truncated/corrupt (a mid-upload
+    writer, typically): it must not be consumed this poll — the loop
+    stops AT the key (ascending-key contract forbids skipping past it)
+    and retries once the writer finishes."""
+
+
 @dataclass
 class BlobCursor:
     """Composite mid-blob cursor, reference rblob/blob.go:367-416 parity.
@@ -233,12 +240,22 @@ class BlobBucket:
                         if len(self._gz_size_memo) > 65536:
                             self._gz_size_memo.clear()
                         self._gz_size_memo[memo_key] = n
-                except (OSError, EOFError, _zlib.error):
-                    # not openable (remote store / transient error) or
-                    # a truncated/corrupt stream (mid-upload blob —
-                    # gzip raises EOFError/zlib.error, NOT OSError):
+                except (EOFError, _zlib.error) as e:
+                    # the bytes are locally readable and PROVABLY
+                    # truncated/corrupt (mid-upload writer): any route
+                    # — wholetext or line-reader — would crash on the
+                    # same bytes inside the Spark read, so surface a
+                    # typed error the poll loop can stop on instead of
+                    # merely relocating the crash to an executor
+                    raise BlobTruncatedError(
+                        f"{key}: gzip stream is truncated or corrupt "
+                        f"(mid-upload writer?): {e}"
+                    ) from e
+                except OSError:
+                    # not openable locally (remote store / transient
+                    # error): Spark's own reader handles the bytes —
                     # fail safe to the line-reader fallback, UNCACHED,
-                    # so the completed blob re-measures next poll
+                    # so the blob re-measures next poll
                     size = self.POLL_WHOLETEXT_CAP + 1
         if size is not None and size <= self.POLL_WHOLETEXT_CAP:
             # NB: wholetext must be the .text() kwarg — the method's own
@@ -317,7 +334,16 @@ def run_blobs(
             if key < cur.key or (key == cur.key and cur.eof):
                 continue
             start = cur.offset if key == cur.key else 0
-            recs = bucket.read_blob_records(key, size=size).cache()
+            try:
+                recs = bucket.read_blob_records(key, size=size).cache()
+            except BlobTruncatedError:
+                # a mid-upload blob: consuming LATER keys first would
+                # break the ascending-cursor contract, so stop AT this
+                # key for this iteration and retry next poll (to_head
+                # catch-up runs cannot proceed past it — surface it)
+                if to_head:
+                    raise
+                break
             try:
                 total = recs.count()
                 if start > total:

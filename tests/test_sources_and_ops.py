@@ -550,6 +550,61 @@ def test_run_blobs_mid_blob_resume(spark, tmp_path):
     assert seen[-1] == 11
 
 
+def test_poll_stops_at_truncated_gzip_blob(spark, tmp_path):
+    """Third-review fix pinned: a mid-upload (truncated) gzip blob must
+    STOP the poll iteration AT its key — neither crash the loop (any
+    Spark read of the same bytes would) nor be skipped past (the
+    ascending-cursor contract forbids consuming later keys first) — and
+    be consumed normally once the writer completes it. A to_head
+    catch-up run surfaces the typed error instead."""
+    import gzip
+
+    from reflex_spark.sources.blob import (
+        BlobBucket,
+        BlobTruncatedError,
+        run_blobs,
+    )
+    from reflex_spark.streaming import Consumer, ErrHeadReached
+
+    root = str(tmp_path / "bucket")
+    os.makedirs(root, exist_ok=True)
+    with gzip.open(f"{root}/a.jsonl.gz", "wt") as f:
+        f.write('{"id": 1, "kind": "x"}\n')
+    whole = gzip.compress(b'{"id": 2, "kind": "y"}\n' * 200)
+    with open(f"{root}/b.jsonl.gz", "wb") as f:
+        f.write(whole[: len(whole) // 2])  # mid-upload: truncated stream
+
+    bucket = BlobBucket(spark, root, BLOB_SCHEMA)
+    with pytest.raises(BlobTruncatedError, match="truncated"):
+        bucket.read_blob_records(f"{root}/b.jsonl.gz")
+
+    store = MemCursorStore()
+    seen: list[int] = []
+
+    def ok(df, meta):
+        seen.extend(r["id"] for r in df.orderBy("id").collect())
+
+    # poll mode: blob a consumes, the loop stops AT b (cursor parks at
+    # a's eof — never beyond the truncated key) and returns cleanly
+    got = run_blobs(
+        bucket, store, Consumer("tz", ok), to_head=False, max_loops=1
+    )
+    assert seen == [1]
+    assert got == f"{root}/a.jsonl.gz|eof"
+
+    # a catch-up (to_head) run cannot proceed past it: typed error
+    with pytest.raises(BlobTruncatedError):
+        run_blobs(bucket, store, Consumer("tz", ok), to_head=True)
+
+    # the writer finishes; the next poll consumes the completed blob
+    with open(f"{root}/b.jsonl.gz", "wb") as f:
+        f.write(whole)
+    with pytest.raises(ErrHeadReached):
+        run_blobs(bucket, store, Consumer("tz", ok), to_head=True)
+    assert seen == [1] + [2] * 200
+    assert store.get_cursor("tz") == f"{root}/b.jsonl.gz|eof"
+
+
 def test_run_blobs_empty_blob_and_shrink_detection(spark, tmp_path):
     from reflex_spark.sources.blob import BlobBucket, BlobChangedError, BlobCursor, run_blobs
     from reflex_spark.streaming import Consumer, ErrHeadReached
