@@ -43,11 +43,13 @@ def main() -> None:
 
     def vecs(lo: int, hi: int):
         base = spark.range(lo, hi).select(F.col("id").alias("vec_id"))
-        # vec_id+1 in the trig: id 0 would otherwise be the all-zero
-        # vector, whose cosine is undefined (ANSI divide-by-zero)
-        comps = [
+        # constant first component: a pure-trig vector can round to
+        # all-zeros for ids where vec_id/10 approximates a multiple of
+        # pi across every dim (hit at ~6M scale) — and a zero-norm
+        # vector's cosine is undefined (ANSI divide-by-zero)
+        comps = [F.lit(1.0)] + [
             F.round(F.sin((F.col("vec_id") + 1) * F.lit(0.1 * (d + 1))), 6)
-            for d in range(DIMS)
+            for d in range(DIMS - 1)
         ]
         return base.select("vec_id", F.array(*comps).alias("embedding"))
 
@@ -98,9 +100,46 @@ def main() -> None:
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
         )
         t0 = time.time()
-        got = idx.probe(q, n_probe=4, k=10).count()
+        approx = idx.probe(q, n_probe=4, k=10)
+        got = {
+            (r["q_id"], r["vec_id"]) for r in approx.collect()
+        }  # bounded: 80 rows
         t_probe = time.time() - t0
-        print(f"probe: 8 queries x 4 lists -> {got} rows, {t_probe:.1f}s")
+        print(f"probe: 8 queries x 4 lists -> {len(got)} rows, {t_probe:.1f}s")
+
+        # --- recall@10 vs the exact answer over the FULL corpus: the
+        # brute-force pass scans all n vectors per query (the thing the
+        # index exists to avoid) and provides the ground truth the
+        # 4-of-64-lists probe is judged against
+        from pyspark.sql import Window
+
+        from reflex_spark.operators.similarity import cosine
+
+        t0 = time.time()
+        wq = Window.partitionBy("q_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id")
+        )
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in vecs(0, n)
+            .join(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+            )
+            .withColumn("__rnk", F.row_number().over(wq))
+            .where(F.col("__rnk") <= 10)
+            .collect()  # bounded: 80 rows
+        }
+        t_exact = time.time() - t0
+        print(
+            f"recall@10: {len(got & exact)}/{len(exact)} "
+            f"= {len(got & exact) / len(exact):.3f} "
+            f"(exact brute force over {n:,} vectors took {t_exact:.1f}s "
+            f"vs {t_probe:.1f}s probed)"
+        )
 
     spark.stop()
 
