@@ -56,71 +56,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # most queries would never receive a hard external correctness row.
 # _WINDOW rotates the judged window explicitly: these names are emitted
 # first (in this order), then every other registered name in registration
-# order.  Round 15 window (VERDICT r14 Next #1): the 4 round-14 additions
-# (the only registered names without a driver row; the r14 judge verified
-# all 4 bit-green at sf0.001+sf0.01 at the driver surface) + the 46
+# order.  Round 16 window (VERDICT r15 Next #1): the 3 round-15 additions
+# (the only registered names without a driver row; the r15 judge verified
+# all 3 bit-green at sf0.001+sf0.01 at the driver surface) + the 47
 # stalest green rows by latest-judged round, computed programmatically
-# against every CORRECTNESS_r*.json at round start: r06 x2, r07 x6,
-# r08 x5, and the 33 oldest r10 rows (file order within the vintage).
-# After this window, every registered query has a hard driver row and
-# none is staler than r10.  Queries ADDED in round 15 are appended after
-# slot 50, per the append-after-window contract.
+# against every CORRECTNESS_r*.json at round start: the 14 remaining
+# r10-vintage rows, then the 33 oldest r11 rows (registration order
+# within the vintage).  After this window, every registered query has a
+# hard driver row and none is staler than r11.  Queries ADDED in round 16
+# are appended after slot 50, per the append-after-window contract.
 _WINDOW: list[str] = [
-    # --- never judged: the 4 round-14 additions ---
-    "tx_concurrent_retry_rollup",
-    "sim_ann_ivf_append_rollup",
-    "sim_ann_ivf_split_rollup",
-    "blob_poll_midblob_rollup",
-    # --- re-judges: stalest green rows (latest driver row r06) ---
-    "q5_region_revenue",
-    "topk_orders",
-    # --- re-judges: stalest green rows (latest driver row r07) ---
-    "skew_salted_rollup",
-    "sample_temperature_mixture",
-    "skew_salted_join_revenue",
-    "sample_train_val_test_split",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    # --- re-judges: stalest green rows (latest driver row r08) ---
-    "map_functions_events",
-    "events_user_summary_pandas",
-    "conditional_expressions_customers",
-    "sample_token_budget",
-    "text_sequence_packing",
-    # --- re-judges: the 33 oldest r10-vintage rows ---
-    "funnel_signup_to_purchase",
-    "retention_weekly",
-    "event_type_cooccurrence",
-    "events_first_touch_attribution",
-    "events_funnel_3step_ordered",
-    "events_cohort_retention_matrix",
-    "events_transition_matrix",
-    "events_per_type_day",
-    "events_type_filter",
-    "events_lag_filter",
-    "events_tumbling_hourly",
-    "events_sliding_window",
-    "events_session_count",
-    "events_distinct_users",
-    "setop_intersect_purchasers_clickers",
-    "setop_except_signups_no_purchase",
-    "setop_except_all_purchases",
-    "setop_intersect_all_purchases",
-    "events_json_props",
-    "events_running_value",
-    "events_sessionized",
-    "events_value_histogram",
-    "events_trailing_hour_sum",
-    "union_distinct_user_ids",
-    "events_pivot_type_counts",
-    "events_max_concurrent",
-    "events_session_window_native",
-    "events_gapfill_interpolate",
-    "events_variant_props",
-    "events_hll_distinct_users",
-    "events_hll_merged_daily",
-    "events_value_histogram_quantiles",
-    "events_hll_daily_series",
+    # --- never judged: the 3 round-15 additions ---
+    "pipeline_corpus_end_to_end",
+    "sim_ann_ivf_snapshot_probe_rollup",
+    "sim_ann_ivf_repair_rollup",
+    # --- re-judges: stalest green rows (latest driver row r10) ---
+    "events_cms_heavy_hitters",
+    "events_hourly_anomaly",
+    "events_ohlc_hourly",
+    "events_scd2_type_history",
+    "events_hll_set_intersection",
+    "events_sample_bottomk_quantiles",
+    "events_ewma_user_value",
+    "graph_pagerank_bipartite",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "graph_kcore_2core",
+    "graph_bfs_hops",
+    "sample_documents_hash",
+    "sample_documents_stratified",
+    # --- re-judges: stalest green rows (latest driver row r11) ---
+    "sample_weighted_reservoir",
+    "unpivot_flag_measures",
+    "date_functions_orders",
+    "string_functions_part",
+    "array_functions_embeddings",
+    "rollup_grouping_id",
+    "dedup_events_exact",
+    "bloom_filter_customer_prune",
+    "bucketed_join_rollup",
+    "snapshot_diff_classify",
+    "window_nth_cume_dist",
+    "q6_revenue_change",
+    "q4_late_shipment_priority",
+    "q10_returned_revenue",
+    "q14_promo_revenue_pct",
+    "q18_large_orders",
+    "correlated_max_order",
+    "monthly_revenue_trend",
+    "tfidf_top_terms",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "dedup_embedding_cosine",
+    "sim_topk_cosine",
+    "sim_pairs_cosine",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_ann_pq_topk",
 ]
 
 
