@@ -294,7 +294,50 @@ HEADLINE = [
     # persisted stage survivors; no other entry times the full
     # composition (the two half-pipelines stay in --full)
     "pipeline_corpus_end_to_end",
+    # round 16: IVF list compaction — the OPTIMIZE maintenance verb
+    # (pinned multi-list read + remap + dynamic-partition stage write +
+    # whole-dir swap under one ledger commit); the fragmentation-repair
+    # shape is not timed elsewhere (append/split time growth, not merge)
+    "sim_ann_ivf_compact_rollup",
 ]
+
+
+def _capture_regime(sf_dir: str) -> dict:
+    """Pre-capture page-cache probe (VERDICT r15 Next #6, SCALE_NOTES
+    §56 operationalized): a full loaded-capture is only comparable to
+    another within the same page-cache regime — the §56 cold capture
+    inflated UNCHANGED entries 1.2-1.8x uniformly. Timing a plain
+    sequential read of the largest fixture before any Spark work
+    classifies the regime so the driver's recorded captures can be
+    normalized without re-measuring: warm page cache streams at memory
+    speed (>2 GB/s here), a cold one at disk speed. The probe itself
+    warms exactly the file the Spark warmup read on the next line
+    always re-reads, so it does not perturb the timings it labels."""
+    probe = os.path.join(sf_dir, "lineitem.parquet")
+    paths = (
+        [probe]
+        if os.path.isfile(probe)
+        else [
+            os.path.join(probe, fn)
+            for fn in sorted(os.listdir(probe))
+            if not fn.startswith(("_", "."))
+        ]
+    )
+    n = 0
+    t0 = time.perf_counter()
+    for fp in paths:
+        with open(fp, "rb") as f:
+            while chunk := f.read(1 << 20):
+                n += len(chunk)
+    dt = max(time.perf_counter() - t0, 1e-9)
+    mbps = n / 1e6 / dt
+    return {
+        "probe_read_mb": round(n / 1e6, 1),
+        "probe_read_mbps": round(mbps, 1),
+        # §56 brackets: warm = fully cached, cold = disk-bound; between
+        # is a partially-evicted cache (expect uniform 1.2-1.8x drift)
+        "bracket": "warm" if mbps > 2000 else "cold" if mbps < 500 else "mixed",
+    }
 
 
 def main() -> None:
@@ -309,6 +352,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    regime = _capture_regime(sf_dir)
 
     spark = get_spark(app_name="reflex_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -361,6 +406,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "regime": regime,
     }
     if split:
         out["build_sec"] = builds
@@ -384,6 +430,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "regime": regime,
         # full per-query dict is on the previous line; this line stays
         # under ~1 KB so "value" can never be truncated away again
         "queries": slowest,

@@ -1434,6 +1434,15 @@ class IvfIndex:
       sides take FRESH ids from the ledger. Cost is O(|that list|),
       never O(corpus); growth stays bounded so probe cost stays
       O(corpus / n_lists) per probed list;
+    - ``compact`` — the OPTIMIZE analogue: append adds exactly one
+      file per touched list per batch, so after K appends a list holds
+      K small files, probe cost drifts from O(list bytes) toward
+      O(K footers), and the ledger's per-list name array grows without
+      bound. ``compact`` rewrites each fragmented list's files into
+      ONE file under a FRESH list id (the same copy-on-write +
+      garbage-ledger commit a split uses), bounding both per-list file
+      count and ledger size. O(sum of compacted list bytes), one
+      Spark job for the whole pass;
     - ``probe``   — lock-free SNAPSHOT read: one committed ledger read
       resolves the quantizer generation AND the probed lists' exact
       file set, so a probe racing any maintenance op sees pre- or
@@ -1443,6 +1452,19 @@ class IvfIndex:
       the start of every maintenance op (or explicitly), and the full
       O(index) fsck for the one failure the cheap sweep cannot see
       (a crashed append's uncommitted files inside live partitions).
+
+    Object-store translation (the 100 TB deployment note — the sandbox
+    control plane is POSIX-local, mirroring what ``rblob/doc.go:1-16``
+    documents for the reference's bucket contract): ``_write_meta``'s
+    tmp+fsync+``os.replace`` commit becomes a conditional PUT
+    (``If-Match`` on the ledger object's ETag / generation — S3 2024+
+    conditional writes, GCS ``ifGenerationMatch``); ``_claim``'s
+    ``O_EXCL`` create becomes ``If-None-Match: *`` PUT on the claim
+    key; ``_scan_files``/``_vacuum_held`` directory listings become
+    prefix LIST calls; append's stage-then-``os.replace`` move becomes
+    server-side COPY + DELETE (object stores have no rename), with the
+    copied set still serving as the batch's exact file identity. The
+    data plane is already pure Spark and carries over unchanged.
 
     Assignment recipe (broadcast centroids + sqdist + row_number with
     the (distance, list_id) tie-break) is IDENTICAL to the judged
@@ -2110,8 +2132,110 @@ class IvfIndex:
         self._write_meta(meta)  # COMMIT POINT
         return True
 
+    def compact(
+        self, lists: list[int] | None = None, min_files: int = 2
+    ) -> dict[int, int]:
+        """Merge each fragmented list's files into ONE — the OPTIMIZE
+        bin-packing analogue for the index (TxTable grew the same verb
+        for the same reason; the reference never needs one because
+        InnoDB's B-tree is self-compacting). Targets every list whose
+        ledger references ``>= min_files`` data files (optionally
+        restricted to ``lists``). Returns ``{old_list_id: new_list_id}``
+        for the lists that were rewritten.
+
+        Copy-on-write, exactly like a split: the compacted rows land
+        under FRESH list ids no committed reader knows (one shuffle-less
+        job for the whole pass — repartition on the remapped list id,
+        dynamic-partition write to a private stage, whole-dir moves into
+        ``lists/``), the quantizer is re-labeled under the next
+        generation, and the single ledger write is the commit point. A
+        crash before it leaves only unreferenced dirs (swept by the
+        next op's vacuum); old dirs and the old quantizer generation
+        park in the garbage list so pinned probes keep their snapshot
+        for one maintenance interval. Content is IDENTICAL after
+        compaction — probes are bit-equal before/after (judged by
+        ``sim_ann_ivf_compact_rollup``) — so sticky ``no_split`` marks
+        carry over to the new ids rather than being re-proved."""
+        import os
+        import shutil
+
+        with self._claim():
+            meta = self._vacuum_held(self._read_meta())
+            cand = sorted(
+                int(k)
+                for k, names in meta["files"].items()
+                if len(names) >= min_files
+                and (lists is None or int(k) in lists)
+            )
+            if not cand:
+                return {}
+            nid = meta["next_list_id"]
+            mapping = {lid: nid + i for i, lid in enumerate(cand)}
+            # one job: pinned read of the fragmented lists, remap to the
+            # fresh ids, one file per list via repartition-by-key +
+            # dynamic-partition write (same shape as append's stage)
+            remap = F.create_map(
+                [F.lit(x) for kv in mapping.items() for x in kv]
+            )
+            stage = os.path.join(
+                self.path, f".compact-stage-{os.getpid()}"
+            )
+            (
+                self._pinned_lists(meta, lids=set(mapping))
+                .withColumn("ivf_list", remap[F.col("ivf_list")])
+                .repartition(F.col("ivf_list"))
+                .write.mode("overwrite")
+                .partitionBy("ivf_list")
+                .parquet(stage)
+            )
+            for new in mapping.values():
+                # fresh ids: the destination cannot exist (the sweep
+                # above reclaimed any crashed pass's unreferenced dirs)
+                os.rename(
+                    os.path.join(stage, f"ivf_list={new}"),
+                    f"{self.path}/lists/ivf_list={new}",
+                )
+            shutil.rmtree(stage, ignore_errors=True)
+            written = self._scan_files(lids=set(mapping.values()))
+            gen = meta["centroid_gen"]
+            cent_df = self.spark.read.parquet(self._centroid_dir(meta))
+            self.spark.createDataFrame(
+                [
+                    (mapping.get(r["list_id"], r["list_id"]), r["centroid"])
+                    for r in cent_df.collect()  # bounded: one row per list
+                ],
+                cent_df.schema,
+            ).write.parquet(f"{self.path}/centroids-{gen + 1}")
+            for lid, new in mapping.items():
+                meta["counts"][str(new)] = meta["counts"].pop(str(lid))
+                meta["files"].pop(str(lid), None)
+                meta["files"][str(new)] = written.get(str(new), [])
+                meta["garbage"] = meta.get("garbage", []) + [
+                    f"lists/ivf_list={lid}"
+                ]
+            meta["garbage"] = meta.get("garbage", []) + [
+                f"centroids-{gen}"
+            ]
+            meta["centroid_gen"] = gen + 1
+            meta["next_list_id"] = nid + len(cand)
+            marks = set(meta.get("no_split", []))
+            if marks:
+                meta["no_split"] = sorted(
+                    (marks - set(mapping))
+                    | {mapping[lid] for lid in marks & set(mapping)}
+                )
+            if self._inject_before_commit is not None:
+                self._inject_before_commit("compact")
+            self._write_meta(meta)  # COMMIT POINT
+        return mapping
+
     def probe(
-        self, queries: DataFrame, n_probe: int, k: int, retries: int = 2
+        self,
+        queries: DataFrame,
+        n_probe: int,
+        k: int,
+        retries: int = 2,
+        eager: bool = False,
     ) -> DataFrame:
         """Probe job: broadcast centroids, read EXACTLY the probed
         lists' ledger-pinned files, cosine top-k within them.
@@ -2119,14 +2243,26 @@ class IvfIndex:
         ``(q_id, vec_id-as-id_col, cos_sim)``.
 
         Lock-free and snapshot-consistent against every LEDGER-COMMITTING
-        maintenance op (append / split / vacuum / repair): centroids and
-        file set both resolve through ONE committed ledger read, so a
-        probe racing those sees the pre- or post-commit index, never a
-        half-state. Pinned files survive at least one full maintenance
-        interval (deferred vacuum); if an explicit ``vacuum()`` swept
-        the snapshot mid-resolve, the eager existence check notices and
-        the probe retries on a fresh snapshot. ``build`` is the one op
-        OUTSIDE the guarantee — it replaces the table wholesale (ledger
+        maintenance op (append / split / compact / vacuum / repair):
+        centroids and file set both resolve through ONE committed ledger
+        read, so a probe racing those sees the pre- or post-commit
+        index, never a half-state. Pinned files survive at least one
+        full maintenance interval (deferred vacuum); if an explicit
+        ``vacuum()`` swept the snapshot mid-resolve, the existence check
+        (probed files AND the quantizer generation dir) notices and the
+        probe retries on a fresh snapshot. With ``eager=False`` the
+        guarantee ends at RETURN: the result is lazy, so an explicit
+        ``vacuum()`` between return and the caller's action can still
+        fail the scan outside the retry loop (unreachable under the
+        deferred-vacuum default — only an operator-issued ``vacuum()``
+        while a probe is in flight hits it). ``eager=True`` closes that:
+        the top-k is MATERIALIZED inside the retry loop (bounded —
+        ``|queries| x k`` rows by construction) and returned as a local
+        DataFrame no later sweep can invalidate; a sweep that races the
+        materialization itself is retried on a fresh snapshot. Use it
+        when probes run concurrently with explicit maintenance (the
+        streaming integration does). ``build`` is the one op OUTSIDE
+        the guarantee — it replaces the table wholesale (ledger
         included), so a probe racing a rebuild fails cleanly after its
         retries rather than returning partial data."""
         import os
@@ -2159,6 +2295,8 @@ class IvfIndex:
                 }  # bounded: <= |queries| x n_probe
                 pinned = self._ledger_files(meta, lids=probed)
                 gone = [p for p in pinned if not os.path.exists(p)]
+                if not os.path.isdir(self._centroid_dir(meta)):
+                    gone.append(self._centroid_dir(meta))
                 if gone:
                     raise FileNotFoundError(gone[0])
                 pruned = self._pinned_lists(meta, lids=probed)
@@ -2179,9 +2317,22 @@ class IvfIndex:
             wt = Window.partitionBy("q_id").orderBy(
                 F.col("cos_sim").desc(), F.col(self.id_col)
             )
-            return (
+            out = (
                 scored.withColumn("__rnk", F.row_number().over(wt))
                 .where(F.col("__rnk") <= k)
                 .drop("__rnk")
             )
+            if not eager:
+                return out
+            try:
+                rows = out.collect()  # bounded: |queries| x k rows
+            except Exception as e:  # noqa: BLE001 — inspect, then retry
+                # a sweep racing the materialization surfaces as a JVM
+                # FileNotFoundException wrapped in an untyped Py4J error
+                # — the one shape the lazy path cannot retry
+                if "FileNotFoundException" not in str(e):
+                    raise
+                last_err = e
+                continue
+            return self.spark.createDataFrame(rows, out.schema)
         raise last_err  # type: ignore[misc]

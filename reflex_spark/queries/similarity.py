@@ -2286,12 +2286,15 @@ def sim_ann_ivf_append_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: per-batch ingest is O(|batch| x n_lists) compute and
     O(|batch|) write, and the ledger update reads back ONLY the touched
-    partitions' new files (dir-mtime bounded; telemetry pytest-pinned)
+    partitions' new files (moved-file-set bounded — the staged batch's
+    moved files ARE its identity, no clocks; telemetry pytest-pinned)
     — never the whole index, so ingest cost stays O(batch) across
     thousands of accumulated appends; probes stay O(lists probed)
     regardless; overgrown lists re-split locally (IvfIndex.maybe_split,
     pytest-pinned) so per-list probe cost stays bounded without ever
-    refitting the quantizer globally."""
+    refitting the quantizer globally, and fragmented lists re-merge
+    locally (IvfIndex.compact, judged by sim_ann_ivf_compact_rollup)
+    so per-list file count and ledger size stay bounded too."""
     import os as _os
     import shutil
     import tempfile as _tempfile
@@ -2782,6 +2785,124 @@ def sim_ann_ivf_repair_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
         out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@query(
+    "sim_ann_ivf_compact_rollup",
+    # Compaction judged end-to-end: K appends fragment every touched
+    # list into K+1 files; compact() must merge each into ONE file
+    # while changing NOTHING about index content — so the post-compact
+    # probe equals the closed-form full-corpus replay. A compaction
+    # that drops, doubles, or reassigns a single vector hash-fails.
+    oracle=_SQL_IVF_CLOSED_PROBE,
+)
+def sim_ann_ivf_compact_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE maintenance verb driver-judged (VERDICT r15 Next
+    #2 / What's wrong #1): ``IvfIndex.append`` adds exactly one file
+    per touched list per batch and nothing merged them, so after K
+    appends a list holds K+1 small files, probe cost drifts from
+    O(list bytes) toward O(K footers), and the ledger's per-list name
+    arrays grow without bound. ``compact()`` rewrites each fragmented
+    list into ONE file under a FRESH list id through the same
+    copy-on-write + garbage-ledger commit a split uses.
+
+    The corpus arrives in three waves (build + 2 appends — every list
+    ends fragmented), then one compact pass. Pinned in-query: (a) the
+    pass found real fragmentation (some list held >= 3 ledger files)
+    and afterwards EVERY list holds exactly one; (b) the ledger's
+    total file-name count shrank to n_lists (the growth bound the
+    verb exists to enforce); (c) per-list counts carried over exactly
+    under the old->new id mapping; (d) the probe BEFORE compaction
+    equals the probe AFTER it row-for-row — and both equal the
+    closed-form DuckDB oracle, the judged hash contract.
+
+    Scale posture: one Spark job for the whole pass — a pinned read of
+    ONLY the fragmented lists, repartition on the remapped id, dynamic-
+    partition write to a private stage, whole-dir moves, one ledger
+    commit. O(fragmented bytes), never O(corpus); snapshot-consistent
+    against concurrent probes like every other maintenance op (old
+    dirs + old quantizer generation park in the garbage list for one
+    maintenance interval). Run it on the maintenance cadence appends
+    amortize to — e.g. every N batches — exactly like a governed
+    table's OPTIMIZE."""
+    import shutil
+    import tempfile as _tempfile
+
+    from reflex_spark.operators.similarity import IvfIndex
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n_corpus = emb.count()
+    cent = emb.where(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    base = _tempfile.mkdtemp(prefix="ivf_compact_")
+    try:
+        idx = IvfIndex.build(
+            spark, f"{base}/idx", emb.where(F.col("vec_id") % 3 == 0), cent
+        )
+        idx.append(emb.where(F.col("vec_id") % 3 == 1))
+        idx.append(emb.where(F.col("vec_id") % 3 == 2))
+        meta = idx._read_meta()
+        frag = {int(k): len(v) for k, v in meta["files"].items()}
+        if max(frag.values()) < 3:
+            raise AssertionError(
+                f"two appends left no list with >= 3 files: {frag}"
+            )
+        counts_before = idx.list_counts()
+        if sum(counts_before.values()) != n_corpus:
+            raise AssertionError("pre-compact ledger lost rows")
+
+        queries_df = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        probe_before = sorted(
+            tuple(r)
+            for r in idx.probe(queries_df, n_probe=_IVF_PROBE, k=10)
+            .select(
+                F.col("q_id").cast("long"),
+                F.col("vec_id").cast("long"),
+                "cos_sim",
+            )
+            .collect()  # bounded: 3 queries x k rows
+        )
+
+        mapping = idx.compact()
+        if set(mapping) != {k for k, n in frag.items() if n >= 2}:
+            raise AssertionError(
+                f"compact targeted {sorted(mapping)} but fragmentation "
+                f"was {frag}"
+            )
+        meta2 = idx._read_meta()
+        per_list = {int(k): len(v) for k, v in meta2["files"].items()}
+        if any(n != 1 for n in per_list.values()):
+            raise AssertionError(
+                f"compaction left multi-file lists: {per_list}"
+            )
+        if sum(per_list.values()) != len(counts_before):
+            raise AssertionError("ledger file count not bounded to n_lists")
+        if idx.list_counts() != {
+            mapping.get(k, k): v for k, v in counts_before.items()
+        }:
+            raise AssertionError("compaction changed per-list counts")
+        if idx.compact():
+            raise AssertionError("second compact found work: not idempotent")
+
+        out = idx.probe(queries_df, n_probe=_IVF_PROBE, k=10).select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cos_sim",
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+        probe_after = sorted(tuple(r) for r in out.collect())
+        if probe_after != probe_before:
+            raise AssertionError(
+                "compaction changed probe results: "
+                f"{probe_after[:3]} vs {probe_before[:3]}"
+            )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out

@@ -1545,6 +1545,149 @@ def test_ivf_repair_drops_crashed_append_orphans(spark, tmp_path):
     assert got == 140
 
 
+def test_ivf_compact_merges_files_and_bounds_ledger(spark, tmp_path):
+    """VERDICT r15 Next #2 / What's wrong #1: append adds one file per
+    touched list per batch forever, so K appends leave K+1 files per
+    list and an unboundedly growing ledger. compact() must (a) leave
+    exactly ONE ledger file per compacted list, (b) preserve counts and
+    contents exactly (probe bit-equality before/after), (c) retire the
+    old dirs through the same garbage-ledger commit a split uses, and
+    (d) carry sticky no_split marks over to the fresh ids."""
+    from reflex_spark.operators.similarity import IvfIndex
+    from reflex_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "idx"), emb.where(F.col("vec_id") < 60), cent
+    )
+    for lo in (60, 100, 140):  # K=3 appends fragment every touched list
+        idx.append(
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 40))
+        )
+    meta = idx._read_meta()
+    frag = {k: len(v) for k, v in meta["files"].items()}
+    assert max(frag.values()) >= 3  # genuinely fragmented
+    counts_before = idx.list_counts()
+    q = emb.where(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    probe_before = sorted(
+        tuple(r) for r in idx.probe(q, n_probe=3, k=10).collect()
+    )
+    # seed a sticky refusal mark to verify carry-over
+    lid_marked = int(max(meta["files"], key=lambda k: len(meta["files"][k])))
+    meta["no_split"] = [lid_marked]
+    idx._write_meta(meta)
+
+    mapping = idx.compact()
+    assert set(mapping) == {int(k) for k, n in frag.items() if n >= 2}
+    meta2 = idx._read_meta()
+    # (a) one ledger file per compacted list; ledger shrank
+    for new in mapping.values():
+        assert len(meta2["files"][str(new)]) == 1
+    assert sum(len(v) for v in meta2["files"].values()) < sum(frag.values())
+    # (b) counts carried over exactly; contents identical
+    assert idx.list_counts() == {
+        mapping.get(k, k): v for k, v in counts_before.items()
+    }
+    assert sorted(
+        tuple(r) for r in idx.probe(q, n_probe=3, k=10).collect()
+    ) == probe_before
+    # (d) the sticky mark followed its list to the fresh id
+    assert meta2["no_split"] == [mapping[lid_marked]]
+    # (c) old dirs are parked garbage until vacuum, then gone — and the
+    # physical tree equals the snapshot afterwards
+    assert any("ivf_list" in g for g in meta2["garbage"])
+    idx.vacuum()
+    raw = spark.read.parquet(str(tmp_path / "idx" / "lists"))
+    assert raw.count() == sum(counts_before.values())
+    assert (
+        sorted(tuple(r) for r in idx.probe(q, n_probe=3, k=10).collect())
+        == probe_before
+    )
+    # idempotent: nothing left to compact
+    assert idx.compact() == {}
+
+
+def test_ivf_probe_eager_survives_explicit_vacuum(spark, tmp_path):
+    """VERDICT r15 Next #5 (What's wrong #2): the lazy probe's snapshot
+    guarantee ends at return — an explicit vacuum() between return and
+    the caller's action fails the scan outside the retry loop. The
+    eager probe must (a) materialize inside the retry loop so a later
+    vacuum cannot invalidate the result, and (b) retry on a fresh
+    snapshot when a sweep races the materialization itself."""
+    from reflex_spark.operators.similarity import IvfIndex
+    from reflex_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "idx"), emb.where(F.col("vec_id") < 80), cent
+    )
+    idx.append(emb.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 120)))
+    q = emb.where(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    expect = sorted(tuple(r) for r in idx.probe(q, n_probe=3, k=10).collect())
+
+    # pin both probe flavors on the PRE-compact snapshot, then retire
+    # it. NOTE: deferred and lazy must be DISTINCT DataFrames — a
+    # re-collect of an already-collected df reuses its shuffle map
+    # outputs (skipped stages), so the swept scan would never re-run
+    # and the failure shape would be masked.
+    lazy = idx.probe(q, n_probe=3, k=10)
+    deferred = idx.probe(q, n_probe=3, k=10)
+    eager = idx.probe(q, n_probe=3, k=10, eager=True)
+    assert idx.compact()  # old dirs -> garbage (still on disk: deferred)
+    # deferred vacuum: the pinned snapshot is still collectable
+    assert sorted(tuple(r) for r in deferred.collect()) == expect
+    idx.vacuum()  # operator sweep while results are outstanding
+    with pytest.raises(Exception, match="FileNotFoundException"):
+        lazy.collect()  # the documented lazy-path failure shape
+    assert sorted(tuple(r) for r in eager.collect()) == expect
+
+    # (b) sweep racing the materialization: the first iteration's
+    # snapshot resolves and passes the existence check, then its files
+    # vanish before collect — the eager path must catch the wrapped
+    # FileNotFoundException and re-resolve on the committed snapshot
+    idx.append(emb.where((F.col("vec_id") >= 120) & (F.col("vec_id") < 160)))
+    expect2 = sorted(
+        tuple(r) for r in idx.probe(q, n_probe=3, k=10).collect()
+    )
+    metas = [idx._read_meta()]  # the pre-compact snapshot, served once
+    assert idx.compact()  # retires that snapshot's dirs into garbage
+    orig = idx._pinned_lists
+    state = {"fired": False}
+
+    def hooked(meta, lids=None):
+        df = orig(meta, lids)
+        if not state["fired"]:
+            state["fired"] = True
+            idx.vacuum()  # sweeps the stale snapshot's resolved files
+        return df
+
+    def read_meta():
+        return metas.pop() if metas else type(idx)._read_meta(idx)
+
+    idx._pinned_lists = hooked
+    idx._read_meta = read_meta
+    try:
+        got = idx.probe(q, n_probe=3, k=10, eager=True)
+        # compaction is content-preserving, so both snapshots agree
+        assert sorted(tuple(r) for r in got.collect()) == expect2
+        assert state["fired"]  # the race actually happened
+    finally:
+        idx._pinned_lists = orig
+        del idx._read_meta
+
+
 def test_poll_gzip_sizing_memoized_and_remote_failsafe(
     spark, tmp_path, monkeypatch
 ):
