@@ -299,6 +299,12 @@ HEADLINE = [
     # whole-dir swap under one ledger commit); the fragmentation-repair
     # shape is not timed elsewhere (append/split time growth, not merge)
     "sim_ann_ivf_compact_rollup",
+    # round 16: the streaming->ANN composition — the poll run loop
+    # driving per-batch IvfIndex.append with the crash/refuse/repair
+    # lifecycle of BOTH layers interleaved; neither family's entries
+    # time the cross-layer composition (cursor redelivery meeting the
+    # index's orphan backstop)
+    "stream_ann_index_maintenance_rollup",
 ]
 
 

@@ -5003,3 +5003,248 @@ def blob_poll_midblob_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_ann_index_maintenance_rollup",
+    # The judged rows are the STREAM-BUILT index's probe: a consumer
+    # drives IvfIndex.append per poll batch, crashes at the append's
+    # real commit point, refuses the redelivered batch over its own
+    # orphans, repairs, and resumes to head — after which the index
+    # must hold the corpus EXACTLY ONCE, so the probe equals the
+    # closed-form full-corpus replay. A double-ingested redelivery or
+    # a dropped batch changes cos_sim rows and hash-fails.
+    oracle=None,  # set below: shared closed-form IVF probe oracle
+)
+def stream_ann_index_maintenance_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two flagship families COMPOSED and judged (VERDICT r15 Next
+    #3): the reflex streaming surface (poll run loop, durable cursor,
+    at-least-once redelivery — the reference's consumers driving
+    downstream state, ``_example/exserver/ops/ops.go:14-33``) feeding
+    the persisted ANN index's incremental maintenance
+    (``IvfIndex.append``), with the crash lifecycle of BOTH layers
+    interleaved mid-stream.
+
+    Shape: a quarter of the embeddings corpus seeds the index build
+    (the bootstrap backfill); the rest is appended to an ``EventLog``
+    as embedding events — ``foreign_id`` carries the vec_id, the
+    float vector rides in ``metadata`` as a comma-joined string
+    (Java float→string→float round-trips exactly; pinned in-query on
+    the full stream). A consumer decodes each poll batch JVM-side and
+    calls ``idx.append(batch)``.
+
+    Crash choreography, all at real seams: at poll batch 3 the append
+    dies AT ITS LEDGER COMMIT POINT (``_inject_before_commit``) — the
+    batch's files sit in live partitions, unreferenced; the run loop
+    unwinds before ``set_cursor``, so the durable cursor still points
+    at batch 2's end. Pinned: (a) the index snapshot never saw the
+    crashed batch (ledger total == seed + 3 committed batches); (b)
+    the RESTARTED consumer's redelivery of batch 3 REFUSES loudly —
+    ``IvfIndex.append``'s orphan backstop composing with cursor
+    redelivery exactly as designed (adopting the crashed files could
+    commit a partial batch); (c) ``repair()`` reclaims the orphans
+    (>0 files) without touching committed state; (d) the resumed run
+    consumes to head and every vector landed exactly once (ledger
+    total == corpus, distinct vec_ids == corpus); (e) the final probe
+    — ``eager=True``, the materializing mode probes use when they run
+    concurrently with maintenance — hashes bit-equal to the
+    closed-form DuckDB oracle.
+
+    Scale posture: each poll batch costs O(|batch| x n_lists) assign +
+    O(|batch|) write + O(touched-partitions) ledger metadata — ingest
+    stays O(batch) forever; the one O(index) op (repair) runs once,
+    after the crash, exactly as documented. The log's metadata payload
+    streams through the JVM (array_join/split + casts — no Python
+    row path)."""
+    import shutil
+
+    from reflex_spark.operators.similarity import IvfIndex
+    from reflex_spark.queries.similarity import _IVF_LISTS, _IVF_PROBE
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.streaming import FileCursorStore
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n_corpus = emb.count()
+    n_seed = n_corpus // 4
+    cent = emb.where(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    seed = emb.where(F.col("vec_id") < n_seed)
+    stream = emb.where(F.col("vec_id") >= n_seed)
+    n_stream = n_corpus - n_seed
+
+    base = tempfile.mkdtemp(prefix="stream_ann_")
+    try:
+        # -- the log of embedding events (payload = exact float codec) --
+        log = EventLog(spark, f"{base}/log")
+        log.append(
+            stream.select(
+                F.lit(1).alias("event_type"),
+                F.col("vec_id").cast("string").alias("foreign_id"),
+                F.timestamp_seconds(
+                    F.lit(1_000_000_000) + F.col("vec_id")
+                ).alias("timestamp"),
+                F.array_join(
+                    F.transform("embedding", lambda x: x.cast("string")),
+                    ",",
+                )
+                .cast("binary")
+                .alias("metadata"),
+                F.lit(None).cast("binary").alias("trace"),
+            ),
+            order_by=["timestamp"],
+        )
+
+        def decode(batch: DataFrame) -> DataFrame:
+            return batch.select(
+                F.col("foreign_id").cast("long").alias("vec_id"),
+                F.transform(
+                    F.split(F.col("metadata").cast("string"), ","),
+                    lambda x: x.cast("float"),
+                ).alias("embedding"),
+            )
+
+        # codec exactness pinned on the WHOLE stream before consuming:
+        # a payload that decodes differently would silently corrupt the
+        # index, not fail a join
+        n_bad = (
+            decode(log.read())
+            .alias("d")
+            .join(emb.alias("e"), "vec_id")
+            .where(
+                F.expr(
+                    "exists(zip_with(d.embedding, e.embedding,"
+                    " (x, y) -> x <> y), p -> p)"
+                )
+            )
+            .count()
+        )
+        if n_bad:
+            raise AssertionError(
+                f"metadata codec not exact: {n_bad} vectors drifted"
+            )
+
+        idx = IvfIndex.build(spark, f"{base}/idx", seed, cent)
+        durable = FileCursorStore(f"{base}/cursors")
+        limit = max(1, n_stream // 6)  # ~6 poll batches
+        CRASH_AT = 3
+
+        class _Chaos(RuntimeError):
+            """Stands in for SIGKILL mid-append."""
+
+        def crash(op: str) -> None:
+            raise _Chaos(f"injected crash at {op} commit point")
+
+        armed_once = {"done": False}
+
+        def consume(batch: DataFrame, meta: dict) -> None:
+            # one-shot: each restarted run numbers its batches from 0
+            # again, so without the flag the resumed run would re-crash
+            # at ITS batch 3
+            if meta["batch"] == CRASH_AT and not armed_once["done"]:
+                armed_once["done"] = True
+                idx._inject_before_commit = crash
+            try:
+                idx.append(decode(batch))
+            finally:
+                idx._inject_before_commit = None
+
+        def spec() -> Spec:
+            return Spec(
+                log,
+                durable,
+                Consumer("ann_maintainer", consume),
+                StreamOptions(to_head=True, batch_limit=limit),
+            )
+
+        crashed = False
+        try:
+            run(spec())
+        except Exception as exc:
+            if isinstance(exc, _Chaos) or isinstance(exc.__cause__, _Chaos):
+                crashed = True
+            else:
+                raise
+        if not crashed:
+            raise AssertionError("injected crash never fired")
+        # (a) the crashed batch is invisible to the committed snapshot
+        n_committed = sum(idx.list_counts().values())
+        if n_committed != n_seed + CRASH_AT * limit:
+            raise AssertionError(
+                f"crashed append moved the ledger: {n_committed} != "
+                f"{n_seed} + {CRASH_AT}x{limit}"
+            )
+
+        # (b) the restarted consumer's redelivery refuses over orphans
+        refused = False
+        try:
+            run(spec())
+        except Exception as exc:
+            msg = str(exc) + str(exc.__cause__ or "")
+            refused = "repair" in msg
+            if not refused:
+                raise
+        if not refused:
+            raise AssertionError(
+                "redelivered batch did not refuse over the crashed "
+                "attempt's orphans"
+            )
+
+        # (c) repair reclaims the crashed attempt; committed state intact
+        dropped = idx.repair()
+        if dropped["orphan_files_dropped"] <= 0:
+            raise AssertionError("repair reclaimed nothing after the crash")
+        if sum(idx.list_counts().values()) != n_committed:
+            raise AssertionError("repair changed committed index state")
+
+        # (d) resume to head: exactly-once landing for every vector
+        try:
+            run(spec())
+        except ErrHeadReached:
+            pass
+        if sum(idx.list_counts().values()) != n_corpus:
+            raise AssertionError(
+                f"post-resume corpus {sum(idx.list_counts().values())} "
+                f"!= {n_corpus}"
+            )
+        n_distinct = (
+            idx.read_lists().select("vec_id").distinct().count()
+        )
+        if n_distinct != n_corpus:
+            raise AssertionError(
+                f"duplicate/dropped vectors: {n_distinct}/{n_corpus}"
+            )
+
+        # (e) the probe — eager: materialized inside the retry loop, the
+        # mode concurrent-with-maintenance probers use
+        queries_df = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        out = idx.probe(
+            queries_df, n_probe=_IVF_PROBE, k=10, eager=True
+        ).select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cos_sim",
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+# the oracle is the shared closed-form IVF probe (same contract as the
+# append/repair/snapshot rollups): registered here to keep the single
+# source of truth in queries/similarity.py without a circular import at
+# module load
+def _register_ann_maintenance_oracle() -> None:
+    from reflex_spark.queries import _ORACLE
+    from reflex_spark.queries.similarity import _SQL_IVF_CLOSED_PROBE
+
+    _ORACLE["stream_ann_index_maintenance_rollup"] = _SQL_IVF_CLOSED_PROBE
+
+
+_register_ann_maintenance_oracle()
