@@ -3581,6 +3581,164 @@ _E2E_ORACLE = _E2E_ORACLE_TMPL.format(
 )
 
 
+def _e2e_sig40(c):
+    """Order-independent membership signature: SUM over the first 40
+    md5 bits per id (see _sql_sig40 — the oracle twin)."""
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, 10), 16, 10
+    ).cast("long")
+
+
+def _e2e_ledger(df: DataFrame, ord_: int, name: str, sig=None) -> DataFrame:
+    """One pipeline-ledger row: (stage_ord, stage, n_docs, n_tokens,
+    id_sig) — the judged per-stage output of the corpus pipelines."""
+    sig = _e2e_sig40(F.col("doc_id")) if sig is None else sig
+    return (
+        df.groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(sig).cast("long").alias("id_sig"),
+        )
+        .select(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+            "id_sig",
+        )
+    )
+
+
+def _corpus_stages(
+    spark: SparkSession, sf_dir: str, pinned: list
+) -> dict[str, DataFrame]:
+    """Stages 0-6 of the corpus build, shared by the two judged
+    end-to-end pipelines (pipeline_corpus_end_to_end and its SemDeDup
+    sibling): input shaping, exact dedup, MinHash-LSH cluster dedup,
+    Gopher quality gate + declarative WAP audit, benchmark
+    decontamination, per-source token-budget fill, temperature-mixture
+    sampling. Persisted stage survivors are appended to ``pinned`` —
+    the caller unpersists them after materializing its output."""
+    from reflex_spark.operators import validate as V
+    from reflex_spark.operators.sampling import (
+        _BUCKETS,
+        _bucket,
+        greedy_token_budget,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        T.token_count("text").cast("long").alias("n_tokens"),
+    )
+    # 1. exact dedup
+    keep = exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+    s1 = base.join(keep, "doc_id", "left_semi")
+    # 2. near-dup cluster dedup on the exact survivors
+    pairs = minhash_lsh_pairs(
+        s1.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.8,
+    ).select("id_a", "id_b")
+    cc, _rounds = connected_components_star(pairs)
+    losers = cc.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    s2 = s1.join(losers, "doc_id", "left_anti").persist()
+    pinned.append(s2)
+    # 3. Gopher gate + declarative audit before proceeding
+    n = T.token_count("text")
+    awl = T.avg_word_len("text")
+    s3 = s2.where(
+        (n >= 30) & (n <= 100000)
+        & (awl >= 2.5) & (awl <= 8.0)
+        & (T.stopword_count("text").cast("double") / n.cast("double") >= 0.01)
+        & (T.digit_token_count("text").cast("double") / n.cast("double") <= 0.2)
+    ).persist()
+    pinned.append(s3)
+    audit = [
+        V.has_size(lo=1),
+        V.is_complete("text"),
+        V.has_min("n_tokens", lo=30.0),
+        V.has_max("n_tokens", hi=100000.0),
+    ]
+    report = V.validate(s3, audit).collect()  # control-plane rows
+    bad = [r["check_name"] for r in report if not r["passed"]]
+    if bad:
+        raise AssertionError(f"quality audit failed, not publishing: {bad}")
+    # 4. benchmark decontamination
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    nev = s3.where(F.col("doc_id") % 97 != 0)
+    flags = contamination_overlap(
+        nev.select("doc_id", "text"), ev, "doc_id", "text", n=3, min_overlap=2
+    )
+    s4 = nev.join(
+        flags.where(F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    ).persist()
+    pinned.append(s4)
+    # 5. per-source token-budget fill
+    budget = (
+        F.lit(300)
+        + F.lit(200) * (F.expr("CAST(substring(source, 4) AS INT)") % 3)
+    ).cast("long")
+    s5 = (
+        greedy_token_budget(
+            s4.withColumn("budget", budget),
+            "doc_id",
+            F.col("n_tokens"),
+            F.col("budget"),
+            "source",
+        )
+        .select("doc_id", "source", "n_tokens")
+        .persist()
+    )
+    pinned.append(s5)
+    # 6. temperature-mixture sampling (alpha=0.5, half the corpus)
+    nsrc = s5.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = nsrc.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.sqrt(F.col("n").cast("double")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("z"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(0.5) * F.col("total").cast("double"))
+        * (F.sqrt(F.col("n").cast("double")) / F.col("z"))
+        / F.col("n").cast("double"),
+    )
+    thr = nsrc.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(rate * _BUCKETS).cast("long").alias("bucket_threshold"),
+    )
+    s6 = (
+        s5.join(F.broadcast(thr), "source")
+        .where(_bucket(F.col("doc_id")) < F.col("bucket_threshold"))
+        .select("doc_id", "n_tokens")
+        .persist()
+    )
+    pinned.append(s6)
+    return {
+        "docs": docs,
+        "base": base,
+        "s1": s1,
+        "s2": s2,
+        "s3": s3,
+        "s4": s4,
+        "s5": s5,
+        "s6": s6,
+    }
+
+
 @query(
     "pipeline_corpus_end_to_end",
     # THE full pre-training corpus build as ONE judged query (VERDICT
@@ -3632,156 +3790,205 @@ def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     read them (explicitly unpersisted after materialization); the
     membership signature is a distributed SUM — no collect_list of
     doc ids anywhere."""
-    from reflex_spark.operators import validate as V
-    from reflex_spark.operators.sampling import (
-        _BUCKETS,
-        _bucket,
-        greedy_token_budget,
-        pack_sequences,
-    )
+    from reflex_spark.operators.sampling import _bucket, pack_sequences
 
-    docs = load_tables(spark, sf_dir)["documents"]
-    base = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        T.token_count("text").cast("long").alias("n_tokens"),
-    )
-
-    def sig40(c):
-        return F.conv(
-            F.substring(F.md5(c.cast("string")), 1, 10), 16, 10
-        ).cast("long")
-
-    def ledger(df: DataFrame, ord_: int, name: str, sig=None) -> DataFrame:
-        sig = sig40(F.col("doc_id")) if sig is None else sig
-        return (
-            df.groupBy()
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.sum("n_tokens").cast("long").alias("n_tokens"),
-                F.sum(sig).cast("long").alias("id_sig"),
-            )
-            .select(
-                F.lit(ord_).cast("int").alias("stage_ord"),
-                F.lit(name).alias("stage"),
-                "n_docs",
-                "n_tokens",
-                "id_sig",
-            )
-        )
-
-    pinned = []
+    pinned: list[DataFrame] = []
     try:
-        # 1. exact dedup
-        keep = exact_dedup(docs, ["text"], "doc_id").select("doc_id")
-        s1 = base.join(keep, "doc_id", "left_semi")
-        # 2. near-dup cluster dedup on the exact survivors
-        pairs = minhash_lsh_pairs(
-            s1.select("doc_id", "text"),
-            "doc_id",
-            "text",
-            n=3,
-            num_hashes=16,
-            bands=4,
-            threshold=0.8,
-        ).select("id_a", "id_b")
-        cc, _rounds = connected_components_star(pairs)
-        losers = cc.where(F.col("node") != F.col("label")).select(
-            F.col("node").alias("doc_id")
-        )
-        s2 = s1.join(losers, "doc_id", "left_anti").persist()
-        pinned.append(s2)
-        # 3. Gopher gate + declarative audit before proceeding
-        n = T.token_count("text")
-        awl = T.avg_word_len("text")
-        s3 = s2.where(
-            (n >= 30) & (n <= 100000)
-            & (awl >= 2.5) & (awl <= 8.0)
-            & (T.stopword_count("text").cast("double") / n.cast("double") >= 0.01)
-            & (T.digit_token_count("text").cast("double") / n.cast("double") <= 0.2)
-        ).persist()
-        pinned.append(s3)
-        audit = [
-            V.has_size(lo=1),
-            V.is_complete("text"),
-            V.has_min("n_tokens", lo=30.0),
-            V.has_max("n_tokens", hi=100000.0),
-        ]
-        report = V.validate(s3, audit).collect()  # control-plane rows
-        bad = [r["check_name"] for r in report if not r["passed"]]
-        if bad:
-            raise AssertionError(f"quality audit failed, not publishing: {bad}")
-        # 4. benchmark decontamination
-        ev = docs.where(F.col("doc_id") % 97 == 0)
-        nev = s3.where(F.col("doc_id") % 97 != 0)
-        flags = contamination_overlap(
-            nev.select("doc_id", "text"), ev, "doc_id", "text", n=3, min_overlap=2
-        )
-        s4 = nev.join(
-            flags.where(F.col("contaminated")).select("doc_id"),
-            "doc_id",
-            "left_anti",
-        ).persist()
-        pinned.append(s4)
-        # 5. per-source token-budget fill
-        budget = (
-            F.lit(300)
-            + F.lit(200) * (F.expr("CAST(substring(source, 4) AS INT)") % 3)
-        ).cast("long")
-        s5 = (
-            greedy_token_budget(
-                s4.withColumn("budget", budget),
-                "doc_id",
-                F.col("n_tokens"),
-                F.col("budget"),
-                "source",
-            )
-            .select("doc_id", "source", "n_tokens")
-            .persist()
-        )
-        pinned.append(s5)
-        # 6. temperature-mixture sampling (alpha=0.5, half the corpus)
-        nsrc = s5.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-        tot = nsrc.agg(
-            F.sum("n").alias("total"),
-            F.sum(F.sqrt(F.col("n").cast("double")).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("z"),
-        )
-        rate = F.least(
-            F.lit(1.0),
-            (F.lit(0.5) * F.col("total").cast("double"))
-            * (F.sqrt(F.col("n").cast("double")) / F.col("z"))
-            / F.col("n").cast("double"),
-        )
-        thr = nsrc.crossJoin(F.broadcast(tot)).select(
-            "source",
-            F.floor(rate * _BUCKETS).cast("long").alias("bucket_threshold"),
-        )
-        s6 = (
-            s5.join(F.broadcast(thr), "source")
-            .where(_bucket(F.col("doc_id")) < F.col("bucket_threshold"))
-            .select("doc_id", "n_tokens")
-            .persist()
-        )
-        pinned.append(s6)
+        st = _corpus_stages(spark, sf_dir, pinned)
         # 7. sequence packing (8 shards x 256-token packs)
         packs = pack_sequences(
-            s6, "doc_id", F.col("n_tokens"), seq_len=256, shards=8
+            st["s6"], "doc_id", F.col("n_tokens"), seq_len=256, shards=8
         )
         pack_sig = (
             F.col("shard").cast("long") * 4096 + F.col("pack_id") + 1
         ) * _bucket(F.col("doc_id"))
         out = (
-            ledger(base, 0, "input")
-            .unionByName(ledger(s1, 1, "exact_dedup"))
-            .unionByName(ledger(s2, 2, "neardup_dedup"))
-            .unionByName(ledger(s3, 3, "quality_gate"))
-            .unionByName(ledger(s4, 4, "decontaminate"))
-            .unionByName(ledger(s5, 5, "token_budget"))
-            .unionByName(ledger(s6, 6, "temperature_mixture"))
-            .unionByName(ledger(packs, 7, "sequence_packing", sig=pack_sig))
+            _e2e_ledger(st["base"], 0, "input")
+            .unionByName(_e2e_ledger(st["s1"], 1, "exact_dedup"))
+            .unionByName(_e2e_ledger(st["s2"], 2, "neardup_dedup"))
+            .unionByName(_e2e_ledger(st["s3"], 3, "quality_gate"))
+            .unionByName(_e2e_ledger(st["s4"], 4, "decontaminate"))
+            .unionByName(_e2e_ledger(st["s5"], 5, "token_budget"))
+            .unionByName(_e2e_ledger(st["s6"], 6, "temperature_mixture"))
+            .unionByName(
+                _e2e_ledger(packs, 7, "sequence_packing", sig=pack_sig)
+            )
+        )
+        out = out.localCheckpoint()  # materialize before the unpersists
+    finally:
+        for df in pinned:
+            df.unpersist()
+    return out
+
+
+# --- the SemDeDup-extended pipeline (VERDICT r15 Next #4) --------------
+# oracle: the 7-stage CTE chain with a semantic-dedup stage spliced in
+# between temperature mixture (s6) and packing — the k-means codebook
+# replay is the shared _sql_kmeans_ctes(16, 2, 64) chain from
+# queries/similarity (same fit the production SemDeDup queries judge).
+from reflex_spark.operators.similarity import (  # noqa: E402
+    sql_cosine as _sd_sql_cosine,
+    sql_sqdist as _sd_sql_sqdist,
+)
+from reflex_spark.queries.similarity import (  # noqa: E402
+    _CB_CTES as _SD_KM_CTES,
+    _CB_FINAL as _SD_KM_FINAL,
+)
+
+_E2E_SD_SEM_CTES = """
+    {KM},
+    semsurv AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN s6 ON e.vec_id = s6.doc_id),
+    semassigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {D2}, c.cid) AS rnk
+        FROM semsurv e, {KMF} c)
+      WHERE rnk = 1),
+    semdel AS (
+      SELECT DISTINCT b.vec_id AS doc_id
+      FROM semassigned a JOIN semassigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {COS} >= 0.4),
+    s7 AS (SELECT * FROM s6
+           WHERE doc_id NOT IN (SELECT doc_id FROM semdel)),
+"""
+
+
+# splice the semdedup CTEs between s6's trailing comma and packs, pack
+# from s7, append the s7 ledger row, and shift packing to stage_ord 8
+_SD_TMPL = _E2E_ORACLE_TMPL.replace(
+    "    packs AS (",
+    _E2E_SD_SEM_CTES.strip("\n") + "\n    packs AS (",
+).replace(
+    "FROM (SELECT doc_id, n_tokens, {BKT} % 8 AS shard FROM s6))",
+    "FROM (SELECT doc_id, n_tokens, {BKT} % 8 AS shard FROM s7))",
+).replace(
+    "UNION ALL {L4} UNION ALL {L5} UNION ALL {L6}",
+    "UNION ALL {L4} UNION ALL {L5} UNION ALL {L6} UNION ALL {L7}",
+).replace(
+    "SELECT 7 AS stage_ord, 'sequence_packing' AS stage,",
+    "SELECT 8 AS stage_ord, 'sequence_packing' AS stage,",
+)
+
+_E2E_SD_ORACLE = _SD_TMPL.format(
+    TC=T.sql_token_count("text"),
+    AWL=T.sql_avg_word_len("text"),
+    SW=T.sql_stopword_count("text"),
+    DG=T.sql_digit_token_count("text"),
+    MH=_SQL_MINHASH_SIG,
+    BK=_SQL_BAND_KEYS,
+    BKT=_sql_bucket("doc_id"),
+    KM=_SD_KM_CTES,
+    KMF=_SD_KM_FINAL,
+    D2=_sd_sql_sqdist("e.embedding", "c.cv"),
+    COS=_sd_sql_cosine("a.embedding", "b.embedding"),
+    **{
+        f"L{i}": _E2E_LEDGER.format(
+            o=i, n=name, sig=_sql_sig40("doc_id"), src=src
+        )
+        for i, (name, src) in enumerate(
+            [
+                ("input", "base"),
+                ("exact_dedup", "s1"),
+                ("neardup_dedup", "s2"),
+                ("quality_gate", "s3"),
+                ("decontaminate", "s4"),
+                ("token_budget", "s5"),
+                ("temperature_mixture", "s6"),
+                ("semantic_dedup", "s7"),
+            ]
+        )
+    },
+)
+
+
+@query(
+    "pipeline_corpus_semdedup_end_to_end",
+    # The corpus pipeline CLOSED with the embedding modality (VERDICT
+    # r15 Next #4): same seven text stages, then SemDeDup over the
+    # survivors' embeddings before packing — the per-stage ledger grows
+    # to 9 rows and the oracle replays the k-means fit, the cluster-
+    # scoped cosine pass, and the keep-min-id rule as CTEs on top of
+    # the text chain. A wrong cluster boundary, threshold, or survivor
+    # rule changes the s7 signature (and every pack after it) and
+    # hash-fails.
+    oracle=_E2E_SD_ORACLE,
+)
+def pipeline_corpus_semdedup_end_to_end(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus build ENDING IN SEMANTIC DEDUP — the stage a real
+    pre-training pipeline runs last-before-packing, where near-identical
+    MEANING (not near-identical text) is the duplicate signal
+    (SemDeDup, Abbas et al. 2023): stages 0-6 are the judged text chain
+    (``_corpus_stages`` — exact dedup, MinHash-LSH cluster dedup,
+    audited Gopher gate, decontamination, token budget, temperature
+    mixture), then (7) the survivors join ``documents``→``embeddings``
+    by id (vec_id ≡ doc_id, the fixtures' cross-modal key), a 16-list
+    2-iteration exact k-means codebook fit on the FULL embedding corpus
+    localizes the cosine pass to within-cluster pairs (the production
+    ``cluster_scoped_cosine_pairs`` — localization rate itself judged
+    by ``dedup_semantic_recall``), and every pair at rounded cosine
+    >= 0.4 drops its higher id; (8) sequence packing runs on what
+    survives. The judged output is the 9-row per-stage ledger.
+
+    Scale posture on top of the text chain's: the codebook fit is the
+    memoized exact-k-means path (broadcast centroids, decimal-mean
+    iterations); assignment of the survivors is one broadcast
+    nested-loop against 16 rows + partial/final argmin; the cosine
+    pass is an equi-join ON cluster id — candidate pairs are
+    O(sum of per-cluster sizes squared), never O(n^2) corpus-wide, and
+    at 100 TB the cluster count scales with the corpus so per-cluster
+    work stays bounded. Docs without an embedding pass through
+    untouched (they never enter the delete list) — the honest semantics
+    for a partially-embedded corpus."""
+    from reflex_spark.operators.sampling import _bucket, pack_sequences
+    from reflex_spark.operators.similarity import (
+        cluster_scoped_cosine_pairs,
+        ivf_assign_exact,
+        kmeans_centroids_exact,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    pinned: list[DataFrame] = []
+    try:
+        st = _corpus_stages(spark, sf_dir, pinned)
+        s6 = st["s6"]
+        # 7. semantic dedup over the survivors' embeddings
+        cent = kmeans_centroids_exact(emb, n_lists=16, iters=2)
+        surv_emb = emb.join(
+            s6.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        assigned = ivf_assign_exact(surv_emb, cent)
+        sem_del = (
+            cluster_scoped_cosine_pairs(assigned, threshold=0.4)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        s7 = s6.join(sem_del, "doc_id", "left_anti").persist()
+        pinned.append(s7)
+        # 8. sequence packing on the semantically-deduped corpus
+        packs = pack_sequences(
+            s7, "doc_id", F.col("n_tokens"), seq_len=256, shards=8
+        )
+        pack_sig = (
+            F.col("shard").cast("long") * 4096 + F.col("pack_id") + 1
+        ) * _bucket(F.col("doc_id"))
+        out = (
+            _e2e_ledger(st["base"], 0, "input")
+            .unionByName(_e2e_ledger(st["s1"], 1, "exact_dedup"))
+            .unionByName(_e2e_ledger(st["s2"], 2, "neardup_dedup"))
+            .unionByName(_e2e_ledger(st["s3"], 3, "quality_gate"))
+            .unionByName(_e2e_ledger(st["s4"], 4, "decontaminate"))
+            .unionByName(_e2e_ledger(st["s5"], 5, "token_budget"))
+            .unionByName(_e2e_ledger(st["s6"], 6, "temperature_mixture"))
+            .unionByName(_e2e_ledger(s7, 7, "semantic_dedup"))
+            .unionByName(
+                _e2e_ledger(packs, 8, "sequence_packing", sig=pack_sig)
+            )
         )
         out = out.localCheckpoint()  # materialize before the unpersists
     finally:
