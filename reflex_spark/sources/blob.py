@@ -33,7 +33,17 @@ class BlobTruncatedError(RuntimeError):
     """A gzip blob's stream is provably truncated/corrupt (a mid-upload
     writer, typically): it must not be consumed this poll — the loop
     stops AT the key (ascending-key contract forbids skipping past it)
-    and retries once the writer finishes."""
+    and retries once the writer finishes.
+
+    Detection boundary: the sizing probe decompresses at most
+    POLL_WHOLETEXT_CAP+1 bytes, so truncation is only PROVABLE for
+    blobs whose decompressed size is under the cap. A gzip truncated
+    BEYOND the cap routes to the Spark line-reader (the right route for
+    its size) and fails there as an executor-side read error rather
+    than this typed stop — the poll loop still halts at the key, just
+    with the generic failure. Verifying the tail would cost a full
+    decompression of every over-cap blob per version; the cap exists
+    to bound exactly that."""
 
 
 @dataclass
@@ -240,13 +250,17 @@ class BlobBucket:
                         if len(self._gz_size_memo) > 65536:
                             self._gz_size_memo.clear()
                         self._gz_size_memo[memo_key] = n
-                except (EOFError, _zlib.error) as e:
+                except (EOFError, _zlib.error, _gzip.BadGzipFile) as e:
                     # the bytes are locally readable and PROVABLY
                     # truncated/corrupt (mid-upload writer): any route
                     # — wholetext or line-reader — would crash on the
                     # same bytes inside the Spark read, so surface a
                     # typed error the poll loop can stop on instead of
-                    # merely relocating the crash to an executor
+                    # merely relocating the crash to an executor.
+                    # BadGzipFile (bad magic/CRC/ISIZE) must be listed
+                    # HERE: it subclasses OSError, so without it the
+                    # clause below would misroute locally-readable
+                    # corruption to the line reader (ADVICE r15)
                     raise BlobTruncatedError(
                         f"{key}: gzip stream is truncated or corrupt "
                         f"(mid-upload writer?): {e}"
@@ -322,6 +336,13 @@ def run_blobs(
     BlobChangedError (blobs are immutable by contract); keys sorting
     before the cursor are skipped (lexicographic-order contract,
     rblob/doc.go).
+
+    Truncated-gzip handling: a mid-upload .gz whose decompressed size
+    is under POLL_WHOLETEXT_CAP raises the typed BlobTruncatedError and
+    the loop stops AT the key; one truncated BEYOND the cap is outside
+    the sizing probe's proof boundary (see BlobTruncatedError) and
+    fails as a generic executor read error instead — same halt-at-key
+    outcome, weaker typing.
     """
     from reflex_spark.streaming.run import ErrHeadReached
 

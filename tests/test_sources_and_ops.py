@@ -578,6 +578,16 @@ def test_poll_stops_at_truncated_gzip_blob(spark, tmp_path):
     with pytest.raises(BlobTruncatedError, match="truncated"):
         bucket.read_blob_records(f"{root}/b.jsonl.gz")
 
+    # corrupt MAGIC (a rewrite/trailer-corruption, not a short stream):
+    # gzip.BadGzipFile subclasses OSError, so without the explicit
+    # catch it would misroute to the remote-store line-reader fallback
+    # and crash untyped on an executor (ADVICE r15 finding)
+    with open(f"{root}/c.jsonl.gz", "wb") as f:
+        f.write(b"\x00\x00" + whole[2:])
+    with pytest.raises(BlobTruncatedError, match="corrupt"):
+        bucket.read_blob_records(f"{root}/c.jsonl.gz")
+    os.remove(f"{root}/c.jsonl.gz")
+
     store = MemCursorStore()
     seen: list[int] = []
 
