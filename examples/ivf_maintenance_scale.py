@@ -141,6 +141,36 @@ def main() -> None:
             f"vs {t_probe:.1f}s probed)"
         )
 
+        # --- compact (round 16): drip-feed 4 more appends so every
+        # touched list fragments (one file per list per batch), then
+        # measure the OPTIMIZE pass — wall time, ledger file-count
+        # bound, and probe BIT-EQUALITY across the rewrite
+        drip = max(10_000, n // 120)
+        for i in range(4):
+            idx.append(vecs(n + i * drip, n + (i + 1) * drip))
+        meta = idx._read_meta()
+        frag_files = sum(len(v) for v in meta["files"].values())
+        frag_lists = sum(1 for v in meta["files"].values() if len(v) >= 2)
+        before = {
+            tuple(r) for r in idx.probe(q, n_probe=4, k=10).collect()
+        }  # bounded: 80 rows
+        t0 = time.time()
+        mapping = idx.compact()
+        t_compact = time.time() - t0
+        meta2 = idx._read_meta()
+        after_files = sum(len(v) for v in meta2["files"].values())
+        after = {
+            tuple(r) for r in idx.probe(q, n_probe=4, k=10).collect()
+        }
+        assert after == before, "compaction changed probe results"
+        total = sum(idx.list_counts().values())
+        print(
+            f"compact: {frag_lists} fragmented lists / {frag_files} files "
+            f"-> {len(mapping)} rewritten, {after_files} files "
+            f"({total:,} vectors), {t_compact:.1f}s; probe bit-equal "
+            "before/after"
+        )
+
     spark.stop()
 
 
