@@ -318,25 +318,36 @@ def _capture_regime(sf_dir: str) -> dict:
     normalized without re-measuring: warm page cache streams at memory
     speed (>2 GB/s here), a cold one at disk speed. The probe itself
     warms exactly the file the Spark warmup read on the next line
-    always re-reads, so it does not perturb the timings it labels."""
-    probe = os.path.join(sf_dir, "lineitem.parquet")
-    paths = (
-        [probe]
-        if os.path.isfile(probe)
-        else [
-            os.path.join(probe, fn)
-            for fn in sorted(os.listdir(probe))
-            if not fn.startswith(("_", "."))
-        ]
-    )
-    n = 0
-    t0 = time.perf_counter()
-    for fp in paths:
-        with open(fp, "rb") as f:
-            while chunk := f.read(1 << 20):
-                n += len(chunk)
-    dt = max(time.perf_counter() - t0, 1e-9)
-    mbps = n / 1e6 / dt
+    always re-reads, so it does not perturb the timings it labels.
+    Bounded at 256 MB (a sample classifies warm-vs-cold identically;
+    an unbounded read at sf10+ would itself evict the other fixtures'
+    pages) and fail-soft: any filesystem surprise degrades to bracket
+    'unknown' rather than killing the capture."""
+    cap = 256 << 20
+    try:
+        probe = os.path.join(sf_dir, "lineitem.parquet")
+        paths = (
+            [probe]
+            if os.path.isfile(probe)
+            else [
+                p
+                for fn in sorted(os.listdir(probe))
+                if not fn.startswith(("_", "."))
+                and os.path.isfile(p := os.path.join(probe, fn))
+            ]
+        )
+        n = 0
+        t0 = time.perf_counter()
+        for fp in paths:
+            with open(fp, "rb") as f:
+                while n < cap and (chunk := f.read(1 << 20)):
+                    n += len(chunk)
+            if n >= cap:
+                break
+        dt = max(time.perf_counter() - t0, 1e-9)
+        mbps = n / 1e6 / dt
+    except OSError:
+        return {"probe_read_mb": 0.0, "probe_read_mbps": 0.0, "bracket": "unknown"}
     return {
         "probe_read_mb": round(n / 1e6, 1),
         "probe_read_mbps": round(mbps, 1),

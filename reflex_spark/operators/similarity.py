@@ -1599,7 +1599,7 @@ class IvfIndex:
                 os.path.join(lists_root, "_temporary"), ignore_errors=True
             )
         for name in os.listdir(self.path):
-            if name.startswith(".append-stage-"):
+            if name.startswith((".append-stage-", ".compact-stage-")):
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         gen = meta["centroid_gen"]
         for name in os.listdir(self.path):
@@ -2313,6 +2313,15 @@ class IvfIndex:
                 pruned = self._pinned_lists(meta, lids=probed)
             except (AnalysisException, FileNotFoundError) as e:
                 last_err = e  # snapshot swept mid-resolve: retry fresh
+                continue
+            except Exception as e:  # noqa: BLE001 — inspect, then retry
+                # a sweep racing the qprobe collect (the centroid scan
+                # that resolves the probed-list set) surfaces as a JVM
+                # FileNotFoundException wrapped in an untyped Py4J
+                # error — same shape as the eager materialization race
+                if "FileNotFoundException" not in str(e):
+                    raise
+                last_err = e
                 continue
             scored = (
                 pruned.join(F.broadcast(qprobe), "ivf_list")

@@ -5005,6 +5005,14 @@ def blob_poll_midblob_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# the shared closed-form IVF probe oracle — the same contract the
+# append/split/snapshot/repair/compact rollups judge against (no import
+# cycle: queries.similarity imports only the package root)
+from reflex_spark.queries.similarity import (  # noqa: E402
+    _SQL_IVF_CLOSED_PROBE as _ANN_CLOSED_PROBE,
+)
+
+
 @query(
     "stream_ann_index_maintenance_rollup",
     # The judged rows are the STREAM-BUILT index's probe: a consumer
@@ -5014,7 +5022,7 @@ def blob_poll_midblob_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must hold the corpus EXACTLY ONCE, so the probe equals the
     # closed-form full-corpus replay. A double-ingested redelivery or
     # a dropped batch changes cos_sim rows and hash-fails.
-    oracle=None,  # set below: shared closed-form IVF probe oracle
+    oracle=_ANN_CLOSED_PROBE,
 )
 def stream_ann_index_maintenance_rollup(
     spark: SparkSession, sf_dir: str
@@ -5234,17 +5242,3 @@ def stream_ann_index_maintenance_rollup(
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
-
-
-# the oracle is the shared closed-form IVF probe (same contract as the
-# append/repair/snapshot rollups): registered here to keep the single
-# source of truth in queries/similarity.py without a circular import at
-# module load
-def _register_ann_maintenance_oracle() -> None:
-    from reflex_spark.queries import _ORACLE
-    from reflex_spark.queries.similarity import _SQL_IVF_CLOSED_PROBE
-
-    _ORACLE["stream_ann_index_maintenance_rollup"] = _SQL_IVF_CLOSED_PROBE
-
-
-_register_ann_maintenance_oracle()

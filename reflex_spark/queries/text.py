@@ -3858,19 +3858,41 @@ _E2E_SD_SEM_CTES = """
 
 
 # splice the semdedup CTEs between s6's trailing comma and packs, pack
-# from s7, append the s7 ledger row, and shift packing to stage_ord 8
-_SD_TMPL = _E2E_ORACLE_TMPL.replace(
-    "    packs AS (",
-    _E2E_SD_SEM_CTES.strip("\n") + "\n    packs AS (",
-).replace(
-    "FROM (SELECT doc_id, n_tokens, {BKT} % 8 AS shard FROM s6))",
-    "FROM (SELECT doc_id, n_tokens, {BKT} % 8 AS shard FROM s7))",
-).replace(
-    "UNION ALL {L4} UNION ALL {L5} UNION ALL {L6}",
-    "UNION ALL {L4} UNION ALL {L5} UNION ALL {L6} UNION ALL {L7}",
-).replace(
-    "SELECT 7 AS stage_ord, 'sequence_packing' AS stage,",
-    "SELECT 8 AS stage_ord, 'sequence_packing' AS stage,",
+# from s7, append the s7 ledger row, and shift packing to stage_ord 8.
+# Each splice asserts its anchor occurs exactly once: a reworded base
+# template must fail loudly at import, not silently produce the 8-row
+# non-SemDeDup oracle and surface as an opaque driver hash-fail.
+def _spliced(tmpl: str, edits: list[tuple[str, str]]) -> str:
+    for old, new in edits:
+        if tmpl.count(old) != 1:
+            raise AssertionError(
+                f"oracle splice anchor not unique ({tmpl.count(old)}x): "
+                f"{old[:60]!r}"
+            )
+        tmpl = tmpl.replace(old, new)
+    return tmpl
+
+
+_SD_TMPL = _spliced(
+    _E2E_ORACLE_TMPL,
+    [
+        (
+            "    packs AS (",
+            _E2E_SD_SEM_CTES.strip("\n") + "\n    packs AS (",
+        ),
+        (
+            "FROM (SELECT doc_id, n_tokens, {BKT} % 8 AS shard FROM s6))",
+            "FROM (SELECT doc_id, n_tokens, {BKT} % 8 AS shard FROM s7))",
+        ),
+        (
+            "UNION ALL {L4} UNION ALL {L5} UNION ALL {L6}",
+            "UNION ALL {L4} UNION ALL {L5} UNION ALL {L6} UNION ALL {L7}",
+        ),
+        (
+            "SELECT 7 AS stage_ord, 'sequence_packing' AS stage,",
+            "SELECT 8 AS stage_ord, 'sequence_packing' AS stage,",
+        ),
+    ],
 )
 
 _E2E_SD_ORACLE = _SD_TMPL.format(

@@ -1622,6 +1622,33 @@ def test_ivf_compact_merges_files_and_bounds_ledger(spark, tmp_path):
     # idempotent: nothing left to compact
     assert idx.compact() == {}
 
+    # a compact crashed at its commit point leaves only unreferenced
+    # fresh dirs — swept before their ids are re-minted, committed
+    # snapshot untouched
+    idx.append(emb.where((F.col("vec_id") >= 180) & (F.col("vec_id") < 200)))
+    counts_pre_crash = idx.list_counts()
+
+    def boom(op):
+        raise RuntimeError("injected crash before commit")
+
+    idx._inject_before_commit = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.compact()
+    idx._inject_before_commit = None
+    assert idx.list_counts() == counts_pre_crash  # ledger never moved
+
+    # a compact killed MID-MOVE (before its own stage cleanup) leaves
+    # the staged corpus copy behind: the sweep must reclaim it (review
+    # finding r16: .compact-stage-* was missing from the sweep's prefix
+    # list, so crashed passes leaked a full copy forever)
+    stage = str(tmp_path / "idx" / ".compact-stage-99999")
+    os.makedirs(f"{stage}/ivf_list=77777")
+    with open(f"{stage}/ivf_list=77777/part-dead.parquet", "w") as f:
+        f.write("x")
+    idx.vacuum()
+    assert not os.path.exists(stage)
+    assert idx.compact()  # the retry succeeds on the swept index
+
 
 def test_ivf_probe_eager_survives_explicit_vacuum(spark, tmp_path):
     """VERDICT r15 Next #5 (What's wrong #2): the lazy probe's snapshot
