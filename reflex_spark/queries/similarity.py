@@ -2906,3 +2906,125 @@ def sim_ann_ivf_compact_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "sim_ann_ivf_compact_snapshot_probe_rollup",
+    # The judged rows ARE the racing probe's output: a probe injected
+    # at compact's REAL commit point must return exactly the committed
+    # snapshot's answer — which (compaction being content-neutral over
+    # the full corpus) is the closed-form full-corpus probe DuckDB
+    # replays. A reader that sees the staged rewrite (doubled vectors),
+    # loses a mid-rewrite list, or reads a torn quantizer hash-fails.
+    oracle=_SQL_IVF_CLOSED_PROBE,
+)
+def sim_ann_ivf_compact_snapshot_probe_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot consistency under COMPACTION driver-judged — the
+    symmetric twin of ``sim_ann_ivf_snapshot_probe_rollup`` (which
+    races a split): a lock-free probe injected at ``compact()``'s
+    actual commit point, i.e. after every fragmented list has been
+    rewritten under fresh ids and the next quantizer generation is on
+    disk but before the single ledger write, must return bit-exactly
+    the committed pre-compact snapshot's answer. This is the window
+    where the corpus exists TWICE on disk (old fragmented dirs +
+    staged rewrites); only the ledger read keeps readers on one side.
+
+    Pinned in-query: the serial pre-compact probe, the mid-commit
+    racing probe, and the judged output are the SAME rows (the
+    oracle's closed-form replay); the pass genuinely rewrote every
+    fragmented list (mapping == the >=2-file lists, post state is one
+    file per list); and the post-compact probe still serves identical
+    full top-k from the new snapshot — compaction is content-neutral,
+    so all three probes agree, and any divergence is a driver-visible
+    hash failure.
+
+    Scale posture: identical to the split race — probe is O(lists
+    probed) and takes no lock; commit is one atomic ledger write;
+    superseded dirs park in the garbage list for a full maintenance
+    interval, so the race window costs readers nothing. Reference
+    analogue: readers of reflex's MySQL-backed log never see a
+    half-applied InnoDB reorganization for the same
+    single-commit-point reason (rsql/doc.go:1-2, rsql/eventstable.go
+    delegating all visibility to the DB's committed snapshot)."""
+    import shutil
+    import tempfile as _tempfile
+
+    from reflex_spark.operators.similarity import IvfIndex
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n_corpus = emb.count()
+    cent = emb.where(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    queries_df = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    base = _tempfile.mkdtemp(prefix="ivf_compact_snap_")
+    try:
+        idx = IvfIndex.build(
+            spark, f"{base}/idx", emb.where(F.col("vec_id") % 2 == 0), cent
+        )
+        idx.append(emb.where(F.col("vec_id") % 2 == 1))
+        if sum(idx.list_counts().values()) != n_corpus:
+            raise AssertionError("fixture setup lost rows")
+        frag = {
+            int(k): len(v)
+            for k, v in idx._read_meta()["files"].items()
+        }
+        if max(frag.values()) < 2:
+            raise AssertionError(f"append left nothing fragmented: {frag}")
+
+        def probe_rows():
+            return sorted(
+                tuple(r)
+                for r in idx.probe(queries_df, n_probe=_IVF_PROBE, k=10)
+                .select(
+                    F.col("q_id").cast("long"),
+                    F.col("vec_id").cast("long"),
+                    "cos_sim",
+                )
+                .collect()  # bounded: 30 rows
+            )
+
+        serial = probe_rows()
+        racing: dict[str, list] = {}
+
+        def probe_mid_commit(op: str) -> None:
+            racing[op] = probe_rows()
+
+        idx._inject_before_commit = probe_mid_commit
+        try:
+            mapping = idx.compact()
+        finally:
+            idx._inject_before_commit = None
+        if set(mapping) != {k for k, n in frag.items() if n >= 2}:
+            raise AssertionError(
+                f"compact targeted {sorted(mapping)}; fragmentation {frag}"
+            )
+        if racing.get("compact") != serial:
+            raise AssertionError(
+                "probe racing the compaction diverged from the committed "
+                f"snapshot: {racing.get('compact')!r:.120s} vs "
+                f"{serial!r:.120s}"
+            )
+        per_list = {
+            int(k): len(v)
+            for k, v in idx._read_meta()["files"].items()
+        }
+        if any(n != 1 for n in per_list.values()):
+            raise AssertionError(f"compaction left fragments: {per_list}")
+        if probe_rows() != serial:
+            raise AssertionError(
+                "post-compact probe diverged from pre-compact snapshot"
+            )
+
+        out = spark.createDataFrame(
+            serial, "q_id long, vec_id long, cos_sim double"
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
