@@ -3021,10 +3021,12 @@ def sim_ann_ivf_compact_snapshot_probe_rollup(
                 "post-compact probe diverged from pre-compact snapshot"
             )
 
+        # built from local rows — no dependency on the temp dir, so no
+        # materialization is needed before cleanup (unlike siblings
+        # whose output plan still reads the index files)
         out = spark.createDataFrame(
             serial, "q_id long, vec_id long, cos_sim double"
         )
-        out = out.localCheckpoint()  # materialize before temp-dir cleanup
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
