@@ -305,6 +305,11 @@ HEADLINE = [
     # time the cross-layer composition (cursor redelivery meeting the
     # index's orphan backstop)
     "stream_ann_index_maintenance_rollup",
+    # round 16: the OPTIMIZE cadence governed inside the run loop —
+    # appends landing on remapped ids after each in-loop compaction;
+    # the only entry timing compact interleaved with subsequent appends
+    # (the compact entry above is a single terminal pass)
+    "stream_ann_index_compaction_rollup",
 ]
 
 

@@ -5013,6 +5013,39 @@ from reflex_spark.queries.similarity import (  # noqa: E402
 )
 
 
+def _embedding_events(stream: DataFrame) -> DataFrame:
+    """Embedding rows as EventLog-appendable events — the ONE codec both
+    stream_ann queries share: the float vector rides in ``metadata`` as
+    a comma-joined string (Java float→string→float round-trips exactly,
+    pinned on the full stream by the maintenance rollup, so this is an
+    exact codec, not an approximation)."""
+    return stream.select(
+        F.lit(1).alias("event_type"),
+        F.col("vec_id").cast("string").alias("foreign_id"),
+        F.timestamp_seconds(
+            F.lit(1_000_000_000) + F.col("vec_id")
+        ).alias("timestamp"),
+        F.array_join(
+            F.transform("embedding", lambda x: x.cast("string")), ","
+        )
+        .cast("binary")
+        .alias("metadata"),
+        F.lit(None).cast("binary").alias("trace"),
+    )
+
+
+def _decode_embedding_batch(batch: DataFrame) -> DataFrame:
+    """Inverse of ``_embedding_events``, entirely JVM-side (split +
+    casts — no Python row path in the per-batch hot loop)."""
+    return batch.select(
+        F.col("foreign_id").cast("long").alias("vec_id"),
+        F.transform(
+            F.split(F.col("metadata").cast("string"), ","),
+            lambda x: x.cast("float"),
+        ).alias("embedding"),
+    )
+
+
 @query(
     "stream_ann_index_maintenance_rollup",
     # The judged rows are the STREAM-BUILT index's probe: a consumer
@@ -5088,32 +5121,8 @@ def stream_ann_index_maintenance_rollup(
     try:
         # -- the log of embedding events (payload = exact float codec) --
         log = EventLog(spark, f"{base}/log")
-        log.append(
-            stream.select(
-                F.lit(1).alias("event_type"),
-                F.col("vec_id").cast("string").alias("foreign_id"),
-                F.timestamp_seconds(
-                    F.lit(1_000_000_000) + F.col("vec_id")
-                ).alias("timestamp"),
-                F.array_join(
-                    F.transform("embedding", lambda x: x.cast("string")),
-                    ",",
-                )
-                .cast("binary")
-                .alias("metadata"),
-                F.lit(None).cast("binary").alias("trace"),
-            ),
-            order_by=["timestamp"],
-        )
-
-        def decode(batch: DataFrame) -> DataFrame:
-            return batch.select(
-                F.col("foreign_id").cast("long").alias("vec_id"),
-                F.transform(
-                    F.split(F.col("metadata").cast("string"), ","),
-                    lambda x: x.cast("float"),
-                ).alias("embedding"),
-            )
+        log.append(_embedding_events(stream), order_by=["timestamp"])
+        decode = _decode_embedding_batch
 
         # codec exactness pinned on the WHOLE stream before consuming:
         # a payload that decodes differently would silently corrupt the
@@ -5228,6 +5237,188 @@ def stream_ann_index_maintenance_rollup(
 
         # (e) the probe — eager: materialized inside the retry loop, the
         # mode concurrent-with-maintenance probers use
+        queries_df = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        out = idx.probe(
+            queries_df, n_probe=_IVF_PROBE, k=10, eager=True
+        ).select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cos_sim",
+        )
+        out = out.localCheckpoint()  # materialize before temp-dir cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@query(
+    "stream_ann_index_compaction_rollup",
+    # The judged rows are the probe of an index that was appended AND
+    # repeatedly compacted inside one run loop: every vector must land
+    # exactly once across the id remappings, so the final probe equals
+    # the closed-form full-corpus replay. An append that resolved a
+    # stale quantizer generation after a mid-run compaction (writing
+    # into retired ids), or a compaction that dropped or doubled a
+    # mid-stream vector, changes cos_sim rows and hash-fails.
+    oracle=_ANN_CLOSED_PROBE,
+)
+def stream_ann_index_compaction_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The OPTIMIZE cadence GOVERNED inside the run loop — the
+    steady-state complement to ``stream_ann_index_maintenance_rollup``
+    (which judges the crash lifecycle): a poll consumer drives
+    ``IvfIndex.append`` per batch and runs ``idx.compact()`` every
+    CADENCE batches, exactly the "every N batches" amortization the
+    compact docstring prescribes. This is the one composition no other
+    judged query exercises: appends land AFTER a compaction has
+    remapped every fragmented list to fresh ids and re-labeled the
+    quantizer under the next generation — an append that cached a
+    pre-compaction ledger or centroid generation would write into
+    retired ids and corrupt the index silently.
+
+    Pinned in-query, at every cadence firing: (a) the pass found real
+    fragmentation and left every list at exactly ONE ledger file — the
+    bounded-fragmentation contract (list files never exceed CADENCE+1
+    by construction, and return to 1 on cadence); (b) the garbage
+    ledger right after a working pass holds exactly touched-lists + 1
+    entries (the previous interval's parked state was swept by the
+    pass itself — deferred vacuum is BOUNDED, not cumulative). After
+    run-to-head: >= 2 mid-run compactions actually interleaved with
+    appends, an append provably FOLLOWED the last mid-run pass (the
+    ceil-division batch count plus an explicit last-working-pass pin —
+    fixture drift cannot silently void the interleaving), every vector
+    landed exactly once (ledger total + distinct vec_ids == corpus), a
+    final compact bounds the whole index at one file per list, and the
+    eager probe hashes bit-equal to the closed-form DuckDB oracle.
+
+    Tie caveat (shared with every closed-probe query, but first load-
+    bearing here): post-compaction appends break exact-distance
+    assignment ties on the REMAPPED list ids while the oracle replays
+    the original ids, so the judged contract assumes no two centroids
+    are exactly equidistant (in double sqdist) from any streamed
+    vector — guaranteed by the distinct-random-float fixtures,
+    measure-zero in general.
+
+    Scale posture: ingest stays O(batch); each cadence pass is
+    O(fragmented bytes) = O(CADENCE recent batches), never O(corpus) —
+    so maintenance cost is a constant tax per interval, the index
+    never drifts toward O(appends) files or ledger entries, and probes
+    stay O(list bytes). Reference analogue: reflex consumers keep
+    derived state continuously current (``_example/exserver/ops/
+    ops.go:14-33``) and lean on InnoDB's self-compacting B-tree for
+    exactly this steady-state posture (``rsql/doc.go:1-2``)."""
+    import shutil
+
+    from reflex_spark.operators.similarity import IvfIndex
+    from reflex_spark.queries.similarity import _IVF_LISTS, _IVF_PROBE
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.streaming import FileCursorStore
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n_corpus = emb.count()
+    n_seed = n_corpus // 4
+    cent = emb.where(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    seed = emb.where(F.col("vec_id") < n_seed)
+    stream = emb.where(F.col("vec_id") >= n_seed)
+    n_stream = n_corpus - n_seed
+
+    base = tempfile.mkdtemp(prefix="stream_ann_compact_")
+    try:
+        log = EventLog(spark, f"{base}/log")
+        log.append(_embedding_events(stream), order_by=["timestamp"])
+        decode = _decode_embedding_batch
+
+        idx = IvfIndex.build(spark, f"{base}/idx", seed, cent)
+        durable = FileCursorStore(f"{base}/cursors")
+        # ceil-division to exactly 5 poll batches at EVERY SF: cadence
+        # fires at batches 2 and 4, so batches 3 and 5 each land an
+        # append AFTER a compaction — floor division could make the
+        # final batch coincide with the final cadence firing (e.g. an
+        # n_stream divisible by the batch count), silently voiding the
+        # append-on-remapped-ids interleaving this query exists to
+        # judge; the explicit last-working-pass pin below makes that
+        # a loud failure instead
+        limit = max(1, -(-n_stream // 5))
+        CADENCE = 2
+        state = {"batches": 0, "compactions": 0, "last_working": -1}
+
+        def governed_compact() -> dict[int, int]:
+            mapping = idx.compact()
+            if mapping:
+                meta = idx._read_meta()
+                per_list = {
+                    int(k): len(v) for k, v in meta["files"].items()
+                }
+                if any(n != 1 for n in per_list.values()):
+                    raise AssertionError(
+                        f"cadence pass left fragments: {per_list}"
+                    )
+                # deferred vacuum is bounded: the pass itself swept the
+                # previous interval's parked state, so garbage holds
+                # exactly this pass's touched lists + 1 quantizer gen
+                n_garbage = len(meta.get("garbage", []))
+                if n_garbage != len(mapping) + 1:
+                    raise AssertionError(
+                        f"garbage not bounded to the last interval: "
+                        f"{n_garbage} entries vs {len(mapping)} touched"
+                    )
+            return mapping
+
+        def consume(batch: DataFrame, meta: dict) -> None:
+            idx.append(decode(batch))
+            state["batches"] += 1
+            if state["batches"] % CADENCE == 0:
+                if governed_compact():
+                    state["compactions"] += 1
+                    state["last_working"] = state["batches"]
+
+        try:
+            run(
+                Spec(
+                    log,
+                    durable,
+                    Consumer("ann_compactor", consume),
+                    StreamOptions(to_head=True, batch_limit=limit),
+                )
+            )
+        except ErrHeadReached:
+            pass
+        if state["compactions"] < 2:
+            raise AssertionError(
+                f"cadence never interleaved: {state['compactions']} "
+                f"working compactions over {state['batches']} batches"
+            )
+        if state["batches"] <= state["last_working"]:
+            raise AssertionError(
+                f"no append followed the last compaction (pass at batch "
+                f"{state['last_working']} of {state['batches']}) — the "
+                "append-on-remapped-ids interleaving never happened"
+            )
+        if sum(idx.list_counts().values()) != n_corpus:
+            raise AssertionError(
+                f"corpus drifted across remappings: "
+                f"{sum(idx.list_counts().values())} != {n_corpus}"
+            )
+        n_distinct = idx.read_lists().select("vec_id").distinct().count()
+        if n_distinct != n_corpus:
+            raise AssertionError(
+                f"duplicate/dropped vectors: {n_distinct}/{n_corpus}"
+            )
+
+        governed_compact()  # bound the tail batches too
+        files = idx._read_meta()["files"]
+        bad = {int(k): len(v) for k, v in files.items() if len(v) != 1}
+        if bad:
+            raise AssertionError(
+                f"final state not bounded to one file per list: {bad}"
+            )
+
         queries_df = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
         )
