@@ -155,9 +155,25 @@ def cosine_pairs_blocked(
         id_col, vec_col, *( [group_col] if group_col else [] )
     )
     if n_blocks is None:
-        # One metadata-cheap count to size the tiling; exact value is not
-        # load-bearing (any B gives the same answer, only tile sizes shift).
-        n_blocks = max(1, math.ceil(src.count() / rows_per_block))
+        # One cheap count to size the tiling; the exact value is not
+        # load-bearing (any B gives the same answer, only tile sizes
+        # shift). With group_col, size from the LARGEST group: the
+        # per-task memory bound is per-group, and sizing from the
+        # global count would replicate every row into ~n_groups times
+        # more tiles than the bound needs (measured shape: 16 lists ->
+        # 16x shuffle volume of tiny tiles).
+        if group_col:
+            # one-row aggregate (control-plane, like the count below —
+            # no data materializes on the driver)
+            n_max = (
+                src.groupBy(group_col)
+                .count()
+                .agg(F.max("count").alias("m"))
+                .first()["m"]
+            ) or 0
+        else:
+            n_max = src.count()
+        n_blocks = max(1, math.ceil(n_max / rows_per_block))
 
     # group_col scopes the all-pairs computation: pairs are generated only
     # WITHIN a group (e.g. an IVF list — the SemDeDup composition), so the
@@ -246,6 +262,13 @@ def ivf_assign(
         embeddings.orderBy(id_col).limit(max(n_lists * 64, 512)).select(id_col, vec_col).toPandas()
     )
     X = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    if len(X) < n_lists:
+        # loud, not silent: a short init would fit fewer lists than the
+        # caller asked for (empty input crashes numpy opaquely below)
+        raise ValueError(
+            f"ivf_assign: need >= n_lists={n_lists} vectors to seed the "
+            f"fit, found {len(X)}"
+        )
     centroids = X[:n_lists].copy()
     for _ in range(iters):
         d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -289,8 +312,10 @@ def ivf_topk(
     import numpy as np
 
     assigned, centroids = ivf_assign(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
-    q_row = query.select(vec_col).collect()[0][0]
-    qv = np.array(q_row, dtype=np.float64)
+    q_rows = query.select(vec_col).limit(1).collect()
+    if not q_rows:
+        raise ValueError("ivf_topk: query DataFrame is empty")
+    qv = np.array(q_rows[0][0], dtype=np.float64)
     probe_lists = np.argsort(((centroids - qv) ** 2).sum(axis=1))[:n_probe].tolist()
     q = query.select(F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__q_vec"))
     scored = (
@@ -351,38 +376,29 @@ def ivf_topk_seeded(
     vectors + min-by-(distance, cid); expressed as a window for oracle
     parity at fixture scale — at 100 TB you would fold it to a groupBy
     ``min(struct(dist, cid))`` to avoid the per-row window shuffle.
-    """
-    from pyspark.sql import Window
 
+    Seed precondition, checked loudly: ids 0..n_lists-1 must all exist
+    (the closed-form oracle replays ``id < n_lists``, so non-dense or
+    offset id spaces would otherwise yield a silently empty or
+    undersized quantizer — and an empty result instead of an error).
+    The probe/score tail is :func:`ivf_probe_topk`, shared verbatim
+    with the k-means quantizer so the (sqdist, cid) tie-break and
+    rounding can never drift between the two.
+    """
     cent = embeddings.where(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
     )
-    w_assign = Window.partitionBy(id_col).orderBy("__d", "__cid")
-    assigned = (
-        embeddings.select(id_col, vec_col)
-        .join(F.broadcast(cent))
-        .withColumn("__d", sqdist(F.col(vec_col), F.col("__cv")))
-        .withColumn("__rnk", F.row_number().over(w_assign))
-        .where(F.col("__rnk") == 1)
-        .select(id_col, vec_col, F.col("__cid").alias("ivf_list"))
-    )
-    qp = (
-        query.select(F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__q_vec"))
-        .join(F.broadcast(cent))
-        .withColumn("__d", sqdist(F.col("__q_vec"), F.col("__cv")))
-        .withColumn(
-            "__rnk",
-            F.row_number().over(Window.partitionBy("__q_id").orderBy("__d", "__cid")),
+    n_seed = cent.count()  # pushdown-filtered scan: bounded, cheap
+    if n_seed < n_lists:
+        raise ValueError(
+            f"ivf_topk_seeded: seed quantizer needs all ids 0.."
+            f"{n_lists - 1} present, found {n_seed} — non-dense id "
+            "spaces need an explicit centroid table (ivf_probe_topk)"
         )
-        .where(F.col("__rnk") <= n_probe)
-        .select("__q_id", "__q_vec", F.col("__cid").alias("ivf_list"))
+    return ivf_probe_topk(
+        embeddings, query, cent, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
     )
-    scored = (
-        assigned.join(F.broadcast(qp), "ivf_list")
-        .where(F.col(id_col) != F.col("__q_id"))
-        .select(id_col, cosine(F.col(vec_col), F.col("__q_vec")).alias("cos_sim"))
-    )
-    return top_k(scored, k, F.col("cos_sim").desc(), F.col(id_col))
 
 
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
@@ -538,18 +554,34 @@ def ivf_topk_multi(
     import numpy as np
 
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     assigned, centroids = ivf_assign(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
     q_rows = queries.select(id_col, vec_col).collect()  # bounded query set
+    if not q_rows:
+        raise ValueError("ivf_topk_multi: queries DataFrame is empty")
     spark = embeddings.sparkSession
+    # only the driver-computed probe lists are materialized; the id and
+    # vector columns keep their ORIGINAL types via the join below (a
+    # rebuilt "long/array<float>" schema silently narrowed double
+    # vectors and rejected non-long ids)
     probe_rows = []
     for r in q_rows:
         qv = np.array(r[vec_col], dtype=np.float64)
         lists = np.argsort(((centroids - qv) ** 2).sum(axis=1))[:n_probe].tolist()
-        probe_rows.append((r[id_col], list(r[vec_col]), [int(x) for x in lists]))
-    q = spark.createDataFrame(
-        probe_rows, "__q_id long, __q_vec array<float>, __q_lists array<int>"
+        probe_rows.append((r[id_col], [int(x) for x in lists]))
+    ql = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("__q_id", queries.schema[id_col].dataType),
+                T.StructField("__q_lists", T.ArrayType(T.IntegerType())),
+            ]
+        ),
     )
+    q = queries.select(
+        F.col(id_col).alias("__q_id"), F.col(vec_col).alias("__q_vec")
+    ).join(F.broadcast(ql), "__q_id")
     scored = (
         assigned.join(F.broadcast(q), F.array_contains(F.col("__q_lists"), F.col("ivf_list")))
         .where(F.col(id_col) != F.col("__q_id"))
@@ -672,7 +704,6 @@ def kmeans_centroids_exact(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
 ) -> DataFrame:
     """ORACLE-EXACT iterative k-means centroids (round 5): unlike
     ``ivf_assign``'s numpy fit (whose pairwise-summation means no SQL
@@ -713,6 +744,12 @@ def kmeans_centroids_exact(
         F.col(id_col).alias("__cid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
     ).localCheckpoint()
+    n_init = cent.count()  # on the checkpointed frame: free, and only
+    if n_init < n_lists:  # on cache miss — loud instead of a silently
+        raise ValueError(  # undersized/empty quantizer on sparse ids
+            f"kmeans_centroids_exact: init needs all ids 0..{n_lists - 1}"
+            f" present (the oracle-replicable seed rule), found {n_init}"
+        )
     for _ in range(iters):
         assigned = _argmin_assign(
             embeddings.select(id_col, vec_col).join(F.broadcast(cent)),
@@ -905,6 +942,13 @@ def _pq_fit_encode(
         )
         .localCheckpoint()
     )
+    n_init = cent.select("__cid").distinct().count()  # checkpointed: cheap
+    if n_init < n_codes:
+        raise ValueError(
+            f"_pq_fit_encode: codebook init needs {n_codes} distinct "
+            f"seed ids, found {n_init} — ids 0..{n_codes - 1} must exist "
+            "(or the train sample must hold >= n_codes rows)"
+        )
 
     def assign(to_cent, rel):
         return _argmin_assign(
@@ -999,9 +1043,17 @@ def pq_adc_topk(
     default) keeps the full-fit behavior.
 
     Returns (id, approx_dist rounded to 6) top-k ascending, ties by id.
-    """
-    from pyspark.sql import Window
 
+    ``per_query=False`` (the default) is a SINGLE-query contract: the
+    global top-k drops the query id, so a multi-row query set would
+    silently interleave distances from different queries — checked
+    loudly below; pass ``per_query=True`` for query sets.
+    """
+    if not per_query and query.limit(2).count() > 1:
+        raise ValueError(
+            "pq_adc_topk: per_query=False takes a single-row query; "
+            "pass per_query=True for a query set"
+        )
     sub = _pq_slices(embeddings, m_subspaces, sub_dim, id_col, vec_col)
     train_ids = (
         pq_train_sample_ids(embeddings, train_sample, id_col)
@@ -1114,9 +1166,16 @@ def ivfpq_adc_topk(
 
     Returns (id, approx_dist rounded to 6) ascending top-k; with
     ``per_query`` (__q_id, id, approx_dist) ranked per query.
+    ``per_query=False`` is the same single-query contract as
+    ``pq_adc_topk`` — checked loudly.
     """
     from pyspark.sql import Window
 
+    if not per_query and query.limit(2).count() > 1:
+        raise ValueError(
+            "ivfpq_adc_topk: per_query=False takes a single-row query; "
+            "pass per_query=True for a query set"
+        )
     # The INDEX (coarse fit, list assignment + residuals, PQ codebooks +
     # codes) is independent of the query side and memoized per (session,
     # input, params) — round-8 build-cost pass: the topk/recall/rerank
@@ -2110,9 +2169,19 @@ class IvfIndex:
             cent_a, cent_b = mean_centroid(side_a), mean_centroid(side_b)
             # copy-on-write: both sides land at their FINAL location
             # under fresh ids — invisible to every snapshot reader
-            # until the ledger commit below
-            side_a.write.parquet(f"{self.path}/lists/ivf_list={id_a}")
-            side_b.write.parquet(f"{self.path}/lists/ivf_list={id_b}")
+            # until the ledger commit below. coalesce(1): each side is
+            # one list, and sided is already cached by the passes above,
+            # so the single-task write reads cache — without it the
+            # row_number shuffle's partitioning would write one file
+            # per shuffle partition and a fresh split list would be
+            # born with exactly the fragmentation compact() exists to
+            # bound (build/append pay repartition for the same reason)
+            side_a.coalesce(1).write.parquet(
+                f"{self.path}/lists/ivf_list={id_a}"
+            )
+            side_b.coalesce(1).write.parquet(
+                f"{self.path}/lists/ivf_list={id_b}"
+            )
         finally:
             sided.unpersist()
 

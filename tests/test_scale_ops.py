@@ -692,3 +692,75 @@ def test_bucketed_prefix_sum_empty_and_constant_key(spark):
         const, ["k"], "c", F.col("v"), "run", num_buckets=4
     )
     assert sorted(r["run"] for r in out2.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_seed_quantizer_guards_refuse_non_dense_ids(spark):
+    """The oracle-replicable seed rule (ids 0..n-1 are the init) is a
+    checked precondition, not a silent assumption: offset or sparse id
+    spaces previously yielded an EMPTY or undersized quantizer and an
+    empty result with no error — a semantic-dedup pipeline built on it
+    would silently find zero duplicates."""
+    from reflex_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_seeded,
+        kmeans_centroids_exact,
+        pq_adc_topk,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    shifted = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    q = shifted.limit(1)
+    with pytest.raises(ValueError, match="seed quantizer"):
+        ivf_topk_seeded(shifted, q, n_lists=16).collect()
+    with pytest.raises(ValueError, match="init needs all ids"):
+        kmeans_centroids_exact(shifted, n_lists=16, iters=1).collect()
+    # numpy-path fit: a sample smaller than n_lists must refuse loudly
+    # (empty input previously crashed with an opaque IndexError)
+    with pytest.raises(ValueError, match="seed the"):
+        ivf_assign(emb.limit(8), n_lists=16)
+    with pytest.raises(ValueError, match="query DataFrame is empty"):
+        ivf_topk(emb, emb.where(F.lit(False)), n_lists=16)
+
+
+def test_pq_global_topk_refuses_multi_row_query(spark):
+    """per_query=False is a single-query contract: the global top-k
+    drops __q_id, so a multi-row query set would silently interleave
+    distances computed against different query vectors."""
+    from reflex_spark.operators.similarity import pq_adc_topk
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    two = emb.where(F.col("vec_id").isin(0, 1))
+    with pytest.raises(ValueError, match="single-row query"):
+        pq_adc_topk(emb, two, per_query=False)
+
+
+def test_group_scoped_blocking_sizes_from_max_group(spark):
+    """With group_col, the tile grid is sized from the LARGEST group
+    (the per-task memory bound is per-group); results are invariant to
+    the block count — pinned against the ungrouped exact pairs
+    restricted to within-group."""
+    from reflex_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_blocked,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    grouped = emb.withColumn("__g", F.pmod(F.col("vec_id"), F.lit(4)))
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs_blocked(
+            grouped, 0.4, rows_per_block=32, group_col="__g"
+        ).collect()
+    }
+    same_group = {
+        r["vec_id"]: r["__g"] for r in grouped.select("vec_id", "__g").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs(emb, 0.4).collect()
+        if same_group[r["id_a"]] == same_group[r["id_b"]]
+    }
+    assert got == want

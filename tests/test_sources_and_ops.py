@@ -1827,3 +1827,31 @@ def test_gzip_multimember_and_sticky_split_refusal(spark, tmp_path):
     )
     assert 0 not in idx._read_meta().get("no_split", [])
     assert idx.maybe_split(threshold=2, lists=[0]) == [0]
+
+
+def test_ivf_split_sides_born_compact(spark, tmp_path):
+    """Both fresh lists a split mints are written as ONE file each: the
+    row_number window's shuffle partitioning must not leak into the
+    on-disk layout (a fresh list born as N shuffle-part files would
+    start life with exactly the fragmentation compact() exists to
+    bound; build/append pay a repartition for the same reason)."""
+    from reflex_spark.operators.similarity import IvfIndex
+    from reflex_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    idx = IvfIndex.build(spark, str(tmp_path / "idx"), emb, cent)
+    counts = idx.list_counts()
+    big = max(counts, key=lambda k: counts[k])
+    split_ids = idx.maybe_split(threshold=counts[big] - 1, lists=[big])
+    assert split_ids == [big]
+    meta = idx._read_meta()
+    new_ids = set(idx.list_counts()) - set(counts)
+    assert len(new_ids) == 2
+    for nid in new_ids:
+        assert len(meta["files"][str(nid)]) == 1, (
+            f"split list {nid} born fragmented: {meta['files'][str(nid)]}"
+        )
