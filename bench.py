@@ -405,10 +405,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
     execs: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         execute(name)  # warmup: codegen/JIT compile
         b, e = execute(name)
         timings[name] = round(b + e, 3)
+        # incremental progress on stderr (stdout stays the one-JSON-line
+        # contract): partial timings survive a mid-run crash instead of
+        # being lost with the final print
+        print(
+            f"[bench {i + 1}/{len(names)}] {name}: {timings[name]}s",
+            file=sys.stderr,
+            flush=True,
+        )
         builds[name] = round(b, 3)
         # exec is the exact complement of build within the rounded total,
         # so build_sec + exec_sec == queries[name] always adds up
