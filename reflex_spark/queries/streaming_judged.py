@@ -35,6 +35,10 @@ from reflex_spark.queries.helpers import sql_dsum
 from reflex_spark.streaming import Consumer, ErrHeadReached, MemCursorStore, Spec, StreamOptions, run
 from reflex_spark.streaming.materialize import MaterializedCounts
 from reflex_spark.streaming.run import run_stream
+from reflex_spark.streaming.statestore import (
+    PYTHON_STATE_FLOOR,
+    scaled_stream_shuffle,
+)
 from reflex_spark.tables import load_tables
 
 
@@ -420,14 +424,15 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
         )
-        # State-partition sizing (SCALE_NOTES §29): the store count is frozen
-        # from spark.sql.shuffle.partitions at checkpoint CREATION; the
+        # State-partition sizing (SCALE_NOTES §29, made scale-adaptive in
+        # r16): the store count is frozen from spark.sql.shuffle.partitions
+        # at checkpoint CREATION, so it must be sized to the DATA — the
         # session default (32) commits 32 state stores per micro-batch for
-        # KB of fixture state. Pin 8 like every other stateful entry here;
-        # at 100 TB the same knob sizes UP with window-key cardinality.
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        # KB of fixture state, and a hard-coded 8 is just a smaller wrong
+        # constant at 100 TB. scaled_stream_shuffle derives the count from
+        # the log's size (one partition per ~32 MB, capped at 4x cluster
+        # width) and restores the session conf after the run.
+        with scaled_stream_shuffle(spark, log.read()):
             q = (
                 agg.writeStream.outputMode("update")
                 .foreachBatch(merge)
@@ -435,9 +440,7 @@ def stream_watermark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        q.awaitTermination(120)
+            q.awaitTermination(120)
         if q.isActive:
             # Mirror run_stream (commit 6cd5e04): a query still active after
             # the deadline means the rollup is PARTIAL — raise, never return
@@ -738,14 +741,19 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # MaterializedCounts upsert posture, driver never holds the keys.
         sink = _BatchSink(spark, f"{base}/sink")
 
-        q = (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(sink.writer())
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        # Data-sized state partitioning (statestore.scaled_stream_shuffle)
+        # with the Python-stage floor: the per-user state is KBs, but the
+        # state fn is per-group Python — one partition would serialize
+        # every group through a single worker (see PYTHON_STATE_FLOOR).
+        with scaled_stream_shuffle(spark, ev, floor=PYTHON_STATE_FLOOR):
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(sink.writer())
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
         if q.isActive:
             q.stop()
             raise TimeoutError(
@@ -982,14 +990,18 @@ def blob_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         def merge(bdf: DataFrame, bid: int) -> None:
             bdf.withColumn("__bid", F.lit(bid)).write.mode("append").parquet(sink)
 
-        q = (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        # data-sized state partitioning (see statestore module note);
+        # deterministic across both phases, so the checkpoint-pinned
+        # count the resumed phase restores matches what it derives
+        with scaled_stream_shuffle(spark, ev):
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(merge)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
         if q.isActive:
             q.stop()
             raise TimeoutError("blob_stream_rollup phase did not finish in 120s")
@@ -1090,23 +1102,18 @@ def stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # State-partition sizing is a deliberate knob, not an accident:
         # the store count is frozen from spark.sql.shuffle.partitions at
         # checkpoint CREATION, and a plain 200-partition session would
-        # mint 200 state stores per micro-batch for KB of fixture state.
-        # Pin 8 for this query's checkpoint, restore after start
-        # (r11: state-store commit cost scales with store count — 8 vs 32
-        # cut the stream-stream join wall-clock ~35% at sf0.1 for KB of
-        # state; at 100 TB the same knob sizes UP with key cardinality).
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        # mint 200 state stores per micro-batch for KB of fixture state
+        # (r11: state-store commit cost scales with store count; r16:
+        # derived from the log's size instead of a hard-coded 8 — at
+        # 100 TB the same formula sizes UP with data volume).
+        with scaled_stream_shuffle(spark, log.read()):
             q = (
                 deduped.writeStream.foreachBatch(merge)
                 .option("checkpointLocation", f"{base}/ckpt")
                 .trigger(availableNow=True)
                 .start()
             )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        q.awaitTermination(120)
+            q.awaitTermination(120)
         if q.isActive:
             q.stop()
             raise TimeoutError(
@@ -1218,22 +1225,18 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
                 "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
             ),
         ).select(F.col("c_user").cast("long").alias("user_id"))
-        # same state-partition pin as stream_dedup_rollup: two join-state
-        # stores per batch — 8 deliberate partitions (r11, was 32: commit
-        # cost scales with store count; ~35% wall-clock cut at sf0.1),
-        # not the session's default 200, for KB of fixture state.
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        # same data-sized state partitioning as stream_dedup_rollup: two
+        # join-state stores per batch x the partition count — derived from
+        # the log size (r11 measured commit cost scaling with store count;
+        # r16 replaced the hard-coded 8 with the size-derived count).
+        with scaled_stream_shuffle(spark, clog.read()):
             q = (
                 joined.writeStream.foreachBatch(merge)
                 .option("checkpointLocation", f"{base}/ckpt")
                 .trigger(availableNow=True)
                 .start()
             )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        q.awaitTermination(180)
+            q.awaitTermination(180)
         if q.isActive:
             q.stop()
             raise TimeoutError(
@@ -1395,14 +1398,18 @@ def stream_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         publish_changes(t, log, "k", v0, v1, at=datetime(2024, 2, 1))
 
         def run_phase(timeout: int) -> None:
-            q = (
-                log.read_stream(max_files_per_trigger=1)
-                .writeStream.foreachBatch(apply_scd2)
-                .option("checkpointLocation", f"{base_dir}/ckpt")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(timeout)
+            # size the per-batch MERGE shuffles to the feed (statestore
+            # module note); the stream itself is stateless, but every
+            # foreachBatch merge pays the batch-side shuffle count
+            with scaled_stream_shuffle(spark, log.read()):
+                q = (
+                    log.read_stream(max_files_per_trigger=1)
+                    .writeStream.foreachBatch(apply_scd2)
+                    .option("checkpointLocation", f"{base_dir}/ckpt")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(timeout)
             if q.isActive:
                 q.stop()
                 raise TimeoutError(
@@ -1580,18 +1587,15 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "leftOuter",
         ).select("c_user", "p_user")
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        # data-sized join-state partitioning (see statestore module note)
+        with scaled_stream_shuffle(spark, clog.read()):
             q = (
                 joined.writeStream.foreachBatch(merge)
                 .option("checkpointLocation", f"{base}/ckpt")
                 .trigger(availableNow=True)
                 .start()
             )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        q.awaitTermination(240)
+            q.awaitTermination(240)
         if q.isActive:
             q.stop()
             raise TimeoutError(
@@ -1737,14 +1741,16 @@ def stream_bottomk_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFra
             canon.where((F.col("__oid") > t1) & (F.col("__oid") <= t2)).drop("__oid")
         )
         log.append(canon.where(F.col("__oid") > t2).drop("__oid"))
-        q = (
-            log.read_stream(max_files_per_trigger=1)
-            .writeStream.foreachBatch(merge)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        # size the per-batch shuffles to the data (statestore module note)
+        with scaled_stream_shuffle(spark, log.read()):
+            q = (
+                log.read_stream(max_files_per_trigger=1)
+                .writeStream.foreachBatch(merge)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
         if q.isActive:
             q.stop()
             raise TimeoutError(
@@ -1909,18 +1915,15 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "fullOuter",
         ).select("c_user", "p_user")
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        # data-sized join-state partitioning (see statestore module note)
+        with scaled_stream_shuffle(spark, clog.read()):
             q = (
                 joined.writeStream.foreachBatch(merge)
                 .option("checkpointLocation", f"{base}/ckpt")
                 .trigger(availableNow=True)
                 .start()
             )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        q.awaitTermination(240)
+            q.awaitTermination(240)
         if q.isActive:
             q.stop()
             raise TimeoutError(
@@ -2069,14 +2072,16 @@ def stream_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for pair in ((0, 1), (1, 2), (2, 0)):
             log.append(canon.where(F.col("__res").isin(*pair)).drop("__res"))
-        q = (
-            log.read_stream(max_files_per_trigger=1)
-            .writeStream.foreachBatch(merge)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        # size the per-batch shuffles to the data (statestore module note)
+        with scaled_stream_shuffle(spark, log.read()):
+            q = (
+                log.read_stream(max_files_per_trigger=1)
+                .writeStream.foreachBatch(merge)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
         if q.isActive:
             q.stop()
             raise TimeoutError(
@@ -2228,18 +2233,15 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
             .dropDuplicatesWithinWatermark(["foreign_id"])
             .select(F.col("foreign_id").cast("long").alias("user_id"))
         )
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        # data-sized state partitioning (see statestore module note)
+        with scaled_stream_shuffle(spark, log.read()):
             q = (
                 dd.writeStream.foreachBatch(sink.writer())
                 .option("checkpointLocation", f"{base}/ckpt")
                 .trigger(availableNow=True)
                 .start()
             )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        q.awaitTermination(180)
+            q.awaitTermination(180)
         if q.isActive:
             q.stop()
             raise TimeoutError(
@@ -2358,9 +2360,8 @@ def stream_static_enrich_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,6)")).alias("dsum"),
             )
         )
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        # data-sized state partitioning (see statestore module note)
+        with scaled_stream_shuffle(spark, log.read()):
             q = (
                 enriched.writeStream.outputMode("update")
                 .foreachBatch(sink.writer())
@@ -2368,9 +2369,7 @@ def stream_static_enrich_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        q.awaitTermination(180)
+            q.awaitTermination(180)
         if q.isActive:
             q.stop()
             raise TimeoutError(
@@ -2712,12 +2711,10 @@ def stream_dim_pinning_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
             if bid == 0:
                 dim.merge_by_key(updates, ["k"], "ver")
 
-        # pin the per-batch aggregate shuffles to the fixture (the house
-        # state-store sizing rule, §29 — a plain driver session defaults
-        # to 200)
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        # size the per-batch aggregate shuffles to the data (the house
+        # state-store sizing rule, §29, r16 scale-adaptive form — a plain
+        # driver session defaults to 200)
+        with scaled_stream_shuffle(spark, log.read()):
             q = (
                 log.read_stream(max_files_per_trigger=1)
                 .writeStream.foreachBatch(enrich_both)
@@ -2726,8 +2723,6 @@ def stream_dim_pinning_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(180)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         if q.isActive:
             q.stop()
             raise TimeoutError(
@@ -3085,14 +3080,16 @@ def blob_sink_stream_producer_rollup(spark: SparkSession, sf_dir: str) -> DataFr
                 "append"
             ).save()
 
-        q = (
-            log.read_stream(max_files_per_trigger=1)
-            .writeStream.foreachBatch(publish)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        # size the per-batch shuffles to the data (statestore module note)
+        with scaled_stream_shuffle(spark, log.read()):
+            q = (
+                log.read_stream(max_files_per_trigger=1)
+                .writeStream.foreachBatch(publish)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
         if q.isActive:
             q.stop()
             raise TimeoutError(

@@ -314,13 +314,21 @@ def run_stream(
                 time.sleep(wait)
         spec.consumer.consume(batch_df, {"batch_id": batch_id})
 
+    from reflex_spark.streaming.statestore import scaled_stream_shuffle
+
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    query = writer.start()
-    query.awaitTermination(timeout_sec)
+    # Size the per-batch shuffle count to the log (statestore module
+    # note): any stateful operator downstream freezes one state store per
+    # shuffle partition into the checkpoint, and foreachBatch's batch-side
+    # jobs shuffle micro-batch-sized data — both should scale with the
+    # data, not a session constant.
+    with scaled_stream_shuffle(spec.log.spark, spec.log.read()):
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        query.awaitTermination(timeout_sec)
     if query.isActive:
         query.stop()
         if available_now:

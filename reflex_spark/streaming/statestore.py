@@ -26,6 +26,7 @@ under — proven by the provider-parameterized pytest
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 PROVIDERS = {
     # Spark's default: in-memory maps + snapshot/delta files. Bounded by
@@ -63,3 +64,96 @@ def apply_state_store_conf(spark, provider: str | None = None) -> None:
     environment variable selects one."""
     for k, v in state_store_conf(provider).items():
         spark.conf.set(k, v)
+
+
+# -- stateful-shuffle sizing ---------------------------------------------
+#
+# Every stateful streaming operator (streaming aggregation, dropDuplicates,
+# stream-stream join, applyInPandasWithState) instantiates ONE state store
+# per shuffle partition per operator, and every micro-batch pays that
+# partition count again: store open, changelog/delta write, commit file.
+# Unlike batch shuffles, AQE cannot coalesce these — the partition count is
+# captured in the checkpoint's offset metadata at the first batch and fixed
+# for the query's lifetime. A count tuned neither to the data nor to the
+# cluster is therefore a PERMANENT per-batch tax: measured here (warm
+# local[32], 3-batch stateful aggregation over the sf0.1 events fixture,
+# ~KBs of state), 32 partitions -> ~4.2s, 8 -> ~2.2s, 2 -> ~1.7s — the
+# delta is pure per-partition store overhead, the data never needed more
+# than one store.
+#
+# ``stream_shuffle_partitions`` sizes the count from the BYTES the stream
+# will move (Catalyst's optimized-plan estimate of the batch-equivalent
+# source — free, no job), one partition per ~32 MB, clamped to
+# [1, 4 x defaultParallelism]. Small fixtures get 1-2 stores; a 100 TB
+# event stream gets thousands (capped by cluster width, which is the right
+# bound: more stores than cores just multiplies commit files). The
+# REFLEX_SPARK_STREAM_SHUFFLE_PARTITIONS environment variable overrides the
+# estimate for deployments that size state explicitly (e.g. key-cardinality
+# heavy, byte-light states like billions of dedup keys).
+
+STREAM_PARTITIONS_ENV = "REFLEX_SPARK_STREAM_SHUFFLE_PARTITIONS"
+
+#: one state partition per this many estimated source bytes
+STREAM_BYTES_PER_PARTITION = 32 << 20
+
+
+#: partition floor for streams whose per-batch work includes a PYTHON
+#: per-group stage (applyInPandasWithState): that stage's cost is
+#: per-group interpreter work, not bytes, so its parallelism must scale
+#: with cluster width even when the bytes say one partition suffices —
+#: the same CPU-bound sweet-spot reasoning as dedup._spread_target
+#: (measured on the sessionization entry at sf0.1: derived 1 partition
+#: serializes ~1500 groups through one worker, 15-40s; 16 partitions is
+#: a stable 5.5s; the pre-r16 constant 32 ranged 6-15s).
+PYTHON_STATE_FLOOR = 16
+
+
+def stream_shuffle_partitions(
+    spark,
+    source_df=None,
+    *,
+    est_bytes: int | None = None,
+    bytes_per_partition: int = STREAM_BYTES_PER_PARTITION,
+    floor: int = 1,
+) -> int:
+    """Scale-adaptive ``spark.sql.shuffle.partitions`` for a stateful
+    streaming query: ceil(source bytes / 32 MB) clamped to
+    [floor, 4 x defaultParallelism]; ``REFLEX_SPARK_STREAM_SHUFFLE_PARTITIONS``
+    overrides. ``source_df`` is the batch view of the streamed source
+    (its optimized-plan size estimate is read, no job runs). ``floor``
+    raises the minimum for CPU-bound per-group stages (see
+    PYTHON_STATE_FLOOR); it is itself capped at cluster width."""
+    env = os.environ.get(STREAM_PARTITIONS_ENV)
+    if env:
+        return max(1, int(env))
+    if est_bytes is None and source_df is not None:
+        try:
+            est_bytes = int(
+                source_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # stats unavailable (local relations, RDD sources)
+            est_bytes = 0
+    para = spark.sparkContext.defaultParallelism
+    by_size = -(-(est_bytes or 0) // bytes_per_partition)  # ceil
+    return max(1, min(floor, para), min(by_size, para * 4))
+
+
+@contextmanager
+def scaled_stream_shuffle(
+    spark, source_df=None, *, est_bytes: int | None = None, floor: int = 1
+):
+    """Run a streaming query under a data-sized shuffle-partition count.
+
+    Wrap the WHOLE stream lifetime (start + awaitTermination): the count is
+    captured into the checkpoint at the first batch, and foreachBatch's
+    batch-side jobs also run while the conf is set (their shuffles carry
+    the same micro-batch-sized data). The previous value is restored on
+    exit. Deterministic for a given source, so a query that restarts from
+    its checkpoint (crash choreography) re-derives the same count."""
+    n = stream_shuffle_partitions(spark, source_df, est_bytes=est_bytes, floor=floor)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

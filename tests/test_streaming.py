@@ -1137,3 +1137,50 @@ def test_blob_datasource_gzip_csv_batch_and_stream_restart(spark, tmp_path):
     seen.clear()
     run_once()
     assert sorted(k for b in seen for k in b) == [4]
+
+
+# -- scale-adaptive stream shuffle sizing (r16 optimization) -------------
+
+
+def test_stream_shuffle_partitions_sizing(spark, monkeypatch):
+    """The stateful-stream partition count derives from source bytes
+    (one per ~32 MB), honors the floor for Python per-group stages, caps
+    at 4x cluster width, and yields to the env override."""
+    from reflex_spark.streaming.statestore import (
+        STREAM_PARTITIONS_ENV,
+        stream_shuffle_partitions,
+    )
+
+    para = spark.sparkContext.defaultParallelism
+    monkeypatch.delenv(STREAM_PARTITIONS_ENV, raising=False)
+    # tiny source -> 1 partition; floor raises it, capped at cluster width
+    assert stream_shuffle_partitions(spark, est_bytes=1000) == 1
+    assert stream_shuffle_partitions(spark, est_bytes=1000, floor=16) == min(16, para)
+    # bytes scale it up: 10 GB -> 320 partitions before the width cap
+    assert stream_shuffle_partitions(spark, est_bytes=10 << 30) == min(320, para * 4)
+    # the cap is 4x cluster width even for petabyte estimates
+    assert stream_shuffle_partitions(spark, est_bytes=1 << 50) == para * 4
+    # env override wins over both estimate and floor
+    monkeypatch.setenv(STREAM_PARTITIONS_ENV, "7")
+    assert stream_shuffle_partitions(spark, est_bytes=1 << 50, floor=16) == 7
+
+
+def test_scaled_stream_shuffle_restores_conf(spark, monkeypatch):
+    from reflex_spark.streaming.statestore import (
+        STREAM_PARTITIONS_ENV,
+        scaled_stream_shuffle,
+    )
+
+    monkeypatch.delenv(STREAM_PARTITIONS_ENV, raising=False)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with scaled_stream_shuffle(spark, est_bytes=123) as n:
+        assert n == 1
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # restored even when the body raises
+    try:
+        with scaled_stream_shuffle(spark, est_bytes=123):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
