@@ -53,6 +53,34 @@ def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
+def spread_cpu(df: DataFrame, sweet_spot: int = 16) -> DataFrame:
+    """Spread a codec stage's FEED across tasks (guide §2/§4: per-task
+    work). The from-scratch codecs are CPU-bound per-row Python; a narrow
+    feed — a single-file scan, or a small shuffle AQE coalesced to one
+    partition — runs the whole corpus through one Python worker
+    (measured at sf0.1: the MJPEG/AVI stats entry spent 6.7s serial in 1
+    task vs 1.3s spread over 16). Repartitioning happens on the SMALL
+    pre-payload rows (ids + integer grids), so the exchange moves KBs and
+    the heavy payloads are born distributed; per-row results make the
+    output partitioning-invariant. Sweet spot 16 measured for codec work
+    (8: 1.6s, 16: 1.3s, 32: 2.0s) vs dedup._spread_target's 8 for
+    cheaper shingle hashing; the same estimate-driven growth applies at
+    scale.
+
+    ONLY for exchange-free feeds (a scan + projections): the partition
+    probe goes through ``df.rdd``, and on a post-shuffle plan that forces
+    AQE to execute every upstream stage eagerly — the probe would cost
+    more than the spread saves (measured on the image-render path:
+    1.3s -> 3.5s). Shuffled feeds already carry the session's shuffle
+    partitioning."""
+    from reflex_spark.operators.dedup import _spread_target
+
+    target = _spread_target(df, sweet_spot=sweet_spot)
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str = "payload",
@@ -290,6 +318,10 @@ def render_shingle_images(
         F.sequence(F.lit(0), F.lit(total - 1)),
         lambda i: F.coalesce(F.element_at(F.col("__pxm"), i.cast("long")), F.lit(0)),
     )
+    # NOT spread_cpu here: the feed is post-shuffle, so the partition
+    # probe would force AQE to execute the whole upstream plan twice
+    # (measured: 1.3s -> 3.5s), and the PNG encode over 66-byte grids is
+    # sub-second even serial — the probe costs more than it saves.
     grid = (
         df.select(id_col)
         .distinct()

@@ -17,6 +17,7 @@ from reflex_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
 )
+from reflex_spark.operators.multimodal import spread_cpu
 from reflex_spark.operators.text import contamination_overlap, sql_quality_score
 from reflex_spark.queries import query
 from reflex_spark.queries.helpers import sql_davg, davg
@@ -648,9 +649,15 @@ def _synth_wav_corpus(
         .otherwise(F.greatest(F.lit(-32768), F.least(F.lit(32767), raw(i))))
         .cast("int")
     )
-    pcm = docs.select(
-        "doc_id",
-        F.transform(F.sequence(F.lit(0), n - 1), sample).alias("pcm"),
+    # spread the CPU-bound WAV encode across tasks: the single-file docs
+    # scan would otherwise run the whole corpus in one Python worker
+    # (operators/multimodal.spread_cpu — tiny integer rows move, the
+    # payloads are born distributed)
+    pcm = spread_cpu(
+        docs.select(
+            "doc_id",
+            F.transform(F.sequence(F.lit(0), n - 1), sample).alias("pcm"),
+        )
     )
 
     def encode(batches):
@@ -836,7 +843,7 @@ def multimodal_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_gif(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    gifs = docs.mapInPandas(make_gifs, "doc_id long, payload binary")
+    gifs = spread_cpu(docs).mapInPandas(make_gifs, "doc_id long, payload binary")
     frames = animation_frames(gifs, every_nth=1)  # real GIF decode -> PNGs
 
     def frame_sums(batches):
@@ -1329,7 +1336,9 @@ def _synth_avi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    grids = docs.select("doc_id", vals.alias("vals"))
+    # spread the CPU-bound JPEG/AVI encode (see _synth_wav_corpus note):
+    # measured at sf0.1, 6.7s serial in 1 task -> 1.3s over 16
+    grids = spread_cpu(docs.select("doc_id", vals.alias("vals")))
 
     def encode(batches):
         import numpy as np
@@ -2194,7 +2203,7 @@ def multimodal_av_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                 payloads.append(encode_avi_av(frames, 16, 16, s, 8000, fps=10))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    corpus = docs.mapInPandas(encode, "doc_id long, payload binary")
+    corpus = spread_cpu(docs).mapInPandas(encode, "doc_id long, payload binary")
     from reflex_spark.operators.multimodal import av_container_stats
 
     return av_container_stats(corpus)
