@@ -70,6 +70,22 @@ def publish_changes(
             "'timestamp'; pass the upstream commit time or watermark"
         )
     ch = table.changes(from_version, to_version).localCheckpoint()
+    # The checkpointed feed keeps its full shuffle fan-out (AQE cannot
+    # coalesce a materialized RDD), so every downstream job here — the
+    # two side scans, the update-key intersect, the append's id window —
+    # would launch one task per shuffle partition for churn-sized data.
+    # Coalesce (narrow, no shuffle) to a rows-derived width: ~50k change
+    # rows per task, growing with churn, capped at 4x cluster width.
+    # The count doubles as the emptiness check, replacing the separate
+    # isEmpty job (events below is empty iff the feed is: every change
+    # row is exactly one insert or delete event).
+    n_rows = ch.count()
+    if n_rows == 0:
+        return log.head()
+    para = table.spark.sparkContext.defaultParallelism
+    target = max(1, min(n_rows // 50_000 + 1, para * 4))
+    if target < ch.rdd.getNumPartitions():
+        ch = ch.coalesce(target)
     data_cols = [c for c in ch.columns if c != "_change_type"]
     ts = F.lit(at).cast("timestamp")
 
@@ -99,6 +115,4 @@ def publish_changes(
     events = _events(dels, CDC_DELETE_TYPE, CDC_UPDATE_PRE_TYPE, 0).unionByName(
         _events(ins, CDC_INSERT_TYPE, CDC_UPDATE_POST_TYPE, 1)
     )
-    if events.isEmpty():
-        return log.head()
     return log.append(events, order_by=["timestamp", "__cdc_order", "foreign_id"])
