@@ -903,6 +903,8 @@ def cogroup_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> Data
     applyInPandas."""
     import pandas as pd
 
+    from reflex_spark.operators.dedup import _spread_target
+
     ev = load_tables(spark, sf_dir)["events"]
     p = ev.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
@@ -910,6 +912,19 @@ def cogroup_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> Data
     c = ev.where(F.col("event_type") == "click").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
+    # The cogroup's per-group work is Python, so its cost scales with
+    # GROUP COUNT, not bytes — but AQE sizes the cogroup exchange by
+    # bytes and coalesces the KB-sized shuffle to ONE partition,
+    # serializing every group through a single worker (measured at
+    # sf0.1: 8.9s @ 1 task; 1.4s @ 16). Explicit co-partitioning on the
+    # grouping key is exempt from AQE coalescing and satisfies the
+    # cogroup's required distribution (no extra exchange), so the spread
+    # is free; per-group results are partitioning-invariant. The width
+    # is estimate-driven (dedup._spread_target): the measured Python
+    # sweet spot at small inputs, one task per ~32 MB at scale.
+    n_spread = _spread_target(p.unionByName(c), sweet_spot=16)
+    p = p.repartition(n_spread, "user_id")
+    c = c.repartition(n_spread, "user_id")
 
     def attribute(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
