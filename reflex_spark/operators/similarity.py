@@ -1997,25 +1997,30 @@ class IvfIndex:
                     "attempt's own files are reclaimed with them), "
                     "then re-run the batch."
                 )
-            paths = [
-                p
-                for lid, names in new_files.items()
-                for p in self._list_files(lid, names)
-            ]
+            # Count delta from the moved files' FOOTERS, read driver-side
+            # (pyarrow metadata, no data pages): every row in a file
+            # belongs to the file's partition dir, so per-file num_rows
+            # summed per list id is exactly the groupBy this used to run
+            # as a Spark job — which cost a 2-stage job plus a leaf-file
+            # listing job per append (measured ~0.3-0.5s each at poll
+            # cadence, pure overhead for O(touched-files) metadata). The
+            # control plane is already POSIX-local (ledger, claims,
+            # moves); footer reads are the same class of op.
+            import pyarrow.parquet as _pq
+
+            added: dict[int, int] = {}
+            n_files_read = 0
+            for lid, names in new_files.items():
+                n = 0
+                for p in self._list_files(lid, names):
+                    n += _pq.ParquetFile(p).metadata.num_rows
+                    n_files_read += 1
+                if n:
+                    added[lid] = n
             self.last_append_readback = {
                 "dirs_listed": len(new_files),
-                "files_read": len(paths),
+                "files_read": n_files_read,
             }
-            added: dict[int, int] = {}
-            if paths:
-                added = {
-                    int(r["ivf_list"]): r["n"]
-                    for r in self.spark.read.option("basePath", root)
-                    .parquet(*paths)
-                    .groupBy("ivf_list")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()  # bounded: one row per touched list
-                }
             for lid, names in new_files.items():
                 meta["files"][str(lid)] = (
                     meta["files"].get(str(lid), []) + names
