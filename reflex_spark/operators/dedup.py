@@ -61,14 +61,21 @@ def shingle_rows(
     partitioning-invariant (tested), so this is purely a scheduling
     choice.
     """
-    out = df.select(
+    if spread:
+        # Repartition the INPUT doc rows, not the exploded shingles: the
+        # shingle explode + md5 hashing is the CPU-bound work, and
+        # repartitioning after it left that work in the narrow scan task
+        # (measured at sf0.1: the map stage of the old post-explode
+        # exchange ran 1 task for ~2s while 8 tasks idled downstream).
+        # Moving the exchange before the explode also shuffles the small
+        # (id, text) rows instead of the exploded shingle rows — fewer
+        # bytes through the exchange, same rows out (explode is per-row).
+        target = _spread_target(df)
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
     )
-    if spread:
-        target = _spread_target(df)
-        if out.rdd.getNumPartitions() < target:
-            out = out.repartition(target)
-    return out
 
 
 def _spread_target(df: DataFrame, sweet_spot: int = 8, bytes_per_task: int = 32 << 20) -> int:

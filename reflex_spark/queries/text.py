@@ -3284,7 +3284,15 @@ def dedup_incremental_minhash_rollup(spark: SparkSession, sf_dir: str) -> DataFr
         # so recomputing them per phase would only re-shuffle the same
         # md5 work (first cut of this query paid that 3x).
         rows_per_band = 4
-        sig_all = minhash_signatures(docs, "doc_id", "text").localCheckpoint()
+        sh = shingle_rows(docs, "doc_id", "text", spread=True).cache()
+        # signatures FROM the spread shingles: computing them from the
+        # raw docs re-ran the whole 64-hash md5 pass inside the single
+        # scan task (measured 4.3s in 1 task at sf0.1); on the spread
+        # shingle rows the min-agg parallelizes and the shingle pass is
+        # shared instead of run twice
+        sig_all = minhash_signatures(
+            docs, "doc_id", "text", shingles=sh
+        ).localCheckpoint()
         band_cols = [
             F.md5(
                 F.concat_ws(
@@ -3300,7 +3308,6 @@ def dedup_incremental_minhash_rollup(spark: SparkSession, sf_dir: str) -> DataFr
                 F.array(*[F.col(f"band{b}") for b in range(4)])
             ).alias("band_idx", "band_key"),
         )
-        sh = shingle_rows(docs, "doc_id", "text", spread=True).cache()
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
         def verified_drops(cand: DataFrame) -> DataFrame:
