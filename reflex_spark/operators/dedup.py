@@ -322,23 +322,31 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ex = df.select(F.col(id_col), F.explode_outer(toks).alias("__t")).select(
         id_col, tok_hash.alias("__h")
     )
+    # The per-bit expressions are compiled as SQL strings: the pyspark
+    # Column-builder form cost ~8 Py4J round-trips per bit x 60 bits
+    # (~2.5s of pure driver-side plan build per call, measured at sf0.1
+    # — the round-6 BUILD-time lesson). One F.expr per aggregate and one
+    # for the whole fold produce the identical Catalyst expressions
+    # (equivalence with simhash64 stays pytest-pinned).
     votes = ex.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.col("__h").isNull(), 0)
-                .when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN __h IS NULL THEN 0 WHEN"
+                f" (shiftright(__h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
             ).alias(f"v{i}")
             for i in range(bits)
         ]
     )
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
+    fp_sql = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
     return votes.select(
-        F.col(id_col), F.lpad(F.conv(fp.cast("string"), 10, 16), 16, "0").alias("sh")
+        F.col(id_col),
+        F.expr(
+            f"lpad(conv(CAST(({fp_sql}) AS STRING), 10, 16), 16, '0')"
+        ).alias("sh"),
     )
 
 
