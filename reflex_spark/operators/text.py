@@ -266,6 +266,17 @@ def span_boilerplate(
     """
     from pyspark.sql import functions as F
 
+    from reflex_spark.operators.dedup import _spread_target
+
+    # The span construction (split + slice + join per span) is CPU-bound
+    # per-row work; a narrow feed (single-file scan) would run the whole
+    # corpus through one task (guide §2.5). Spread the small (id, text)
+    # rows BEFORE the explode — results are partitioning-invariant (every
+    # downstream aggregate is keyed; the per-doc reassembly array_sorts).
+    target = _spread_target(df)
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+
     k = int(span_words)
     spans = df.select(
         F.col(id_col),

@@ -2636,8 +2636,19 @@ def text_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying the string (same plan, 8-byte keys); kept as the readable
     string here because the fixture fits and the oracle then needs no
     hash-parity argument."""
+    from reflex_spark.operators.dedup import _spread_target
+
     docs = load_tables(spark, sf_dir)["documents"]
-    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # Spread the doc rows before the per-position signature construction:
+    # the 10-gram slice/concat per position is CPU-bound and a single-file
+    # scan would run it all in one task (measured 1.07s single-task map
+    # stage at sf0.1, guide §2.5); every downstream stage is keyed, so
+    # results are partitioning-invariant.
+    docs_w = docs.select("doc_id", "text")
+    target = _spread_target(docs_w)
+    if docs_w.rdd.getNumPartitions() < target:
+        docs_w = docs_w.repartition(target)
+    w = docs_w.select("doc_id", F.split("text", " ").alias("w"))
     sh = (
         w.where(F.size("w") >= 10)
         .select(
