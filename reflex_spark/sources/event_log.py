@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from reflex_spark.tables import empty_df
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -290,12 +291,12 @@ class EventLog:
         import os
 
         if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], EVENT_SCHEMA)
+            return empty_df(self.spark, EVENT_SCHEMA)
         if self.partitioned:
             # Partition discovery needs >=1 data file; an existing but
             # file-less directory is an empty log, not an error.
             if not any(files for _, _, files in os.walk(self.path)):
-                return self.spark.createDataFrame([], EVENT_SCHEMA)
+                return empty_df(self.spark, EVENT_SCHEMA)
             return self.spark.read.parquet(self.path)
         return self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
 

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from reflex_spark.sources.event_log import EVENT_SCHEMA, EventLog
+from reflex_spark.tables import empty_df
 
 
 class ManifestEventLog(EventLog):
@@ -117,7 +118,7 @@ class ManifestEventLog(EventLog):
     def read(self) -> DataFrame:
         entries = self._entries()
         if not entries:
-            return self.spark.createDataFrame([], EVENT_SCHEMA)
+            return empty_df(self.spark, EVENT_SCHEMA)
         return self.spark.read.schema(EVENT_SCHEMA).parquet(*[e["dir"] for e in entries])
 
     def read_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:

@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from reflex_spark.operators.upsert import latest_by_key
+from reflex_spark.tables import empty_df
 
 
 _BLOOM_M = 65536  # bits per per-file Bloom (8 KiB packed)
@@ -432,7 +433,7 @@ class TxTable:
         if not files:
             if schema is None:
                 raise ValueError("TxTable is empty and has no schema yet")
-            return self.spark.createDataFrame([], schema)
+            return empty_df(self.spark, schema)
         # Schema evolution: the log's LATEST schema is authoritative
         # (Delta-style). Files written before a column existed read as
         # null for it; columns dropped from the latest schema vanish.
@@ -471,7 +472,7 @@ class TxTable:
         if not kept:
             if schema is None:
                 raise ValueError("TxTable is empty and has no schema yet")
-            df = self.spark.createDataFrame([], schema)
+            df = empty_df(self.spark, schema)
         else:
             df = self._read_files(kept, schema, dvs)
         for c, (lo, hi) in ranges.items():
@@ -524,7 +525,7 @@ class TxTable:
         if not kept:
             if schema is None:
                 raise ValueError("TxTable is empty and has no schema yet")
-            df = self.spark.createDataFrame([], schema)
+            df = empty_df(self.spark, schema)
         else:
             df = self._read_files(kept, schema, dvs)
         df = df.where(F.col(col).isin(values))
@@ -789,7 +790,7 @@ class TxTable:
                 *[os.path.join(self.data_dir, f) for f in adds]
             )
             if adds
-            else self.spark.createDataFrame([], df.schema)
+            else empty_df(self.spark, df.schema)
         )
         def _unstage() -> None:
             for f in adds:
@@ -1228,6 +1229,24 @@ class TxTable:
 
     # -- change data feed --------------------------------------------------
 
+    def churn_bytes(self, from_version: int, to_version: int | None = None) -> int:
+        """On-disk bytes of the files added or removed between the two
+        versions — the exact input ``changes()`` reads. Control-plane
+        only (ledger diff + file stats, no Spark job); drives shuffle
+        sizing in the CDC publish, where Catalyst's estimate for the
+        exceptAll plan is the unknown-stats sentinel and useless."""
+        v1 = self.latest_version() if to_version is None else to_version
+        files0, _s0, _st0, _dv0 = self._snapshot_state(from_version)
+        files1, _s1, _st1, _dv1 = self._snapshot_state(v1)
+        churn = set(files0).symmetric_difference(files1)
+        total = 0
+        for f in churn:
+            try:
+                total += os.path.getsize(os.path.join(self.data_dir, f))
+            except OSError:
+                continue  # missing file surfaces in changes(), not here
+        return total
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed between two versions (Delta CDF idea): rows
         with a ``_change_type`` column — ``insert`` for rows present at
@@ -1264,7 +1283,7 @@ class TxTable:
             if not names:
                 if schema1 is None:
                     raise ValueError("TxTable has no schema")
-                return self.spark.createDataFrame([], schema1)
+                return empty_df(self.spark, schema1)
             paths = [os.path.join(self.data_dir, n) for n in names]
             if schema1 is not None:
                 return self.spark.read.schema(schema1).parquet(*paths)

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from reflex_spark.sources.event_log import EventLog
 from reflex_spark.sources.tx_table import TxTable
+from reflex_spark.streaming.statestore import scaled_stream_shuffle
 
 CDC_INSERT_TYPE = 1
 CDC_DELETE_TYPE = 2
@@ -69,23 +70,45 @@ def publish_changes(
             "driver-clock default would make replayed windows diverge on "
             "'timestamp'; pass the upstream commit time or watermark"
         )
-    ch = table.changes(from_version, to_version).localCheckpoint()
-    # The checkpointed feed keeps its full shuffle fan-out (AQE cannot
-    # coalesce a materialized RDD), so every downstream job here — the
-    # two side scans, the update-key intersect, the append's id window —
-    # would launch one task per shuffle partition for churn-sized data.
-    # Coalesce (narrow, no shuffle) to a rows-derived width: ~50k change
-    # rows per task, growing with churn, capped at 4x cluster width.
-    # The count doubles as the emptiness check, replacing the separate
-    # isEmpty job (events below is empty iff the feed is: every change
-    # row is exactly one insert or delete event).
-    n_rows = ch.count()
-    if n_rows == 0:
-        return log.head()
-    para = table.spark.sparkContext.defaultParallelism
-    target = max(1, min(n_rows // 50_000 + 1, para * 4))
-    if target < ch.rdd.getNumPartitions():
-        ch = ch.coalesce(target)
+    ch_plan = table.changes(from_version, to_version)
+    # Size EVERY shuffle in this publish from the churn, not the session
+    # default: the whole call operates on a churn-sized feed, yet each of
+    # its shuffles — the diff's exceptAll (whose localCheckpoint
+    # materializes the fan-out permanently: AQE cannot coalesce a
+    # materialized RDD), the update-key intersect behind the broadcast
+    # build, and the append's dense-id sort — would otherwise launch one
+    # KB-task per session partition (profiled at sf0.1: 33/32/67/64-task
+    # jobs moving <1 MB each). One partition per ~32 MB of churn
+    # (optimized-plan estimate over the endpoint file scans, no job),
+    # capped at 4x cluster width, so the width still grows with churn at
+    # scale. The context spans through log.append below. Sized from the
+    # table's own ledger diff (churn_bytes: file stats, no job) because
+    # Catalyst reports the unknown-stats sentinel for the exceptAll plan.
+    with scaled_stream_shuffle(
+        table.spark, est_bytes=table.churn_bytes(from_version, to_version)
+    ):
+        ch = ch_plan.localCheckpoint()
+        # Coalesce (narrow, no shuffle) to a rows-derived width: ~50k
+        # change rows per task, growing with churn, capped at 4x cluster
+        # width — usually a no-op now; kept for estimate misses. The
+        # count doubles as the emptiness check, replacing the separate
+        # isEmpty job (events below is empty iff the feed is: every
+        # change row is exactly one insert or delete event).
+        n_rows = ch.count()
+        if n_rows == 0:
+            return log.head()
+        para = table.spark.sparkContext.defaultParallelism
+        target = max(1, min(n_rows // 50_000 + 1, para * 4))
+        if target < ch.rdd.getNumPartitions():
+            ch = ch.coalesce(target)
+        return _publish_events(table, log, ch, key_col, at)
+
+
+def _publish_events(
+    table: TxTable, log: EventLog, ch, key_col: str, at: datetime
+) -> int:
+    """Type and append the checkpointed change feed (see publish_changes;
+    split out so the sized-shuffle context visibly spans the whole tail)."""
     data_cols = [c for c in ch.columns if c != "_change_type"]
     ts = F.lit(at).cast("timestamp")
 

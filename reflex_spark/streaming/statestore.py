@@ -133,6 +133,12 @@ def stream_shuffle_partitions(
             )
         except Exception:  # stats unavailable (local relations, RDD sources)
             est_bytes = 0
+    if est_bytes is not None and est_bytes >= (1 << 61):
+        # Catalyst's unknown-stats sentinel (defaultSizeInBytes is
+        # Long.MaxValue; plan-tree sums over it overflow past it). Don't
+        # pretend to know: keep the session's current width rather than
+        # clamping a possibly-huge source to the floor.
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
     para = spark.sparkContext.defaultParallelism
     by_size = -(-(est_bytes or 0) // bytes_per_partition)  # ceil
     return max(1, min(floor, para), min(by_size, para * 4))

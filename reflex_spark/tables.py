@@ -56,6 +56,19 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
+def empty_df(spark: SparkSession, schema) -> DataFrame:
+    """A truly empty DataFrame with ZERO partitions.
+
+    ``spark.createDataFrame([], schema)`` parallelizes the empty list over
+    ``defaultParallelism`` slices, so every downstream action schedules
+    one no-op task per core (measured on local[32]: a count over it is a
+    32-task job; an exceptAll against it shuffles 32 empty map outputs —
+    the empty side of a CDC window was the biggest job in the publish).
+    ``emptyRDD()`` has no partitions at all: jobs over it schedule zero
+    tasks and unions with it add nothing."""
+    return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every fixture table as a DataFrame (lazy: just scan metadata).
 
