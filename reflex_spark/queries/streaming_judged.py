@@ -701,7 +701,9 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
     )
     w = Window.orderBy("ts", "event_id")
-    parts = ev.withColumn("__b", F.ntile(3).over(w))
+    # cached: the 3 per-batch writes below each filter this frame; an
+    # uncached plan re-runs the scan + global ntile sort once per write
+    parts = ev.withColumn("__b", F.ntile(3).over(w)).cache()
     base = tempfile.mkdtemp(prefix="stream_sess_")
     src = f"{base}/in"
     try:
@@ -711,6 +713,7 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1
             ).write.mode("append").parquet(src)
             _stamp_batch_order(src, seen, b)
+        parts.unpersist()  # batches are on disk; free before the stream
 
         GAP_NS = 30 * 60 * 1_000_000_000
 
@@ -782,6 +785,7 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise q.exception()
         return sink.latest_per_key(["user_id"], ["n_sessions", "n_events"])
     finally:
+        parts.unpersist()  # idempotent; covers the exception path too
         shutil.rmtree(base, ignore_errors=True)
 
 
@@ -3091,12 +3095,22 @@ def blob_sink_stream_producer_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             )
 
         def publish(batch_df, batch_id: int) -> None:
-            batch_df.select(
+            out = batch_df.select(
                 F.col("foreign_id").alias("event_type"),
                 F.col("metadata").cast("string").cast("double").alias("value"),
-            ).write.format("reflex_blob").option("path", bucket).mode(
-                "append"
-            ).save()
+            )
+            # Each trigger reads ONE log file, so the micro-batch arrives
+            # as a single scan partition and the Python-datasource JSON
+            # encode would run single-task (profiled: the 3 publish jobs
+            # were the entry's hottest, ~0.7-1.0s each, 1 task). Spread
+            # the tiny pre-payload rows so the encode parallelizes; the
+            # writer namespaces every partition's blob under this write's
+            # one w-<seq>, so the 3-generation pin is unaffected.
+            from reflex_spark.operators.multimodal import spread_cpu
+
+            spread_cpu(out, sweet_spot=8).write.format("reflex_blob").option(
+                "path", bucket
+            ).mode("append").save()
 
         # size the per-batch shuffles to the data (statestore module note)
         with scaled_stream_shuffle(spark, log.read()):
