@@ -84,13 +84,17 @@ def summarize(log_dir: str, t_start_ms: float) -> list[dict]:
                         - (si.get("Submission Time", 0) or 0),
                     }
     rows = []
+    prev_t1: float | None = None
     for j in sorted(jobs.values(), key=lambda r: r["t0"]):
         if "t1" not in j:
             continue
         stgs = [stage_info.get(s) for s in j["stages"]]
         stgs = [s for s in stgs if s]
+        gap = 0.0 if prev_t1 is None else max(0.0, (j["t0"] - prev_t1) / 1e3)
+        prev_t1 = j["t1"]
         rows.append(
             {
+                "gap_before": round(gap, 3),
                 "job": j["job"],
                 "sec": round((j["t1"] - j["t0"]) / 1e3, 3),
                 "n_stages": len(j["stages"]),
@@ -153,6 +157,7 @@ def main() -> int:
             for r in rows:
                 print(
                     f"  job {r['job']:>4} {r['sec']:7.3f}s "
+                    f"gap={r['gap_before']:6.3f}s "
                     f"stages={r['n_stages']:<3} tasks={r['tasks']:<5} "
                     f"in={r['input_mb']:>8.1f}MB sh={r['shuffle_mb']:>8.1f}MB  "
                     f"{r['desc']}"
