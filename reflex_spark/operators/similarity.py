@@ -1780,6 +1780,37 @@ class IvfIndex:
         self._quant_cache = (gen, rows)
         return rows
 
+    def _write_centroids(
+        self, rows: list[tuple[int, list[float]]], path: str
+    ) -> None:
+        """Write a quantizer generation driver-side (pyarrow): the
+        quantizer is KBs of control-plane metadata, and the previous
+        ``createDataFrame(...).write`` form parallelized its handful of
+        rows over defaultParallelism — one ~0.4s 32-task Spark job PER
+        split/compact writing 16 rows into 16+ files, a cost that GREW
+        with cluster width (the measured sub-1 8→32-core scaling of the
+        stream-ANN compaction entry). One file, exact doubles (parquet
+        float64 both ways), bit-identical to what the Spark write
+        produced."""
+        import os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        os.makedirs(path, exist_ok=True)
+        schema = _pa.schema(
+            [("list_id", _pa.int32()), ("centroid", _pa.list_(_pa.float64()))]
+        )
+        rows = sorted(rows, key=lambda r: r[0])
+        table = _pa.Table.from_pydict(
+            {
+                "list_id": [int(cid) for cid, _ in rows],
+                "centroid": [list(map(float, v)) for _, v in rows],
+            },
+            schema=schema,
+        )
+        _pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
     def _list_files(self, list_id: int, names: list[str]) -> list[str]:
         return [
             f"{self.path}/lists/ivf_list={list_id}/{n}" for n in names
@@ -2337,13 +2368,15 @@ class IvfIndex:
             sided.unpersist()
 
         gen = meta["centroid_gen"]
-        cent_df = self.spark.read.parquet(self._centroid_dir(meta))
-        keep = [r for r in cent_df.collect() if r["list_id"] != list_id]
-        self.spark.createDataFrame(
-            [(r["list_id"], r["centroid"]) for r in keep]
-            + [(id_a, cent_a), (id_b, cent_b)],
-            cent_df.schema,
-        ).write.parquet(f"{self.path}/centroids-{gen + 1}")
+        keep = [
+            (cid, cv)
+            for cid, cv in self._quantizer(meta)
+            if cid != list_id
+        ]
+        self._write_centroids(
+            keep + [(id_a, cent_a), (id_b, cent_b)],
+            f"{self.path}/centroids-{gen + 1}",
+        )
 
         written = self._scan_files(lids={id_a, id_b})
         meta["counts"].pop(str(list_id))
@@ -2431,14 +2464,13 @@ class IvfIndex:
             shutil.rmtree(stage, ignore_errors=True)
             written = self._scan_files(lids=set(mapping.values()))
             gen = meta["centroid_gen"]
-            cent_df = self.spark.read.parquet(self._centroid_dir(meta))
-            self.spark.createDataFrame(
+            self._write_centroids(
                 [
-                    (mapping.get(r["list_id"], r["list_id"]), r["centroid"])
-                    for r in cent_df.collect()  # bounded: one row per list
+                    (mapping.get(cid, cid), cv)
+                    for cid, cv in self._quantizer(meta)
                 ],
-                cent_df.schema,
-            ).write.parquet(f"{self.path}/centroids-{gen + 1}")
+                f"{self.path}/centroids-{gen + 1}",
+            )
             for lid, new in mapping.items():
                 meta["counts"][str(new)] = meta["counts"].pop(str(lid))
                 meta["files"].pop(str(lid), None)
@@ -2576,5 +2608,10 @@ class IvfIndex:
                     raise
                 last_err = e
                 continue
-            return self.spark.createDataFrame(rows, out.schema)
+            # bounded |queries| x k rows: one partition, not one slice
+            # per core — createDataFrame parallelizes over
+            # defaultParallelism, so downstream actions (the caller's
+            # localCheckpoint / sink write) would schedule a no-op task
+            # per core, a cost that GROWS with cluster width
+            return self.spark.createDataFrame(rows, out.schema).coalesce(1)
         raise last_err  # type: ignore[misc]
