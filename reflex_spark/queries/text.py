@@ -3655,15 +3655,26 @@ def _corpus_stages(
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
+    # base and s1 are each read by MULTIPLE consumers (base: its ledger
+    # row + s1; s1: its ledger row + the minhash candidate pass + s2's
+    # anti-join), and their lineage carries the chain's most expensive
+    # expression — token_count over every document. Unpersisted, each
+    # consumer re-ran the full scan+tokenize (profiled at sf0.1: the
+    # ledger union materialized 8 concurrent ~1.3-1.7s jobs re-reading
+    # the corpus). Persist them beside the s2-s6 stage survivors the
+    # function already pins (guide §5 — reuse beats recompute when the
+    # lineage is expensive); the caller unpersists via ``pinned``.
     base = docs.select(
         "doc_id",
         "source",
         "text",
         T.token_count("text").cast("long").alias("n_tokens"),
-    )
+    ).persist()
+    pinned.append(base)
     # 1. exact dedup
     keep = exact_dedup(docs, ["text"], "doc_id").select("doc_id")
-    s1 = base.join(keep, "doc_id", "left_semi")
+    s1 = base.join(keep, "doc_id", "left_semi").persist()
+    pinned.append(s1)
     # 2. near-dup cluster dedup on the exact survivors
     pairs = minhash_lsh_pairs(
         s1.select("doc_id", "text"),
@@ -3754,6 +3765,15 @@ def _corpus_stages(
         .persist()
     )
     pinned.append(s6)
+    # Materialize the chain ONCE, in order, before the callers' ledger
+    # union: the union evaluates all stage branches concurrently, and
+    # concurrent first-reads of an unpopulated cache do NOT share work —
+    # profiled at sf0.1, the s4/s5/s6/packs branches each re-ran the
+    # contamination join + budget fill as 3-4 simultaneous ~2s jobs
+    # (guide §5: a persist only pays once something has materialized
+    # it). One count through s6 fills s4, s5 and s6 via their cached
+    # parents; s1-s3 were already populated by the audit collect above.
+    s6.count()
     return {
         "docs": docs,
         "base": base,
