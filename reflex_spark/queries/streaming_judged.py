@@ -831,7 +831,7 @@ def cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reflex_spark.streaming.cdc import (
         CDC_DELETE_TYPE,
         CDC_UPDATE_PRE_TYPE,
-        publish_changes,
+        publish_changes_many,
     )
 
     orders = load_tables(spark, sf_dir)["orders"]
@@ -851,8 +851,18 @@ def cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         log = EventLog(spark, f"{base_dir}/log")
         v0 = t.append(base)
         v1 = t.merge_by_key(updates, ["k"], "ver")
-        publish_changes(t, log, "k", -1, v0, at=datetime(2024, 1, 1))
-        publish_changes(t, log, "k", v0, v1, at=datetime(2024, 1, 2))
+        # both windows are committed before either publishes: overlap
+        # their change-feed jobs, appends stay in window order (§2.6;
+        # byte-identical log to two sequential publish_changes calls)
+        publish_changes_many(
+            t,
+            log,
+            "k",
+            [
+                (-1, v0, datetime(2024, 1, 1)),
+                (v0, v1, datetime(2024, 1, 2)),
+            ],
+        )
 
         ev = log.read().select(
             "event_id",
@@ -1347,6 +1357,7 @@ def stream_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         CDC_UPDATE_POST_TYPE,
         CDC_UPDATE_PRE_TYPE,
         publish_changes,
+        publish_changes_many,
     )
     from reflex_spark.streaming.statestore import apply_state_store_conf
 
@@ -1416,8 +1427,20 @@ def stream_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v0 = t.append(seed)
         v1 = t.merge_by_key(updates, ["k"], "ver")
-        publish_changes(t, log, "k", -1, v0, at=datetime(2024, 1, 1))
-        publish_changes(t, log, "k", v0, v1, at=datetime(2024, 2, 1))
+        # both windows are committed before either publishes: overlap
+        # their change-feed jobs, appends stay in window order (§2.6;
+        # byte-identical log to two sequential publish_changes calls).
+        # w3 (the delete) depends on the phase-A stream having finished
+        # first — that one stays a lone publish_changes below.
+        publish_changes_many(
+            t,
+            log,
+            "k",
+            [
+                (-1, v0, datetime(2024, 1, 1)),
+                (v0, v1, datetime(2024, 2, 1)),
+            ],
+        )
 
         def run_phase(timeout: int) -> None:
             # size the per-batch MERGE shuffles to the feed (statestore

@@ -455,6 +455,57 @@ def test_cdc_bridge_publishes_changes_to_event_log(spark, tmp_path):
     assert ids == list(range(ids[0], ids[0] + len(ids)))
 
 
+def test_publish_changes_many_matches_sequential(spark, tmp_path):
+    """publish_changes_many (overlapped change-feed jobs, ordered
+    appends) must produce a log BYTE-IDENTICAL to the equivalent
+    sequence of publish_changes calls — ids, types, ordering, metadata
+    — and enforce the same explicit-'at' contract."""
+    from datetime import datetime
+
+    from reflex_spark.sources.event_log import EventLog
+    from reflex_spark.streaming.cdc import (
+        publish_changes,
+        publish_changes_many,
+    )
+
+    def build(path):
+        t = TxTable(spark, str(tmp_path / path / "t"))
+        t.append(
+            _mk(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]).coalesce(1)
+        )
+        v0 = t.latest_version()
+        t.merge_by_key(_mk(spark, [(2, "B", 2), (4, "d", 2)]), ["k"], "ver")
+        v1 = t.latest_version()
+        return t, EventLog(spark, str(tmp_path / path / "log")), v0, v1
+
+    t1, log1, v0, v1 = build("seq")
+    publish_changes(t1, log1, "k", -1, v0, at=datetime(2024, 1, 1))
+    publish_changes(t1, log1, "k", v0, v1, at=datetime(2024, 1, 2))
+    t2, log2, w0, w1 = build("many")
+    with pytest.raises(ValueError, match="explicit 'at'"):
+        publish_changes_many(t2, log2, "k", [(-1, w0, None)])
+    publish_changes_many(
+        t2,
+        log2,
+        "k",
+        [(-1, w0, datetime(2024, 1, 1)), (w0, w1, datetime(2024, 1, 2))],
+    )
+
+    def snap(log):
+        return [
+            (
+                r["event_id"],
+                r["event_type"],
+                r["foreign_id"],
+                r["timestamp"],
+                bytes(r["metadata"]),
+            )
+            for r in log.read().orderBy("event_id").collect()
+        ]
+
+    assert snap(log1) == snap(log2)
+
+
 def test_optimize_compacts_sorts_and_tightens_skipping(spark, tmp_path):
     """OPTIMIZE: many small files -> few range-sorted files; the row
     multiset is unchanged, old files are removed from the snapshot (and
