@@ -36,7 +36,7 @@ from reflex_spark.streaming import Consumer, ErrHeadReached, MemCursorStore, Spe
 from reflex_spark.streaming.materialize import MaterializedCounts
 from reflex_spark.streaming.run import run_stream
 from reflex_spark.streaming.statestore import (
-    PYTHON_STATE_FLOOR,
+    python_state_floor,
     scaled_stream_shuffle,
 )
 from reflex_spark.tables import load_tables
@@ -765,8 +765,9 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Data-sized state partitioning (statestore.scaled_stream_shuffle)
         # with the Python-stage floor: the per-user state is KBs, but the
         # state fn is per-group Python — one partition would serialize
-        # every group through a single worker (see PYTHON_STATE_FLOOR).
-        with scaled_stream_shuffle(spark, ev, floor=PYTHON_STATE_FLOOR):
+        # every group through a single worker (see python_state_floor —
+        # cores-derived, r17).
+        with scaled_stream_shuffle(spark, ev, floor=python_state_floor(spark)):
             q = (
                 agg.writeStream.outputMode("update")
                 .foreachBatch(sink.writer())

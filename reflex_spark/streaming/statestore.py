@@ -97,15 +97,24 @@ STREAM_PARTITIONS_ENV = "REFLEX_SPARK_STREAM_SHUFFLE_PARTITIONS"
 STREAM_BYTES_PER_PARTITION = 32 << 20
 
 
-#: partition floor for streams whose per-batch work includes a PYTHON
-#: per-group stage (applyInPandasWithState): that stage's cost is
-#: per-group interpreter work, not bytes, so its parallelism must scale
-#: with cluster width even when the bytes say one partition suffices —
-#: the same CPU-bound sweet-spot reasoning as dedup._spread_target
-#: (measured on the sessionization entry at sf0.1: derived 1 partition
-#: serializes ~1500 groups through one worker, 15-40s; 16 partitions is
-#: a stable 5.5s; the pre-r16 constant 32 ranged 6-15s).
-PYTHON_STATE_FLOOR = 16
+def python_state_floor(spark) -> int:
+    """Partition floor for streams whose per-batch work includes a
+    PYTHON per-group stage (applyInPandasWithState): that stage's cost
+    is per-group interpreter work, not bytes, so its parallelism must
+    scale with CLUSTER WIDTH even when the bytes say one partition
+    suffices — the same CPU-bound sweet-spot reasoning as
+    dedup._spread_target. Cores-derived (VERDICT r16 Next #5) instead
+    of the former literal 16, which silently underparallelized any
+    fleet wider than 32 cores: ``max(8, defaultParallelism // 2)``,
+    still capped at cluster width by ``stream_shuffle_partitions``.
+    Sweep on the sessionization entry at sf0.1 (medians of repeated
+    runs, r17): 32 cores — 8 partitions 6.1-6.7s, 16 5.8-7.3s (flat),
+    32 15.8s (store-commit overhead dominates past ~cores/2); 8 cores —
+    4 partitions 7.7-9.5s, 8 5.8-6.0s, 16 7.7s. The formula reproduces
+    the measured optimum at both widths (16 at 32 cores — identical to
+    the old constant — and 8 at 8 cores) and scales a 128-core fleet to
+    64 instead of pinning it at 16."""
+    return max(8, spark.sparkContext.defaultParallelism // 2)
 
 
 def stream_shuffle_partitions(
@@ -122,7 +131,7 @@ def stream_shuffle_partitions(
     overrides. ``source_df`` is the batch view of the streamed source
     (its optimized-plan size estimate is read, no job runs). ``floor``
     raises the minimum for CPU-bound per-group stages (see
-    PYTHON_STATE_FLOOR); it is itself capped at cluster width."""
+    python_state_floor); it is itself capped at cluster width."""
     env = os.environ.get(STREAM_PARTITIONS_ENV)
     if env:
         return max(1, int(env))
