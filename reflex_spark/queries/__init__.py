@@ -56,69 +56,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # most queries would never receive a hard external correctness row.
 # _WINDOW rotates the judged window explicitly: these names are emitted
 # first (in this order), then every other registered name in registration
-# order.  Round 16 window (VERDICT r15 Next #1): the 3 round-15 additions
-# (the only registered names without a driver row; the r15 judge verified
-# all 3 bit-green at sf0.001+sf0.01 at the driver surface) + the 47
-# stalest green rows by latest-judged round, computed programmatically
-# against every CORRECTNESS_r*.json at round start: the 14 remaining
-# r10-vintage rows, then the 33 oldest r11 rows (registration order
-# within the vintage).  After this window, every registered query has a
-# hard driver row and none is staler than r11.  Queries ADDED in round 16
-# are appended after slot 50, per the append-after-window contract.
+# order.  Round 17 window (VERDICT r16 Next #8): the 5 round-15/16
+# additions that never received a driver row (all driver-surface-green
+# locally at sf0.01 this round) + the 45 stalest green rows by
+# latest-judged round, computed programmatically against every
+# CORRECTNESS_r*.json at round start: the 17 remaining r11-vintage rows,
+# then the 28 oldest r12 rows (registration order within the vintage).
+# After this window, every registered query has a hard driver row and
+# none is staler than r12.
 _WINDOW: list[str] = [
-    # --- never judged: the 3 round-15 additions ---
-    "pipeline_corpus_end_to_end",
-    "sim_ann_ivf_snapshot_probe_rollup",
-    "sim_ann_ivf_repair_rollup",
-    # --- re-judges: stalest green rows (latest driver row r10) ---
-    "events_cms_heavy_hitters",
-    "events_hourly_anomaly",
-    "events_ohlc_hourly",
-    "events_scd2_type_history",
-    "events_hll_set_intersection",
-    "events_sample_bottomk_quantiles",
-    "events_ewma_user_value",
-    "graph_pagerank_bipartite",
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
-    "graph_kcore_2core",
-    "graph_bfs_hops",
-    "sample_documents_hash",
-    "sample_documents_stratified",
+    # --- never judged: round-15/16 additions ---
+    "pipeline_corpus_semdedup_end_to_end",
+    "sim_ann_ivf_compact_rollup",
+    "sim_ann_ivf_compact_snapshot_probe_rollup",
+    "stream_ann_index_maintenance_rollup",
+    "stream_ann_index_compaction_rollup",
     # --- re-judges: stalest green rows (latest driver row r11) ---
-    "sample_weighted_reservoir",
-    "unpivot_flag_measures",
-    "date_functions_orders",
-    "string_functions_part",
-    "array_functions_embeddings",
-    "rollup_grouping_id",
-    "dedup_events_exact",
-    "bloom_filter_customer_prune",
-    "bucketed_join_rollup",
-    "snapshot_diff_classify",
-    "window_nth_cume_dist",
-    "q6_revenue_change",
-    "q4_late_shipment_priority",
-    "q10_returned_revenue",
-    "q14_promo_revenue_pct",
-    "q18_large_orders",
-    "correlated_max_order",
-    "monthly_revenue_trend",
-    "tfidf_top_terms",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "dedup_embedding_cosine",
-    "sim_topk_cosine",
-    "sim_pairs_cosine",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_ann_pq_topk",
+    "dedup_semantic_clusters",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash",
+    "multimodal_binary_stats",
+    "text_gopher_filter",
+    "pipeline_corpus_end2end",
+    "pipeline_mixture_pack_end2end",
+    "text_chunk_sliding",
+    "text_bm25_topk",
+    "sim_mips_asymmetric_topk",
+    # --- re-judges: stalest green rows (latest driver row r12) ---
+    "events_seq_patterns_top",
+    "events_acf_lags",
+    "events_cusum_changepoint",
+    "events_ks_two_sample",
+    "events_session_window_dynamic",
+    "events_user_mean_grouped_udaf",
+    "events_xcorr_purchase_click",
+    "events_seasonal_profile",
+    "pipeline_winsorize_robust",
+    "graph_label_propagation",
+    "graph_hits_hubs_authorities",
+    "sample_global_shuffle_manifest",
+    "pipeline_dsir_importance",
+    "pipeline_feature_normalize",
+    "pipeline_group_split_leakage_free",
+    "cogroup_click_purchase_attribution",
+    "orders_years_agg",
+    "nation_order_volume",
+    "zorder_skipping_rollup",
+    "dedup_record_linkage",
+    "ivm_join_agg_maintenance",
+    "recursive_cte_supplier_chain",
+    "hilbert_skipping_rollup",
+    "lateral_top2_orders_per_customer",
+    "dpp_partitioned_events_join",
+    "nullsafe_join_type_counts",
+    "observe_metrics_orders",
+    "aqe_skew_join_rollup",
 ]
 
 
