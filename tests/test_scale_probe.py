@@ -173,6 +173,7 @@ def test_packing_operators_shard_and_layout_contract(spark):
     assert kept(docs, 500) != kb
 
 
+@pytest.mark.slow  # multi-minute-class probe; default run excluded (r17 verify budget), runs under -m slow
 def test_round6_queries_invariant_to_partitioning(spark):
     """Round-6 additions are functions of the data, not the layout:
     identical results under a different shuffle-partition count."""
@@ -298,6 +299,7 @@ def test_rocksdb_state_store_bounded_heap_under_load(tmp_path):
         assert oom_h or rc_h != 0
 
 
+@pytest.mark.slow  # multi-minute-class probe; default run excluded (r17 verify budget), runs under -m slow
 def test_round8_queries_invariant_to_partitioning(spark):
     """Round-8 additions are functions of the data, not the layout:
     identical results under a different shuffle-partition count —

@@ -138,6 +138,7 @@ def test_stream_static_dimension_join(spark, tmp_path):
     assert rows == {"u1": "gold", "u2": "silver", "u3": None}
 
 
+@pytest.mark.slow  # multi-minute-class probe; default run excluded (r17 verify budget), runs under -m slow
 def test_watermark_late_drop_rule(spark, tmp_path):
     """Pin the EMPIRICAL late-drop semantics the stream_watermark_rollup
     oracle replays (measured on pyspark 4.1.2, availableNow + per-file
@@ -206,6 +207,7 @@ def test_watermark_late_drop_rule(spark, tmp_path):
     assert by_batch[2] == [("2020-01-01 11:00:00", 3)]
 
 
+@pytest.mark.slow  # multi-minute-class probe; default run excluded (r17 verify budget), runs under -m slow
 def test_watermark_invariants_from_progress(spark, tmp_path):
     """Pin the watermark CONTRACT from the engine's own
     StreamingQueryProgress rather than the measured k-2 batch-lag rule

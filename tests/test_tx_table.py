@@ -216,6 +216,7 @@ def test_dead_letter_identity_on_tx_table(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["msg"] == "boom again" and rows[0]["attempt"] == 2
 
 
+@pytest.mark.slow  # multi-minute-class probe; default run excluded (r17 verify budget), runs under -m slow
 def test_log_checkpoint_bounds_replay_and_allows_truncation(spark, tmp_path):
     """Delta-style log checkpoints: every CHECKPOINT_INTERVAL commits the
     full snapshot state is materialized, reads replay at most the tail
@@ -266,6 +267,7 @@ def test_checkpoint_consistent_with_merge_removes(spark, tmp_path):
     assert rows == {1: "a12", 2: "b"}
 
 
+@pytest.mark.slow  # multi-minute-class probe; default run excluded (r17 verify budget), runs under -m slow
 def test_stats_skipping_prunes_merge_discovery_scan(spark, tmp_path):
     """Data skipping (round 5): with stats_cols recorded, merge_by_key's
     touched-file discovery excludes files whose key range cannot
@@ -506,6 +508,7 @@ def test_publish_changes_many_matches_sequential(spark, tmp_path):
     assert snap(log1) == snap(log2)
 
 
+@pytest.mark.slow  # multi-minute-class probe; default run excluded (r17 verify budget), runs under -m slow
 def test_optimize_compacts_sorts_and_tightens_skipping(spark, tmp_path):
     """OPTIMIZE: many small files -> few range-sorted files; the row
     multiset is unchanged, old files are removed from the snapshot (and
@@ -1493,6 +1496,7 @@ def test_append_audited_all_null_metric_fails_closed(spark, tmp_path):
     assert _os.listdir(t.data_dir) == []
 
 
+@pytest.mark.slow  # multi-minute-class probe; default run excluded (r17 verify budget), runs under -m slow
 def test_mor_cross_type_probe_falls_back_to_full_scan(spark, tmp_path):
     """A probe frame whose key type differs from the column's must DISABLE
     pruning (full scan, correct delete) — never crash or silently skip
